@@ -1,13 +1,453 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.MemoryModel
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.search.{Filters, Search}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with an equivalent
+  * DuckDB oracle in [[oracleSql]].
+  *
+  * Conventions for oracle hash-parity:
+  *  - every query ends in an explicit deterministic ORDER BY (unique key);
+  *  - double aggregates go through DECIMAL casts (exact, order-independent)
+  *    and back to DOUBLE; per-row doubles are rounded to fixed digits;
+  *  - DuckDB-side casts (::INT/::BIGINT) align column types with Spark's.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Filters.{FilterSpec, SV, NV, AV, RV}
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises ingest → sessionize → filter algebra → provenance → view.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val mem = MemoryModel.fromEvents(Tables.events(spark, dir))
+    val filtered = mem.where(Filters.compileAll(Seq(
+      FilterSpec("tool", "any_of", AV(Seq("click", "view", "purchase"))),
+      FilterSpec("value", "after", NV(1.0)))))
+    MemoryModel.withProvenance(filtered)
+      .select("memory_id", "session_id", "tool", "sequence_order",
+        "preceding_memory_id", "preceding_tool")
+      .orderBy(col("memory_id").cast("long"))
+  }
+
+  private def memories(s: SparkSession, dir: String): DataFrame =
+    MemoryModel.fromEvents(Tables.events(s, dir))
+
+  /** First embedding row = deterministic query vector for KNN queries. */
+  private def queryVec(s: SparkSession, dir: String, vecId: Long = 0L): Seq[Float] =
+    Tables.embeddings(s, dir).where(col("vec_id") === vecId)
+      .head().getSeq[Float](1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- TPC-H-style relational core (scan/filter/agg/join/sort) ----
+
+    // A-agg family: hash aggregate with map-side combine; decimal sums are
+    // order-independent so results are stable under any partitioning.
+    "q1_pricing_summary" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F3/F5 range predicates — all pushed to the parquet scan.
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    }),
+
+    // Join family: broadcast the dim side (customer filtered), shuffle join
+    // lineitem⋈orders on orderkey; top-k via TakeOrderedAndProject.
+    "q3_unshipped_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Multi-join star query: region/nation broadcast, fact-side shuffle only.
+    "q5_nation_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window/top-k-per-group: single shuffle on the partition key.
+    "q_top_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // Set ops: repeat buyers across years (shuffle-dedup + intersect).
+    "q_setops_repeat_buyers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y1995 = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y1996 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y1995.intersect(y1996).orderBy(col("o_custkey"))
+    }),
+
+    // Rollup (grouping sets family) over the join result.
+    "q_rollup_region_nation" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val c = Tables.customer(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // ---- Memory-store engine surface (SURVEY §2 on the events log) ----
+
+    // A1/A2/J1: sessionization — ONE window shuffle replaces the
+    // reference's per-insert Qdrant read-back (storage.py:113-143).
+    "mem_sessionize" -> ((s, d) => {
+      memories(s, d)
+        .select("memory_id", "session_id", "tool", "sequence_order",
+          "preceding_memory_id")
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
+    "mem_last_per_session" -> ((s, d) => {
+      MemoryModel.lastMemoryPerSession(memories(s, d))
+        .select(col("session_id"), col("last_memory_id"),
+          col("next_seq").cast("long").as("next_seq"))
+        .orderBy(col("session_id").cast("long"))
+    }),
+
+    // J1 provenance self-join.
+    "mem_provenance" -> ((s, d) => {
+      MemoryModel.withProvenance(memories(s, d))
+        .select("memory_id", "preceding_memory_id", "preceding_tool")
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
+    // F1-F8: the full filter algebra AND-combined, compiled to one
+    // pushed-down predicate.
+    "mem_filter_algebra" -> ((s, d) => {
+      memories(s, d)
+        .where(Filters.compileAll(Seq(
+          FilterSpec("tool", "any_of", AV(Seq("click", "view"))),
+          FilterSpec("timestamp", "after", SV("2024-01-10T00:00:00")),
+          FilterSpec("timestamp", "before", SV("2024-01-25T00:00:00")),
+          FilterSpec("value", "between", RV(NV(5.0), NV(40.0))),
+          FilterSpec("session_id", "is_not", SV("42")),
+          FilterSpec("props", "contains", SV("\"k\": 6")))))
+        // timestamps leave results as strings: parquet ns-vs-µs physical
+        // types would otherwise break hash-compare despite equal values
+        .select(col("memory_id"), col("tool"), col("value"),
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("props"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
+    // S7/T3: point lookup, constant score.
+    "mem_by_id" -> ((s, d) => {
+      Search.byId(memories(s, d), "memory_id", Seq("17", "230", "4099"))
+        .select("memory_id", "session_id", "tool", "sequence_order", "score")
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
+    // ---- Vector search (S8/T1 + ANN scale path) ----
+
+    "search_knn_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "embedding", "vec_id",
+        queryVec(s, d), k = 10)
+    }),
+
+    "search_knn_filtered" -> ((s, d) => {
+      Search.basic(Tables.embeddings(s, d), "embedding", queryVec(s, d),
+        limit = 10, scoreThreshold = 0.0,
+        filters = Seq(FilterSpec("label", "any_of", AV(Seq("0", "2")))),
+        tieBreak = "vec_id")
+        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    "search_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnJoin(e, e.where(col("vec_id") < 5), "embedding",
+        "vec_id", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Dedup / text-analysis extensions ----
+
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactClusters(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("fingerprint"))
+    }),
+
+    "text_token_stats" -> ((s, d) => {
+      TextAnalysis.tokenStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprints(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("fingerprint"), col("fingerprint64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Streaming-shaped batch equivalents over events ----
+
+    "events_hourly_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "events_session_windows" -> ((s, d) => {
+      // 30-min-inactivity sessionization: the batch shape of
+      // flatMapGroupsWithState session windows.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_no"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_unshipped_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_setops_repeat_buyers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_rollup_region_nation" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "mem_sessionize" ->
+      """SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |  CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
+        |  LAG(CAST(event_id AS VARCHAR)) OVER w AS preceding_memory_id
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "mem_last_per_session" ->
+      """SELECT CAST(user_id AS VARCHAR) AS session_id,
+        |  CAST(event_id AS VARCHAR) AS last_memory_id, cnt + 1 AS next_seq
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "mem_provenance" ->
+      """SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |  LAG(CAST(event_id AS VARCHAR)) OVER w AS preceding_memory_id,
+        |  LAG(event_type) OVER w AS preceding_tool
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "mem_filter_algebra" ->
+      """SELECT CAST(event_id AS VARCHAR) AS memory_id, event_type AS tool,
+        |  value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, props
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND ts > TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  AND value BETWEEN 5.0 AND 40.0
+        |  AND CAST(user_id AS VARCHAR) <> '42'
+        |  AND contains(lower(props), lower('"k": 6'))
+        |ORDER BY event_id""".stripMargin,
+
+    "mem_by_id" ->
+      """SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |  CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS sequence_order,
+        |  CAST(1.0 AS DOUBLE) AS score
+        |FROM events QUALIFY CAST(event_id AS VARCHAR) IN ('17', '230', '4099')
+        |ORDER BY event_id""".stripMargin,
+
+    "search_knn_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "search_knn_filtered" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings e, q WHERE e.label IN (0, 2)
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "search_knn_join" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS base_id,
+        |    ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings b, embeddings q WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT query_id, base_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, base_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, base_id, score, rank FROM ranked
+        |WHERE rank <= 5 AND base_id <> query_id
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::INT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_chars_c,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+        |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stops
+        |  FROM documents)
+        |SELECT doc_id, n_tokens::INT AS n_tokens,
+        |  ROUND(n_chars_c / NULLIF(n_tokens, 0), 4) AS avg_token_len,
+        |  ROUND(punct / NULLIF(n_chars_c, 0), 4) AS punct_ratio,
+        |  ROUND(stops / NULLIF(n_tokens, 0), 4) AS stopword_ratio,
+        |  ROUND(CAST((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN punct / NULLIF(n_chars_c, 0) < 0.2 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN stops > 0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(('0x' || substr(md5(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fingerprint64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic hashing.
+  *
+  * `hash64` takes the top 15 hex digits (60 bits) of md5 — the same value is
+  * computable in any engine with an md5 function, which makes every operator
+  * built on it (MinHash, SimHash, band buckets, fingerprints) verifiable
+  * against an external SQL oracle and stable across Spark versions (unlike
+  * `hash()`/`xxhash64`, whose seeds are engine-internal).
+  *
+  * All of this is Column-tree (codegen'd md5 + conv) — no UDF.
+  */
+object HashFunctions {
+
+  /** 60-bit non-negative hash of a string column. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash rows. */
+  def hash64(c: Column, seed: Int): Column =
+    hash64(concat_ws(":", lit(seed.toString), c))
+
+  /** Content fingerprint: md5 hex of whitespace-normalized, lower-cased text
+    * (reference stores no fingerprint; this is the dedup-key normalization
+    * a training-data pipeline needs — stable under case/whitespace noise).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

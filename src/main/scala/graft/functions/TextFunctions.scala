@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar string/date functions matching the reference's formatter semantics
+  * (reference: fegis/search/formatters.py). All pure Column expressions —
+  * codegen-friendly, no UDFs.
+  */
+object TextFunctions {
+
+  /** Collapse runs of whitespace to single spaces and trim
+    * (reference: formatters.py:204). */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Content preview (reference: formatters.py:172-218): whitespace-normalize,
+    * and if longer than `maxLen` chars truncate sentence-aware — keep whole
+    * sentences while they fit in `maxLen - 3`, else hard-cut at
+    * `maxLen - 3` — and append "...".
+    *
+    * Implemented as a Column tree: sentence split on [.!?]+ then a bounded
+    * fold that re-assembles the longest fitting prefix.
+    */
+  def contentPreview(content: Column, maxLen: Int = 150): Column = {
+    val norm = normalizeWhitespace(content)
+    val budget = maxLen - 3
+    // Longest prefix of whole sentences (with their terminators) <= budget:
+    // walk sentence boundaries via regexp; fall back to hard cut.
+    val sentences = filter(split(norm, "(?<=[.!?])\\s+"), s => length(s) > 0)
+    // running lengths of joined prefixes
+    val prefix = aggregate(
+      sentences,
+      lit(""),
+      (acc, s) =>
+        when(length(acc) === 0 && length(s) <= budget, s)
+          .when(length(acc) + 1 + length(s) <= budget, concat(acc, lit(" "), s))
+          .otherwise(acc))
+    when(length(norm) <= maxLen, norm)
+      .when(length(prefix) > 0, concat(prefix, lit("...")))
+      .otherwise(concat(substring(norm, 1, budget), lit("...")))
+  }
+
+  /** Relative-time bucketing (reference: formatters.py:141-169): render the
+    * age of `ts` relative to `now` as "just now" / "N minutes ago" /
+    * "N hours ago" / "N days ago" / "N weeks ago" / "N months ago".
+    * `now` is a parameter (not current_timestamp()) so results are
+    * deterministic and oracle-checkable.
+    */
+  def relativeTime(ts: Column, now: Column): Column = {
+    val secs = unix_timestamp(now) - unix_timestamp(ts)
+    val mins = floor(secs / 60)
+    val hours = floor(secs / 3600)
+    val days = floor(secs / 86400)
+    val weeks = floor(days / 7)
+    val months = floor(days / 30)
+    when(secs < 60, lit("just now"))
+      .when(mins < 60, concat(mins.cast("string"), lit(" minutes ago")))
+      .when(hours < 24, concat(hours.cast("string"), lit(" hours ago")))
+      .when(days < 7, concat(days.cast("string"), lit(" days ago")))
+      .when(days < 30, concat(weeks.cast("string"), lit(" weeks ago")))
+      .otherwise(concat(months.cast("string"), lit(" months ago")))
+  }
+
+  /** Word tokens: split on whitespace, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-ish token count: word chunks, numbers, and single
+    * punctuation marks each count as one token (a cheap stand-in for a real
+    * tokenizer with the same asymptotics).
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word k-shingles of the whitespace token stream, e.g. k=3 →
+    * ["a b c", "b c d", ...]. Empty array when fewer than k tokens.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}

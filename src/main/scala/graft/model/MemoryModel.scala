@@ -1,0 +1,74 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The canonical memory store (SURVEY.md §1.4): one row per tool invocation.
+  *
+  * The reference writes one Qdrant point per tool call with a fixed payload
+  * envelope + dynamic parameters/frames (reference: fegis/storage.py:154-191).
+  * Here the envelope is a fixed schema over a DataFrame; the testdata
+  * `events` table plays the role of the raw tool-call log
+  * (event_id→memory_id, user_id→session_id, event_type→tool).
+  *
+  * Sessionization (sequence_order, preceding_memory_id) is the reference's
+  * one stateful ingest step (storage.py:113-143 + server.py:96-103 —
+  * a per-session read-back before every insert). At scale that per-row
+  * round-trip becomes ONE window shuffle, partitioned by session — each
+  * session's rows land on one executor, counters assigned locally.
+  */
+object MemoryModel {
+
+  /** events → memories: envelope extraction + sessionization.
+    *
+    * - `sequence_order`: 1-based position within session ordered by event
+    *   time (reference A2, storage.py:136-139)
+    * - `preceding_memory_id`: previous memory in the same session
+    *   (reference J1, storage.py:181) — `lag` over the same window, so both
+    *   derive from a single shuffle.
+    * - `content`: the reference's fallback document text
+    *   "Tool: {name}\n{json}" (storage.py:158-160).
+    */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("memory_id", col("event_id").cast("string"))
+      .withColumn("session_id", col("user_id").cast("string"))
+      .withColumn("tool", col("event_type"))
+      .withColumn("timestamp", col("ts"))
+      .withColumn("title", concat(col("event_type"), lit(" Invocation")))
+      .withColumn("content",
+        concat(lit("Tool: "), col("event_type"), lit("\n"), col("props")))
+      .withColumn("sequence_order", row_number().over(w))
+      .withColumn("preceding_memory_id", lag(col("event_id").cast("string"), 1).over(w))
+      .select("memory_id", "session_id", "tool", "timestamp", "title",
+        "content", "sequence_order", "preceding_memory_id", "value", "props")
+  }
+
+  /** Last memory per session (reference A1, storage.py:113-143): the
+    * filtered+ordered scroll `order_by sequence_order desc limit 1`,
+    * generalized to all sessions in one pass — `max_by` gives a single
+    * partial-aggregating shuffle (no per-session query loop).
+    */
+  def lastMemoryPerSession(memories: DataFrame): DataFrame =
+    memories
+      .groupBy(col("session_id"))
+      .agg(
+        expr("max_by(memory_id, sequence_order)").as("last_memory_id"),
+        (max(col("sequence_order")) + 1).as("next_seq"))
+
+  /** Provenance self-join (reference J1): resolve each memory's preceding
+    * memory row. Both sides share the memories lineage; at scale this is a
+    * shuffle join on memory_id — or free if the store is bucketed by
+    * memory_id.
+    */
+  def withProvenance(memories: DataFrame): DataFrame = {
+    val prev = memories.select(
+      col("memory_id").as("p_memory_id"),
+      col("tool").as("preceding_tool"),
+      col("timestamp").as("preceding_timestamp"))
+    memories.join(prev, memories("preceding_memory_id") === prev("p_memory_id"), "left")
+      .drop("p_memory_id")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines, each designed around
+  * its shuffle shape at 100 TB:
+  *
+  *  - exact: one hash-aggregate shuffle on the fingerprint (map-side
+  *    combine does most of the work; skew-safe because md5 keys are
+  *    uniform).
+  *  - MinHash + LSH banding: per-row signature (shuffle-free) → explode to
+  *    (band, bandHash) → ONE shuffle groups candidates per bucket →
+  *    pairs only within buckets. Never the O(n²) cross join.
+  *  - SimHash: per-row 64-bit signature; near-dups collide on band
+  *    sub-keys the same way.
+  *  - n-gram Jaccard: verification step on LSH candidates (exact overlap
+  *    on the shingle sets), not a global pairwise op.
+  *  - embedding cosine: RHP-LSH bucket join, exact cosine inside buckets.
+  *
+  * All hashes use the engine-portable md5-based [[HashFunctions.hash64]],
+  * so every stage is oracle-verifiable in external SQL.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content fingerprint; emit cluster
+    * size and the keeper (min id) per cluster. One shuffle, combiner-heavy.
+    */
+  def exactClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", HashFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+
+  /** MinHash signature columns `mh0..mh{k-1}`: min over word-shingle hashes
+    * under k independent seeded hash functions. Shuffle-free, codegen'd.
+    */
+  def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleK: Int = 3): DataFrame = {
+    val shingles = array_distinct(TextFunctions.wordShingles(col(textCol), shingleK))
+    val withSh = docs.select(col(idCol), shingles.as("shingles"))
+    (0 until numHashes).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("shingles"), s => HashFunctions.hash64(s, i))))
+    }.drop("shingles")
+  }
+
+  /** LSH banding over a MinHash signature: bands of `rowsPerBand` hashes,
+    * band key = md5 of the concatenated row values. Docs sharing any band
+    * key are candidate near-duplicates. Returns candidate pairs (a < b)
+    * found in ≥1 band — grouped per bucket, so the only shuffle is on the
+    * band key and skew is bounded by bucket size, not corpus size.
+    */
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(":", rows: _*)).as("bucket"))
+    }
+    val exploded = signatures
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = exploded.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = exploded.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature where bit j is the sign of the sum over
+    * tokens of ±1 votes weighted by token frequency; hamming-near
+    * signatures ⇒ near-duplicate texts. Shuffle-free per row.
+    *
+    * bits: for each of `bits` positions, vote = Σ_tokens (bit j of
+    * hash64(token) ? +1 : -1); signature bit j = vote > 0.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val hashed = transform(toks, t => HashFunctions.hash64(t))
+    val sig = (0 until bits).map { j =>
+      val vote = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }.reduce(_ + _)
+    docs.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: explode distinct
+    * shingles, self-join on shingle (shuffle on shingle hash — uniform),
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. `minJaccard` prunes the
+    * output. At scale this runs on LSH candidates, not all pairs; the
+    * shingle join itself only pairs docs sharing ≥1 shingle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleK)).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val ex = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val l = ex.select(col("shingle"), col("id").as("a"), col("n_sh").as("na"))
+    val r = ex.select(col("shingle"), col("id").as("b"), col("n_sh").as("nb"))
+    l.join(r, "shingle")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: RHP-LSH bucket join (shuffle on
+    * bucket), exact cosine verification inside buckets. `planes = 0`
+    * degrades to the exact all-pairs join for small candidate sets.
+    */
+  def embeddingNearDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double, planes: Int = 0, seed: Int = 42): DataFrame = {
+    val base =
+      if (planes <= 0) vecs.select(col(idCol), col(vecCol)).withColumn("bucket", lit(0L))
+      else vecs.select(col(idCol), col(vecCol))
+        .withColumn("bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed))
+    val l = base.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = base.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, "bucket")
+      .where(col("a") < col("b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

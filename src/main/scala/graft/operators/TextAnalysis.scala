@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table. All pure Column trees — per-row, shuffle-free,
+  * embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic.
+    * Tiny, compiled into the expression as literals (broadcast-free). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  /** Count of tokens that are members of `words` (exact token match). */
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: argmax over per-language stopword hit counts; ties and
+    * zero-hit rows → "und" (undetermined). Deterministic tie-break by
+    * language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality scoring features (length / punctuation / stopword ratios) and a
+    * composite [0,1] score — the cheap heuristics used to pre-filter
+    * web-scale corpora.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = TextFunctions.tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val enStops = stopwordHits(TextFunctions.tokens(lower(text)), stopwords("en"))
+    df.withColumn("n_chars_c", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        round(nChars.cast("double") / nullifZero(nTokens), 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / nullifZero(nChars), 4))
+      .withColumn("stopword_ratio", round(enStops.cast("double") / nullifZero(nTokens), 4))
+      .withColumn("quality_score", round(
+        when(nTokens >= 5 && nTokens <= 100000, lit(0.4)).otherwise(lit(0.0))
+          + when(punct.cast("double") / nullifZero(nChars) < 0.2, lit(0.3)).otherwise(lit(0.0))
+          + when(enStops > 0, lit(0.3)).otherwise(lit(0.0)), 4))
+  }
+
+  private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  /** Whitespace + BPE-ish token counts per document. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(TextFunctions.tokens(col(textCol))))
+      .withColumn("bpeish_tokens", TextFunctions.tokenCountBpeIsh(col(textCol)))
+
+  /** Document fingerprint (rolling-hash family): md5 over normalized text
+    * plus a 60-bit numeric form for range-partitionable dedup keys.
+    */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", HashFunctions.fingerprint(col(textCol)))
+      .withColumn("fingerprint64", HashFunctions.hash64(HashFunctions.fingerprint(col(textCol))))
+}

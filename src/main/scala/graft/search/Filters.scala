@@ -1,0 +1,83 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's 7-operator filter algebra compiled to Catalyst `Column`
+  * trees (reference: fegis/search/strategies.py:87-259,
+  * fegis/search_tool_schema.json:25-80).
+  *
+  * A filter is `{field, operator, value}`; a request carries a list of
+  * filters AND-combined (`must`, strategies.py:96-114). `contains` is the
+  * reference's case-variant full-text hack (strategies.py:240-259) — here a
+  * single case-insensitive containment, which subsumes the 3-variant OR.
+  *
+  * Compiling to `Column` (instead of executing) means Catalyst pushes every
+  * compiled predicate into the parquet scan — the scale replacement for the
+  * reference's 12 Qdrant payload indexes (storage.py:71-111).
+  */
+object Filters {
+
+  sealed trait FilterValue
+  final case class SV(s: String) extends FilterValue
+  final case class NV(n: Double) extends FilterValue
+  final case class AV(vs: Seq[String]) extends FilterValue
+  final case class RV(lo: FilterValue, hi: FilterValue) extends FilterValue
+
+  final case class FilterSpec(field: String, op: String, value: FilterValue)
+
+  /** API-name → column-path mapping (reference: strategies.py:27-32). */
+  val fieldMap: Map[String, String] = Map(
+    "agent_id" -> "meta.agent_id",
+    "schema_version" -> "meta.schema_version",
+    "archetype_title" -> "meta.archetype_title",
+    "archetype_version" -> "meta.archetype_version")
+
+  val allowedOps: Set[String] =
+    Set("is", "is_not", "before", "after", "between", "contains", "any_of")
+
+  private def resolve(field: String): Column = col(fieldMap.getOrElse(field, field))
+
+  private def litOf(v: FilterValue, temporal: Boolean): Column = v match {
+    case SV(s) if temporal => to_timestamp(lit(s.replace("Z", "+00:00")))
+    case SV(s)             => lit(s)
+    case NV(n)             => lit(n)
+    case other => throw new IllegalArgumentException(s"scalar expected, got $other")
+  }
+
+  /** Compile one filter spec to a predicate Column.
+    * Validation mirrors strategies.py:120-158 — unknown operator or
+    * malformed value is an error, not a silent no-op.
+    */
+  def compile(f: FilterSpec): Column = {
+    val c = resolve(f.field)
+    val temporal = f.field == "timestamp" || f.field.endsWith("_at") || f.field == "ts"
+    f.op match {
+      case "is"     => c === litOf(f.value, temporal)
+      // null-safe exclusion: MatchExcept keeps points where field != v,
+      // including points where the field is absent (strategies.py:172-175)
+      case "is_not" => !(c <=> litOf(f.value, temporal))
+      case "before" => c < litOf(f.value, temporal)
+      case "after"  => c > litOf(f.value, temporal)
+      case "between" => f.value match {
+        case RV(lo, hi) => c >= litOf(lo, temporal) && c <= litOf(hi, temporal)
+        case other => throw new IllegalArgumentException(s"between needs [min,max], got $other")
+      }
+      case "contains" => f.value match {
+        // subsumes the reference's {v, lower, capitalize} OR-expansion
+        case SV(s) => lower(c).contains(lower(lit(s)))
+        case other => throw new IllegalArgumentException(s"contains needs a string, got $other")
+      }
+      case "any_of" => f.value match {
+        case AV(vs) => c.isin(vs: _*)
+        case other  => throw new IllegalArgumentException(s"any_of needs an array, got $other")
+      }
+      case op => throw new IllegalArgumentException(
+        s"unknown operator '$op' (allowed: ${allowedOps.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** AND-combine a filter list (empty list → TRUE), reference F8. */
+  def compileAll(fs: Seq[FilterSpec]): Column =
+    fs.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+}

@@ -1,0 +1,122 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's SearchMemory strategies re-expressed as one Catalyst plan
+  * each (reference: fegis/search/strategies.py + handler.py).
+  *
+  * Shapes:
+  *  - basic: score every row by cosine to a broadcast query vector, top-k —
+  *    Spark plans `TakeOrderedAndProject` (no global sort, per-partition
+  *    heaps + driver merge of k rows). Exact KNN is a full scan; the scale
+  *    path is [[lshSearch]] which prunes to one hash bucket first.
+  *  - filtered: same with the compiled filter algebra applied BEFORE
+  *    scoring — Catalyst pushes it into the parquet scan, mirroring
+  *    Qdrant's filtered HNSW (strategies.py:286-291).
+  *  - by-id: pruned point lookup, constant score 1.0
+  *    (strategies.py:297-320).
+  *  - score_threshold is applied AFTER ranking/fusion, matching the
+  *    reference's post-RRF placement (handler.py:52-59).
+  */
+object Search {
+
+  val DefaultLimit = 3
+  val DefaultScoreThreshold = 0.4
+
+  /** Exact cosine top-k. `queryVec` is a literal array — broadcast to every
+    * task inside the codegen'd expression; no shuffle besides the final
+    * k-row collect.
+    */
+  def basic(
+      points: DataFrame,
+      vecCol: String,
+      queryVec: Seq[Float],
+      limit: Int = DefaultLimit,
+      scoreThreshold: Double = DefaultScoreThreshold,
+      filters: Seq[Filters.FilterSpec] = Nil,
+      tieBreak: String = "memory_id"): DataFrame = {
+    val q = typedLit(queryVec)
+    points
+      .where(Filters.compileAll(filters))
+      .withColumn("score", VectorFunctions.cosine(col(vecCol), q))
+      .orderBy(col("score").desc, col(tieBreak))
+      .limit(limit)
+      .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
+  }
+
+  /** Point lookup by ids (reference: strategies.py:297-320). At scale this
+    * is a bloom/min-max pruned scan, not a full pass.
+    */
+  def byId(points: DataFrame, idCol: String, ids: Seq[String]): DataFrame =
+    points.where(col(idCol).isin(ids: _*)).withColumn("score", lit(1.0))
+
+  /** Reciprocal-rank fusion of a dense ranking and a keyword ranking
+    * (the reference inherits RRF opaquely from fastembed's hybrid path,
+    * handler.py:52; here it is explicit: score = Σ 1/(k + rankᵢ), k=60).
+    *
+    * Two window ranks over the same scan — Spark evaluates both in one
+    * Window exchange when the partitioning matches (here: global ranking,
+    * so a single-partition sort of the CANDIDATE set — callers should
+    * pre-prune to a candidate pool, not rank 100 TB globally).
+    */
+  def rrfFuse(
+      scored: DataFrame,
+      denseScore: Column,
+      keywordScore: Column,
+      tieBreak: Column,
+      k: Int = 60): DataFrame = {
+    val wDense = Window.orderBy(denseScore.desc, tieBreak)
+    val wKw = Window.orderBy(keywordScore.desc, tieBreak)
+    scored
+      .withColumn("dense_rank_", row_number().over(wDense))
+      .withColumn("kw_rank_", row_number().over(wKw))
+      .withColumn("score",
+        lit(1.0) / (lit(k) + col("dense_rank_")) + lit(1.0) / (lit(k) + col("kw_rank_")))
+      .drop("dense_rank_", "kw_rank_")
+  }
+
+  /** ANN via random-hyperplane LSH: prune to the query's bucket, then exact
+    * cosine within it. At 100 TB the store is written partitioned by
+    * `bucket` so this reads ~1/2^planes of the data (partition pruning),
+    * instead of the full scan [[basic]] does.
+    */
+  def lshSearch(
+      points: DataFrame,
+      vecCol: String,
+      queryVec: Seq[Float],
+      planes: Int,
+      seed: Int,
+      limit: Int = DefaultLimit): DataFrame = {
+    val withBucket = points.withColumn(
+      "bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed))
+    val qDf = points.sparkSession.range(1)
+      .select(VectorFunctions.rhpBucket(typedLit(queryVec), planes, seed).as("qb"))
+    val qBucket = qDf.head().getLong(0)
+    withBucket
+      .where(col("bucket") === qBucket)
+      .withColumn("score", VectorFunctions.cosine(col(vecCol), typedLit(queryVec)))
+      .orderBy(col("score").desc)
+      .limit(limit)
+  }
+
+  /** View projections (reference P3, formatters.py:28-92): named column
+    * lists; pure `select`, so column pruning reaches the scan.
+    */
+  val views: Map[String, Seq[String]] = Map(
+    "compact" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id"),
+    "summary" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
+      "content", "sequence_order"),
+    "graph" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
+      "content", "sequence_order", "preceding_memory_id"),
+    "full" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
+      "content", "sequence_order", "preceding_memory_id", "value", "props"))
+
+  def project(df: DataFrame, view: String): DataFrame = {
+    val cols = views.getOrElse(view,
+      throw new IllegalArgumentException(s"unknown view '$view'"))
+    df.select(cols.filter(df.columns.contains).map(col): _*)
+  }
+}
