@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{Embedder, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.search.{Filters, Search}
@@ -37,6 +38,42 @@ object SparkEntry {
 
   private def memories(s: SparkSession, dir: String): DataFrame =
     MemoryModel.fromEvents(Tables.events(s, dir))
+      .withColumn("memory_id_num", col("memory_id").cast("long"))
+
+  /** Surrogate-embedding search config: small dims keep the DuckDB oracle
+    * SQL tractable; the engine path is dimension-agnostic. */
+  private val SearchDims = 8
+  private val SearchQueryText = "Tool: purchase"
+
+  /** Oracle CTE: sessionized memories + surrogate embeddings, mirroring
+    * [[MemoryModel.fromEvents]] + [[Embedder.embed]] in DuckDB SQL. */
+  private def memVecCte(dims: Int): String = {
+    val dimList = (0 until dims).mkString("[", ",", "]")
+    s"""WITH mem AS (
+       |  SELECT CAST(event_id AS VARCHAR) AS memory_id, event_id,
+       |    CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
+       |    event_type || ' Invocation' AS title, ts, value, props,
+       |    'Tool: ' || event_type || chr(10) || props AS content,
+       |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |emb AS (
+       |  SELECT *, list_transform($dimList, d ->
+       |    (CAST(('0x' || substr(md5(content || '#' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 2001 - 1000) / 1000.0) AS raw
+       |  FROM mem),
+       |vec AS (
+       |  SELECT *, list_transform(raw, x ->
+       |    x / sqrt(list_sum(list_transform(raw, y -> y*y)))) AS embedding
+       |  FROM emb),
+       |qe AS (
+       |  SELECT list_transform($dimList, d ->
+       |    (CAST(('0x' || substr(md5('$SearchQueryText' || '#' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 2001 - 1000) / 1000.0) AS qraw),
+       |qv AS (
+       |  SELECT list_transform(qraw, x ->
+       |    x / sqrt(list_sum(list_transform(qraw, y -> y*y)))) AS qvec
+       |  FROM qe)""".stripMargin
+  }
 
   /** First embedding row = deterministic query vector for KNN queries. */
   private def queryVec(s: SparkSession, dir: String, vecId: Long = 0L): Seq[Float] =
@@ -187,6 +224,61 @@ object SparkEntry {
       Search.byId(memories(s, d), "memory_id", Seq("17", "230", "4099"))
         .select("memory_id", "session_id", "tool", "sequence_order", "score")
         .orderBy(col("memory_id").cast("long"))
+    }),
+
+    // ---- SearchMemory full pipeline (S8/T1/P7 over the memory store,
+    // surrogate embeddings — ingest-side and query-side share the same
+    // embedder, like the reference shares its fastembed model) ----
+
+    "mem_embed" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      mem.select(col("memory_id"),
+        round(element_at(col("embedding"), 1), 6).as("e0"),
+        round(element_at(col("embedding"), 2), 6).as("e1"),
+        round(VectorFunctions.l2Norm(col("embedding")), 6).as("norm"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
+    "mem_search_basic" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
+        limit = 10, scoreThreshold = 0.4, tieBreak = "memory_id_num")
+        .select(col("memory_id"), col("tool"), col("title"),
+          col("sequence_order"), col("score"))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
+    "mem_search_filtered" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
+        limit = 10, scoreThreshold = 0.4,
+        filters = Seq(
+          FilterSpec("tool", "any_of", AV(Seq("click", "purchase"))),
+          FilterSpec("timestamp", "after", SV("2024-01-05T00:00:00")),
+          FilterSpec("value", "between", RV(NV(5.0), NV(80.0)))),
+        tieBreak = "memory_id_num")
+        .select(col("memory_id"), col("tool"), col("value"), col("score"))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
+    "mem_search_rrf" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
+      val qToks = TextFunctions.tokens(lower(lit(SearchQueryText)))
+      val scored = mem
+        .withColumn("dense", VectorFunctions.cosine(col("embedding"), qv))
+        .withColumn("kw",
+          size(array_intersect(TextFunctions.tokens(lower(col("content"))), qToks)))
+      Search.rrfFuse(scored, col("dense"), col("kw").cast("double"),
+        col("memory_id").cast("long"))
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+        .limit(10)
+        .select(col("memory_id"), col("tool"), col("score"))
     }),
 
     // ---- Vector search (S8/T1 + ANN scale path) ----
@@ -367,6 +459,53 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS score
         |FROM events QUALIFY CAST(event_id AS VARCHAR) IN ('17', '230', '4099')
         |ORDER BY event_id""".stripMargin,
+
+    "mem_embed" -> (memVecCte(SearchDims) +
+      """
+        |SELECT memory_id, ROUND(embedding[1], 6) AS e0, ROUND(embedding[2], 6) AS e1,
+        |  ROUND(sqrt(list_sum(list_transform(embedding, x -> x*x))), 6) AS norm
+        |FROM vec ORDER BY event_id""".stripMargin),
+
+    "mem_search_basic" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, title, sequence_order,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, title, sequence_order, score FROM topk
+        |WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "mem_search_filtered" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, value,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv
+        |  WHERE tool IN ('click', 'purchase')
+        |    AND ts > TIMESTAMP '2024-01-05 00:00:00'
+        |    AND value BETWEEN 5.0 AND 80.0),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, value, score FROM topk
+        |WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "mem_search_rrf" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool,
+        |    list_cosine_similarity(embedding, qvec) AS dense,
+        |    CAST(len(list_intersect(
+        |      list_filter(string_split_regex(lower(content), '\s+'), t -> t <> ''),
+        |      ['tool:', 'purchase'])) AS DOUBLE) AS kw
+        |  FROM vec, qv),
+        |ranked AS (
+        |  SELECT memory_id, event_id, tool,
+        |    ROW_NUMBER() OVER (ORDER BY dense DESC, event_id) AS dr,
+        |    ROW_NUMBER() OVER (ORDER BY kw DESC, event_id) AS kr
+        |  FROM scored)
+        |SELECT memory_id, tool,
+        |  ROUND(CAST(1.0 AS DOUBLE)/(60+dr) + CAST(1.0 AS DOUBLE)/(60+kr), 9) AS score
+        |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
 
     "search_knn_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -46,6 +46,16 @@ object MemoryModel {
         "content", "sequence_order", "preceding_memory_id", "value", "props")
   }
 
+  /** Generic sessionization over canonical columns (memory_id, session_id,
+    * timestamp): assign 1-based sequence_order and preceding_memory_id in
+    * one window shuffle. Used by the ingest path after validation.
+    */
+  def sessionize(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("session_id").orderBy(col("timestamp"), col("memory_id"))
+    df.withColumn("sequence_order", row_number().over(w))
+      .withColumn("preceding_memory_id", lag(col("memory_id"), 1).over(w))
+  }
+
   /** Last memory per session (reference A1, storage.py:113-143): the
     * filtered+ordered scroll `order_by sequence_order desc limit 1`,
     * generalized to all sessions in one pass — `max_by` gives a single

@@ -47,6 +47,30 @@ object Search {
       .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
   }
 
+  /** Text-query variant of [[basic]]: embed the query text with the same
+    * surrogate embedder the ingest path uses (the reference embeds queries
+    * with the same model as documents, strategies.py:267-272). The query
+    * embedding is an expression over literals — Catalyst constant-folds it,
+    * so the per-row work is just the cosine.
+    */
+  def basicByText(
+      points: DataFrame,
+      vecCol: String,
+      queryText: String,
+      dims: Int,
+      limit: Int = DefaultLimit,
+      scoreThreshold: Double = DefaultScoreThreshold,
+      filters: Seq[Filters.FilterSpec] = Nil,
+      tieBreak: String = "memory_id"): DataFrame = {
+    val qv = graft.functions.Embedder.embed(lit(queryText), dims)
+    points
+      .where(Filters.compileAll(filters))
+      .withColumn("score", round(VectorFunctions.cosine(col(vecCol), qv), 6))
+      .orderBy(col("score").desc, col(tieBreak))
+      .limit(limit)
+      .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
+  }
+
   /** Point lookup by ids (reference: strategies.py:297-320). At scale this
     * is a bloom/min-max pruned scan, not a full pass.
     */
