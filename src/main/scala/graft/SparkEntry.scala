@@ -45,6 +45,29 @@ object SparkEntry {
   private val SearchDims = 8
   private val SearchQueryText = "Tool: purchase"
 
+  // ---- Oracle SQL fragment builders (shared constants keep the Spark
+  // side and the DuckDB side in lockstep) ----
+
+  /** DuckDB twin of [[graft.functions.HashFunctions.hash64]]. */
+  private def sqlHash64(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[TextFunctions.tokens]]. */
+  private def sqlTokens(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
+
+  /** DuckDB twin of [[TextFunctions.wordShingles]] (k=3) + array_distinct. */
+  private val sqlShingles3 =
+    s"""list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |  ELSE list_transform(generate_series(1, len(toks)-2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)""".stripMargin
+
+  /** ±1 hyperplane sign rows as SQL list literals (same md5 derivation as
+    * the engine, [[VectorFunctions.hyperplaneSigns]]). */
+  private def sqlSigns(planes: Int, dims: Int, seed: Int): Seq[String] =
+    VectorFunctions.hyperplaneSigns(planes, dims, seed)
+      .map(_.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+
   /** Oracle CTE: sessionized memories + surrogate embeddings, mirroring
     * [[MemoryModel.fromEvents]] + [[Embedder.embed]] in DuckDB SQL. */
   private def memVecCte(dims: Int): String = {
@@ -311,6 +334,59 @@ object SparkEntry {
         .orderBy(col("fingerprint"))
     }),
 
+    "dedup_minhash_sig" -> ((s, d) => {
+      Dedup.minhashSignature(Tables.documents(s, d), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(Tables.documents(s, d), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
+      Dedup.minhashCandidatePairs(sig, "doc_id", numHashes = 4, rowsPerBand = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id", bits = 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        shingleK = 3, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "dedup_embedding_pairs" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "embedding", "vec_id",
+        minCosine = 0.2, planes = 4, seed = 7, dims = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_preview" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("preview", TextFunctions.contentPreview(col("text"), 150))
+        .select(col("doc_id"), col("preview"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_relative_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("rel",
+          TextFunctions.relativeTime(col("ts"),
+            to_timestamp(lit("2024-01-31 00:30:00"))))
+        .select(col("event_id"), col("rel"))
+        .orderBy(col("event_id"))
+    }),
+
     "text_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
@@ -540,6 +616,131 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash_sig" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok)
+         |SELECT doc_id,
+         |  $mh
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_minhash_pairs" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val terms = (0 until 16).map(j =>
+        s"""(CASE WHEN COALESCE(list_sum(list_transform(hashed,
+           |    v -> CASE WHEN (v >> $j) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           |  THEN ${1L << j} ELSE 0 END)""".stripMargin)
+        .mkString(" +\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(toks, t -> ${sqlHash64("t")}) AS hashed FROM tok)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+         |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
+         |FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_embedding_pairs" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      val bucket = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product(v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  ROUND(list_cosine_similarity(l.v, r.v), 6) AS cosine
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "text_langid" -> {
+      val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, t))) AS h_$lang"
+      }.mkString(",\n  ")
+      val best = langs.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
+      val pick = langs.map(_._1).sorted.reverse
+        .map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |h AS (SELECT doc_id, $hitCols FROM tok),
+         |g AS (SELECT *, $best AS best FROM h)
+         |SELECT doc_id, CASE WHEN best IS NULL OR best = 0 THEN 'und'
+         |  $pick
+         |  ELSE 'und' END AS lang_pred
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "text_preview" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |sen AS (
+        |  SELECT doc_id, norm,
+        |    list_transform(regexp_extract_all(norm, '[^.!?]+[.!?]+'), s -> trim(s)) AS sentences
+        |  FROM n),
+        |p AS (
+        |  SELECT doc_id, norm,
+        |    list_reduce(list_prepend('', sentences), (a, b) ->
+        |      CASE WHEN len(a) = 0 AND len(b) <= 147 THEN b
+        |           WHEN len(a) + 1 + len(b) <= 147 THEN a || ' ' || b
+        |           ELSE a END) AS prefix
+        |  FROM sen)
+        |SELECT doc_id, CASE WHEN len(norm) <= 150 THEN norm
+        |  WHEN len(prefix) > 0 THEN prefix || '...'
+        |  ELSE substr(norm, 1, 147) || '...' END AS preview
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_relative_time" ->
+      """WITH t AS (SELECT event_id,
+        |  CAST(floor(epoch(TIMESTAMP '2024-01-31 00:30:00')) AS BIGINT)
+        |    - CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events)
+        |SELECT event_id, CASE
+        |  WHEN secs < 60 THEN 'just now'
+        |  WHEN floor(secs/60.0) < 60
+        |    THEN CAST(CAST(floor(secs/60.0) AS BIGINT) AS VARCHAR) || ' minutes ago'
+        |  WHEN floor(secs/3600.0) < 24
+        |    THEN CAST(CAST(floor(secs/3600.0) AS BIGINT) AS VARCHAR) || ' hours ago'
+        |  WHEN floor(secs/86400.0) < 7
+        |    THEN CAST(CAST(floor(secs/86400.0) AS BIGINT) AS VARCHAR) || ' days ago'
+        |  WHEN floor(secs/86400.0) < 30
+        |    THEN CAST(CAST(floor(floor(secs/86400.0)/7) AS BIGINT) AS VARCHAR) || ' weeks ago'
+        |  ELSE CAST(CAST(floor(floor(secs/86400.0)/30) AS BIGINT) AS VARCHAR) || ' months ago'
+        |  END AS rel
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -25,10 +25,13 @@ object TextFunctions {
   def contentPreview(content: Column, maxLen: Int = 150): Column = {
     val norm = normalizeWhitespace(content)
     val budget = maxLen - 3
-    // Longest prefix of whole sentences (with their terminators) <= budget:
-    // walk sentence boundaries via regexp; fall back to hard cut.
-    val sentences = filter(split(norm, "(?<=[.!?])\\s+"), s => length(s) > 0)
-    // running lengths of joined prefixes
+    // Longest prefix of whole sentences (with their terminators) <= budget;
+    // fall back to a hard cut. Sentence extraction uses an RE2-safe pattern
+    // (no lookbehind) so the semantics are reproducible in external SQL
+    // oracles: a sentence is a maximal run ending in [.!?]+; a trailing
+    // fragment without a terminator is not a whole sentence.
+    val sentences = transform(
+      regexp_extract_all(norm, lit("[^.!?]+[.!?]+"), lit(0)), s => trim(s))
     val prefix = aggregate(
       sentences,
       lit(""),

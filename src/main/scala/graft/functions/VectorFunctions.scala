@@ -45,25 +45,31 @@ object VectorFunctions {
 
   private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
 
-  /** Random-hyperplane (SimHash-style) LSH bucket id for a dense vector:
-    * `planes` pseudo-random ±1 hyperplanes derived from a deterministic
-    * per-dimension hash — sign bits packed into a LONG. Deterministic
-    * across engines (uses [[HashFunctions.hash64]]-compatible md5 trick),
-    * shuffle-free to compute, and gives O(n/2^planes) candidate buckets
-    * for ANN at scale.
+  /** ±1 hyperplane sign vectors for random-hyperplane LSH, derived from the
+    * engine-portable md5 hash of "seed:plane:dim" (top 15 hex digits, even
+    * → +1). Computed once on the driver and shipped as literals — the
+    * per-row cost is `planes` dot products, with zero per-row hashing.
     */
-  def rhpBucket(vec: Column, planes: Int, seed: Int): Column = {
+  def hyperplaneSigns(planes: Int, dims: Int, seed: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$seed:$p:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Random-hyperplane (SimHash-style) LSH bucket id for a dense vector:
+    * sign bits of `planes` hyperplane projections packed into a LONG.
+    * Deterministic across engines (hyperplanes derive from md5, above),
+    * shuffle-free, and gives O(n/2^planes) candidate buckets for ANN at
+    * scale. `dims` must match the vector length.
+    */
+  def rhpBucket(vec: Column, planes: Int, seed: Int, dims: Int): Column = {
+    val signs = hyperplaneSigns(planes, dims, seed)
     val bits = (0 until planes).map { p =>
-      // dot(vec, hyperplane_p) where hyperplane_p[i] = ±1 from hash(seed,p,i)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val h = conv(
-            substring(md5(concat_ws(":", lit(seed.toString), lit(p.toString), i.cast("string"))), 1, 15),
-            16, 10).cast("long")
-          val sign = when(h % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-          x.cast("double") * sign
-        }),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, typedLit(signs(p)))
       when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bits.reduce(_ + _)

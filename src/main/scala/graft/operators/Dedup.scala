@@ -63,7 +63,9 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws(":", rows: _*)).as("bucket"))
     }
+    // docs with no shingles (null signature) are not candidates
     val exploded = signatures
+      .where(col("mh0").isNotNull)
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = exploded.select(col("band"), col("bucket"), col(idCol).as("a"))
@@ -123,11 +125,11 @@ object Dedup {
     * degrades to the exact all-pairs join for small candidate sets.
     */
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double, planes: Int = 0, seed: Int = 42): DataFrame = {
+      minCosine: Double, planes: Int = 0, seed: Int = 42, dims: Int = 0): DataFrame = {
     val base =
       if (planes <= 0) vecs.select(col(idCol), col(vecCol)).withColumn("bucket", lit(0L))
       else vecs.select(col(idCol), col(vecCol))
-        .withColumn("bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed))
+        .withColumn("bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed, dims))
     val l = base.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = base.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, "bucket")

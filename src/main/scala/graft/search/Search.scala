@@ -114,11 +114,15 @@ object Search {
       planes: Int,
       seed: Int,
       limit: Int = DefaultLimit): DataFrame = {
+    val dims = queryVec.length
     val withBucket = points.withColumn(
-      "bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed))
-    val qDf = points.sparkSession.range(1)
-      .select(VectorFunctions.rhpBucket(typedLit(queryVec), planes, seed).as("qb"))
-    val qBucket = qDf.head().getLong(0)
+      "bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed, dims))
+    // query bucket computed driver-side from the same hyperplanes
+    val signs = VectorFunctions.hyperplaneSigns(planes, dims, seed)
+    val qBucket = signs.zipWithIndex.map { case (s, p) =>
+      val proj = s.zip(queryVec).map { case (a, b) => a * b.toDouble }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.sum
     withBucket
       .where(col("bucket") === qBucket)
       .withColumn("score", VectorFunctions.cosine(col(vecCol), typedLit(queryVec)))

@@ -56,6 +56,8 @@ def main():
                 # dtype mismatch is a schema-hash risk even if values match
                 bad.append(f"{c}: dtype spark={sv.dtype} duck={dv.dtype}")
                 continue
+            if len(s) == 0:
+                continue
             if sv.dtype.kind == "f":
                 a, b = sv.fillna(-1e308), dv.fillna(-1e308)
                 diff = (a - b).abs().max()
