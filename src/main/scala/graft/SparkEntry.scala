@@ -198,6 +198,113 @@ object SparkEntry {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    // Semi join: EXISTS-shaped, no fact-side duplication — planned as
+    // LeftSemi hash join, lineitem side pre-filtered before the shuffle.
+    "q_semi_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).where(col("l_quantity") > 45)
+      Tables.orders(s, d)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Anti join: NOT EXISTS — customers with no orders.
+    "q_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Outer join preserving empty dims (count(col) skips nulls).
+    "q_outer_join" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"))
+        .orderBy(col("n_name"))
+    }),
+
+    // CUBE: all grouping-set combinations in one pass.
+    "q_cube_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Distinct aggregates (expand-based plan; one shuffle per distinct set).
+    "q_distinct_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_setops_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y1995 = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y1996 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y1995.except(y1996).orderBy(col("o_custkey"))
+    }),
+
+    "q_setops_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y1995 = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y1996 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y1995.union(y1996).distinct().orderBy(col("o_custkey"))
+    }),
+
+    // Running windows: lag/lead + running decimal sum in one window pass.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // S10: MCP-log-line parse roundtrip — regexp extract + JSON getter
+    // (the reference's log_viewer source re-expressed as a scan).
+    "log_parse_roundtrip" -> ((s, d) => {
+      val lines = Tables.events(s, d).select(concat(
+        lit("Message from client: {\"id\": "), col("event_id"),
+        lit(", \"tool\": \""), col("event_type"), lit("\"}")).as("line"))
+      lines
+        .withColumn("payload",
+          regexp_extract(col("line"), "Message from (client|server): (.*)", 2))
+        .select(
+          get_json_object(col("payload"), "$.id").cast("long").as("id"),
+          get_json_object(col("payload"), "$.tool").as("tool"))
+        .orderBy(col("id"))
+    }),
+
+    // C-family scalar functions (date/string/math) in one projection.
+    "q_scalar_funcs" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        length(col("o_orderstatus")).as("st_len"),
+        round(abs(col("o_totalprice") - 1000.0), 2).as("amt"),
+        ceil(col("o_totalprice") / 100.0).as("ceil_h"),
+        floor(col("o_totalprice") / 100.0).as("floor_h"),
+        (col("o_orderkey") % 7).as("mk"),
+        greatest(col("o_custkey"), col("o_orderkey")).as("g"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- Memory-store engine surface (SURVEY §2 on the events log) ----
 
     // A1/A2/J1: sessionization — ONE window shuffle replaces the
@@ -490,6 +597,84 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (1, 2)
+        |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_setops_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_setops_union" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  LAG(o_orderkey) OVER w AS prev_order,
+        |  LEAD(o_orderkey) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "log_parse_roundtrip" ->
+      """WITH lines AS (
+        |  SELECT 'Message from client: {"id": ' || event_id ||
+        |    ', "tool": "' || event_type || '"}' AS line FROM events),
+        |p AS (
+        |  SELECT regexp_extract(line, 'Message from (client|server): (.*)', 2) AS payload
+        |  FROM lines)
+        |SELECT CAST(json_extract_string(payload, '$.id') AS BIGINT) AS id,
+        |  json_extract_string(payload, '$.tool') AS tool
+        |FROM p ORDER BY id""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  CAST(length(o_orderstatus) AS INTEGER) AS st_len,
+        |  ROUND(abs(o_totalprice - 1000.0), 2) AS amt,
+        |  CAST(ceil(o_totalprice / 100.0) AS BIGINT) AS ceil_h,
+        |  CAST(floor(o_totalprice / 100.0) AS BIGINT) AS floor_h,
+        |  o_orderkey % 7 AS mk,
+        |  greatest(o_custkey, o_orderkey) AS g
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "mem_sessionize" ->
       """SELECT CAST(event_id AS VARCHAR) AS memory_id,
