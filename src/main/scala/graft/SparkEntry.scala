@@ -434,6 +434,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "search_lsh" -> ((s, d) => {
+      Search.lshSearch(Tables.embeddings(s, d), "embedding", queryVec(s, d),
+        planes = 4, seed = 7, limit = 10, tieBreak = "vec_id")
+        .select(col("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    "search_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = Similarity.pickCentroids(e, "embedding", "vec_id", numCells = 16)
+      val assigned = Similarity.ivfAssign(e, "embedding", centroids)
+      Similarity.ivfSearch(assigned, "embedding", "vec_id", centroids,
+        queryVec(s, d), k = 10, nprobe = 4)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- Dedup / text-analysis extensions ----
 
     "dedup_exact" -> ((s, d) => {
@@ -796,6 +812,38 @@ object SparkEntry {
         |SELECT query_id, base_id, score, rank FROM ranked
         |WHERE rank <= 5 AND base_id <> query_id
         |ORDER BY query_id, rank""".stripMargin,
+
+    "search_lsh" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      def bucket(v: String) = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product($v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |b AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+         |qb AS (SELECT ${bucket("qv")} AS qbucket FROM q)
+         |SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS score
+         |FROM b, q, qb WHERE bucket = qbucket
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "search_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |centroids AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN centroids c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell FROM centroids, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4)
+        |SELECT vec_id, cell, ROUND(list_cosine_similarity(v, qv), 6) AS score
+        |FROM a, q WHERE cell IN (SELECT cell FROM probe)
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

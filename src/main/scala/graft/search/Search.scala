@@ -113,7 +113,8 @@ object Search {
       queryVec: Seq[Float],
       planes: Int,
       seed: Int,
-      limit: Int = DefaultLimit): DataFrame = {
+      limit: Int = DefaultLimit,
+      tieBreak: String = "memory_id"): DataFrame = {
     val dims = queryVec.length
     val withBucket = points.withColumn(
       "bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed, dims))
@@ -125,8 +126,9 @@ object Search {
     }.sum
     withBucket
       .where(col("bucket") === qBucket)
-      .withColumn("score", VectorFunctions.cosine(col(vecCol), typedLit(queryVec)))
-      .orderBy(col("score").desc)
+      .withColumn("score",
+        round(VectorFunctions.cosine(col(vecCol), typedLit(queryVec)), 6))
+      .orderBy(col("score").desc, col(tieBreak))
       .limit(limit)
   }
 
