@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.model.MemoryModel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest (SURVEY §2.10): the reference's operational shape — an
+  * unbounded sequence of tool-call events with per-session ordering state —
+  * expressed as Structured Streaming.
+  *
+  * The reference assigns `sequence_order` by reading back the session's
+  * last memory before every insert (storage.py:113-143, server.py:96-103):
+  * one Qdrant round-trip per event, arrival-order semantics. Here the same
+  * state lives either
+  *  - in [[sequenced]]'s `flatMapGroupsWithState` per-session state (one
+  *    shuffle per micro-batch, state store holds (nextSeq, lastId) per
+  *    session — bounded, keyed, checkpointed), or
+  *  - in the store itself via [[ingestBatch]] (foreachBatch: window over
+  *    the batch + join against the stored per-session max — idempotent on
+  *    memory_id, exactly-once on replays with the same batch).
+  *
+  * Event-time operators for the extension surface: [[hourlyRollup]]
+  * (watermarked tumbling window) and [[sessionWindows]] (built-in
+  * `session_window` — the idiomatic Spark-first form of 30-min-inactivity
+  * sessionization).
+  */
+object StreamingIngest {
+
+  /** A tool-call event on the stream (arrival order within a micro-batch is
+    * normalized to (ts, memoryId) — the reference's arrival-order semantics
+    * made deterministic). */
+  final case class ToolCall(
+      memoryId: String, sessionId: String, tool: String,
+      ts: java.sql.Timestamp, value: Double)
+
+  final case class SequencedCall(
+      memoryId: String, sessionId: String, tool: String,
+      ts: java.sql.Timestamp, value: Double,
+      sequenceOrder: Int, precedingMemoryId: Option[String])
+
+  final case class SeqState(nextSeq: Int, lastId: Option[String])
+
+  /** Per-session sequence assignment with keyed state — the streaming twin
+    * of [[MemoryModel.sessionize]]. State per session is two fields; the
+    * state store scales with live sessions, not history.
+    */
+  def sequenced(calls: Dataset[ToolCall]): Dataset[SequencedCall] = {
+    import calls.sparkSession.implicits._
+    calls
+      .groupByKey(_.sessionId)
+      .flatMapGroupsWithState[SeqState, SequencedCall](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: String, it: Iterator[ToolCall], state: GroupState[SeqState]) =>
+          var st = state.getOption.getOrElse(SeqState(1, None))
+          val out = it.toSeq.sortBy(c => (c.ts.getTime, c.memoryId)).map { c =>
+            val r = SequencedCall(c.memoryId, sid, c.tool, c.ts, c.value,
+              st.nextSeq, st.lastId)
+            st = SeqState(st.nextSeq + 1, Some(c.memoryId))
+            r
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** foreachBatch body: append a micro-batch to the parquet store,
+    * continuing each session's sequence from the stored maximum (A1) and
+    * chaining preceding_memory_id across the batch boundary (J1).
+    *
+    * Expects canonical columns (memory_id, session_id, tool, timestamp,
+    * ...). Reads only the store's per-session tail aggregate — at scale
+    * that read is a partition-pruned aggregation, not a full scan, when the
+    * store is laid out by session/date.
+    */
+  def ingestBatch(batch: DataFrame, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val exists = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(storePath))
+    val tails =
+      if (!exists)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("session_id", StringType),
+            StructField("last_memory_id", StringType),
+            StructField("next_seq", IntegerType))))
+      else MemoryModel.lastMemoryPerSession(spark.read.parquet(storePath))
+        .select(col("session_id"), col("last_memory_id"),
+          col("next_seq").cast("int").as("next_seq"))
+
+    val w = Window.partitionBy("session_id").orderBy(col("timestamp"), col("memory_id"))
+    val out = batch
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_prev", lag(col("memory_id"), 1).over(w))
+      .join(broadcast(tails), Seq("session_id"), "left")
+      .withColumn("sequence_order",
+        col("rn") - 1 + coalesce(col("next_seq"), lit(1)))
+      .withColumn("preceding_memory_id",
+        coalesce(col("batch_prev"), col("last_memory_id")))
+      .drop("rn", "batch_prev", "next_seq", "last_memory_id")
+    out.write.mode("append").parquet(storePath)
+  }
+
+  /** Start the file-source JSONL ingest (the reference's `tail -f` follow
+    * mode, log_viewer.py:151-172, as a real stream): readStream.text over a
+    * directory of JSONL tool-call lines → parse → foreachBatch append with
+    * sequence continuation.
+    */
+  def startJsonlIngest(spark: SparkSession, inDir: String, storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("memory_id", StringType),
+      StructField("session_id", StringType),
+      StructField("tool", StringType),
+      StructField("timestamp", TimestampType),
+      StructField("value", DoubleType)))
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.*"))
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(batch.toDF(), storePath)
+      }
+      .start()
+  }
+
+  /** Watermarked event-time hourly rollup (streaming twin of the
+    * events_hourly_rollup batch query). */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Inactivity-gap session windows via the built-in `session_window` —
+    * merge-able session state handled by Spark's state store. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+}

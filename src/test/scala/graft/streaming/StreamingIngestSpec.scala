@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingIngestSpec extends SparkSpec {
+  import StreamingIngest._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sequenced: per-session sequence numbers continue across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ToolCall]
+    val out = sequenced(input.toDS())
+    val q = out.writeStream.format("memory").queryName("seqd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ToolCall("m1", "s1", "click", ts("2024-01-01 00:00:01"), 1.0),
+        ToolCall("m2", "s1", "view", ts("2024-01-01 00:00:02"), 2.0),
+        ToolCall("m9", "s2", "click", ts("2024-01-01 00:00:03"), 3.0))
+      q.processAllAvailable()
+      input.addData(
+        ToolCall("m3", "s1", "purchase", ts("2024-01-01 00:10:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("seqd").as[SequencedCall].collect()
+        .map(r => (r.memoryId, r.sequenceOrder, r.precedingMemoryId)).toSet
+      assert(rows == Set(
+        ("m1", 1, None), ("m2", 2, Some("m1")), ("m9", 1, None),
+        ("m3", 3, Some("m2")))) // continues s1's state across batches
+    } finally q.stop()
+  }
+
+  test("ingestBatch: store-backed sequence continuation and provenance chaining") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-store").toString + "/mem"
+    val b1 = Seq(
+      ("m1", "s1", "click", ts("2024-01-01 00:00:01"), 1.0),
+      ("m2", "s1", "view", ts("2024-01-01 00:00:02"), 2.0))
+      .toDF("memory_id", "session_id", "tool", "timestamp", "value")
+    val b2 = Seq(
+      ("m3", "s1", "purchase", ts("2024-01-01 00:20:00"), 3.0),
+      ("m4", "s2", "click", ts("2024-01-01 00:21:00"), 4.0))
+      .toDF("memory_id", "session_id", "tool", "timestamp", "value")
+    ingestBatch(b1, store)
+    ingestBatch(b2, store)
+    val got = spark.read.parquet(store)
+      .select("memory_id", "sequence_order", "preceding_memory_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("m1", 1, None), ("m2", 2, Some("m1")),
+      ("m3", 3, Some("m2")), // continues from stored max + stored last id
+      ("m4", 1, None)))
+  }
+
+  test("startJsonlIngest: file-source stream parses JSONL and appends with state") {
+    val inDir = Files.createTempDirectory("graft-jsonl").toString
+    val store = Files.createTempDirectory("graft-store2").toString + "/mem"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(inDir, "a.jsonl"),
+      """{"memory_id":"m1","session_id":"s1","tool":"click","timestamp":"2024-01-01T00:00:01Z","value":1.0}
+        |{"memory_id":"m2","session_id":"s1","tool":"view","timestamp":"2024-01-01T00:00:02Z","value":2.0}
+        |""".stripMargin)
+    val q = startJsonlIngest(spark, inDir, store, ckpt)
+    try {
+      q.processAllAvailable()
+      // follow mode: a second file arrives later (tail -f semantics)
+      Files.writeString(java.nio.file.Paths.get(inDir, "b.jsonl"),
+        """{"memory_id":"m3","session_id":"s1","tool":"purchase","timestamp":"2024-01-01T00:00:09Z","value":3.0}
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(store)
+      .select("memory_id", "sequence_order", "preceding_memory_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set(("m1", 1, None), ("m2", 2, Some("m1")), ("m3", 3, Some("m2"))))
+  }
+
+  test("hourlyRollup: watermarked tumbling window aggregates by event time") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = hourlyRollup(events).writeStream.format("memory")
+      .queryName("hourly").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("win.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindows: 30-min inactivity gap splits sessions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // session windows only emit in Append mode, once the watermark passes
+    // the session end — so close the sessions by advancing event time
+    val q = sessionWindows(events).writeStream.format("memory")
+      .queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0), // same session (10 min gap)
+        (ts("2024-01-01 11:30:00"), 1L, 4.0)) // new session (>30 min gap)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 99L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 99L, 0.0)) // flush emission batch
+      q.processAllAvailable()
+      val rows = spark.table("sess").where(col("user_id") === 1L)
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
