@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{Embedder, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.search.{Filters, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -529,6 +530,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Multimodal binary columns (stub decode, real plumbing) ----
+
+    "multimodal_features" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media, dims = 4)
+        .select(col("media_id"), col("kind"), col("byte_len"), col("digest"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Tables.documents(s, d)), stepMs = 400)
+        .select(col("media_id"), col("duration_ms"), col("frame_no"), col("frame_ts_ms"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- Streaming-shaped batch equivalents over events ----
 
     "events_hourly_rollup" -> ((s, d) => {
@@ -1003,6 +1022,27 @@ object SparkEntry {
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(('0x' || substr(md5(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fingerprint64
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" -> {
+      def f(d: Int) =
+        s"ROUND((${sqlHash64(s"digest || '#$d'")} % 2001 - 1000) / 1000.0, 6)"
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         |  encode(text) AS b, md5(text) AS digest FROM documents)
+         |SELECT media_id, kind, CAST(octet_length(b) AS INTEGER) AS byte_len, digest,
+         |  ${f(0)} AS f0,
+         |  ${f(1)} AS f1
+         |FROM m ORDER BY media_id""".stripMargin
+    },
+
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, (doc_id % 10 + 1) * 1000 AS duration_ms
+        |  FROM documents WHERE (doc_id % 3) = 2),
+        |f AS (SELECT media_id, duration_ms,
+        |  unnest(generate_series(0, duration_ms, 400)) AS frame_ts_ms FROM m)
+        |SELECT media_id, duration_ms,
+        |  CAST(frame_ts_ms / 400 AS INTEGER) AS frame_no, frame_ts_ms
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
     "events_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,

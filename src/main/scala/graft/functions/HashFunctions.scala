@@ -23,6 +23,18 @@ object HashFunctions {
   def hash64(c: Column, seed: Int): Column =
     hash64(concat_ws(":", lit(seed.toString), c))
 
+  /** JVM-side twin of [[hash64]] for driver/executor Scala code (LSH
+    * hyperplanes, stub decoders): identical md5-top-60-bit derivation, so
+    * Column-tree, JVM, and external-SQL computations all agree. */
+  def hash64Jvm(s: String): Long = {
+    val hex = md5HexJvm(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def md5HexJvm(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   /** Content fingerprint: md5 hex of whitespace-normalized, lower-cased text
     * (reference stores no fingerprint; this is the dedup-key normalization
     * a training-data pipeline needs — stable under case/whitespace noise).

@@ -53,10 +53,7 @@ object VectorFunctions {
   def hyperplaneSigns(planes: Int, dims: Int, seed: Int): Seq[Seq[Double]] =
     (0 until planes).map { p =>
       (0 until dims).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"$seed:$p:$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+        if (HashFunctions.hash64Jvm(s"$seed:$p:$i") % 2 == 0) 1.0 else -1.0
       }
     }
 

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video as
+  * opaque `BINARY` columns with typed metadata, plus the decode /
+  * feature-extract / resize / frame-sample plumbing.
+  *
+  * The media codecs themselves are STUBBED (this environment has no
+  * image/audio libraries): the decode step emits deterministic fake
+  * features derived from the bytes' md5, clearly marked below. Everything
+  * around the stub — schema, batch shape, partitioning, explosion — is the
+  * real Spark plumbing a production decoder would use unchanged:
+  *
+  *  - per-row binary + metadata struct travel in the same row as the
+  *    analytic columns (parquet stores the blob column contiguously;
+  *    column pruning means metadata-only queries never read bytes);
+  *  - feature extraction runs through `mapPartitions` with an explicit
+  *    micro-batch (`batchSize`) — the shape a vectorized decoder / ONNX
+  *    runtime wants (amortized model setup per partition, batched infer);
+  *  - frame sampling is a row explosion (`explode(sequence(...))`) —
+  *    codegen'd, shuffle-free.
+  */
+object Multimodal {
+
+  /** Build a media table from the documents testdata: the text bytes stand
+    * in for an encoded media payload; metadata is deterministic per doc.
+    * kind cycles image/audio/video by doc_id.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    val kind = element_at(
+      typedLit(Seq("image", "audio", "video")),
+      (col("doc_id") % 3).cast("int") + 1)
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        ((col("doc_id") % 8) * 160 + 320).cast("int").as("width"),
+        ((col("doc_id") % 8) * 90 + 180).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        ((col("doc_id") % 10 + 1) * 1000).cast("long").as("duration_ms"),
+        kind.as("format")).as("meta"))
+  }
+
+  /** Batched feature extraction over the binary column via mapPartitions.
+    *
+    * STUB DECODE: a real implementation would decode `bytes` (JPEG/WAV/…)
+    * and run a feature model on the batch; here features are a
+    * deterministic function of the payload digest (same md5-hash64 family
+    * as the rest of the engine, so external SQL can verify the plumbing
+    * end-to-end). The mapPartitions + grouped(batchSize) shape is the real
+    * contract: per-partition setup happens once, rows flow in bounded
+    * batches.
+    */
+  def extractFeatures(media: DataFrame, dims: Int, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder: open codec/model once per partition here
+        it.grouped(batchSize).flatMap { batch =>
+          // real decoder: decode + infer over the whole batch here (STUB)
+          batch.map { case (id, kind, bytes) =>
+            val digest = HashFunctions.md5HexJvm(bytes)
+            val feats = (0 until dims).map { d =>
+              ((HashFunctions.hash64Jvm(s"$digest#$d") % 2001) - 1000) / 1000.0
+            }
+            (id, kind, bytes.length, digest, feats)
+          }
+        }
+      }
+      .toDF("media_id", "kind", "byte_len", "digest", "features")
+  }
+
+  /** Resize plumbing: bytes pass through (STUB — a real resize re-encodes),
+    * metadata is updated to the target geometry, preserving aspect ratio
+    * bookkeeping in `meta.format`.
+    */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      lit(w).as("width"),
+      lit(h).as("height"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.duration_ms").as("duration_ms"),
+      concat(col("meta.format"), lit(s"/resized${w}x$h")).as("format")))
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * timestamp (every `stepMs` within meta.duration_ms). Pure explosion —
+    * no shuffle, no UDF.
+    */
+  def sampleFrames(media: DataFrame, stepMs: Int): DataFrame =
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
+        explode(F.sequence(lit(0L), col("meta.duration_ms"), lit(stepMs.toLong)))
+          .as("frame_ts_ms"))
+      .withColumn("frame_no", (col("frame_ts_ms") / stepMs).cast("int"))
+}
