@@ -823,13 +823,14 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, b.vec_id AS base_id,
         |    ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
         |      CAST(q.embedding AS DOUBLE[])), 6) AS score
-        |  FROM embeddings b, embeddings q WHERE q.vec_id < 5),
+        |  FROM embeddings b, embeddings q
+        |  WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id),
         |ranked AS (
         |  SELECT query_id, base_id, score,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, base_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT query_id, base_id, score, rank FROM ranked
-        |WHERE rank <= 5 AND base_id <> query_id
+        |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "search_lsh" -> {

@@ -36,11 +36,12 @@ object Similarity {
     val b = base.select(col(baseId).as("base_id"), col(vecCol).as("base_vec"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("query_vec"))
     val scored = b.crossJoin(broadcast(q))
+      .where(col("base_id") =!= col("query_id")) // self excluded BEFORE ranking
       .withColumn("score", round(VectorFunctions.cosine(col("base_vec"), col("query_vec")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
     scored
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k && col("base_id") =!= col("query_id"))
+      .where(col("rank") <= k)
       .select(col("query_id"), col("base_id"), col("score"), col("rank"))
   }
 

@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class FunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c).head()
+
+  test("normalizeWhitespace collapses runs and trims") {
+    assert(one(TextFunctions.normalizeWhitespace(lit("  a \t b\n\nc "))).getString(0) == "a b c")
+  }
+
+  test("contentPreview: short text passes through") {
+    assert(one(TextFunctions.contentPreview(lit("Short one."), 150)).getString(0) == "Short one.")
+  }
+
+  test("contentPreview: sentence-aware truncation with ellipsis") {
+    val s1 = "First sentence is right here."             // 29 chars
+    val s2 = "Second sentence follows along nicely too." // fits
+    val s3 = "x".repeat(120) + "."
+    val got = one(TextFunctions.contentPreview(lit(s"$s1 $s2 $s3"), 150)).getString(0)
+    assert(got == s"$s1 $s2...")
+    // no sentence fits -> hard cut at 147 + "..."
+    val long = "y".repeat(200)
+    val hard = one(TextFunctions.contentPreview(lit(long), 150)).getString(0)
+    assert(hard == "y".repeat(147) + "...")
+  }
+
+  test("relativeTime buckets") {
+    val now = lit(Timestamp.valueOf("2024-01-31 00:00:00"))
+    def rel(ts: String) =
+      one(TextFunctions.relativeTime(lit(Timestamp.valueOf(ts)), now)).getString(0)
+    assert(rel("2024-01-30 23:59:30") == "just now")
+    assert(rel("2024-01-30 23:30:00") == "30 minutes ago")
+    assert(rel("2024-01-30 12:00:00") == "12 hours ago")
+    assert(rel("2024-01-28 00:00:00") == "3 days ago")
+    assert(rel("2024-01-20 00:00:00") == "1 weeks ago")
+    assert(rel("2023-11-01 00:00:00") == "3 months ago")
+  }
+
+  test("tokens and wordShingles") {
+    assert(one(TextFunctions.tokens(lit(" a  b c "))).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one(TextFunctions.wordShingles(lit("a b c d"), 3)).getSeq[String](0)
+      == Seq("a b c", "b c d"))
+    assert(one(TextFunctions.wordShingles(lit("a b"), 3)).getSeq[String](0).isEmpty)
+  }
+
+  test("bpe-ish token count: words, numbers, punctuation each count") {
+    assert(one(TextFunctions.tokenCountBpeIsh(lit("hello, world 42!"))).getInt(0) == 5)
+  }
+
+  test("vector math: dot, norm, cosine") {
+    val a = typedLit(Seq(1.0f, 2.0f, 2.0f))
+    val b = typedLit(Seq(2.0f, 0.0f, 0.0f))
+    assert(one(VectorFunctions.dot(a, b)).getDouble(0) == 2.0)
+    assert(one(VectorFunctions.l2Norm(a)).getDouble(0) == 3.0)
+    assert(math.abs(one(VectorFunctions.cosine(a, b)).getDouble(0) - 1.0 / 3.0) < 1e-12)
+    // zero vector -> null, not NaN
+    assert(one(VectorFunctions.cosine(a, typedLit(Seq(0.0f, 0.0f, 0.0f)))).isNullAt(0))
+  }
+
+  test("hyperplaneSigns are deterministic ±1; rhpBucket within range") {
+    val s1 = VectorFunctions.hyperplaneSigns(4, 8, 42)
+    assert(s1 == VectorFunctions.hyperplaneSigns(4, 8, 42))
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    val b = one(VectorFunctions.rhpBucket(
+      typedLit(Seq.fill(8)(0.5f)), 4, 42, 8)).getLong(0)
+    assert(b >= 0 && b < 16)
+  }
+
+  test("embedder: unit vectors, deterministic, text-sensitive") {
+    val e1 = one(Embedder.embed(lit("hello"), 16)).getSeq[Double](0)
+    val e2 = one(Embedder.embed(lit("hello"), 16)).getSeq[Double](0)
+    val e3 = one(Embedder.embed(lit("world"), 16)).getSeq[Double](0)
+    assert(e1 == e2 && e1 != e3)
+    assert(math.abs(math.sqrt(e1.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+
+  test("hash64 column matches JVM twin") {
+    val fromCol = spark.range(1)
+      .select(HashFunctions.hash64(lit("graft"))).head().getLong(0)
+    assert(fromCol == HashFunctions.hash64Jvm("graft"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class MemoryModelSpec extends SparkSpec {
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 10L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:05"), 10L, "view", 2.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:03"), 20L, "click", 3.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:09"), 10L, "purchase", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("fromEvents assigns per-session sequence and preceding ids by event time") {
+    val got = MemoryModel.fromEvents(events)
+      .select("memory_id", "session_id", "sequence_order", "preceding_memory_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("1", "10", 1, None), ("2", "10", 2, Some("1")), ("4", "10", 3, Some("2")),
+      ("3", "20", 1, None)))
+  }
+
+  test("fromEvents builds the reference's fallback document text") {
+    val content = MemoryModel.fromEvents(events)
+      .where(col("memory_id") === "1").select("content").head().getString(0)
+    assert(content == "Tool: click\n{}")
+  }
+
+  test("lastMemoryPerSession = argmax by sequence with next_seq (A1)") {
+    val got = MemoryModel.lastMemoryPerSession(MemoryModel.fromEvents(events))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("10", "4", 4), ("20", "3", 2)))
+  }
+
+  test("withProvenance resolves the preceding row (J1 self-join)") {
+    val got = MemoryModel.withProvenance(MemoryModel.fromEvents(events))
+      .where(col("memory_id") === "4")
+      .select("preceding_memory_id", "preceding_tool").head()
+    assert((got.getString(0), got.getString(1)) == ("2", "view"))
+  }
+}

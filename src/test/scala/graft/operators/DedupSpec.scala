@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact dup mod case/ws
+      (3L, "the quick brown fox jumps over the lazy cat"),    // near dup
+      (4L, "completely different content about spark engines here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exactClusters groups case/whitespace-normalized duplicates") {
+    val got = Dedup.exactClusters(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keep_id, cluster_size)
+  }
+
+  test("minhash signatures: equal for identical shingle sets, found by LSH banding") {
+    val sig = Dedup.minhashSignature(docs, "text", "doc_id", numHashes = 8)
+    val rows = sig.collect().map(r => r.getLong(0) ->
+      (1 to 8).map(i => r.getLong(i))).toMap
+    // near-dup docs 1 and 3 share most shingles -> most minhashes agree
+    val agree = rows(1L).zip(rows(3L)).count { case (a, b) => a == b }
+    assert(agree >= 4)
+    assert(rows(1L) != rows(4L))
+    val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: near-dup texts land within small hamming distance") {
+    val sigs = Dedup.simhash(docs, "text", "doc_id", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) <= 6)
+    assert(hamming(sigs(1L), sigs(4L)) > hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("ngramJaccardPairs: near-dups pass the threshold, unrelated don't") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs((1L, 3L)) > 0.4 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingNearDupPairs finds identical vectors at cosine 1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      minCosine = 0.9, planes = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs == Map((1L, 2L) -> 1.0))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilarityAndTextSpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine, self first") {
+    val got = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L))
+    assert(got.head._2 == 1.0)
+  }
+
+  test("knnJoin excludes self and ranks per query") {
+    val got = Similarity.knnJoin(vecs, vecs.where(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(got == Seq((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
+  test("IVF: assignment picks nearest centroid; probe search scans probed cells only") {
+    val centroids = Similarity.pickCentroids(vecs, "embedding", "vec_id", numCells = 2)
+    assert(centroids.map(_._1) == Seq(0, 1))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", centroids)
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells(0L) == 0 && cells(2L) == 1)
+    val got = Similarity.ivfSearch(assigned, "embedding", "vec_id", centroids,
+      Seq(1.0f, 0.0f, 0.0f), k = 2, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.head == 0L)
+  }
+
+  test("langId picks the stopword-dominant language, und for no hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is fine"),
+      (2L, "el perro y la casa de los vecinos se ven"),
+      (3L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("qualityFeatures ratios and composite score") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "text").head()
+    assert(r.getAs[Int]("n_tokens") == 10)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+    assert(r.getAs[Double]("stopword_ratio") == 0.2) // the, the
+    assert(r.getAs[Double]("quality_score") == 1.0)
+  }
+
+  test("fingerprints stable under case and whitespace noise") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  World"), (2L, "hello world "))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "text")
+      .select("fingerprint").collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}

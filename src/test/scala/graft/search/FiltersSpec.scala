@@ -1,0 +1,63 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class FiltersSpec extends SparkSpec {
+  import Filters._
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, "click", Some(10.0), Some(Timestamp.valueOf("2024-01-05 00:00:00")), Some("Alpha Beta")),
+      (2L, "view", Some(20.0), Some(Timestamp.valueOf("2024-01-15 00:00:00")), Some("gamma")),
+      (3L, "purchase", None, None, None))
+      .toDF("id", "tool", "value", "timestamp", "note")
+  }
+
+  private def ids(fs: FilterSpec*): Set[Long] =
+    df.where(compileAll(fs)).select("id").collect().map(_.getLong(0)).toSet
+
+  test("is / is_not (null-safe: is_not keeps rows where field is absent)") {
+    assert(ids(FilterSpec("tool", "is", SV("click"))) == Set(1L))
+    assert(ids(FilterSpec("value", "is_not", NV(10.0))) == Set(2L, 3L))
+  }
+
+  test("before / after on numerics and timestamps (Z-suffix tolerated)") {
+    assert(ids(FilterSpec("value", "after", NV(15.0))) == Set(2L))
+    assert(ids(FilterSpec("timestamp", "before", SV("2024-01-10T00:00:00Z"))) == Set(1L))
+    assert(ids(FilterSpec("timestamp", "after", SV("2024-01-10T00:00:00"))) == Set(2L))
+  }
+
+  test("between is inclusive") {
+    assert(ids(FilterSpec("value", "between", RV(NV(10.0), NV(20.0)))) == Set(1L, 2L))
+  }
+
+  test("contains is case-insensitive (subsumes the reference's 3-variant OR)") {
+    assert(ids(FilterSpec("note", "contains", SV("ALPHA"))) == Set(1L))
+    assert(ids(FilterSpec("note", "contains", SV("mm"))) == Set(2L))
+  }
+
+  test("any_of and conjunction of filters") {
+    assert(ids(FilterSpec("tool", "any_of", AV(Seq("click", "view")))) == Set(1L, 2L))
+    assert(ids(
+      FilterSpec("tool", "any_of", AV(Seq("click", "view"))),
+      FilterSpec("value", "after", NV(15.0))) == Set(2L))
+  }
+
+  test("empty filter list compiles to TRUE") {
+    assert(ids() == Set(1L, 2L, 3L))
+  }
+
+  test("field mapping resolves API names to payload paths") {
+    assert(Filters.fieldMap("agent_id") == "meta.agent_id")
+  }
+
+  test("invalid specs raise, mirroring the reference's validation") {
+    intercept[IllegalArgumentException](compile(FilterSpec("tool", "nope", SV("x"))))
+    intercept[IllegalArgumentException](compile(FilterSpec("v", "between", NV(1.0))))
+    intercept[IllegalArgumentException](compile(FilterSpec("v", "contains", NV(1.0))))
+    intercept[IllegalArgumentException](compile(FilterSpec("v", "any_of", SV("x"))))
+  }
+}
