@@ -367,7 +367,7 @@ object SparkEntry {
       mem.select(col("memory_id"),
         round(element_at(col("embedding"), 1), 6).as("e0"),
         round(element_at(col("embedding"), 2), 6).as("e1"),
-        round(VectorFunctions.l2Norm(col("embedding")), 6).as("norm"))
+        round(VectorFunctions.l2Norm(col("embedding"), SearchDims), 6).as("norm"))
         .orderBy(col("memory_id").cast("long"))
     }),
 
@@ -401,7 +401,7 @@ object SparkEntry {
       val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
       val qToks = TextFunctions.tokens(lower(lit(SearchQueryText)))
       val scored = mem
-        .withColumn("dense", VectorFunctions.cosine(col("embedding"), qv))
+        .withColumn("dense", VectorFunctions.cosine(col("embedding"), qv, SearchDims))
         .withColumn("kw",
           size(array_intersect(TextFunctions.tokens(lower(col("content"))), qToks)))
       Search.rrfFuse(scored, col("dense"), col("kw").cast("double"),
@@ -431,7 +431,7 @@ object SparkEntry {
     "search_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.knnJoin(e, e.where(col("vec_id") < 5), "embedding",
-        "vec_id", "vec_id", k = 5)
+        "vec_id", "vec_id", k = 5, dims = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -445,7 +445,7 @@ object SparkEntry {
     "search_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val centroids = Similarity.pickCentroids(e, "embedding", "vec_id", numCells = 16)
-      val assigned = Similarity.ivfAssign(e, "embedding", centroids)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids)
       Similarity.ivfSearch(assigned, "embedding", "vec_id", centroids,
         queryVec(s, d), k = 10, nprobe = 4)
         .orderBy(col("score").desc, col("vec_id"))
@@ -496,8 +496,7 @@ object SparkEntry {
     }),
 
     "text_preview" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("preview", TextFunctions.contentPreview(col("text"), 150))
+      TextFunctions.withContentPreview(Tables.documents(s, d), "text", "preview", 150)
         .select(col("doc_id"), col("preview"))
         .orderBy(col("doc_id"))
     }),
@@ -917,11 +916,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
-         |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+         |ex0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+         |ex AS (SELECT doc_id, n_sh, ${sqlHash64("shingle")} AS shk FROM ex0)
          |SELECT l.doc_id AS a, r.doc_id AS b,
          |  ROUND(CAST(COUNT(*) AS DOUBLE) /
          |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
-         |FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embedding_pairs" -> {

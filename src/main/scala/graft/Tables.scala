@@ -10,8 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same — partition pruning is free once the layout exists.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // InferFiltersFromGenerate clones a Generate's input expression into a
+    // pre-filter BELOW the projection that materializes it — for our
+    // shingle explodes that re-inlines an interpreted HOF as a per-row
+    // filter (observed 10× slowdown). The rule is a pure optimization
+    // (explode already skips empty arrays), so results are unchanged.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -21,13 +21,20 @@ object Embedder {
 
   /** `dims`-dim unit vector from text. Each raw component ∈ [-1, 1]:
     * (hash64(text ⊕ dim) mod 2001 − 1000) / 1000.
+    *
+    * Built WITHOUT higher-order functions: HOF lambdas are interpreted
+    * (CodegenFallback, no common-subexpression elimination), which made
+    * the norm recompute every component per element — O(dims²) md5 calls
+    * per row. The unrolled form is one codegen'd projection where each
+    * component subtree is CSE'd: O(dims) md5 per row.
     */
   def embed(text: Column, dims: Int): Column = {
-    val raw = transform(
-      sequence(lit(0), lit(dims - 1)),
-      i => ((HashFunctions.hash64(concat_ws("#", text, i.cast("string"))) % 2001)
-        - lit(1000)).cast("double") / lit(1000.0))
-    val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
-    transform(raw, x => x / norm)
+    val comps = (0 until dims).map { d =>
+      ((HashFunctions.hash64(concat_ws("#", text, lit(d.toString))) % 2001)
+        - lit(1000)).cast("double") / lit(1000.0)
+    }
+    // same left-to-right accumulation order as an aggregate fold
+    val norm = sqrt(comps.map(c => c * c).reduce(_ + _))
+    array(comps.map(_ / norm): _*)
   }
 }

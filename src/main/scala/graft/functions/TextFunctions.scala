@@ -69,6 +69,32 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** DataFrame-level content preview: stages norm/sentences/prefix as
+    * materialized columns so each regexp pass runs once per row (the
+    * single-Column [[contentPreview]] re-evaluates `norm` at every
+    * reference because the HOF parts are interpreted without CSE).
+    */
+  def withContentPreview(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String, maxLen: Int = 150): org.apache.spark.sql.DataFrame = {
+    val budget = maxLen - 3
+    df
+      .withColumn("norm_", normalizeWhitespace(col(textCol)))
+      .withColumn("sentences_",
+        transform(regexp_extract_all(col("norm_"), lit("[^.!?]+[.!?]+"), lit(0)),
+          s => trim(s)))
+      .withColumn("prefix_", aggregate(
+        col("sentences_"), lit(""),
+        (acc, s) =>
+          when(length(acc) === 0 && length(s) <= budget, s)
+            .when(length(acc) + 1 + length(s) <= budget, concat(acc, lit(" "), s))
+            .otherwise(acc)))
+      .withColumn(outCol,
+        when(length(col("norm_")) <= maxLen, col("norm_"))
+          .when(length(col("prefix_")) > 0, concat(col("prefix_"), lit("...")))
+          .otherwise(concat(substring(col("norm_"), 1, budget), lit("..."))))
+      .drop("norm_", "sentences_", "prefix_")
+  }
+
   /** BPE-ish subword-ish token count: word chunks, numbers, and single
     * punctuation marks each count as one token (a cheap stand-in for a real
     * tokenizer with the same asymptotics).
@@ -76,15 +102,26 @@ object TextFunctions {
   def tokenCountBpeIsh(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word k-shingles of the whitespace token stream, e.g. k=3 →
-    * ["a b c", "b c d", ...]. Empty array when fewer than k tokens.
+  /** Word k-shingles from an already-materialized token-array COLUMN.
+    *
+    * The tokens must be a real attribute (a withColumn output), not an
+    * inline expression: a lambda body re-evaluates any captured outer
+    * EXPRESSION once per element (HOFs are interpreted, no CSE), which
+    * turns shingling into O(tokens²) re-tokenization. Against an
+    * attribute, each element_at is an O(1) row read.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(
         transform(
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+
+  /** Word k-shingles of the whitespace token stream, e.g. k=3 →
+    * ["a b c", "b c d", ...]. Empty array when fewer than k tokens.
+    * Convenience form for small inputs — operators on large data should
+    * stage the token column and use [[shinglesFromTokens]].
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
 }

@@ -36,16 +36,24 @@ object Dedup {
         count(lit(1)).as("cluster_size"))
 
   /** MinHash signature columns `mh0..mh{k-1}`: min over word-shingle hashes
-    * under k independent seeded hash functions. Shuffle-free, codegen'd.
+    * under k independent seeded hash functions.
+    *
+    * Shape: explode shingles → k codegen'd hashes per (doc, shingle) row →
+    * one combiner-heavy groupBy(doc) with MIN aggregates. The explode
+    * evaluates the shingle construction exactly once per doc; the previous
+    * array_min(transform(...)) form re-evaluated the (interpreted) HOF
+    * lambda per hash function. Docs with no shingles keep null signatures.
     */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleK: Int = 3): DataFrame = {
-    val shingles = array_distinct(TextFunctions.wordShingles(col(textCol), shingleK))
-    val withSh = docs.select(col(idCol), shingles.as("shingles"))
-    (0 until numHashes).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"mh$i",
-        array_min(transform(col("shingles"), s => HashFunctions.hash64(s, i))))
-    }.drop("shingles")
+    val ex = docs
+      .withColumn("toks_", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol),
+        explode_outer(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks_"), shingleK))).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(when(col("sh").isNotNull, HashFunctions.hash64(col("sh"), i))).as(s"mh$i"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: bands of `rowsPerBand` hashes,
@@ -84,14 +92,21 @@ object Dedup {
     * hash64(token) ? +1 : -1); signature bit j = vote > 0.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val hashed = transform(toks, t => HashFunctions.hash64(t))
-    val sig = (0 until bits).map { j =>
-      val vote = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
-    }.reduce(_ + _)
-    docs.select(col(idCol), sig.as("simhash"))
+    // explode tokens → hash once per token → per-bit ±1 vote sums in one
+    // groupBy (sums are order-independent; the old per-bit HOF aggregate
+    // re-tokenized and re-hashed the text `bits` times, interpreted)
+    val ex = docs.select(col(idCol),
+      explode_outer(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", when(col("tok").isNotNull, HashFunctions.hash64(col("tok"))))
+    val votes = (0 until bits).map(j =>
+      sum(when(col("h").isNull, lit(0L))
+        .when(shiftright(col("h"), j) % 2 === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$j"))
+    ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode distinct
@@ -103,13 +118,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = docs
+      .withColumn("toks_", TextFunctions.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleK)).as("shingles"))
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks_"), shingleK))
+          .as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
+    // join on the 60-bit shingle hash, not the string: ~3× smaller shuffle
+    // and cheap comparisons; a hash collision creates the same phantom
+    // match on any engine computing the same hash, so results stay
+    // oracle-comparable
     val ex = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
-    val l = ex.select(col("shingle"), col("id").as("a"), col("n_sh").as("na"))
-    val r = ex.select(col("shingle"), col("id").as("b"), col("n_sh").as("nb"))
-    l.join(r, "shingle")
+      .select(col("id"), col("n_sh"), HashFunctions.hash64(col("shingle")).as("shk"))
+    val l = ex.select(col("shk"), col("id").as("a"), col("n_sh").as("na"))
+    val r = ex.select(col("shk"), col("id").as("b"), col("n_sh").as("nb"))
+    l.join(r, "shk")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -134,7 +156,9 @@ object Dedup {
     val r = base.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, "bucket")
       .where(col("a") < col("b"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine", round(
+        if (dims > 0) VectorFunctions.cosine(col("va"), col("vb"), dims)
+        else VectorFunctions.cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
   }

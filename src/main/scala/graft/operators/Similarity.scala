@@ -21,7 +21,8 @@ object Similarity {
   def bruteForceTopK(vecs: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int): DataFrame =
     vecs
-      .withColumn("score", round(VectorFunctions.cosine(col(vecCol), typedLit(query)), 6))
+      .withColumn("score", round(
+        VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("score"))
@@ -32,12 +33,14 @@ object Similarity {
     * window — the heavy side streams once.
     */
   def knnJoin(base: DataFrame, queries: DataFrame, vecCol: String,
-      baseId: String, queryId: String, k: Int): DataFrame = {
+      baseId: String, queryId: String, k: Int, dims: Int = 0): DataFrame = {
     val b = base.select(col(baseId).as("base_id"), col(vecCol).as("base_vec"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("query_vec"))
     val scored = b.crossJoin(broadcast(q))
       .where(col("base_id") =!= col("query_id")) // self excluded BEFORE ranking
-      .withColumn("score", round(VectorFunctions.cosine(col("base_vec"), col("query_vec")), 6))
+      .withColumn("score", round(
+        if (dims > 0) VectorFunctions.cosine(col("base_vec"), col("query_vec"), dims)
+        else VectorFunctions.cosine(col("base_vec"), col("query_vec")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -50,12 +53,22 @@ object Similarity {
     * partitioning by `cell` turns probe queries into partition-pruned
     * scans.
     */
-  def ivfAssign(vecs: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(VectorFunctions.cosine(col(vecCol), typedLit(cvec)).as("sim"),
-        lit(cid).as("cell"))
-    }
-    vecs.withColumn("cell", array_max(array(scored: _*)).getField("cell"))
+  def ivfAssign(vecs: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dims = centroids.head._2.length
+    // broadcast the tiny centroid table and argmax per row — one codegen'd
+    // cosine per (row, centroid) instead of a single giant expression tree
+    // (which exceeds codegen limits and falls back to interpretation);
+    // max(struct(sim, cell)) keeps the (sim, then cell) tie-break
+    val cdf = broadcast(centroids.toDF("cell", "cvec"))
+    val best = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(cdf)
+      .withColumn("sim", VectorFunctions.cosine(col(vecCol), col("cvec"), dims))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
+    vecs.join(best, idCol)
   }
 
   /** Deterministic centroid pick: the `numCells` vectors with the smallest
@@ -85,7 +98,8 @@ object Similarity {
       .sortBy(-_._2).take(nprobe).map(_._1)
     assigned
       .where(col("cell").isin(probeCells: _*))
-      .withColumn("score", round(VectorFunctions.cosine(col(vecCol), typedLit(query)), 6))
+      .withColumn("score", round(
+        VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("score"))

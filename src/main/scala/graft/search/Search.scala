@@ -41,7 +41,7 @@ object Search {
     val q = typedLit(queryVec)
     points
       .where(Filters.compileAll(filters))
-      .withColumn("score", VectorFunctions.cosine(col(vecCol), q))
+      .withColumn("score", VectorFunctions.cosine(col(vecCol), q, queryVec.length))
       .orderBy(col("score").desc, col(tieBreak))
       .limit(limit)
       .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
@@ -65,7 +65,7 @@ object Search {
     val qv = graft.functions.Embedder.embed(lit(queryText), dims)
     points
       .where(Filters.compileAll(filters))
-      .withColumn("score", round(VectorFunctions.cosine(col(vecCol), qv), 6))
+      .withColumn("score", round(VectorFunctions.cosine(col(vecCol), qv, dims), 6))
       .orderBy(col("score").desc, col(tieBreak))
       .limit(limit)
       .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
@@ -127,7 +127,7 @@ object Search {
     withBucket
       .where(col("bucket") === qBucket)
       .withColumn("score",
-        round(VectorFunctions.cosine(col(vecCol), typedLit(queryVec)), 6))
+        round(VectorFunctions.cosine(col(vecCol), typedLit(queryVec), dims), 6))
       .orderBy(col("score").desc, col(tieBreak))
       .limit(limit)
   }

@@ -33,7 +33,7 @@ class SimilarityAndTextSpec extends SparkSpec {
   test("IVF: assignment picks nearest centroid; probe search scans probed cells only") {
     val centroids = Similarity.pickCentroids(vecs, "embedding", "vec_id", numCells = 2)
     assert(centroids.map(_._1) == Seq(0, 1))
-    val assigned = Similarity.ivfAssign(vecs, "embedding", centroids)
+    val assigned = Similarity.ivfAssign(vecs, "embedding", "vec_id", centroids)
     val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(cells(0L) == 0 && cells(2L) == 1)
     val got = Similarity.ivfSearch(assigned, "embedding", "vec_id", centroids,
