@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** 60-bit non-negative hash of a string column. */
-  def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit non-negative hash of a string column. Computed by the native
+    * [[Md5Hash64]] expression — same value as
+    * `conv(substring(md5(c), 1, 15), 16, 10)`, one codegen'd step. */
+  def hash64(c: Column): Column = Md5Hash64(c)
 
   /** Seeded variant: independent hash families for MinHash rows. */
   def hash64(c: Column, seed: Int): Column =
