@@ -412,6 +412,17 @@ object SparkEntry {
         .select(col("memory_id"), col("tool"), col("score"))
     }),
 
+    // P3 view projection over a search result (summary view columns).
+    "mem_search_view_summary" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      val hits = Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
+        limit = 10, scoreThreshold = 0.4, tieBreak = "memory_id_num")
+      Search.project(hits, "summary")
+        .drop("timestamp") // physical ts types differ ns/us; see SKILL.md
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
     // ---- Vector search (S8/T1 + ANN scale path) ----
 
     "search_knn_topk" -> ((s, d) => {
@@ -801,6 +812,16 @@ object SparkEntry {
         |SELECT memory_id, tool,
         |  ROUND(CAST(1.0 AS DOUBLE)/(60+dr) + CAST(1.0 AS DOUBLE)/(60+kr), 9) AS score
         |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
+
+    "mem_search_view_summary" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, title, session_id, content, sequence_order,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, title, score, session_id, content, sequence_order
+        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "search_knn_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
