@@ -3,7 +3,7 @@ package graft
 import graft.functions.{Embedder, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
 import graft.search.{Filters, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -499,6 +499,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Cluster resolution over LSH candidate pairs: min-label propagation
+    // (one shuffle per round) -> canonical keeper per near-dup cluster.
+    "dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", numHashes = 4)
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
+      Components.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .orderBy(col("id"))
+    }),
+
     "text_langid" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -957,6 +967,39 @@ object SparkEntry {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_components" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+         |FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
+         |ORDER BY id""".stripMargin
     },
 
     "text_langid" -> {

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's skew-join
+  * splitting isn't available (e.g. non-shuffle-join paths) or when one key
+  * dominates so heavily that a single task would own it.
+  *
+  * Left (large, skewed) rows get a random salt in [0, buckets); right
+  * (smaller) rows are replicated `buckets` times. The join key becomes
+  * (key, salt), spreading each hot key over `buckets` tasks. Results are
+  * identical to the unsalted join — salting only changes partitioning.
+  *
+  * At 100 TB: salt only the hot keys (`hotKeys` list from a cheap
+  * pre-aggregation) and leave the long tail unsalted, so the right side
+  * is replicated just for the handful of keys that need it.
+  */
+object SkewJoin {
+
+  /** Full salting: every left row salted, entire right side replicated. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val salted = left.withColumn("salt_", (rand(42) * buckets).cast("int"))
+    val replicated = right.withColumn("salt_",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "salt_")).drop("salt_")
+  }
+
+  /** Selective salting: only `hotKeys` are salted/replicated; the tail
+    * joins normally. One union of two joins, same results as a plain join.
+    */
+  def saltedEquiJoinHot(left: DataFrame, right: DataFrame, key: String,
+      hotKeys: Seq[Any], buckets: Int): DataFrame = {
+    val isHot: Column = col(key).isin(hotKeys: _*)
+    val hot = saltedEquiJoin(left.where(isHot), right.where(isHot), key, buckets)
+    val cold = left.where(!isHot).join(right.where(!isHot), Seq(key))
+    // align column order for the union
+    hot.select(cold.columns.map(col): _*).unionByName(cold)
+  }
+
+  /** Hot-key detection: keys whose row share exceeds `threshold`. Runs as
+    * one combiner-heavy aggregation over the large side. */
+  def hotKeys(df: DataFrame, key: String, threshold: Double): Seq[Any] = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .where(col("n") > total * threshold)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+  }
+}

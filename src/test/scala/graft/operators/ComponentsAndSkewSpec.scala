@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsAndSkewSpec extends SparkSpec {
+
+  test("connectedComponents resolves transitive clusters and isolates") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val labels = Components.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+    val cl = Components.clusters(Components.connectedComponents(nodes, pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(1L -> 3L, 4L -> 2L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    import spark.implicits._
+    val n = 30L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connectedComponents(nodes, pairs, maxIter = 40)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(labels == Set(1L)) // single component, min id 1
+  }
+
+  test("salted join returns identical results to a plain join") {
+    import spark.implicits._
+    val left = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1"), (3, "c1"))
+      .toDF("k", "lv")
+    val right = Seq((1, "x"), (2, "y"), (4, "z")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", buckets = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(salted == plain)
+    val hot = SkewJoin.saltedEquiJoinHot(left, right, "k", Seq(1), buckets = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(hot == plain)
+  }
+
+  test("hotKeys finds dominant keys") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(1) ++ (2 to 11)).toDF("k")
+    assert(SkewJoin.hotKeys(df, "k", 0.5) == Seq(1))
+  }
+}
