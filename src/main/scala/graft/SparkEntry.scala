@@ -3,7 +3,7 @@ package graft
 import graft.functions.{Embedder, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
 import graft.multimodal.Multimodal
-import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
 import graft.search.{Filters, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -243,6 +243,25 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Same result as the window form, different physical shape: bounded
+    // per-group top-k buffers with map-side partial aggregation (the
+    // scale path when groups are huge and k is small).
+    "q_topk_aggregator" -> ((s, d) => {
+      TopK.topKPerGroup(Tables.orders(s, d), "o_custkey", "o_orderkey",
+        "o_totalprice", k = 3)
+        .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     "q_setops_except" -> ((s, d) => {
@@ -681,6 +700,20 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
         |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_setops_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
