@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32-thread local runs over ~50 query shapes need real heap headroom;
+  // an 8g heap produced multi-minute full-GC stalls mid-bench (128 GiB box)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 50+ distinct query shapes generate a lot of Janino classes; the
+  // default 240m code cache fills mid-run and stalls the JIT
+  "-XX:ReservedCodeCacheSize=512m",
 )
