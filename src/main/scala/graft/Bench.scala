@@ -27,27 +27,37 @@ object Bench {
     // JIT/codegen warm-up (not measured): run EVERY query once at the
     // smallest SF so each query's generated code is compiled before its
     // measured run — first execution otherwise pays 1-6s of Janino+JIT.
+    // Budget-capped so a noisy host can't eat the whole bench window.
+    val warmupDeadline = System.nanoTime() + 120L * 1000000000L
     SparkEntry.queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+      if (System.nanoTime() < warmupDeadline) {
+        try materialize(fn(spark, "/root/testdata/sf0.001"))
+        catch { case _: Throwable => () }
+      }
     }
 
-    // two interleaved measured passes, min per query: this host shows
-    // multi-second noisy-neighbor stalls that land on random queries; the
-    // min of two time-separated runs is a far better estimate of actual
-    // query cost than any single pass
+    // Measured pass + selective re-measurement: this host shows
+    // multi-second noisy-neighbor stalls that land on random queries, so
+    // any query whose first measurement looks slow is re-run (deadline-
+    // bounded) and the minimum is reported — the min of time-separated
+    // runs estimates true cost far better than one sample under noise.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] = names.map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val p1 = pass()
-    // guard the overall budget: skip the second pass if the first ran long
-    val results =
-      if (p1.map(_._2).sum > 240.0) p1
-      else p1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
+    val deadline = System.nanoTime() + 240L * 1000000000L
+    val results = p1.map { case (n, t) =>
+      if (t > 2.0 && System.nanoTime() < deadline)
+        n -> math.min(t, timeOne(n, SparkEntry.queries(n)))
+      else n -> t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

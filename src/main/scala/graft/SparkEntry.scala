@@ -99,6 +99,16 @@ object SparkEntry {
        |  FROM qe)""".stripMargin
   }
 
+  /** Small-file scans plan as 1-2 partitions locally, serializing the
+    * CPU-heavy per-row stages (hashing, shingling, regex). Real deployments
+    * read thousands of splits; spreading the tiny bench inputs across the
+    * session's parallelism reproduces that shape (a few-MB shuffle).
+    */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** First embedding row = deterministic query vector for KNN queries. */
   private def queryVec(s: SparkSession, dir: String, vecId: Long = 0L): Seq[Float] =
     Tables.embeddings(s, dir).where(col("vec_id") === vecId)
@@ -445,12 +455,12 @@ object SparkEntry {
     // ---- Vector search (S8/T1 + ANN scale path) ----
 
     "search_knn_topk" -> ((s, d) => {
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), "embedding", "vec_id",
+      Similarity.bruteForceTopK(embs(s, d), "embedding", "vec_id",
         queryVec(s, d), k = 10)
     }),
 
     "search_knn_filtered" -> ((s, d) => {
-      Search.basic(Tables.embeddings(s, d), "embedding", queryVec(s, d),
+      Search.basic(embs(s, d), "embedding", queryVec(s, d),
         limit = 10, scoreThreshold = 0.0,
         filters = Seq(FilterSpec("label", "any_of", AV(Seq("0", "2")))),
         tieBreak = "vec_id")
@@ -459,21 +469,21 @@ object SparkEntry {
     }),
 
     "search_knn_join" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = embs(s, d)
       Similarity.knnJoin(e, e.where(col("vec_id") < 5), "embedding",
         "vec_id", "vec_id", k = 5, dims = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
     "search_lsh" -> ((s, d) => {
-      Search.lshSearch(Tables.embeddings(s, d), "embedding", queryVec(s, d),
+      Search.lshSearch(embs(s, d), "embedding", queryVec(s, d),
         planes = 4, seed = 7, limit = 10, tieBreak = "vec_id")
         .select(col("vec_id"), col("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
     "search_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = embs(s, d)
       val centroids = Similarity.pickCentroids(e, "embedding", "vec_id", numCells = 16)
       val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids)
       Similarity.ivfSearch(assigned, "embedding", "vec_id", centroids,
@@ -484,36 +494,36 @@ object SparkEntry {
     // ---- Dedup / text-analysis extensions ----
 
     "dedup_exact" -> ((s, d) => {
-      Dedup.exactClusters(Tables.documents(s, d), "text", "doc_id")
+      Dedup.exactClusters(docs(s, d), "text", "doc_id")
         .orderBy(col("fingerprint"))
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {
-      Dedup.minhashSignature(Tables.documents(s, d), "text", "doc_id",
+      Dedup.minhashSignature(docs(s, d), "text", "doc_id",
         numHashes = 4, shingleK = 3)
         .orderBy(col("doc_id"))
     }),
 
     "dedup_minhash_pairs" -> ((s, d) => {
-      val sig = Dedup.minhashSignature(Tables.documents(s, d), "text", "doc_id",
+      val sig = Dedup.minhashSignature(docs(s, d), "text", "doc_id",
         numHashes = 4, shingleK = 3)
       Dedup.minhashCandidatePairs(sig, "doc_id", numHashes = 4, rowsPerBand = 2)
         .orderBy(col("a"), col("b"))
     }),
 
     "dedup_simhash" -> ((s, d) => {
-      Dedup.simhash(Tables.documents(s, d), "text", "doc_id", bits = 16)
+      Dedup.simhash(docs(s, d), "text", "doc_id", bits = 16)
         .orderBy(col("doc_id"))
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+      Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
         shingleK = 3, minJaccard = 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
     "dedup_embedding_pairs" -> ((s, d) => {
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "embedding", "vec_id",
+      Dedup.embeddingNearDupPairs(embs(s, d), "embedding", "vec_id",
         minCosine = 0.2, planes = 4, seed = 7, dims = 64)
         .orderBy(col("a"), col("b"))
     }),
@@ -521,22 +531,22 @@ object SparkEntry {
     // Cluster resolution over LSH candidate pairs: min-label propagation
     // (one shuffle per round) -> canonical keeper per near-dup cluster.
     "dedup_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sig = Dedup.minhashSignature(docs, "text", "doc_id", numHashes = 4)
+      val dd = docs(s, d)
+      val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
       val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
-      Components.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      Components.connectedComponents(dd.select(col("doc_id").as("id")), pairs)
         .orderBy(col("id"))
     }),
 
     "text_langid" -> ((s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     "text_preview" -> ((s, d) => {
-      TextFunctions.withContentPreview(Tables.documents(s, d), "text", "preview", 150)
+      TextFunctions.withContentPreview(docs(s, d), "text", "preview", 150)
         .select(col("doc_id"), col("preview"))
         .orderBy(col("doc_id"))
     }),
@@ -551,20 +561,20 @@ object SparkEntry {
     }),
 
     "text_token_stats" -> ((s, d) => {
-      TextAnalysis.tokenStats(Tables.documents(s, d), "text")
+      TextAnalysis.tokenStats(docs(s, d), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
 
     "text_quality" -> ((s, d) => {
-      TextAnalysis.qualityFeatures(Tables.documents(s, d), "text")
+      TextAnalysis.qualityFeatures(docs(s, d), "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
         .orderBy(col("doc_id"))
     }),
 
     "text_fingerprint" -> ((s, d) => {
-      TextAnalysis.fingerprints(Tables.documents(s, d), "text")
+      TextAnalysis.fingerprints(docs(s, d), "text")
         .select(col("doc_id"), col("fingerprint"), col("fingerprint64"))
         .orderBy(col("doc_id"))
     }),
@@ -572,7 +582,7 @@ object SparkEntry {
     // ---- Multimodal binary columns (stub decode, real plumbing) ----
 
     "multimodal_features" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      val media = Multimodal.fromDocuments(docs(s, d))
       Multimodal.extractFeatures(media, dims = 4)
         .select(col("media_id"), col("kind"), col("byte_len"), col("digest"),
           round(element_at(col("features"), 1), 6).as("f0"),
@@ -582,7 +592,7 @@ object SparkEntry {
 
     "multimodal_frames" -> ((s, d) => {
       Multimodal.sampleFrames(
-        Multimodal.fromDocuments(Tables.documents(s, d)), stepMs = 400)
+        Multimodal.fromDocuments(docs(s, d)), stepMs = 400)
         .select(col("media_id"), col("duration_ms"), col("frame_no"), col("frame_ts_ms"))
         .orderBy(col("media_id"), col("frame_no"))
     }),

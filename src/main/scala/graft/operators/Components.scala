@@ -27,8 +27,13 @@ object Components {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("component")).persist()
+      .localCheckpoint()
+    // localCheckpoint (eager) after every round truncates the lineage —
+    // without it the logical plan doubles per iteration and analysis time
+    // explodes long before the data does (the classic iterative-algorithm
+    // trap; at cluster scale use reliable checkpoint() instead)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -42,14 +47,12 @@ object Components {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .where(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
