@@ -379,6 +379,20 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // P4/P10: dot-path access through the meta struct + API-name mapping
+    // (agent_id resolves to meta.agent_id via Filters.fieldMap).
+    "mem_filter_meta" -> ((s, d) => {
+      val mem = memories(s, d).withColumn("meta", struct(
+        concat(lit("agent-"), col("session_id")).as("agent_id"),
+        lit("1.0").as("schema_version")))
+      mem.where(Filters.compileAll(Seq(
+          FilterSpec("agent_id", "is", SV("agent-7")),
+          FilterSpec("tool", "is", SV("click")))))
+        .select(col("memory_id"), col("tool"),
+          col("meta.agent_id").as("agent_id"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
     // S7/T3: point lookup, constant score.
     "mem_by_id" -> ((s, d) => {
       Search.byId(memories(s, d), "memory_id", Seq("17", "230", "4099"))
@@ -809,6 +823,16 @@ object SparkEntry {
         |  AND value BETWEEN 5.0 AND 40.0
         |  AND CAST(user_id AS VARCHAR) <> '42'
         |  AND contains(lower(props), lower('"k": 6'))
+        |ORDER BY event_id""".stripMargin,
+
+    "mem_filter_meta" ->
+      """WITH mem AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS memory_id, event_id,
+        |    event_type AS tool,
+        |    'agent-' || CAST(user_id AS VARCHAR) AS agent_id
+        |  FROM events)
+        |SELECT memory_id, tool, agent_id FROM mem
+        |WHERE agent_id = 'agent-7' AND tool = 'click'
         |ORDER BY event_id""".stripMargin,
 
     "mem_by_id" ->
