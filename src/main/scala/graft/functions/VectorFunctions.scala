@@ -49,8 +49,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
-  /** Unrolled cosine for a known dimensionality (codegen'd). */
-  def cosine(a: Column, b: Column, dims: Int): Column =
+  /** Hot-path cosine: the native [[CosineSim]] expression — one codegen'd
+    * loop per row accumulating dot and both norms (bit-identical to the
+    * unrolled/HOF forms, which fold left-to-right per accumulator). The
+    * `dims` parameter documents the known dimensionality at call sites;
+    * the native loop reads the actual array length. */
+  def cosine(a: Column, b: Column, dims: Int): Column = CosineSim(a, b)
+
+  /** Unrolled element_at cosine for a known dimensionality — kept as the
+    * pure-builtin fallback/reference implementation. */
+  def cosineUnrolled(a: Column, b: Column, dims: Int): Column =
     dot(a, b, dims) / nullif(l2Norm(a, dims) * l2Norm(b, dims), lit(0.0))
 
   /** Squared Euclidean distance (cheaper than sqrt when only ranking). */
