@@ -42,26 +42,34 @@ object Bench {
     // bounded) and the minimum is reported — the min of time-separated
     // runs estimates true cost far better than one sample under noise.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // (elapsed, ok) — a query that throws must NOT pass off its
+    // elapsed-to-failure time as a fast success: failures are reported as
+    // the sentinel -1 plus a "failed" list, and excluded from the total.
     def timeOne(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
     val deadline = System.nanoTime() + 240L * 1000000000L
-    val results = p1.map { case (n, t) =>
-      if (t > 2.0 && System.nanoTime() < deadline)
-        n -> math.min(t, timeOne(n, SparkEntry.queries(n)))
-      else n -> t
+    val results = p1.map { case (n, (t, ok)) =>
+      if (ok && t > 2.0 && System.nanoTime() < deadline) {
+        val (t2, ok2) = timeOne(n, SparkEntry.queries(n))
+        n -> (if (ok2) math.min(t, t2) else t, true)
+      } else n -> (t, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

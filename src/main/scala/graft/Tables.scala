@@ -10,14 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same — partition pruning is free once the layout exists.
   */
 object Tables {
+  private val ExcludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // InferFiltersFromGenerate clones a Generate's input expression into a
     // pre-filter BELOW the projection that materializes it — for our
     // shingle explodes that re-inlines an interpreted HOF as a per-row
     // filter (observed 10× slowdown). The rule is a pure optimization
     // (explode already skips empty arrays), so results are unchanged.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Merged into any exclusions the caller already set, not overwritten.
+    val current = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (!current.contains(ExcludedRule))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (current :+ ExcludedRule).mkString(","))
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -45,9 +45,11 @@ object Validation {
     * are collected into `validation_errors`. */
   private def errorChecks(archetype: Archetype, toolCol: Column, argsCol: Column): Seq[Column] = {
     val knownTool = archetype.tools.keys.toSeq
+    // NULL tool must fail too: isin is NULL (not false) under three-valued
+    // logic, so the negation alone would let NULL-tool rows pass every check
     val unknownTool =
-      when(!toolCol.isin(knownTool: _*),
-        concat(lit("unknown tool '"), toolCol, lit("'")))
+      when(toolCol.isNull || !toolCol.isin(knownTool: _*),
+        concat(lit("unknown tool '"), coalesce(toolCol, lit("null")), lit("'")))
 
     val perTool = archetype.tools.values.toSeq.sortBy(_.name).flatMap { ts =>
       val isTool = toolCol === ts.name

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * engine's Column forms, so scores stay bit-compatible with the external
   * SQL oracles.
   *
-  * Returns NULL when either input is NULL or either norm is zero
-  * (matching `dot / nullif(normA*normB, 0)`).
+  * Returns NULL when either input is NULL, the lengths differ, any
+  * element is NULL, or either norm is zero — the same cases where the
+  * Column forms yield NULL (element_at past the end and null elements
+  * both null out the whole fold; zero norms hit the nullif).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -69,15 +71,18 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 object CosineSim {
 
-  /** Single-pass cosine; returns NaN for zero norms (mapped to NULL by the
-    * expression). Accumulation order matches the Column-form left fold. */
+  /** Single-pass cosine; returns NaN for zero norms, mismatched lengths,
+    * and null elements (all mapped to NULL by the expression).
+    * Accumulation order matches the Column-form left fold. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

@@ -70,29 +70,45 @@ object StreamingIngest {
     * continuing each session's sequence from the stored maximum (A1) and
     * chaining preceding_memory_id across the batch boundary (J1).
     *
+    * Exactly-once on replays: foreachBatch delivers at-least-once, so a
+    * replayed batch is first anti-joined against the stored memory_ids of
+    * its own sessions — already-written rows drop out, and the survivors
+    * continue from the stored per-session max (which already accounts for
+    * the first delivery), keeping sequence_order gapless.
+    *
     * Expects canonical columns (memory_id, session_id, tool, timestamp,
-    * ...). Reads only the store's per-session tail aggregate — at scale
-    * that read is a partition-pruned aggregation, not a full scan, when the
-    * store is laid out by session/date.
+    * ...). Both store reads (the per-session tail aggregate and the
+    * memory_id anti-join side) are restricted to the batch's sessions — at
+    * scale, with the store laid out by session/date, they are
+    * partition-pruned scans, not full passes.
     */
   def ingestBatch(batch: DataFrame, storePath: String): Unit = {
     val spark = batch.sparkSession
     val exists = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(storePath))
-    val tails =
-      if (!exists)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+    val (tails, fresh) =
+      if (!exists) {
+        val emptyTails = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(
             StructField("session_id", StringType),
             StructField("last_memory_id", StringType),
             StructField("next_seq", IntegerType))))
-      else MemoryModel.lastMemoryPerSession(spark.read.parquet(storePath))
-        .select(col("session_id"), col("last_memory_id"),
-          col("next_seq").cast("int").as("next_seq"))
+        (emptyTails, batch)
+      } else {
+        val stored = spark.read.parquet(storePath)
+          .join(broadcast(batch.select("session_id").distinct()),
+            Seq("session_id"), "left_semi")
+        val t = MemoryModel.lastMemoryPerSession(stored)
+          .select(col("session_id"), col("last_memory_id"),
+            col("next_seq").cast("int").as("next_seq"))
+        // replay dedup: drop rows whose memory_id is already stored
+        val f = batch.join(stored.select("memory_id"), Seq("memory_id"), "left_anti")
+        (t, f)
+      }
 
     val w = Window.partitionBy("session_id").orderBy(col("timestamp"), col("memory_id"))
-    val out = batch
+    val out = fresh
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_prev", lag(col("memory_id"), 1).over(w))
       .join(broadcast(tails), Seq("session_id"), "left")

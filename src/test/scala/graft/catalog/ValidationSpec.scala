@@ -62,6 +62,12 @@ class ValidationSpec extends SparkSpec {
       "property 'n' must be integer"))
   }
 
+  test("NULL tool is rejected, not silently passed (three-valued isin)") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], good.toMap)).toDF("tool", "args")
+    assert(errorsOf(df) == Seq("unknown tool 'null'"))
+  }
+
   test("unknown tool is an error") {
     assert(errorsOf(call("Ghost", good: _*)) == Seq("unknown tool 'Ghost'"))
   }

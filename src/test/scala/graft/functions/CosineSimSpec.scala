@@ -40,6 +40,18 @@ class CosineSimSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("mismatched lengths and null elements yield null, like the Column forms") {
+    import spark.implicits._
+    val mismatch = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(CosineSim(col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0), "length mismatch must be null, not truncated")
+    val nullElem = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+      .select(CosineSim(col("a"), col("b"))).head()
+    assert(nullElem.isNullAt(0), "null element must be null, not read as 0")
+  }
+
   test("non-array input is an analysis error") {
     import spark.implicits._
     val e = intercept[Exception] {

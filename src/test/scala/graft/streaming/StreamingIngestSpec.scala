@@ -58,6 +58,28 @@ class StreamingIngestSpec extends SparkSpec {
       ("m4", 1, None)))
   }
 
+  test("ingestBatch: a replayed batch is idempotent (at-least-once delivery)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-store-replay").toString + "/mem"
+    val b1 = Seq(
+      ("m1", "s1", "click", ts("2024-01-01 00:00:01"), 1.0),
+      ("m2", "s1", "view", ts("2024-01-01 00:00:02"), 2.0))
+      .toDF("memory_id", "session_id", "tool", "timestamp", "value")
+    ingestBatch(b1, store)
+    ingestBatch(b1, store) // replay after simulated failure
+    // partial replay: one old row + one new row
+    val b2 = Seq(
+      ("m2", "s1", "view", ts("2024-01-01 00:00:02"), 2.0),
+      ("m3", "s1", "purchase", ts("2024-01-01 00:20:00"), 3.0))
+      .toDF("memory_id", "session_id", "tool", "timestamp", "value")
+    ingestBatch(b2, store)
+    val got = spark.read.parquet(store)
+      .select("memory_id", "sequence_order", "preceding_memory_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("m1", 1, None), ("m2", 2, Some("m1")), ("m3", 3, Some("m2"))))
+  }
+
   test("startJsonlIngest: file-source stream parses JSONL and appends with state") {
     val inDir = Files.createTempDirectory("graft-jsonl").toString
     val store = Files.createTempDirectory("graft-store2").toString + "/mem"
