@@ -311,9 +311,11 @@ object SparkEntry {
       lines
         .withColumn("payload",
           regexp_extract(col("line"), "Message from (client|server): (.*)", 2))
-        .select(
-          get_json_object(col("payload"), "$.id").cast("long").as("id"),
-          get_json_object(col("payload"), "$.tool").as("tool"))
+        // one from_json parse per row — get_json_object would re-parse the
+        // payload once per extracted field
+        .withColumn("j", from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL("id LONG, tool STRING")))
+        .select(col("j.id").as("id"), col("j.tool").as("tool"))
         .orderBy(col("id"))
     }),
 
@@ -449,6 +451,27 @@ object SparkEntry {
           size(array_intersect(TextFunctions.tokens(lower(col("content"))), qToks)))
       Search.rrfFuse(scored, col("dense"), col("kw").cast("double"),
         col("memory_id").cast("long"))
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+        .limit(10)
+        .select(col("memory_id"), col("tool"), col("score"))
+    }),
+
+    // Candidate-pruned RRF: each ranking contributes only its top-100 list
+    // (TakeOrderedAndProject + driver-side rank + broadcast join back) —
+    // the fusion shape that survives 100 TB, vs mem_search_rrf's exact
+    // global-rank form.
+    "mem_search_rrf_pruned" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
+      val qToks = TextFunctions.tokens(lower(lit(SearchQueryText)))
+      val scored = mem
+        .withColumn("dense", VectorFunctions.cosine(col("embedding"), qv, SearchDims))
+        .withColumn("kw",
+          size(array_intersect(TextFunctions.tokens(lower(col("content"))), qToks)))
+      Search.rrfFuseTopM(scored, col("dense"), col("kw").cast("double"),
+        col("memory_id").cast("long"), m = 100)
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
         .limit(10)
@@ -888,6 +911,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT memory_id, tool,
         |  ROUND(CAST(1.0 AS DOUBLE)/(60+dr) + CAST(1.0 AS DOUBLE)/(60+kr), 9) AS score
+        |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
+
+    "mem_search_rrf_pruned" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool,
+        |    list_cosine_similarity(embedding, qvec) AS dense,
+        |    CAST(len(list_intersect(
+        |      list_filter(string_split_regex(lower(content), '\s+'), t -> t <> ''),
+        |      ['tool:', 'purchase'])) AS DOUBLE) AS kw
+        |  FROM vec, qv),
+        |ranked AS (
+        |  SELECT memory_id, event_id, tool,
+        |    ROW_NUMBER() OVER (ORDER BY dense DESC, event_id) AS dr,
+        |    ROW_NUMBER() OVER (ORDER BY kw DESC, event_id) AS kr
+        |  FROM scored)
+        |SELECT memory_id, tool,
+        |  ROUND((CASE WHEN dr <= 100 THEN CAST(1.0 AS DOUBLE)/(60+dr) ELSE 0 END)
+        |      + (CASE WHEN kr <= 100 THEN CAST(1.0 AS DOUBLE)/(60+kr) ELSE 0 END), 9) AS score
         |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
 
     "mem_search_view_summary" -> (memVecCte(SearchDims) +

@@ -89,11 +89,16 @@ object VectorFunctions {
     * Deterministic across engines (hyperplanes derive from md5, above),
     * shuffle-free, and gives O(n/2^planes) candidate buckets for ANN at
     * scale. `dims` must match the vector length.
+    *
+    * Each projection is one native [[DotProduct]] call (codegen'd loop)
+    * against a sign-vector literal — the unrolled element_at form was
+    * ~3·dims·planes expression nodes, large enough to fall out of
+    * whole-stage codegen at 64 dims × 4 planes.
     */
   def rhpBucket(vec: Column, planes: Int, seed: Int, dims: Int): Column = {
     val signs = hyperplaneSigns(planes, dims, seed)
     val bits = (0 until planes).map { p =>
-      val proj = dot(vec, typedLit(signs(p)), dims)
+      val proj = DotProduct(vec, typedLit(signs(p)))
       when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bits.reduce(_ + _)

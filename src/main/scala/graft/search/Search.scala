@@ -102,6 +102,52 @@ object Search {
       .drop("dense_rank_", "kw_rank_")
   }
 
+  /** Candidate-pruned RRF — the scale path for hybrid fusion. Each ranking
+    * contributes only its top-`m` list: score = Σ_{lists containing the row}
+    * 1/(k + rank-in-list), 0 beyond the list — exactly how RRF is defined
+    * over bounded retrieval lists (and how the reference behaves: fastembed
+    * fuses the dense and sparse top-M lists, not the whole collection).
+    *
+    * Physical shape at any scale: each top-M list is a
+    * `TakeOrderedAndProject` (per-partition heaps, k·P rows to the driver —
+    * no global sort, no single-partition window), ranks are assigned on the
+    * driver over m rows, and the fused scores join back as a broadcast.
+    * For a row present in a list, its list rank equals its global rank —
+    * every row that outranks it is in the list too — so the pruning never
+    * distorts the ranks it does report.
+    *
+    * `tieBreak` must be a numeric (long-castable) unique id.
+    */
+  def rrfFuseTopM(
+      scored: DataFrame,
+      denseScore: Column,
+      keywordScore: Column,
+      tieBreak: Column,
+      m: Int,
+      k: Int = 60): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    def rankList(score: Column): DataFrame = {
+      val top = scored
+        .select(tieBreak.cast("long").as("tb"), score.cast("double").as("s"))
+        .orderBy(col("s").desc, col("tb"))
+        .limit(m)
+        .collect()
+      top.zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+        .toDF("tb", "rank")
+    }
+    val dr = rankList(denseScore).withColumnRenamed("rank", "dense_rank_")
+    val kr = rankList(keywordScore).withColumnRenamed("rank", "kw_rank_")
+    scored
+      .withColumn("tb_", tieBreak.cast("long"))
+      .join(broadcast(dr), col("tb_") === dr("tb"), "left").drop("tb")
+      .join(broadcast(kr), col("tb_") === kr("tb"), "left").drop("tb")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(k) + col("dense_rank_")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("kw_rank_")), lit(0.0)))
+      .drop("tb_", "dense_rank_", "kw_rank_")
+  }
+
   /** ANN via random-hyperplane LSH: prune to the query's bucket, then exact
     * cosine within it. At 100 TB the store is written partitioned by
     * `bucket` so this reads ~1/2^planes of the data (partition pruning),

@@ -5,28 +5,35 @@ import org.apache.spark.sql.functions._
 
 class ComponentsAndSkewSpec extends SparkSpec {
 
-  test("connectedComponents resolves transitive clusters and isolates") {
-    import spark.implicits._
-    val nodes = (1L to 7L).toDF("id")
-    // components: {1,2,3} (chain), {4,5}, {6}, {7}
-    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
-    val labels = Components.connectedComponents(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
-      6L -> 6L, 7L -> 7L))
-    val cl = Components.clusters(Components.connectedComponents(nodes, pairs))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(cl == Map(1L -> 3L, 4L -> 2L, 6L -> 1L, 7L -> 1L))
-  }
+  // both physical paths must agree: driver union-find (small edge lists)
+  // and distributed min-label propagation (driverMaxEdges = 0 forces it)
+  for ((path, maxEdges) <- Seq(("union-find", 1L << 22), ("propagation", 0L))) {
+    test(s"connectedComponents resolves transitive clusters and isolates [$path]") {
+      import spark.implicits._
+      val nodes = (1L to 7L).toDF("id")
+      // components: {1,2,3} (chain), {4,5}, {6}, {7}
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+      val labels = Components.connectedComponents(nodes, pairs,
+          driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+        6L -> 6L, 7L -> 7L))
+      val cl = Components.clusters(Components.connectedComponents(nodes, pairs,
+          driverMaxEdges = maxEdges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(cl == Map(1L -> 3L, 4L -> 2L, 6L -> 1L, 7L -> 1L))
+    }
 
-  test("connectedComponents handles a long chain within maxIter") {
-    import spark.implicits._
-    val n = 30L
-    val nodes = (1L to n).toDF("id")
-    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Components.connectedComponents(nodes, pairs, maxIter = 40)
-      .collect().map(r => r.getLong(1)).toSet
-    assert(labels == Set(1L)) // single component, min id 1
+    test(s"connectedComponents handles a long chain within maxIter [$path]") {
+      import spark.implicits._
+      val n = 30L
+      val nodes = (1L to n).toDF("id")
+      val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Components.connectedComponents(nodes, pairs, maxIter = 40,
+          driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(labels == Set(1L)) // single component, min id 1
+    }
   }
 
   test("salted join returns identical results to a plain join") {
