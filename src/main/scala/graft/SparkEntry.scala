@@ -302,6 +302,82 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // As-of join (union + one window pass per key — zero joins, one
+    // shuffle): each event gets the most recent purchase of the same user
+    // at or before its timestamp.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dw = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(dw)).where(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      operators.AsofJoin.asofLe(ev, purchases, Seq("user_id"), "ts", "p_ts",
+        "p_event_id", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"),
+          round(col("p_value"), 4).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join via equi-bucketing: interval table explodes into covered
+    // buckets, fact side hash-joins on the bucket — no nested loop.
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("t1_budget", 0.0, 50000.0),
+        ("t2_mid", 50000.0, 150000.0),
+        ("t3_high", 150000.0, 300000.0),
+        ("t4_premium", 300000.0, 450000.0),
+        ("t5_lux", 450000.0, 700000.0)).toDF("tier", "lo", "hi")
+      operators.RangeJoin.pointInInterval(
+        Tables.orders(s, d), "o_totalprice", tiers, "lo", "hi", 50000.0)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("tier"))
+    }),
+
+    // Salted skew join: identical results to the plain join, hot keys
+    // spread over `buckets` tasks (the manual fallback when AQE skew
+    // handling can't reach a join).
+    "q_skew_join_salted" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      operators.SkewJoin.saltedEquiJoin(l, o, "okey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Pivot (conditional-aggregation family) with an explicit value list —
+    // no extra distinct-values job, one hash aggregate.
+    "q_pivot_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Rank-function family beyond row_number: dense_rank / ntile /
+    // percent_rank / cume_dist in one window pass.
+    "q_window_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // S10: MCP-log-line parse roundtrip — regexp extract + JSON getter
     // (the reference's log_viewer source re-expressed as a scan).
     "log_parse_roundtrip" -> ((s, d) => {
@@ -559,6 +635,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Edit-distance verification on LSH candidates (never a global cross
+    // join): two prunable equi-joins + one codegen'd levenshtein per pair.
+    "dedup_levenshtein" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
+      Dedup.levenshteinVerify(pairs, dd, "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
     "dedup_embedding_pairs" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(embs(s, d), "embedding", "vec_id",
         minCosine = 0.2, planes = 4, seed = 7, dims = 64)
@@ -784,6 +870,54 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, p.p_event_id, ROUND(p.p_value, 4) AS p_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('t1_budget', 0.0, 50000.0),
+        |  ('t2_mid', 50000.0, 150000.0),
+        |  ('t3_high', 150000.0, 300000.0),
+        |  ('t4_premium', 300000.0, 450000.0),
+        |  ('t5_lux', 450000.0, 700000.0))
+        |SELECT tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "log_parse_roundtrip" ->
       """WITH lines AS (
@@ -1063,6 +1197,32 @@ object SparkEntry {
          |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
          |FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_levenshtein" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id)
+         |SELECT p.a, p.b, CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev
+         |FROM pairs p
+         |JOIN documents da ON p.a = da.doc_id
+         |JOIN documents db ON p.b = db.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
 
     "dedup_embedding_pairs" -> {
       val signs = sqlSigns(planes = 4, dims = 64, seed = 7)

@@ -142,6 +142,22 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Edit-distance verification of candidate pairs: join the texts back to
+    * an (a, b) pair list (LSH/minhash output) and compute Levenshtein
+    * distance — the exact-but-quadratic-per-pair check that is only
+    * affordable AFTER candidate pruning, never as a global cross join.
+    * Two key-equi joins against the corpus (prunable at scale), linear in
+    * the candidate count.
+    */
+  def levenshteinVerify(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = Int.MaxValue): DataFrame =
+    pairs
+      .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
+      .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .where(col("lev") <= maxDist)
+      .select(col("a"), col("b"), col("lev"))
+
   /** Embedding near-duplicate pairs: RHP-LSH bucket join (shuffle on
     * bucket), exact cosine verification inside buckets. `planes = 0`
     * degrades to the exact all-pairs join for small candidate sets.
