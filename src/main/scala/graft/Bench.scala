@@ -19,7 +19,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: bench output is the one JSON line; expected-at-this-scale
+    // warnings (e.g. bounded-candidate-set windows) otherwise drown it
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
