@@ -633,6 +633,19 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // IVF with TRAINED cells: one Lloyd round over the seeded centroids
+    // (decimal-summed, division-free — reproducible across engines and
+    // partitionings), then the same assign/probe plan.
+    "search_ivf_kmeans" -> ((s, d) => {
+      val e = embs(s, d)
+      val c0 = Similarity.pickCentroids(e, "embedding", "vec_id", numCells = 16)
+      val c1 = Similarity.kmeansRefine(e, "embedding", "vec_id", c0, iters = 1)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", c1)
+      Similarity.ivfSearch(assigned, "embedding", "vec_id", c1,
+        queryVec(s, d), k = 10, nprobe = 4)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- Dedup / text-analysis extensions ----
 
     "dedup_exact" -> ((s, d) => {
@@ -1177,6 +1190,34 @@ object SparkEntry {
         |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4)
         |SELECT vec_id, cell, ROUND(list_cosine_similarity(v, qv), 6) AS score
         |FROM a, q WHERE cell IN (SELECT cell FROM probe)
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "search_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |dims AS (
+        |  SELECT cell, d, ROUND(CAST(SUM(CAST(v[d] AS DECIMAL(28,8))) AS DOUBLE), 6) AS m
+        |  FROM a0 CROSS JOIN generate_series(1, 64) t(d) GROUP BY cell, d),
+        |c1 AS (SELECT cell, list(m ORDER BY d) AS cv FROM dims GROUP BY cell),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell FROM c1, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4)
+        |SELECT vec_id, cell, ROUND(list_cosine_similarity(v, qv), 6) AS score
+        |FROM a1, q WHERE cell IN (SELECT cell FROM probe)
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_exact" ->

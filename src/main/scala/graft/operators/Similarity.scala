@@ -54,7 +54,7 @@ object Similarity {
     * scans.
     */
   def ivfAssign(vecs: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dims = centroids.head._2.length
@@ -72,26 +72,56 @@ object Similarity {
   }
 
   /** Deterministic centroid pick: the `numCells` vectors with the smallest
-    * ids (a seeded-sample stand-in that keeps runs reproducible; real
-    * pipelines would run k-means — the probe-side plan is identical).
+    * ids (a seeded-sample stand-in that keeps runs reproducible; refine
+    * with [[kmeansRefine]] for trained cells — the probe-side plan is
+    * identical either way).
     */
   def pickCentroids(vecs: DataFrame, vecCol: String, idCol: String,
-      numCells: Int): Seq[(Int, Seq[Float])] =
+      numCells: Int): Seq[(Int, Seq[Double])] =
     vecs.orderBy(col(idCol)).limit(numCells)
       .select(col(vecCol)).collect()
       .zipWithIndex
-      .map { case (row, i) => (i, row.getSeq[Float](0)) }
+      .map { case (row, i) => (i, row.getSeq[Float](0).map(_.toDouble)) }
+
+  /** Lloyd refinement rounds for the IVF coarse quantizer, reproducible
+    * across engines: assign every vector to its nearest centroid by
+    * cosine, then replace each centroid with its cell's per-dimension
+    * SUM vector — the same direction as the mean (cosine is
+    * scale-invariant), but with no division step. Sums accumulate in
+    * DECIMAL(28,8) (exact, order-independent — the float-summation-order
+    * trap is what makes naive distributed k-means non-reproducible) and
+    * round to 6 dp. Each round is one broadcast-assign + one explode/agg
+    * shuffle; only numCells×dims values ever reach the driver. Cells that
+    * lose all members drop out (k shrinks), as in standard Lloyd.
+    */
+  def kmeansRefine(vecs: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[(Int, Seq[Double])], iters: Int = 1): Seq[(Int, Seq[Double])] = {
+    var c = centroids
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(vecs, vecCol, idCol, c)
+      val sums = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(28,8)")).cast("double"), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+        .collect()
+      c = sums.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    }
+    c
+  }
 
   /** IVF probe: assign the query to its `nprobe` nearest cells, scan only
     * those cells, exact cosine inside.
     */
   def ivfSearch(assigned: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[(Int, Seq[Float])], query: Seq[Float], k: Int,
+      centroids: Seq[(Int, Seq[Double])], query: Seq[Float], k: Int,
       nprobe: Int): DataFrame = {
     val probeCells = centroids
       .map { case (cid, cvec) =>
-        val dot = cvec.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
-        val n1 = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+        val dot = cvec.zip(query).map { case (x, y) => x * y.toDouble }.sum
+        val n1 = math.sqrt(cvec.map(x => x * x).sum)
         val n2 = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
         (cid, dot / (n1 * n2))
       }
