@@ -245,6 +245,33 @@ object SparkEntry {
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Correlated scalar subquery — Catalyst decorrelates to an aggregate +
+    // join; the MAX comparison is exact (no float-order hazard).
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+          |FROM orders_v o
+          |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+          |                      FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Lateral (correlated table) subquery: per-customer top-2 orders in
+    // FROM position — decorrelated to a ranked window join.
+    "q_lateral_join" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS o_totalprice
+          |FROM customer_v c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     // Explicit grouping sets (the general form behind rollup/cube) via the
     // native Dataset API — one Expand + one aggregate.
     "q_grouping_sets" -> ((s, d) => {
@@ -870,6 +897,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (1, 2)
         |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
