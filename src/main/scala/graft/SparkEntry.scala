@@ -434,6 +434,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // RANGE window frame over event time: trailing-hour sum per user —
+    // value-based frame bounds (vs q_window_running's ROWS frame), plus
+    // first_value over the same frame.
+    "q_window_range_frame" -> ((s, d) => {
+      val secs = unix_timestamp(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"),
+          first(col("event_type")).over(
+            Window.partitionBy(col("user_id")).orderBy(secs, col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // S10: MCP-log-line parse roundtrip — regexp extract + JSON getter
     // (the reference's log_viewer source re-expressed as a scan).
     "log_parse_roundtrip" -> ((s, d) => {
@@ -1015,6 +1034,19 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER r AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER r AS hour_n,
+        |  FIRST_VALUE(event_type) OVER w AS first_type
+        |FROM events
+        |WINDOW
+        |  r AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        |  w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+        |        ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id""".stripMargin,
 
     "log_parse_roundtrip" ->
       """WITH lines AS (
