@@ -147,6 +147,17 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
+    * keyed on id): drop re-deliveries of the same id arriving within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only
+    * for the horizon — bounded, unlike plain dropDuplicates whose state
+    * grows with history — which is the only dedup shape that survives an
+    * unbounded 100 TB stream.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** Watermarked event-time hourly rollup (streaming twin of the
     * events_hourly_rollup batch query). */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -103,6 +103,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == Set(("m1", 1, None), ("m2", 2, Some("m1")), ("m3", 3, Some("m2"))))
   }
 
+  test("dedupStream: duplicate ids within the watermark emit once") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("memory_id", "ts", "value")
+    val q = dedupStream(events, "memory_id", "ts").writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("m1", ts("2024-01-01 10:00:00"), 1.0),
+        ("m1", ts("2024-01-01 10:00:05"), 1.0)) // dup inside batch
+      q.processAllAvailable()
+      input.addData(("m1", ts("2024-01-01 10:10:00"), 1.0), // dup across batches
+        ("m2", ts("2024-01-01 10:11:00"), 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("memory_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted == Seq("m1", "m2"))
+    } finally q.stop()
+  }
+
   test("hourlyRollup: watermarked tumbling window aggregates by event time") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
