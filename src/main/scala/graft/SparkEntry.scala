@@ -453,15 +453,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // S10: MCP-log-line parse roundtrip — regexp extract + JSON getter
-    // (the reference's log_viewer source re-expressed as a scan).
+    // S10: MCP-log-line parse roundtrip (the reference's log_viewer source
+    // re-expressed as a scan). The small scan is spread across the
+    // session's parallelism like docs() — the parse stage is CPU-bound and
+    // would otherwise run on the 1-2 partitions a few-MB file plans.
     "log_parse_roundtrip" -> ((s, d) => {
-      val lines = Tables.events(s, d).select(concat(
-        lit("Message from client: {\"id\": "), col("event_id"),
-        lit(", \"tool\": \""), col("event_type"), lit("\"}")).as("line"))
+      val lines = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(concat(
+          lit("Message from client: {\"id\": "), col("event_id"),
+          lit(", \"tool\": \""), col("event_type"), lit("\"}")).as("line"))
       lines
+        // the "Message from <role>: " prefix is fixed, so the first ": "
+        // always terminates it — locate+substring instead of a per-row
+        // regex backtrack (the regex was 40% of this query's time)
+        .where(col("line").startsWith("Message from "))
         .withColumn("payload",
-          regexp_extract(col("line"), "Message from (client|server): (.*)", 2))
+          expr("substring(line, locate(': ', line) + 2)"))
         // one from_json parse per row — get_json_object would re-parse the
         // payload once per extracted field
         .withColumn("j", from_json(col("payload"),
@@ -717,9 +725,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // maxDf = 5 is the stop-shingle cap that kills the O(f²) hot-shingle
+    // blowup — exercised for real here (the sf0.01 corpus has shingles
+    // with df up to 7; sf0.1 up to 25).
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
-        shingleK = 3, minJaccard = 0.5)
+        shingleK = 3, minJaccard = 0.5, maxDf = 5)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -1347,8 +1358,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
-         |ex0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
-         |ex AS (SELECT doc_id, n_sh, ${sqlHash64("shingle")} AS shk FROM ex0)
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |exh AS (SELECT doc_id, ${sqlHash64("shingle")} AS shk FROM ex0),
+         |capped AS (
+         |  SELECT doc_id, shk FROM (
+         |    SELECT doc_id, shk, COUNT(*) OVER (PARTITION BY shk) AS df
+         |    FROM exh) WHERE df <= 5),
+         |ex AS (
+         |  SELECT doc_id, shk, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM capped)
          |SELECT l.doc_id AS a, r.doc_id AS b,
          |  ROUND(CAST(COUNT(*) AS DOUBLE) /
          |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
@@ -1474,14 +1492,19 @@ object SparkEntry {
         |SELECT event_id, CASE
         |  WHEN secs < 60 THEN 'just now'
         |  WHEN floor(secs/60.0) < 60
-        |    THEN CAST(CAST(floor(secs/60.0) AS BIGINT) AS VARCHAR) || ' minutes ago'
+        |    THEN CAST(CAST(floor(secs/60.0) AS BIGINT) AS VARCHAR)
+        |      || (CASE WHEN floor(secs/60.0) = 1 THEN ' minute ago' ELSE ' minutes ago' END)
         |  WHEN floor(secs/3600.0) < 24
-        |    THEN CAST(CAST(floor(secs/3600.0) AS BIGINT) AS VARCHAR) || ' hours ago'
+        |    THEN CAST(CAST(floor(secs/3600.0) AS BIGINT) AS VARCHAR)
+        |      || (CASE WHEN floor(secs/3600.0) = 1 THEN ' hour ago' ELSE ' hours ago' END)
         |  WHEN floor(secs/86400.0) < 7
-        |    THEN CAST(CAST(floor(secs/86400.0) AS BIGINT) AS VARCHAR) || ' days ago'
+        |    THEN CAST(CAST(floor(secs/86400.0) AS BIGINT) AS VARCHAR)
+        |      || (CASE WHEN floor(secs/86400.0) = 1 THEN ' day ago' ELSE ' days ago' END)
         |  WHEN floor(secs/86400.0) < 30
-        |    THEN CAST(CAST(floor(floor(secs/86400.0)/7) AS BIGINT) AS VARCHAR) || ' weeks ago'
-        |  ELSE CAST(CAST(floor(floor(secs/86400.0)/30) AS BIGINT) AS VARCHAR) || ' months ago'
+        |    THEN CAST(CAST(floor(floor(secs/86400.0)/7) AS BIGINT) AS VARCHAR)
+        |      || (CASE WHEN floor(floor(secs/86400.0)/7) = 1 THEN ' week ago' ELSE ' weeks ago' END)
+        |  ELSE CAST(CAST(floor(floor(secs/86400.0)/30) AS BIGINT) AS VARCHAR)
+        |      || (CASE WHEN floor(floor(secs/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
         |  END AS rel
         |FROM t ORDER BY event_id""".stripMargin,
 

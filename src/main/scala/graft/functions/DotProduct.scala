@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * this is one codegen'd static call per plane. Accumulation is
   * left-to-right in Double — bit-identical to the unrolled/HOF forms.
   *
-  * Returns NULL when either input is NULL, lengths differ, or any element
-  * is NULL (the same cases where the Column forms yield NULL).
+  * Returns NULL when either input is NULL, lengths differ, any element is
+  * NULL, or the accumulated sum is NaN (the Column forms return NaN for
+  * the last case — see [[DotProduct.dot]] for why that divergence is safe
+  * for every in-engine caller).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -69,9 +71,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
 
   /** Left-to-right Double accumulation; NaN for length mismatch / null
-    * elements (mapped to NULL by the expression). A genuinely-NaN input
-    * element propagates NaN into the sum the same way the Column forms do —
-    * the sentinel only fires on the structural cases checked up front. */
+    * elements. The expression maps ANY NaN result to NULL — including a sum
+    * poisoned by a genuinely-NaN input element, which the unrolled/HOF
+    * Column forms would return as NaN. That is a deliberate divergence: NaN
+    * doubles as the structural sentinel here, and the only in-engine
+    * consumer ([[VectorFunctions.rhpBucket]]) routes NULL and NaN to the
+    * same otherwise-branch, so bucket values are unaffected. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
     if (b.numElements() != n) return Double.NaN

@@ -46,9 +46,10 @@ object TextFunctions {
 
   /** Relative-time bucketing (reference: formatters.py:141-169): render the
     * age of `ts` relative to `now` as "just now" / "N minutes ago" /
-    * "N hours ago" / "N days ago" / "N weeks ago" / "N months ago".
-    * `now` is a parameter (not current_timestamp()) so results are
-    * deterministic and oracle-checkable.
+    * "N hours ago" / "N days ago" / "N weeks ago" / "N months ago",
+    * singular when N = 1 ("1 day ago", "1 week ago", ...) exactly as the
+    * reference pluralizes. `now` is a parameter (not current_timestamp())
+    * so results are deterministic and oracle-checkable.
     */
   def relativeTime(ts: Column, now: Column): Column = {
     val secs = unix_timestamp(now) - unix_timestamp(ts)
@@ -57,12 +58,15 @@ object TextFunctions {
     val days = floor(secs / 86400)
     val weeks = floor(days / 7)
     val months = floor(days / 30)
+    def ago(n: Column, unit: String): Column =
+      concat(n.cast("string"),
+        when(n === 1, lit(s" $unit ago")).otherwise(lit(s" ${unit}s ago")))
     when(secs < 60, lit("just now"))
-      .when(mins < 60, concat(mins.cast("string"), lit(" minutes ago")))
-      .when(hours < 24, concat(hours.cast("string"), lit(" hours ago")))
-      .when(days < 7, concat(days.cast("string"), lit(" days ago")))
-      .when(days < 30, concat(weeks.cast("string"), lit(" weeks ago")))
-      .otherwise(concat(months.cast("string"), lit(" months ago")))
+      .when(mins < 60, ago(mins, "minute"))
+      .when(hours < 24, ago(hours, "hour"))
+      .when(days < 7, ago(days, "day"))
+      .when(days < 30, ago(weeks, "week"))
+      .otherwise(ago(months, "month"))
   }
 
   /** Word tokens: split on whitespace, drop empties. */

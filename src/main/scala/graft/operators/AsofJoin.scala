@@ -32,6 +32,13 @@ object AsofJoin {
     *                  left column names; alias beforehand)
     * @return every left row + `rightCols` of its as-of match (nulls if the
     *         key has no right row at or before leftTime)
+    *
+    * NULL semantics match DuckDB ASOF / the naive `rt <= lt` predicate:
+    * a right row with a NULL key or NULL rightTime never matches anything
+    * (dropped before the union — otherwise default nulls-first ordering
+    * would carry its payload into every row of the key); a left row with a
+    * NULL key or NULL leftTime is preserved with a NULL match (its _t
+    * sorts before every right row, so nothing is carried into it).
     */
   def asofLe(
       left: DataFrame,
@@ -51,7 +58,8 @@ object AsofJoin {
         restCols.map(c => right.schema(c)))
     val leftStructType = StructType(left.schema.fields)
 
-    val r = right.select(
+    val notNullRight = (keys :+ rightTime).map(col(_).isNotNull).reduce(_ && _)
+    val r = right.where(notNullRight).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("_t"),
         lit(1).as("_ir"),

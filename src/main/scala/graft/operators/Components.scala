@@ -40,7 +40,12 @@ object Components {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
-    if (edges.count() <= driverMaxEdges)
+    // size gate via limit+count so a huge edge list bails out after
+    // driverMaxEdges+1 rows instead of a full count. The small path still
+    // runs two jobs over the checkpointed edges (gate, then the union-find
+    // iterator) — both bounded and local-read-only after the checkpoint.
+    val gate = edges.limit((driverMaxEdges + 1).toInt).count()
+    if (gate <= driverMaxEdges)
       return attachIsolated(nodes, unionFindLabels(edges))
     iterativeLabels(nodes, edges, maxIter)
   }

@@ -114,9 +114,21 @@ object Dedup {
     * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. `minJaccard` prunes the
     * output. At scale this runs on LSH candidates, not all pairs; the
     * shingle join itself only pairs docs sharing ≥1 shingle.
+    *
+    * `maxDf` is the stop-shingle cap: a shingle appearing in more than
+    * `maxDf` documents is dropped from every document's set before the
+    * self-join (Jaccard is then computed over the FILTERED sets — both
+    * intersection and set sizes). Without it, one ubiquitous shingle in f
+    * docs emits f² join rows in a single bucket — on web-scale text,
+    * stop-shingles ("of the and") make f millions, so the cap is what
+    * makes the global form runnable at 100 TB. Dropping near-universal
+    * shingles barely moves Jaccard: they contribute equally to almost
+    * every intersection AND union. The capped path costs two extra
+    * uniform window shuffles (df per shingle, re-count per doc).
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = docs
       .withColumn("toks_", TextFunctions.tokens(col(textCol)))
       .select(col(idCol).as("id"),
@@ -127,8 +139,20 @@ object Dedup {
     // and cheap comparisons; a hash collision creates the same phantom
     // match on any engine computing the same hash, so results stay
     // oracle-comparable
-    val ex = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val exAll = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
       .select(col("id"), col("n_sh"), HashFunctions.hash64(col("shingle")).as("shk"))
+    val ex =
+      if (maxDf == Long.MaxValue) exAll
+      else {
+        import org.apache.spark.sql.expressions.Window
+        // df = docs per shingle (each doc contributes a shingle once —
+        // shingles are array_distinct'd); n_sh re-counted over survivors
+        exAll
+          .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("shk"))))
+          .where(col("df_") <= maxDf)
+          .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("id"))))
+          .select(col("id"), col("n_sh"), col("shk"))
+      }
     val l = ex.select(col("shk"), col("id").as("a"), col("n_sh").as("na"))
     val r = ex.select(col("shk"), col("id").as("b"), col("n_sh").as("nb"))
     l.join(r, "shk")

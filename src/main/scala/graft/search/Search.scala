@@ -82,16 +82,24 @@ object Search {
     * handler.py:52; here it is explicit: score = Σ 1/(k + rankᵢ), k=60).
     *
     * Two window ranks over the same scan — Spark evaluates both in one
-    * Window exchange when the partitioning matches (here: global ranking,
-    * so a single-partition sort of the CANDIDATE set — callers should
-    * pre-prune to a candidate pool, not rank 100 TB globally).
+    * Window exchange when the partitioning matches. The ranking is GLOBAL
+    * (a single-partition sort), so the exact form is only valid over a
+    * bounded candidate pool: `maxCandidates` is enforced with a
+    * limit-gated count (the gate job scans at most maxCandidates+1 rows),
+    * and anything larger must go through [[rrfFuseTopM]] — the fusion
+    * shape that survives unbounded inputs.
     */
   def rrfFuse(
       scored: DataFrame,
       denseScore: Column,
       keywordScore: Column,
       tieBreak: Column,
-      k: Int = 60): DataFrame = {
+      k: Int = 60,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    val n = scored.limit(maxCandidates + 1).count()
+    require(n <= maxCandidates,
+      s"rrfFuse ranks globally in a single partition and got more than " +
+        s"$maxCandidates candidate rows — pre-prune the pool or use rrfFuseTopM")
     val wDense = Window.orderBy(denseScore.desc, tieBreak)
     val wKw = Window.orderBy(keywordScore.desc, tieBreak)
     scored
@@ -116,6 +124,11 @@ object Search {
     * every row that outranks it is in the list too — so the pruning never
     * distorts the ranks it does report.
     *
+    * The (tb, dense, kw) projection is persisted across the two top-M
+    * collects, so the upstream scoring pipeline (embed + cosine at scale)
+    * materializes ONCE for both lists instead of once per list; the final
+    * broadcast-join pass over `scored` is the only other evaluation.
+    *
     * `tieBreak` must be a numeric (long-castable) unique id.
     */
   def rrfFuseTopM(
@@ -127,17 +140,22 @@ object Search {
       k: Int = 60): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    def rankList(score: Column): DataFrame = {
-      val top = scored
-        .select(tieBreak.cast("long").as("tb"), score.cast("double").as("s"))
-        .orderBy(col("s").desc, col("tb"))
+    val proj = scored
+      .select(tieBreak.cast("long").as("tb"),
+        denseScore.cast("double").as("ds"),
+        keywordScore.cast("double").as("ks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankList(score: String): DataFrame = {
+      val top = proj
+        .orderBy(col(score).desc, col("tb"))
         .limit(m)
         .collect()
       top.zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
         .toDF("tb", "rank")
     }
-    val dr = rankList(denseScore).withColumnRenamed("rank", "dense_rank_")
-    val kr = rankList(keywordScore).withColumnRenamed("rank", "kw_rank_")
+    val dr = rankList("ds").withColumnRenamed("rank", "dense_rank_")
+    val kr = rankList("ks").withColumnRenamed("rank", "kw_rank_")
+    proj.unpersist(blocking = false)
     scored
       .withColumn("tb_", tieBreak.cast("long"))
       .join(broadcast(dr), col("tb_") === dr("tb"), "left").drop("tb")

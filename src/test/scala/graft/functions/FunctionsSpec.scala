@@ -34,10 +34,15 @@ class FunctionsSpec extends SparkSpec {
     def rel(ts: String) =
       one(TextFunctions.relativeTime(lit(Timestamp.valueOf(ts)), now)).getString(0)
     assert(rel("2024-01-30 23:59:30") == "just now")
+    assert(rel("2024-01-30 23:59:00") == "1 minute ago")
     assert(rel("2024-01-30 23:30:00") == "30 minutes ago")
+    assert(rel("2024-01-30 23:00:00") == "1 hour ago")
     assert(rel("2024-01-30 12:00:00") == "12 hours ago")
+    assert(rel("2024-01-30 00:00:00") == "1 day ago")
     assert(rel("2024-01-28 00:00:00") == "3 days ago")
-    assert(rel("2024-01-20 00:00:00") == "1 weeks ago")
+    // singular forms match the reference (formatters.py:141-169)
+    assert(rel("2024-01-20 00:00:00") == "1 week ago")
+    assert(rel("2023-12-25 00:00:00") == "1 month ago")
     assert(rel("2023-11-01 00:00:00") == "3 months ago")
   }
 

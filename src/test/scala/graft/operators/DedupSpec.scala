@@ -52,6 +52,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardPairs maxDf drops stop-shingles: hot-shingle-only pairs vanish") {
+    import spark.implicits._
+    // every doc shares the ubiquitous shingle "aaa bbb ccc"; only docs
+    // 1 and 2 also share real content. Uncapped, the hot shingle alone
+    // pairs ALL f docs (f² join rows in one bucket); capped at maxDf < f
+    // it is dropped and only the real near-dup pair survives.
+    val hot = "aaa bbb ccc"
+    val corpus = (1L to 12L).map { i =>
+      val body = if (i <= 2) "shared unique payload xyz" else s"solo$i text$i body$i only$i"
+      (i, s"$hot $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 12 * 11 / 2) // hot shingle pairs everyone
+    val capped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.01, maxDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    // Jaccard recomputed over the FILTERED sets: docs 1/2 have identical
+    // surviving shingle sets, so the pair scores exactly 1.0
+    assert(capped((1L, 2L)) == 1.0)
+  }
+
   test("embeddingNearDupPairs finds identical vectors at cosine 1") {
     import spark.implicits._
     val vecs = Seq(
