@@ -60,11 +60,21 @@ object Bench {
     }
     val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
     val deadline = System.nanoTime() + 240L * 1000000000L
+    // Re-measure EVERY successful query, slowest first: a 0.4 s query
+    // stalled to 1.7 s by a noisy neighbor previously escaped the old
+    // t > 2.0 re-run band and read as a 4x regression. Descending order
+    // means the noise-susceptible expensive queries re-run before the
+    // deadline can cut the pass short; the sub-second tail is cheap.
+    val rerun = p1.collect { case (n, (t, true)) => n -> t }
+      .sortBy(-_._2)
+      .flatMap { case (n, t) =>
+        if (System.nanoTime() < deadline) {
+          val (t2, ok2) = timeOne(n, SparkEntry.queries(n))
+          if (ok2) Some(n -> math.min(t, t2)) else None
+        } else None
+      }.toMap
     val results = p1.map { case (n, (t, ok)) =>
-      if (ok && t > 2.0 && System.nanoTime() < deadline) {
-        val (t2, ok2) = timeOne(n, SparkEntry.queries(n))
-        n -> (if (ok2) math.min(t, t2) else t, true)
-      } else n -> (t, ok)
+      n -> (rerun.getOrElse(n, t), ok)
     }
     val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

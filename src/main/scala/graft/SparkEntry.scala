@@ -4,7 +4,7 @@ import graft.functions.{Embedder, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
 import graft.multimodal.Multimodal
 import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
-import graft.search.{Filters, Search}
+import graft.search.{Filters, Search, SearchRequest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -78,7 +78,8 @@ object SparkEntry {
        |    CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
        |    event_type || ' Invocation' AS title, ts, value, props,
        |    'Tool: ' || event_type || chr(10) || props AS content,
-       |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order
+       |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
+       |    LAG(CAST(event_id AS VARCHAR)) OVER w AS preceding_memory_id
        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |emb AS (
        |  SELECT *, list_transform($dimList, d ->
@@ -648,6 +649,44 @@ object SparkEntry {
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
+    // P3 remaining views, exercised through the FULL request envelope
+    // (schema-validated SearchRequest → strategy dispatch → view
+    // projection — reference handler.py:33-62). `graph` is the
+    // reference's relationship view: preceding_memory_id rides through
+    // the search result (formatters.py:44-58).
+    "mem_search_view_compact" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      Search.searchMemory(mem, "embedding", SearchDims,
+        SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
+          detail = "compact"),
+        tieBreak = "memory_id_num")
+        .drop("timestamp")
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
+    "mem_search_view_graph" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      Search.searchMemory(mem, "embedding", SearchDims,
+        SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
+          detail = "graph"),
+        tieBreak = "memory_id_num")
+        .drop("timestamp")
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
+    "mem_search_view_full" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      Search.searchMemory(mem, "embedding", SearchDims,
+        SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
+          detail = "full"),
+        tieBreak = "memory_id_num")
+        .drop("timestamp")
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
     // ---- Vector search (S8/T1 + ANN scale path) ----
 
     "search_knn_topk" -> ((s, d) => {
@@ -1214,6 +1253,40 @@ object SparkEntry {
         |  FROM vec, qv),
         |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
         |SELECT memory_id, tool, title, score, session_id, content, sequence_order
+        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "mem_search_view_compact" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, title, session_id,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, title, score, session_id
+        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "mem_search_view_graph" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, title, session_id, content,
+        |    sequence_order, preceding_memory_id,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, title, score, session_id, content,
+        |  sequence_order, preceding_memory_id
+        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "mem_search_view_full" -> (memVecCte(SearchDims) +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, title, session_id, content,
+        |    sequence_order, preceding_memory_id, value, props,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, title, score, session_id, content,
+        |  sequence_order, preceding_memory_id, value, props
         |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "search_knn_topk" ->

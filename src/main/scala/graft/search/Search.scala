@@ -77,6 +77,37 @@ object Search {
   def byId(points: DataFrame, idCol: String, ids: Seq[String]): DataFrame =
     points.where(col(idCol).isin(ids: _*)).withColumn("score", lit(1.0))
 
+  /** The full SearchMemory request envelope (reference: handler.py:33-62 +
+    * search_tool_schema.json): validate the request against the packaged
+    * schema (see [[RequestSchema]]), dispatch to the strategy named by
+    * `search_type`, apply the post-rank score threshold, and project the
+    * `detail` view. This is the one entry point a reference user would
+    * call; the strategy methods stay public for engine composition.
+    *
+    *  - basic / filtered: semantic scoring over (optionally) filtered
+    *    points — the reference sends filters on BOTH paths
+    *    (strategies.py:260-290), the two types differ only in intent.
+    *  - by_memory_id: `query` IS the id; pruned lookup at score 1.0.
+    */
+  def searchMemory(
+      points: DataFrame,
+      vecCol: String,
+      dims: Int,
+      req: SearchRequest,
+      idCol: String = "memory_id",
+      tieBreak: String = "memory_id"): DataFrame = {
+    req.validate
+    val hits = req.searchType match {
+      case "by_memory_id" =>
+        byId(points, idCol, Seq(req.query.trim))
+      case _ => // basic | filtered — same plan shape (strategies.py:260-290)
+        basicByText(points, vecCol, req.query, dims,
+          limit = req.limit, scoreThreshold = req.scoreThreshold,
+          filters = req.filters, tieBreak = tieBreak)
+    }
+    project(hits, req.detail)
+  }
+
   /** Reciprocal-rank fusion of a dense ranking and a keyword ranking
     * (the reference inherits RRF opaquely from fastembed's hybrid path,
     * handler.py:52; here it is explicit: score = Σ 1/(k + rankᵢ), k=60).
