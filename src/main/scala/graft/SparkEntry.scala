@@ -5,6 +5,7 @@ import graft.model.MemoryModel
 import graft.multimodal.Multimodal
 import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
 import graft.search.{Filters, Search, SearchRequest}
+import graft.streaming.StreamingIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -404,6 +405,26 @@ object SparkEntry {
       val o = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
         col("o_orderpriority"))
       operators.SkewJoin.saltedEquiJoin(l, o, "okey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // The 100 TB shape: detect hot keys from key statistics, salt ONLY
+    // those (right side replicated just for them), plain-join the tail.
+    // Results must equal the unsalted join — same oracle as the full-salt
+    // demo above.
+    "q_skew_join_hot" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      // > 5e-5 row share ≈ orders with above-average lineitem counts at
+      // test SFs — a real hot+cold mix for the selective path
+      val hot = operators.SkewJoin.hotKeys(l, "okey", threshold = 5e-5)
+      operators.SkewJoin.saltedEquiJoinHot(l, o, "okey", hot, buckets = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -885,6 +906,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // §2.10 streaming gate: the REAL startJsonlIngest stream builds the
+    // store across ≥2 micro-batches plus one replayed batch, then the
+    // store itself is oracle-checked — gapless per-session sequence_order
+    // and correct preceding ids prove state continuity across batch
+    // boundaries and replay idempotence (at-least-once foreachBatch).
+    "stream_ingest_sequenced" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id").cast("string").as("memory_id"),
+          col("user_id").cast("string").as("session_id"),
+          col("event_type").as("tool"),
+          col("ts").as("timestamp"),
+          col("value"))
+      val work = "/tmp/graft_stream_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedIngestRoundtrip(s, src, work)
+        .select(col("memory_id"), col("session_id"), col("tool"),
+          col("sequence_order"), col("preceding_memory_id"))
+        .orderBy(col("memory_id").cast("long"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1061,6 +1102,13 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // salting never changes results — hot-selective form, same plain join
+    "q_skew_join_hot" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1649,5 +1697,21 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the streamed store must equal ONE global sessionization of the
+    // source subset (the stagings split by event time, so per-session
+    // batch-1 rows all precede batch-2 rows)
+    "stream_ingest_sequenced" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |    CAST(user_id AS VARCHAR) AS session_id,
+        |    event_type AS tool, ts
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT memory_id, session_id, tool,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
+        |  LAG(memory_id) OVER w AS preceding_memory_id
+        |FROM src
+        |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
+        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin)
 }

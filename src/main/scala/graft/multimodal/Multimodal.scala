@@ -45,32 +45,65 @@ object Multimodal {
         kind.as("format")).as("meta"))
   }
 
-  /** Batched feature extraction over the binary column via mapPartitions.
-    *
-    * STUB DECODE: a real implementation would decode `bytes` (JPEG/WAV/…)
-    * and run a feature model on the batch; here features are a
-    * deterministic function of the payload digest (same md5-hash64 family
-    * as the rest of the engine, so external SQL can verify the plumbing
-    * end-to-end). The mapPartitions + grouped(batchSize) shape is the real
-    * contract: per-partition setup happens once, rows flow in bounded
-    * batches.
+  /** One media row flowing into a decoder batch. */
+  final case class MediaRow(mediaId: Long, kind: String, bytes: Array[Byte])
+
+  /** One decoded row: payload stats + feature vector. */
+  final case class DecodedRow(mediaId: Long, kind: String, byteLen: Int,
+      digest: String, features: Seq[Double])
+
+  /** The codec seam: a production decoder (JPEG/WAV codec + feature model,
+    * ONNX runtime, …) implements this and drops into [[extractFeatures]]
+    * without touching the operator — the same pluggable-backend pattern as
+    * VectorIndexSink's client factory. Implementations must be
+    * Serializable (shipped to executors inside the mapPartitions closure).
     */
-  def extractFeatures(media: DataFrame, dims: Int, batchSize: Int = 64): DataFrame = {
+  trait Decoder extends Serializable {
+    /** Called once per partition before the first batch — open codecs,
+      * load the model. Amortized setup is the reason the operator batches
+      * inside mapPartitions instead of using a per-row UDF. */
+    def setup(): Unit = ()
+    /** Decode + featurize one bounded batch (≤ the operator's batchSize). */
+    def decodeBatch(batch: Seq[MediaRow], dims: Int): Seq[DecodedRow]
+  }
+
+  /** STUB DECODE (the default): this environment has no media libraries,
+    * so features are a deterministic function of the payload digest (same
+    * md5-hash64 family as the rest of the engine, so external SQL can
+    * verify the plumbing end-to-end). Everything a real decoder needs from
+    * the operator — batching, per-partition setup, binary transport — is
+    * exercised identically.
+    */
+  object DigestDecoder extends Decoder {
+    override def decodeBatch(batch: Seq[MediaRow], dims: Int): Seq[DecodedRow] =
+      batch.map { m =>
+        val digest = HashFunctions.md5HexJvm(m.bytes)
+        val feats = (0 until dims).map { d =>
+          ((HashFunctions.hash64Jvm(s"$digest#$d") % 2001) - 1000) / 1000.0
+        }
+        DecodedRow(m.mediaId, m.kind, m.bytes.length, digest, feats)
+      }
+  }
+
+  /** Batched feature extraction over the binary column via mapPartitions:
+    * per-partition `decoder.setup()`, then rows flow in bounded
+    * `batchSize` groups through `decoder.decodeBatch` — the shape a
+    * vectorized decoder / inference runtime wants.
+    */
+  def extractFeatures(media: DataFrame, dims: Int, batchSize: Int = 64,
+      decoder: Decoder = DigestDecoder): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // real decoder: open codec/model once per partition here
+        decoder.setup()
         it.grouped(batchSize).flatMap { batch =>
-          // real decoder: decode + infer over the whole batch here (STUB)
-          batch.map { case (id, kind, bytes) =>
-            val digest = HashFunctions.md5HexJvm(bytes)
-            val feats = (0 until dims).map { d =>
-              ((HashFunctions.hash64Jvm(s"$digest#$d") % 2001) - 1000) / 1000.0
-            }
-            (id, kind, bytes.length, digest, feats)
-          }
+          decoder.decodeBatch(
+            batch.map { case (id, kind, bytes) => MediaRow(id, kind, bytes) },
+            dims)
+            .map(d => (d.mediaId, d.kind, d.byteLen, d.digest, d.features))
         }
       }
       .toDF("media_id", "kind", "byte_len", "digest", "features")

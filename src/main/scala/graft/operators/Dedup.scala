@@ -185,6 +185,11 @@ object Dedup {
   /** Embedding near-duplicate pairs: RHP-LSH bucket join (shuffle on
     * bucket), exact cosine verification inside buckets. `planes = 0`
     * degrades to the exact all-pairs join for small candidate sets.
+    *
+    * Sizing rule: within-bucket pairing is ~(n/2^planes)² per bucket, so
+    * `planes` must GROW with the corpus — log2(n / target-bucket-size),
+    * not a constant. [[planesFor]] computes it; 4 planes (16 buckets) is a
+    * test-scale setting, never a 100 TB one.
     */
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
       minCosine: Double, planes: Int = 0, seed: Int = 42, dims: Int = 0): DataFrame = {
@@ -201,5 +206,20 @@ object Dedup {
         else VectorFunctions.cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Derive the RHP plane count from corpus size: enough hyperplanes that
+    * the EXPECTED bucket holds ~`targetBucketSize` vectors (buckets halve
+    * per plane), clamped to [minPlanes, 62] (the bucket id is a signed-long
+    * bitmask). Recall drops as planes grow — production pipelines run
+    * several hash tables (seeds) and union candidates; one table is the
+    * oracle-checkable core here.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 1024,
+      minPlanes: Int = 4): Int = {
+    require(corpusSize >= 0 && targetBucketSize >= 1)
+    val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    val p = math.ceil(math.log(buckets) / math.log(2)).toInt
+    math.min(math.max(p, minPlanes), 62)
   }
 }

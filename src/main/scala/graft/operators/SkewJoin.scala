@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Full salting: every left row salted, entire right side replicated. */
+  /** Full salting: every left row salted, entire right side replicated.
+    *
+    * Sizing rule: `buckets` ≈ ceil(rows-of-hottest-key / target-rows-per-
+    * task) — enough to split the hottest key across tasks, no more (every
+    * extra bucket replicates the whole right side once). [[bucketsFor]]
+    * computes this from key statistics.
+    */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val salted = left.withColumn("salt_", (rand(42) * buckets).cast("int"))
     val replicated = right.withColumn("salt_",
       explode(sequence(lit(0), lit(buckets - 1))))
@@ -46,5 +53,21 @@ object SkewJoin {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .where(col("n") > total * threshold)
       .select(col(key)).collect().map(_.get(0)).toSeq
+  }
+
+  /** Derive `buckets` from input statistics instead of guessing: the
+    * hottest key's row count divided by the target task size, clamped to
+    * [1, maxBuckets]. One aggregation job over the skewed side.
+    */
+  def bucketsFor(df: DataFrame, key: String,
+      targetRowsPerTask: Long = 1L << 20, maxBuckets: Int = 256): Int = {
+    require(targetRowsPerTask >= 1 && maxBuckets >= 1)
+    val hottest = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    if (hottest.isNullAt(0)) 1
+    else {
+      val b = (hottest.getLong(0) + targetRowsPerTask - 1) / targetRowsPerTask
+      math.min(math.max(b, 1L), maxBuckets.toLong).toInt
+    }
   }
 }

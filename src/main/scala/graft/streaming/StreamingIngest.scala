@@ -147,6 +147,62 @@ object StreamingIngest {
       .start()
   }
 
+  /** Drive [[startJsonlIngest]] end-to-end over staged JSONL and return the
+    * resulting store — the CORRECTNESS-gate harness for the streaming path
+    * (everything before the final read is a side effect; the returned
+    * DataFrame is a plain batch scan of the parquet the stream wrote).
+    *
+    * The source rows are split into two stagings at the midpoint timestamp,
+    * with `processAllAvailable` between them, so the store is built across
+    * ≥2 micro-batches with sequence state continued from the stored
+    * per-session max. Batch 1 is then REPLAYED through [[ingestBatch]]
+    * (foreachBatch is at-least-once) — the replay-dedup anti-join must
+    * no-op, or ids duplicate and sequences gap.
+    *
+    * Because the split is by event time, every batch-1 row precedes every
+    * batch-2 row within a session, so the final store must equal one global
+    * sessionization of the source — exactly what a DuckDB oracle can check.
+    *
+    * `src` needs canonical columns (memory_id, session_id, tool,
+    * timestamp, value). `workDir` is wiped first; timestamps ride the JSONL
+    * as explicit micro-precision strings (the default JSON timestamp format
+    * is milli-precision and would silently round).
+    */
+  def stagedIngestRoundtrip(spark: SparkSession, src: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val store = s"$workDir/store"
+    val ckpt = s"$workDir/ckpt"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(
+        col("memory_id"), col("session_id"), col("tool"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+        col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = src.agg(min(col("timestamp")), max(col("timestamp"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    val batch1 = src.where(col("timestamp") < lit(mid))
+    val batch2 = src.where(col("timestamp") >= lit(mid))
+
+    stage(batch1)
+    val q = startJsonlIngest(spark, inDir, store, ckpt)
+    try {
+      q.processAllAvailable() // micro-batch 1: fresh store
+      stage(batch2)
+      q.processAllAvailable() // micro-batch 2: continues stored sequences
+    } finally q.stop()
+    ingestBatch(batch1, store) // replayed delivery: must drop out entirely
+    spark.read.parquet(store)
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only

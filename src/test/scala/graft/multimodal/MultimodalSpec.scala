@@ -4,6 +4,22 @@ import graft.SparkSpec
 import graft.functions.HashFunctions
 import org.apache.spark.sql.functions._
 
+/** Instrumented decoder: static counters survive closure serialization in
+  * local mode (tasks share this JVM), recording per-partition setups and
+  * the size of every batch the operator hands over.
+  */
+object FakeDecoder extends Multimodal.Decoder {
+  val setups = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = { setups.set(0); batchSizes.clear() }
+  override def setup(): Unit = { setups.incrementAndGet(); () }
+  override def decodeBatch(batch: Seq[Multimodal.MediaRow], dims: Int): Seq[Multimodal.DecodedRow] = {
+    batchSizes.add(batch.size)
+    batch.map(m => Multimodal.DecodedRow(m.mediaId, m.kind, m.bytes.length,
+      "fake", (1 to dims).map(_.toDouble)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   private def docs = {
@@ -38,6 +54,26 @@ class MultimodalSpec extends SparkSpec {
     val expected = (0 until 4).map(d =>
       ((HashFunctions.hash64Jvm(s"$digest#$d") % 2001) - 1000) / 1000.0)
     assert(r.getSeq[Double](r.fieldIndex("features")) == expected)
+  }
+
+  test("a custom Decoder drops into extractFeatures: per-partition setup, bounded batches") {
+    val m = Multimodal.fromDocuments(docs).coalesce(2)
+    FakeDecoder.reset()
+    val f = Multimodal.extractFeatures(m, dims = 3, batchSize = 2,
+      decoder = FakeDecoder)
+    val rows = f.collect()
+    assert(rows.length == 5)
+    // the fake's output (not the digest stub's) comes through the operator
+    assert(rows.forall(_.getAs[String]("digest") == "fake"))
+    assert(rows.forall(r =>
+      r.getSeq[Double](r.fieldIndex("features")) == Seq(1.0, 2.0, 3.0)))
+    // setup ran once per non-empty partition, batches never exceeded batchSize
+    val setups = FakeDecoder.setups.get()
+    assert(setups >= 1 && setups <= 2, s"setup calls: $setups")
+    import scala.jdk.CollectionConverters._
+    val sizes = FakeDecoder.batchSizes.asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 2), s"batches: $sizes")
+    assert(sizes.sum == 5)
   }
 
   test("resizeStub updates geometry metadata and format, keeps bytes") {

@@ -56,4 +56,28 @@ class ComponentsAndSkewSpec extends SparkSpec {
     val df = (Seq.fill(90)(1) ++ (2 to 11)).toDF("k")
     assert(SkewJoin.hotKeys(df, "k", 0.5) == Seq(1))
   }
+
+  test("bucketsFor sizes salt buckets from the hottest key's row count") {
+    import spark.implicits._
+    val df = (Seq.fill(1000)(1) ++ (2 to 11)).toDF("k")
+    // hottest key has 1000 rows; 300-row tasks → ceil(1000/300) = 4
+    assert(SkewJoin.bucketsFor(df, "k", targetRowsPerTask = 300) == 4)
+    // uniform data never salts beyond 1
+    assert(SkewJoin.bucketsFor((1 to 10).toDF("k"), "k",
+      targetRowsPerTask = 100) == 1)
+    // clamp at maxBuckets
+    assert(SkewJoin.bucketsFor(df, "k", targetRowsPerTask = 1,
+      maxBuckets = 16) == 16)
+    // empty input degrades to a single bucket
+    assert(SkewJoin.bucketsFor(Seq.empty[Int].toDF("k"), "k") == 1)
+  }
+
+  test("planesFor grows with corpus size and clamps to the long bitmask") {
+    // 2^20 vectors at 1024/bucket → 1024 buckets → 10 planes
+    assert(Dedup.planesFor(1L << 20, targetBucketSize = 1024) == 10)
+    // tiny corpora keep the floor
+    assert(Dedup.planesFor(100, targetBucketSize = 1024) == 4)
+    // 100 TB-ish corpora stay within the signed-long bucket id
+    assert(Dedup.planesFor(Long.MaxValue, targetBucketSize = 1) == 62)
+  }
 }
