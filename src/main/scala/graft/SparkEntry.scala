@@ -861,6 +861,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-rule repetition signals: top-2-gram share + duplicate-5-gram
+    // share per document.
+    "text_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Multimodal binary columns (stub decode, real plumbing) ----
 
     "multimodal_features" -> ((s, d) => {
@@ -906,6 +913,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // Write-path layout roundtrip: the store is REALLY written in the
+    // optimized layout (partitionBy + repartition-clustered +
+    // sortWithinPartitions + maxRecordsPerFile) and read back — content
+    // must be byte-identical to the source (layout never changes data).
+    "store_layout_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"), col("ts"))
+      val path = "/tmp/graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sink.StoreLayout.writeOptimized(src, path,
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+        maxRecordsPerFile = 250000)
+      graft.sink.StoreLayout.read(s, path)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
     }),
 
     // §2.10 streaming gate: the REAL startJsonlIngest stream builds the
@@ -1658,6 +1682,32 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fingerprint64
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" -> {
+      def grams(n: Int) =
+        s"""CASE WHEN len(toks) < $n THEN []
+           |  ELSE list_transform(generate_series(1, len(toks)-${n - 1}),
+           |    i -> ${(0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}) END""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${grams(2)}) AS gram FROM tok),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_top_, MAX(cnt) AS topc_
+         |  FROM c2 GROUP BY 1),
+         |g5 AS (SELECT doc_id, unnest(${grams(5)}) AS gram FROM tok),
+         |c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+         |a5 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_dup_,
+         |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dupc_
+         |  FROM c5 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a2.n_top_, 0) AS n_top_grams,
+         |  ROUND(CAST(a2.topc_ AS DOUBLE) / a2.n_top_, 6) AS top_gram_ratio,
+         |  COALESCE(a5.n_dup_, 0) AS n_dup_grams,
+         |  ROUND(CAST(a5.dupc_ AS DOUBLE) / a5.n_dup_, 6) AS dup_gram_ratio
+         |FROM documents d
+         |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+         |LEFT JOIN a5 ON d.doc_id = a5.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "multimodal_features" -> {
       def f(d: Int) =
         s"ROUND((${sqlHash64(s"digest || '#$d'")} % 2001 - 1000) / 1000.0, 6)"
@@ -1698,6 +1748,11 @@ object SparkEntry {
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // layout preserves content exactly — the oracle is the raw source
+    "store_layout_roundtrip" ->
+      """SELECT event_id, event_type, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the streamed store must equal ONE global sessionization of the
     // source subset (the stagings split by event time, so per-session

@@ -72,4 +72,44 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", HashFunctions.fingerprint(col(textCol)))
       .withColumn("fingerprint64", HashFunctions.hash64(HashFunctions.fingerprint(col(textCol))))
+
+  /** Within-document repetition signals (the Gopher-rule family used to
+    * filter boilerplate/spam from web-scale training corpora):
+    *
+    *  - `top_gram_ratio`: share of all `topN`-grams taken by the single
+    *    most frequent one ("top n-gram fraction", small n)
+    *  - `dup_gram_ratio`: share of `dupN`-grams occurring more than once
+    *    ("duplicate n-gram fraction", larger n)
+    *
+    * Physical shape: explode → (doc, gram) count → per-doc aggregate.
+    * Both aggregations are combiner-heavy (within-doc duplicates collapse
+    * map-side), shuffle keys are (doc_id, gram) — uniform, no hot keys —
+    * and docs with too few tokens come back with zero counts and NULL
+    * ratios via the left join. This is the 100 TB shape; a per-row HOF
+    * fold would avoid the shuffle but runs interpreted (no codegen) and
+    * cannot spill a pathological single document.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1)
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks_"))
+    def gramCounts(n: Int) = base
+      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks_"), n).as("grams_"))
+      .select(col("id"), explode(col("grams_")).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(topN).groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_top_"), max(col("cnt")).as("topc_"))
+    val dup = gramCounts(dupN).groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_dup_"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dupc_"))
+    docs.select(col(idCol).as("id"))
+      .join(top, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_top_"), lit(0L)).as("n_top_grams"),
+        round(col("topc_").cast("double") / col("n_top_"), 6).as("top_gram_ratio"),
+        coalesce(col("n_dup_"), lit(0L)).as("n_dup_grams"),
+        round(col("dupc_").cast("double") / col("n_dup_"), 6).as("dup_gram_ratio"))
+  }
 }

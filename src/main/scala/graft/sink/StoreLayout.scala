@@ -1,0 +1,82 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path layout for the 100 TB store: partition directories for
+  * pruning, sorted row groups for min/max skipping, bounded file sizes.
+  *
+  * The reference's store is a vector-DB collection; its analytic twin here
+  * is partitioned parquet (SURVEY §1.4 documents the layouts:
+  * memories by tool/date, events by date, embeddings by bucket). What the
+  * layout buys at scale:
+  *
+  *  - `partitionBy(cols)` → directory pruning: a query filtering on a
+  *    partition column never opens the other directories' files;
+  *  - `repartition(partitionCols)` BEFORE the write → each output
+  *    directory is written by the tasks that own its rows, so a
+  *    1000-task job writes ~1 file per directory instead of up to 1000
+  *    small files per directory (the classic small-files failure);
+  *  - `sortWithinPartitions(sortCols)` → parquet row-group min/max
+  *    statistics become selective for range predicates on the sort key
+  *    (scan skips row groups wholesale);
+  *  - `maxRecordsPerFile` → bounds the biggest file so a hot partition
+  *    splits into parallel-readable chunks instead of one giant file.
+  */
+object StoreLayout {
+
+  /** Write `df` to `path` in the optimized layout. `mode` defaults to
+    * overwrite (the batch-rebuild shape); streaming appends go through
+    * [[graft.streaming.StreamingIngest.ingestBatch]] instead.
+    */
+  def writeOptimized(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty || sortCols.nonEmpty,
+      "writeOptimized without partition or sort columns is a plain write")
+    val clustered =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+    val sorted =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(col): _*)
+    val writer = sorted.write.mode(mode)
+    val withLimit =
+      if (maxRecordsPerFile > 0)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer
+    (if (partitionCols.nonEmpty) withLimit.partitionBy(partitionCols: _*)
+     else withLimit)
+      .parquet(path)
+  }
+
+  /** Read a store written by [[writeOptimized]] — a plain scan; partition
+    * pruning and row-group skipping come from the layout, not the reader.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** (partitionDirectory → parquet file count) for layout assertions —
+    * driver-side listing, test/ops use only.
+    */
+  def fileCounts(spark: SparkSession, path: String): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.getParent.toString.stripPrefix(fs.makeQualified(root).toString)
+        val dir = rel.stripPrefix("/")
+        counts(dir) = counts.getOrElse(dir, 0) + 1
+      }
+    }
+    counts.toMap
+  }
+}

@@ -203,6 +203,74 @@ object StreamingIngest {
     spark.read.parquet(store)
   }
 
+  /** A fact-stream row waiting for as-of enrichment (left side). */
+  final case class Tick(key: String, ts: java.sql.Timestamp, tickId: String)
+
+  /** A reference-data update (right side of the as-of). */
+  final case class RefUpdate(key: String, ts: java.sql.Timestamp, refValue: Double)
+
+  /** Internal union envelope: both streams keyed and time-ordered together. */
+  final case class AsofEvent(key: String, tsMs: Long, isUpdate: Boolean,
+      id: String, v: Double)
+
+  /** One enriched tick: the latest update at-or-before its event time
+    * (None when no update was retained that early). */
+  final case class AsofMatch(key: String, tickId: String, tsMs: Long,
+      matchedTsMs: Option[Long], matchedValue: Option[Double])
+
+  /** Per-key retained updates, ascending (tsMs, value); size-capped. */
+  final case class AsofState(updates: List[(Long, Double)])
+
+  /** Streaming as-of enrichment — the unbounded twin of
+    * [[graft.operators.AsofJoin.asofLe]]: join each fact tick to the most
+    * recent reference update at or before its event time (prices/configs/
+    * rates changing mid-stream).
+    *
+    * Shape: union the two streams into one keyed envelope, then ONE
+    * `flatMapGroupsWithState` — per key the state is the bounded, sorted
+    * update history (two fields per update), exactly like [[sequenced]]
+    * scales with live keys, not stream history. Within a micro-batch,
+    * events apply in event-time order with updates before ticks at equal
+    * timestamps (inclusive `<=` semantics, matching the batch operator and
+    * DuckDB ASOF). ACROSS micro-batches the semantics are arrival-order,
+    * same as the reference's sequencer: an update that ARRIVES after a
+    * tick was already emitted never retro-corrects it. State keeps the
+    * `maxUpdatesPerKey` most recent updates — ticks probing earlier than
+    * the retained horizon get None; production sizes the cap from the
+    * watermark delay × update rate.
+    */
+  def asofEnrichStream(ticks: Dataset[Tick], updates: Dataset[RefUpdate],
+      maxUpdatesPerKey: Int = 1024): Dataset[AsofMatch] = {
+    require(maxUpdatesPerKey >= 1)
+    import ticks.sparkSession.implicits._
+    val unioned = updates
+      .map(u => AsofEvent(u.key, u.ts.getTime, isUpdate = true, "", u.refValue))
+      .union(ticks.map(t => AsofEvent(t.key, t.ts.getTime, isUpdate = false,
+        t.tickId, 0.0)))
+    unioned
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var ups = state.getOption.getOrElse(AsofState(Nil)).updates
+          val out = scala.collection.mutable.ListBuffer.empty[AsofMatch]
+          // updates sort before ticks at the same timestamp → inclusive <=
+          it.toSeq.sortBy(e => (e.tsMs, !e.isUpdate, e.id)).foreach { e =>
+            if (e.isUpdate) {
+              val (before, after) = ups.span(_._1 <= e.tsMs)
+              ups = (before :+ (e.tsMs -> e.v)) ++ after
+              if (ups.length > maxUpdatesPerKey)
+                ups = ups.drop(ups.length - maxUpdatesPerKey)
+            } else {
+              val m = ups.takeWhile(_._1 <= e.tsMs).lastOption
+              out += AsofMatch(key, e.id, e.tsMs, m.map(_._1), m.map(_._2))
+            }
+          }
+          state.update(AsofState(ups))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only

@@ -73,4 +73,20 @@ class SimilarityAndTextSpec extends SparkSpec {
       .select("fingerprint").collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("repetitionStats: top-2-gram share, duplicate-5-gram share, short-doc nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),       // 2-grams: ab,ba,ab,ba,ab → top "a b" 3/5
+      (2L, "c c c c c c c"),     // 5-grams: 3 copies of "c c c c c" → all dup
+      (3L, "x"))                 // too short for any gram
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 5 && r(1L).getDouble(2) == 0.6)
+    assert(r(1L).getLong(3) == 2 && r(1L).getDouble(4) == 0.0)
+    assert(r(2L).getLong(3) == 3 && r(2L).getDouble(4) == 1.0)
+    assert(r(3L).getLong(1) == 0 && r(3L).isNullAt(2))
+    assert(r(3L).getLong(3) == 0 && r(3L).isNullAt(4))
+  }
 }

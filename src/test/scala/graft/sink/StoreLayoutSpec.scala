@@ -1,0 +1,59 @@
+package graft.sink
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StoreLayoutSpec extends SparkSpec {
+
+  private def tempPath(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"layout_$tag").toString
+    new java.io.File(p).delete()
+    p
+  }
+
+  test("writeOptimized: partition dirs, bounded files, sorted rows, exact content") {
+    import spark.implicits._
+    val src = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", (41 - i).toLong)
+    }.toDF("id", "k", "sort_key")
+    val path = tempPath("base")
+    StoreLayout.writeOptimized(src, path,
+      partitionCols = Seq("k"), sortCols = Seq("sort_key"),
+      maxRecordsPerFile = 5)
+
+    // one directory per partition value; 20 rows / 5-row files = 4 files
+    val counts = StoreLayout.fileCounts(spark, path)
+    assert(counts.keySet == Set("k=even", "k=odd"), counts)
+    assert(counts.values.forall(_ == 4), counts)
+
+    // content survives the layout exactly
+    val back = StoreLayout.read(spark, path)
+    assert(back.count() == 40)
+    assert(back.select(sum("id")).head().getLong(0) == (1 to 40).sum.toLong)
+
+    // rows inside each file are sorted by the sort key (row-group min/max
+    // stats are only selective if this holds)
+    val files = new java.io.File(path).listFiles().filter(_.getName.startsWith("k="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.getPath).select("sort_key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(vals == vals.sorted, s"${f.getName} not sorted: $vals")
+    }
+
+    // a partition-column predicate prunes directories in the plan
+    val plan = back.where(col("k") === "even").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("k#"), plan)
+  }
+
+  test("writeOptimized without partition columns still sorts; guards empty spec") {
+    import spark.implicits._
+    val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    val path = tempPath("sortonly")
+    StoreLayout.writeOptimized(src, path, partitionCols = Nil, sortCols = Seq("id"))
+    assert(StoreLayout.read(spark, path).count() == 3)
+    intercept[IllegalArgumentException] {
+      StoreLayout.writeOptimized(src, path, Nil, Nil)
+    }
+  }
+}

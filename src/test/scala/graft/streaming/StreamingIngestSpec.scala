@@ -169,4 +169,42 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("asofEnrichStream: latest update at-or-before each tick, across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tickIn = MemoryStream[Tick]
+    val updIn = MemoryStream[RefUpdate]
+    val out = asofEnrichStream(tickIn.toDS(), updIn.toDS(), maxUpdatesPerKey = 2)
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = ts(s).getTime
+    try {
+      // batch 1: two updates and one tick for key A, interleaved in event
+      // time within the batch; a tick with no update yet for key B
+      updIn.addData(
+        RefUpdate("A", ts("2024-01-01 00:00:10"), 1.0),
+        RefUpdate("A", ts("2024-01-01 00:00:30"), 3.0))
+      tickIn.addData(
+        Tick("A", ts("2024-01-01 00:00:20"), "t1"), // between updates → 1.0
+        Tick("A", ts("2024-01-01 00:00:30"), "t2"), // equal ts → inclusive 3.0
+        Tick("B", ts("2024-01-01 00:00:25"), "t3")) // no updates → None
+      q.processAllAvailable()
+      // batch 2: state carries A's history; a third update evicts the
+      // oldest (cap 2), so a later probe before the horizon finds None
+      updIn.addData(RefUpdate("A", ts("2024-01-01 00:01:00"), 7.0))
+      q.processAllAvailable()
+      tickIn.addData(
+        Tick("A", ts("2024-01-01 00:02:00"), "t4"),  // latest → 7.0
+        Tick("A", ts("2024-01-01 00:00:15"), "t5"))  // before retained horizon → None
+      q.processAllAvailable()
+      val rows = spark.table("asof").as[AsofMatch].collect()
+        .map(m => m.tickId -> ((m.matchedTsMs, m.matchedValue))).toMap
+      assert(rows("t1") == ((Some(t("2024-01-01 00:00:10")), Some(1.0))))
+      assert(rows("t2") == ((Some(t("2024-01-01 00:00:30")), Some(3.0))))
+      assert(rows("t3") == ((None, None)))
+      assert(rows("t4") == ((Some(t("2024-01-01 00:01:00")), Some(7.0))))
+      assert(rows("t5") == ((None, None))) // update 00:00:10 was evicted by the cap
+    } finally q.stop()
+  }
 }
