@@ -70,6 +70,43 @@ object SparkEntry {
     VectorFunctions.hyperplaneSigns(planes, dims, seed)
       .map(_.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
 
+  /** Oracle CTE for the PQ family: 4×16-dim subspaces over the embeddings,
+    * init codebooks from vec_id < 16, one decimal-summed Lloyd round, and
+    * the per-(vector, subspace) code assignment — the DuckDB twin of
+    * [[graft.operators.Similarity.pqTrain]] + `pqEncode` (same sim-desc,
+    * code-desc tie-break as the engine's max(struct(sim, code))).
+    */
+  private def pqCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, s.sub, v[(s.sub*16+1):(s.sub*16+16)] AS sv
+      |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS sub) s),
+      |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+      |  FROM subs WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT vec_id, sub, sv, code FROM (
+      |    SELECT subs.vec_id, subs.sub, subs.sv, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.sub
+      |        ORDER BY list_cosine_similarity(subs.sv, c.cv) DESC, c.code DESC) AS rn
+      |    FROM subs JOIN c0 c ON c.sub = subs.sub) WHERE rn = 1),
+      |dmeans AS (
+      |  SELECT sub, code, d, ROUND(CAST(SUM(CAST(sv[d] AS DECIMAL(28,8))) AS DOUBLE), 6) AS mval
+      |  FROM a0 CROSS JOIN generate_series(1, 16) t(d) GROUP BY 1, 2, 3),
+      |c1 AS (SELECT sub, code, list(mval ORDER BY d) AS cv FROM dmeans GROUP BY 1, 2),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT subs.vec_id, subs.sub, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.sub
+      |        ORDER BY list_cosine_similarity(subs.sv, c.cv) DESC, c.code DESC) AS rn
+      |    FROM subs JOIN c1 c ON c.sub = subs.sub) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN sub = 0 THEN code END) AS code0,
+      |    MAX(CASE WHEN sub = 1 THEN code END) AS code1,
+      |    MAX(CASE WHEN sub = 2 THEN code END) AS code2,
+      |    MAX(CASE WHEN sub = 3 THEN code END) AS code3
+      |  FROM enc GROUP BY vec_id)""".stripMargin
+
   /** Oracle CTE: sessionized memories + surrogate embeddings, mirroring
     * [[MemoryModel.fromEvents]] + [[Embedder.embed]] in DuckDB SQL. */
   private def memVecCte(dims: Int): String = {
@@ -757,6 +794,26 @@ object SparkEntry {
       val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", c1)
       Similarity.ivfSearch(assigned, "embedding", "vec_id", c1,
         queryVec(s, d), k = 10, nprobe = 4)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // PQ: 4 subspaces × 16 codes over 64 dims, trained with the same
+    // decimal-summed Lloyd as IVF. Codes replace raw vectors at scale.
+    "search_pq_codes" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 4, codebookSize = 16, dims = 64, iters = 1)
+      Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ADC top-k over the codes only — the raw vectors are never scanned.
+    "search_pq_adc" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 4, codebookSize = 16, dims = 64, iters = 1)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 4, dims = 64)
+      Similarity.pqAdcSearch(enc, "vec_id", cb, queryVec(s, d), k = 10, m = 4)
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
@@ -1450,6 +1507,25 @@ object SparkEntry {
         |SELECT vec_id, cell, ROUND(list_cosine_similarity(v, qv), 6) AS score
         |FROM a1, q WHERE cell IN (SELECT cell FROM probe)
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "search_pq_codes" -> (pqCte +
+      """
+        |SELECT vec_id, code0, code1, code2, code3
+        |FROM codes ORDER BY vec_id""".stripMargin),
+
+    "search_pq_adc" -> (pqCte +
+      """,
+        |q AS (SELECT sub, sv AS qv FROM subs WHERE vec_id = 0),
+        |tab AS (
+        |  SELECT c1.sub, c1.code, list_cosine_similarity(c1.cv, q.qv) AS sim
+        |  FROM c1 JOIN q ON q.sub = c1.sub)
+        |SELECT codes.vec_id, ROUND((t0.sim + t1.sim + t2.sim + t3.sim)/4, 6) AS score
+        |FROM codes
+        |JOIN tab t0 ON t0.sub = 0 AND t0.code = codes.code0
+        |JOIN tab t1 ON t1.sub = 1 AND t1.code = codes.code1
+        |JOIN tab t2 ON t2.sub = 2 AND t2.code = codes.code2
+        |JOIN tab t3 ON t3.sub = 3 AND t3.code = codes.code3
+        |ORDER BY score DESC, codes.vec_id LIMIT 10""".stripMargin),
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

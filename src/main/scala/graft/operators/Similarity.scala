@@ -112,6 +112,84 @@ object Similarity {
     c
   }
 
+  /** Product-quantization codebooks for cosine/MIPS ANN: split the vector
+    * into `m` contiguous subspaces and train an independent
+    * `codebookSize`-centroid quantizer per subspace — the same
+    * deterministic decimal-summed Lloyd as the IVF coarse quantizer
+    * ([[kmeansRefine]]), run on sliced sub-vectors. Returns
+    * (sub, code, centroid) rows; m × codebookSize × (dims/m) doubles total
+    * (the codebook is always broadcast-sized — that is the point of PQ:
+    * n × dims floats compress to n × m codes + this table).
+    */
+  def pqTrain(vecs: DataFrame, vecCol: String, idCol: String,
+      m: Int, codebookSize: Int, dims: Int,
+      iters: Int = 1): Seq[(Int, Int, Seq[Double])] = {
+    require(m >= 1 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val subLen = dims / m
+    (0 until m).flatMap { s =>
+      val sliced = vecs.select(col(idCol),
+        slice(col(vecCol), s * subLen + 1, subLen).as("sv_"))
+      val c0 = pickCentroids(sliced, "sv_", idCol, codebookSize)
+      val c1 = kmeansRefine(sliced, "sv_", idCol, c0, iters)
+      c1.map { case (code, cv) => (s, code, cv) }
+    }
+  }
+
+  /** PQ encode: per subspace, the code of the nearest (by cosine) codebook
+    * centroid. One pass — broadcast codebook cross join, per-(row, sub)
+    * argmax, pivot to `code0..code{m-1}` columns. At 100 TB the encoded
+    * table (id + m small ints) REPLACES the raw vectors for first-pass
+    * search; same tie-break as [[ivfAssign]] (sim, then highest code).
+    */
+  def pqEncode(vecs: DataFrame, vecCol: String, idCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])], m: Int, dims: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val subLen = dims / m
+    val cdf = broadcast(codebook.toDF("sub", "code", "cvec"))
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(cdf)
+      .withColumn("sim", VectorFunctions.cosine(
+        slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)), col("cvec"), subLen))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max(struct(col("sim"), col("code"))).getField("code").as("code"))
+      .groupBy(col(idCol))
+      .pivot("sub", 0 until m)
+      .agg(first(col("code")))
+      .toDF(idCol +: (0 until m).map(i => s"code$i"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) scan over PQ codes: the query stays exact,
+    * every base vector is represented by its m codes, and the approximate
+    * similarity is the mean per-subspace cosine between the query slice
+    * and the coded centroid. Physical shape: m broadcast joins against the
+    * tiny per-subspace tables (the classic precomputed ADC lookup,
+    * expressed as joins so the scan stays codegen'd), then
+    * TakeOrderedAndProject top-k — the raw vectors are never read.
+    */
+  def pqAdcSearch(encoded: DataFrame, idCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])], query: Seq[Float],
+      k: Int, m: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    require(query.length % m == 0)
+    val subLen = query.length / m
+    var df = encoded
+    val sims = (0 until m).map { s =>
+      val qSlice = query.slice(s * subLen, (s + 1) * subLen)
+      val tab = broadcast(
+        codebook.collect { case (`s`, code, cv) => (code, cv) }
+          .toDF(s"tcode$s", s"tcvec$s"))
+      df = df.join(tab, col(s"code$s") === col(s"tcode$s"))
+      VectorFunctions.cosine(col(s"tcvec$s"), typedLit(qSlice), subLen)
+    }
+    df
+      .withColumn("score", round(sims.reduce(_ + _) / m, 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** IVF probe: assign the query to its `nprobe` nearest cells, scan only
     * those cells, exact cosine inside.
     */

@@ -42,6 +42,29 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(got.head == 0L)
   }
 
+  test("PQ: encode groups clustered vectors, ADC ranks the query's cluster first") {
+    import spark.implicits._
+    // two tight clusters in 8 dims (axis-aligned); m=2 subspaces of 4
+    def v(base: Double, jitter: Double) =
+      Seq(base + jitter, base, 0.1, 0.1, 0.1, 0.1, base, base + jitter).map(_.toFloat)
+    val vecs = (0L to 5L).map { i =>
+      if (i % 2 == 0) (i, v(1.0, 0.01 * i)) else (i, v(-1.0, 0.01 * i))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, "embedding", "vec_id",
+      m = 2, codebookSize = 2, dims = 8, iters = 1)
+    assert(cb.map(_._1).toSet == Set(0, 1)) // both subspaces trained
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 2, dims = 8)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // same-cluster vectors share codes; opposite clusters differ
+    assert(codes(0L) == codes(2L) && codes(2L) == codes(4L))
+    assert(codes(1L) == codes(3L) && codes(0L) != codes(1L))
+    // ADC with a cluster-0-like query ranks all of cluster 0 above cluster 1
+    val top = Similarity.pqAdcSearch(enc, "vec_id", cb, v(1.0, 0.0), k = 3, m = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(0L, 2L, 4L))
+  }
+
   test("langId picks the stopword-dominant language, und for no hits") {
     import spark.implicits._
     val df = Seq(
