@@ -451,22 +451,23 @@ object SparkEntry {
 
     // The 100 TB shape: detect hot keys from key statistics, salt ONLY
     // those (right side replicated just for them), plain-join the tail.
-    // Results must equal the unsalted join — same oracle as the full-salt
-    // demo above.
+    // events×event_type is a REAL low-cardinality skew: 5 keys at ~20%
+    // row share each; threshold 0.2 splits them into a hot subset (2-3
+    // types, each a single-task killer unsalted) and a cold tail — and a
+    // share threshold bounds the hot list to <= 1/τ keys, so the isin
+    // stays a tiny broadcastable predicate at any corpus size. Results
+    // must equal the plain join (salting never changes data).
     "q_skew_join_hot" -> ((s, d) => {
-      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
-        col("l_extendedprice"), col("l_discount"))
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
-        col("o_orderpriority"))
-      // > 5e-5 row share ≈ orders with above-average lineitem counts at
-      // test SFs — a real hot+cold mix for the selective path
-      val hot = operators.SkewJoin.hotKeys(l, "okey", threshold = 5e-5)
-      operators.SkewJoin.saltedEquiJoinHot(l, o, "okey", hot, buckets = 4)
-        .groupBy(col("o_orderpriority"))
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      // 5-row dim derived deterministically from the same table
+      val dim = Tables.events(s, d).select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")))
+      val hot = operators.SkewJoin.hotKeys(e, "event_type", threshold = 0.2)
+      operators.SkewJoin.saltedEquiJoinHot(e, dim, "event_type", hot, buckets = 8)
+        .groupBy(col("event_type"), col("type_len"))
         .agg(count(lit(1)).as("n"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("revenue"))
-        .orderBy(col("o_orderpriority"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
     }),
 
     // Pivot (conditional-aggregation family) with an explicit value list —
@@ -1190,10 +1191,14 @@ object SparkEntry {
 
     // salting never changes results — hot-selective form, same plain join
     "q_skew_join_hot" ->
-      """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS INTEGER) AS type_len
+        |  FROM events)
+        |SELECT e.event_type, d.type_len, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT user_id,

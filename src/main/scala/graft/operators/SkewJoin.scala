@@ -47,7 +47,14 @@ object SkewJoin {
   }
 
   /** Hot-key detection: keys whose row share exceeds `threshold`. Runs as
-    * one combiner-heavy aggregation over the large side. */
+    * one combiner-heavy aggregation over the large side.
+    *
+    * A SHARE threshold self-bounds the result: at most 1/threshold keys
+    * can each hold more than `threshold` of the rows, so the hot list
+    * stays a tiny in-predicate at any corpus size — but only if
+    * `threshold` is a few percent or more. Sub-1e-3 thresholds stop
+    * meaning "hot" (they match merely above-average keys by the
+    * thousands); for absolute sizing use [[bucketsFor]] instead. */
   def hotKeys(df: DataFrame, key: String, threshold: Double): Seq[Any] = {
     val total = df.count()
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
