@@ -838,6 +838,19 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Daily-ingest shape: new batch (odd ids) deduped AGAINST the stored
+    // corpus (even ids) — corpus signatures computed once, cross-side
+    // candidates only.
+    "dedup_incremental" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(docs(s, d), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
+      Dedup.minhashCandidatesAgainst(
+        sig.where(col("doc_id") % 2 === 1),
+        sig.where(col("doc_id") % 2 === 0),
+        "doc_id", numHashes = 4, rowsPerBand = 2)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhash(docs(s, d), "text", "doc_id", bits = 16)
         .orderBy(col("doc_id"))
@@ -923,6 +936,22 @@ object SparkEntry {
     // share per document.
     "text_repetition" -> ((s, d) => {
       TextAnalysis.repetitionStats(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: the synthetic corpus carries no PII, so the gate injects
+    // deterministic emails/URLs/phones (same expression in the oracle)
+    // and checks counts + masked text byte-for-byte.
+    "text_redact_pii" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" mail me at user123@example.com now"))
+          .when(col("doc_id") % 4 === 1,
+            lit(" see https://example.com/a?x=1 and call 555-123-4567"))
+          .otherwise(lit(""))))
+      TextAnalysis.redactPii(injected, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("n_phones"), col("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1568,6 +1597,29 @@ object SparkEntry {
          |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
     },
 
+    // incremental: odd ids are the new batch, even ids the stored corpus;
+    // only cross-side band collisions are candidates
+    "dedup_incremental" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL)
+         |SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
+
     "dedup_simhash" -> {
       val terms = (0 until 16).map(j =>
         s"""(CASE WHEN COALESCE(list_sum(list_transform(hashed,
@@ -1733,6 +1785,23 @@ object SparkEntry {
         |      || (CASE WHEN floor(floor(secs/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
         |  END AS rel
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' mail me at user123@example.com now'
+        |    WHEN doc_id % 4 = 1 THEN ' see https://example.com/a?x=1 and call 555-123-4567'
+        |    ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(text2, 'https?://[^\s]+'))::INT AS n_urls,
+        |  len(regexp_extract_all(text2, '\d{3}[-.]\d{3}[-.]\d{4}'))::INT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text2,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -84,6 +84,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup: LSH banding candidates of a NEW batch against an
+    * EXISTING corpus — the daily-ingest shape at 100 TB, where the corpus
+    * side is the stored signature table (computed ONCE at its own ingest,
+    * never recomputed) and only the new batch gets fresh signatures.
+    * Returns (new_id, corpus_id) pairs sharing ≥ 1 band; new×new and
+    * corpus×corpus pairs are NOT emitted (the corpus is assumed already
+    * deduplicated, and the new batch can self-dedup with
+    * [[minhashCandidatePairs]] separately).
+    *
+    * Shuffle is on band buckets only; with the corpus signature table laid
+    * out bucketed by band key, the join co-locates without a corpus-side
+    * shuffle at all.
+    */
+  def minhashCandidatesAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    def explodeBands(sigs: DataFrame, as: String): DataFrame = {
+      val bands = (0 until numBands).map { b =>
+        val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band"), md5(concat_ws(":", rows: _*)).as("bucket"))
+      }
+      sigs.where(col("mh0").isNotNull)
+        .select(col(idCol), explode(array(bands: _*)).as("bb"))
+        .select(col(idCol).as(as), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    explodeBands(newSigs, "new_id")
+      .join(explodeBands(corpusSigs, "corpus_id"), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+  }
+
   /** SimHash: 64-bit signature where bit j is the sign of the sum over
     * tokens of ±1 votes weighted by token frequency; hamming-near
     * signatures ⇒ near-duplicate texts. Shuffle-free per row.

@@ -73,6 +73,31 @@ object TextAnalysis {
     df.withColumn("fingerprint", HashFunctions.fingerprint(col(textCol)))
       .withColumn("fingerprint64", HashFunctions.hash64(HashFunctions.fingerprint(col(textCol))))
 
+  /** PII patterns, RE2-safe (no backrefs/lookarounds) so every engine —
+    * Java regex here, RE2 in DuckDB/Go scrubbers — replicates them
+    * byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII scrub for training corpora: count and mask emails, URLs and
+    * phone-shaped numbers. Pure per-row Column tree (codegen'd regex,
+    * shuffle-free). URLs are replaced FIRST so an address inside a URL
+    * query string is consumed by `<URL>` rather than double-masked.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all(text, lit(UrlRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+  }
+
   /** Within-document repetition signals (the Gopher-rule family used to
     * filter boilerplate/spam from web-scale training corpora):
     *

@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashCandidatesAgainst: only cross-side pairs, no new×new or corpus×corpus") {
+    import spark.implicits._
+    // docs 1/2 near-identical (cross-side pair), 3/5 identical (both new —
+    // must NOT appear), 4/6 identical (both corpus — must NOT appear)
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different corpus content here indeed"),
+      (6L, "completely different corpus content here indeed"))
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "another new batch document entirely unrelated text"),
+      (5L, "another new batch document entirely unrelated text"))
+    val sig = Dedup.minhashSignature((corpus ++ fresh).toDF("doc_id", "text"),
+      "text", "doc_id", numHashes = 4, shingleK = 3)
+    val pairs = Dedup.minhashCandidatesAgainst(
+      sig.where($"doc_id" % 2 === 1), sig.where($"doc_id" % 2 === 0),
+      "doc_id", numHashes = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ngramJaccardPairs maxDf drops stop-shingles: hot-shingle-only pairs vanish") {
     import spark.implicits._
     // every doc shares the ubiquitous shingle "aaa bbb ccc"; only docs

@@ -97,6 +97,23 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("redactPii counts and masks emails, urls, phones; url consumed before email") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to a.b@x.io or c@y.org today"),
+      (2L, "see https://x.io/p?u=a@b.com and call 555-123-4567"),
+      (3L, "clean text only"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_emails") == 2)
+    assert(r(1L).getAs[String]("redacted") == "write to <EMAIL> or <EMAIL> today")
+    // the email inside the URL is swallowed by <URL>, not double-masked
+    assert(r(2L).getAs[Int]("n_urls") == 1 && r(2L).getAs[Int]("n_phones") == 1)
+    assert(r(2L).getAs[String]("redacted") == "see <URL> and call <PHONE>")
+    assert(r(3L).getAs[String]("redacted") == "clean text only")
+  }
+
   test("repetitionStats: top-2-gram share, duplicate-5-gram share, short-doc nulls") {
     import spark.implicits._
     val df = Seq(
