@@ -939,6 +939,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic splits: same row → same split on every run, engine,
+    // and partitioning (content-hash buckets, not RNG sampling).
+    "sample_split" -> ((s, d) => {
+      operators.Sampling.assignSplit(docs(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus mixing: per-source keep rates (domain weighting), one scan.
+    "sample_mixture" -> ((s, d) => {
+      operators.Sampling.mixture(docs(s, d), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: the synthetic corpus carries no PII, so the gate injects
     // deterministic emails/URLs/phones (same expression in the oracle)
     // and checks counts + masked text byte-for-byte.
@@ -1785,6 +1803,25 @@ object SparkEntry {
         |      || (CASE WHEN floor(floor(secs/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
         |  END AS rel
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "sample_split" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")
+      s"""SELECT doc_id, CASE
+         |  WHEN $b % 1000000 < 800000 THEN 'train'
+         |  WHEN $b % 1000000 < 900000 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_mixture" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#mix'")
+      s"""SELECT doc_id, source
+         |FROM documents
+         |WHERE $b % 1000000 < (CASE source
+         |  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+         |  WHEN 'src2' THEN 250000 ELSE 100000 END)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_redact_pii" ->
       """WITH inj AS (

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).toDF("id")
+  }
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val df = ids(2000)
+    val a = Sampling.hashSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // roughly the requested fraction (hash uniformity)
+    assert(a.size > 500 && a.size < 700, a.size)
+    // a different salt draws a different (decorrelated) sample
+    val c = Sampling.hashSample(df, "id", 0.3, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("assignSplit: disjoint, exhaustive, stable, near the weights") {
+    val split = Sampling.assignSplit(ids(2000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700, counts)
+    assert(counts("val") > 140 && counts("val") < 260, counts)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids(10), "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("mixture keeps sources at their configured rates") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val kept = Sampling.mixture(df, "id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") == 1000)          // rate 1.0 keeps everything
+    assert(!counts.contains("src1"))        // rate 0.0 drops everything
+    val d = counts("src2")                  // defaultRate ~0.5
+    assert(d > 420 && d < 580, d)
+  }
+}
