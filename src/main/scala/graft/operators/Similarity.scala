@@ -125,14 +125,48 @@ object Similarity {
       m: Int, codebookSize: Int, dims: Int,
       iters: Int = 1): Seq[(Int, Int, Seq[Double])] = {
     require(m >= 1 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val subLen = dims / m
-    (0 until m).flatMap { s =>
-      val sliced = vecs.select(col(idCol),
-        slice(col(vecCol), s * subLen + 1, subLen).as("sv_"))
-      val c0 = pickCentroids(sliced, "sv_", idCol, codebookSize)
-      val c1 = kmeansRefine(sliced, "sv_", idCol, c0, iters)
-      c1.map { case (code, cv) => (s, code, cv) }
+    // long form (one row per vector × subspace) trains EVERY subspace in
+    // the same jobs: per Lloyd round, one broadcast-assign + one sum
+    // aggregation over ONE scan — not 2×m jobs of the per-subspace loop
+    // (bit-identical results; only the pass structure changes)
+    val subStructs = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col(vecCol), s * subLen + 1, subLen).as("sv"))): _*)
+    val subs = vecs.select(col(idCol).as("_id"), explode(subStructs).as("e"))
+      .select(col("_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+    // init: sub-slices of the codebookSize smallest-id vectors (same
+    // deterministic seed as pickCentroids, sliced driver-side)
+    var codebook: Seq[(Int, Int, Seq[Double])] = vecs
+      .orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect().zipWithIndex.toSeq
+      .flatMap { case (row, code) =>
+        val full = row.getSeq[Float](0).map(_.toDouble)
+        (0 until m).map(s => (s, code, full.slice(s * subLen, (s + 1) * subLen)))
+      }
+
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(codebook.toDF("sub", "code", "cvec"))
+      val assigned = subs.join(cdf, "sub")
+        .withColumn("sim", VectorFunctions.cosine(col("sv"), col("cvec"), subLen))
+        .groupBy(col("_id"), col("sub"))
+        .agg(max(struct(col("sim"), col("code"))).getField("code").as("code"),
+          first(col("sv")).as("sv"))
+      val sums = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(28,8)")).cast("double"), 6).as("mval"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), p => p.getField("mval")).as("cvec"))
+        .collect()
+      codebook = sums.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
     }
+    codebook
   }
 
   /** PQ encode: per subspace, the code of the nearest (by cosine) codebook
