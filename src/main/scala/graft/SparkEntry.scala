@@ -1020,6 +1020,53 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_no"))
     }),
 
+    // Time-series gap filling: dense (user × hour) spine with zero-fill —
+    // the "no data is data" reporting shape. The spine is a tiny explode
+    // cross-joined to the user dim; the only real shuffle is the hourly
+    // aggregate (uniform keys). At scale the spine join partition-prunes
+    // against a date-partitioned store.
+    "events_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val spine = s.sql(
+        """SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+          |  TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS h""".stripMargin)
+      val users = e.select(col("user_id")).distinct()
+      val hourly = e
+        .where(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      users.crossJoin(spine)
+        .join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("user_id"), col("hour_s"))
+    }),
+
+    // Ordered funnel: stage per user = how far through view -> click ->
+    // purchase they got, each step strictly AFTER the previous one's
+    // first occurrence. Three combiner aggregates chained by broadcast
+    // joins — no window over raw events, no per-user collect.
+    "events_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      e.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("funnel_stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // Write-path layout roundtrip: the store is REALLY written in the
     // optimized layout (partitionBy + repartition-clustered +
     // sortWithinPartitions + maxRecordsPerFile) and read back — content
@@ -1935,6 +1982,43 @@ object SparkEntry {
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS h),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2)
+        |SELECT u.user_id, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |  COALESCE(hourly.n, 0) AS n
+        |FROM u CROSS JOIN spine s
+        |LEFT JOIN hourly ON hourly.user_id = u.user_id AND hourly.h = s.h
+        |ORDER BY u.user_id, hour_s""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id, CAST(CASE
+        |  WHEN p.t3 IS NOT NULL THEN 3
+        |  WHEN c.t2 IS NOT NULL THEN 2
+        |  WHEN v.t1 IS NOT NULL THEN 1
+        |  ELSE 0 END AS INTEGER) AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON v.user_id = u.user_id
+        |LEFT JOIN c ON c.user_id = u.user_id
+        |LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
 
     // layout preserves content exactly — the oracle is the raw source
     "store_layout_roundtrip" ->
