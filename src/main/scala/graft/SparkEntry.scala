@@ -47,6 +47,9 @@ object SparkEntry {
   private val SearchDims = 8
   private val SearchQueryText = "Tool: purchase"
 
+  /** Pinned `now` for relative_time in the view gates (both engines). */
+  private val ViewNow = "2024-01-31 00:30:00"
+
   // ---- Oracle SQL fragment builders (shared constants keep the Spark
   // side and the DuckDB side in lockstep) ----
 
@@ -115,6 +118,9 @@ object SparkEntry {
        |  SELECT CAST(event_id AS VARCHAR) AS memory_id, event_id,
        |    CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
        |    event_type || ' Invocation' AS title, ts, value, props,
+       |    '' AS context, '{}' AS parameters, props AS frames,
+       |    'agent-' || CAST(user_id AS VARCHAR) AS m_agent_id,
+       |    upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS m_archetype_title,
        |    'Tool: ' || event_type || chr(10) || props AS content,
        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
        |    LAG(CAST(event_id AS VARCHAR)) OVER w AS preceding_memory_id
@@ -137,6 +143,56 @@ object SparkEntry {
        |    x / sqrt(list_sum(list_transform(qraw, y -> y*y)))) AS qvec
        |  FROM qe)""".stripMargin
   }
+
+  /** DuckDB twin of [[TextFunctions.relativeTime]]'s bucketing CASE over a
+    * seconds-difference column named `secs_`. (`||` stays at end-of-line:
+    * a line-leading `||` loses a `|` to the OUTER stripMargin when this
+    * fragment is interpolated into a margin-stripped oracle string.) */
+  private val sqlRelCase: String =
+    """CASE
+      |  WHEN secs_ < 60 THEN 'just now'
+      |  WHEN floor(secs_/60.0) < 60
+      |    THEN CAST(CAST(floor(secs_/60.0) AS BIGINT) AS VARCHAR) ||
+      |      (CASE WHEN floor(secs_/60.0) = 1 THEN ' minute ago' ELSE ' minutes ago' END)
+      |  WHEN floor(secs_/3600.0) < 24
+      |    THEN CAST(CAST(floor(secs_/3600.0) AS BIGINT) AS VARCHAR) ||
+      |      (CASE WHEN floor(secs_/3600.0) = 1 THEN ' hour ago' ELSE ' hours ago' END)
+      |  WHEN floor(secs_/86400.0) < 7
+      |    THEN CAST(CAST(floor(secs_/86400.0) AS BIGINT) AS VARCHAR) ||
+      |      (CASE WHEN floor(secs_/86400.0) = 1 THEN ' day ago' ELSE ' days ago' END)
+      |  WHEN floor(secs_/86400.0) < 30
+      |    THEN CAST(CAST(floor(floor(secs_/86400.0)/7) AS BIGINT) AS VARCHAR) ||
+      |      (CASE WHEN floor(floor(secs_/86400.0)/7) = 1 THEN ' week ago' ELSE ' weeks ago' END)
+      |  ELSE CAST(CAST(floor(floor(secs_/86400.0)/30) AS BIGINT) AS VARCHAR) ||
+      |      (CASE WHEN floor(floor(secs_/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
+      |  END""".stripMargin
+
+  /** Seconds-since `ts` at the pinned view `now` (truncating like Spark's
+    * unix_timestamp). */
+  private def sqlViewSecs: String =
+    s"""CAST(floor(epoch(TIMESTAMP '$ViewNow')) AS BIGINT)
+       |    - CAST(floor(epoch(ts)) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of the contentPreview staging (extract_summary port) over
+    * CTE `src`'s `content` column: appends pv0..pv3 CTEs, the last carrying
+    * `content_preview` alongside src's columns. */
+  private def sqlPreviewCtes(src: String): String =
+    s"""pv0 AS (SELECT *, trim(regexp_replace(content, '\\s+', ' ', 'g')) AS norm_ FROM $src),
+       |pv1 AS (SELECT *, list_filter(list_transform(string_split_regex(norm_, '[.!?]+'),
+       |  x -> trim(x)), x -> x <> '') AS sen_ FROM pv0),
+       |pv2 AS (SELECT *, array_to_string(sen_[1:2], '. ') || '.' AS sum_ FROM pv1),
+       |pv3 AS (SELECT *, CASE WHEN len(norm_) <= 150 THEN norm_
+       |  WHEN len(sen_) = 0 THEN (CASE WHEN len(norm_) <= 100 THEN norm_
+       |    ELSE substr(norm_, 1, 97) || '...' END)
+       |  WHEN len(sum_) <= 150 THEN sum_
+       |  ELSE substr(sum_, 1, 147) || '...' END AS content_preview FROM pv2)""".stripMargin
+
+  /** DuckDB twin of the `full` view's JSON-serialized meta struct (same
+    * field order as [[MemoryModel.fromEvents]]'s struct → to_json). */
+  private val sqlMetaJson: String =
+    """'{"agent_id":"' || m_agent_id ||
+      |  '","schema_version":"1.0","fegis_version":"0.1.0","archetype_title":"' ||
+      |  m_archetype_title || '","archetype_version":"1.0.0"}'""".stripMargin
 
   /** Small-file scans plan as 1-2 partitions locally, serializing the
     * CPU-heavy per-row stages (hashing, shingling, regex). Real deployments
@@ -435,13 +491,17 @@ object SparkEntry {
 
     // Salted skew join: identical results to the plain join, hot keys
     // spread over `buckets` tasks (the manual fallback when AQE skew
-    // handling can't reach a join).
+    // handling can't reach a join). Buckets come from bucketsFor's key
+    // statistics (hottest-key rows / target task size), not a guess — the
+    // sizing rule itself is on the gated path.
     "q_skew_join_salted" -> ((s, d) => {
       val l = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
         col("l_extendedprice"), col("l_discount"))
       val o = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
         col("o_orderpriority"))
-      operators.SkewJoin.saltedEquiJoin(l, o, "okey", buckets = 8)
+      val buckets = operators.SkewJoin.bucketsFor(l, "okey",
+        targetRowsPerTask = 1L, maxBuckets = 8)
+      operators.SkewJoin.saltedEquiJoin(l, o, "okey", buckets)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -600,17 +660,16 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
-    // P4/P10: dot-path access through the meta struct + API-name mapping
-    // (agent_id resolves to meta.agent_id via Filters.fieldMap).
+    // P4/P10: dot-path access through the model's own canonical meta
+    // struct (storage.py:184-190) + API-name mapping (agent_id and
+    // archetype_title resolve to meta.* via Filters.fieldMap).
     "mem_filter_meta" -> ((s, d) => {
-      val mem = memories(s, d).withColumn("meta", struct(
-        concat(lit("agent-"), col("session_id")).as("agent_id"),
-        lit("1.0").as("schema_version")))
-      mem.where(Filters.compileAll(Seq(
+      memories(s, d).where(Filters.compileAll(Seq(
           FilterSpec("agent_id", "is", SV("agent-7")),
-          FilterSpec("tool", "is", SV("click")))))
+          FilterSpec("archetype_title", "is", SV("Click")))))
         .select(col("memory_id"), col("tool"),
-          col("meta.agent_id").as("agent_id"))
+          col("meta.agent_id").as("agent_id"),
+          col("meta.archetype_title").as("archetype_title"))
         .orderBy(col("memory_id").cast("long"))
     }),
 
@@ -697,22 +756,26 @@ object SparkEntry {
         .select(col("memory_id"), col("tool"), col("score"))
     }),
 
-    // P3 view projection over a search result (summary view columns).
+    // P3 view projection over a search result — field-exact vs the
+    // reference's RESULT_VIEWS summary list (formatters.py:33-43),
+    // including the derived content_preview and relative_time. `now` is
+    // pinned so relative_time is oracle-checkable.
     "mem_search_view_summary" -> ((s, d) => {
       val mem = memories(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
       val hits = Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
         limit = 10, scoreThreshold = 0.4, tieBreak = "memory_id_num")
-      Search.project(hits, "summary")
-        .drop("timestamp") // physical ts types differ ns/us; see SKILL.md
+      Search.project(hits, "summary", now = to_timestamp(lit(ViewNow)))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
     // P3 remaining views, exercised through the FULL request envelope
     // (schema-validated SearchRequest → strategy dispatch → view
     // projection — reference handler.py:33-62). `graph` is the
-    // reference's relationship view: preceding_memory_id rides through
-    // the search result (formatters.py:44-58).
+    // reference's relationship view: preceding_memory_id and the
+    // meta.agent_id / meta.archetype_title dot-fields ride through
+    // (formatters.py:44-58); `full` carries the whole payload incl.
+    // parameters/frames and the JSON-serialized meta dict.
     "mem_search_view_compact" -> ((s, d) => {
       val mem = memories(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
@@ -720,7 +783,6 @@ object SparkEntry {
         SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
           detail = "compact"),
         tieBreak = "memory_id_num")
-        .drop("timestamp")
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
@@ -730,8 +792,7 @@ object SparkEntry {
       Search.searchMemory(mem, "embedding", SearchDims,
         SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
           detail = "graph"),
-        tieBreak = "memory_id_num")
-        .drop("timestamp")
+        tieBreak = "memory_id_num", now = to_timestamp(lit(ViewNow)))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
@@ -742,7 +803,6 @@ object SparkEntry {
         SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
           detail = "full"),
         tieBreak = "memory_id_num")
-        .drop("timestamp")
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
@@ -1393,10 +1453,11 @@ object SparkEntry {
       """WITH mem AS (
         |  SELECT CAST(event_id AS VARCHAR) AS memory_id, event_id,
         |    event_type AS tool,
-        |    'agent-' || CAST(user_id AS VARCHAR) AS agent_id
+        |    'agent-' || CAST(user_id AS VARCHAR) AS agent_id,
+        |    upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS archetype_title
         |  FROM events)
-        |SELECT memory_id, tool, agent_id FROM mem
-        |WHERE agent_id = 'agent-7' AND tool = 'click'
+        |SELECT memory_id, tool, agent_id, archetype_title FROM mem
+        |WHERE agent_id = 'agent-7' AND archetype_title = 'Click'
         |ORDER BY event_id""".stripMargin,
 
     "mem_by_id" ->
@@ -1474,47 +1535,57 @@ object SparkEntry {
         |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
 
     "mem_search_view_summary" -> (memVecCte(SearchDims) +
-      """,
+      s""",
         |scored AS (
-        |  SELECT memory_id, event_id, tool, title, session_id, content, sequence_order,
+        |  SELECT memory_id, event_id, title, context, tool, session_id, content, ts,
         |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
         |  FROM vec, qv),
-        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
-        |SELECT memory_id, tool, title, score, session_id, content, sequence_order
-        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10),
+        |${sqlPreviewCtes("topk")},
+        |rel AS (SELECT *, $sqlViewSecs AS secs_ FROM pv3)
+        |SELECT memory_id, title, context, tool, score, content_preview,
+        |  $sqlRelCase AS relative_time, session_id
+        |FROM rel WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "mem_search_view_compact" -> (memVecCte(SearchDims) +
       """,
         |scored AS (
-        |  SELECT memory_id, event_id, tool, title, session_id,
+        |  SELECT memory_id, event_id, title, tool, context, session_id,
         |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
         |  FROM vec, qv),
         |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
-        |SELECT memory_id, tool, title, score, session_id
+        |SELECT memory_id, title, tool, context, session_id, score
         |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "mem_search_view_graph" -> (memVecCte(SearchDims) +
-      """,
+      s""",
         |scored AS (
-        |  SELECT memory_id, event_id, tool, title, session_id, content,
-        |    sequence_order, preceding_memory_id,
+        |  SELECT memory_id, event_id, title, preceding_memory_id, session_id,
+        |    sequence_order, tool, ts, m_agent_id, m_archetype_title,
         |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
         |  FROM vec, qv),
-        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
-        |SELECT memory_id, tool, title, score, session_id, content,
-        |  sequence_order, preceding_memory_id
-        |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10),
+        |rel AS (SELECT *, $sqlViewSecs AS secs_ FROM topk)
+        |SELECT memory_id, title, preceding_memory_id, session_id,
+        |  sequence_order, tool, $sqlRelCase AS relative_time,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp, score,
+        |  m_agent_id AS "meta.agent_id",
+        |  m_archetype_title AS "meta.archetype_title"
+        |FROM rel WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "mem_search_view_full" -> (memVecCte(SearchDims) +
-      """,
+      s""",
         |scored AS (
-        |  SELECT memory_id, event_id, tool, title, session_id, content,
-        |    sequence_order, preceding_memory_id, value, props,
+        |  SELECT memory_id, event_id, title, content, context, tool, session_id,
+        |    sequence_order, ts, preceding_memory_id, parameters, frames,
+        |    m_agent_id, m_archetype_title,
         |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
         |  FROM vec, qv),
         |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
-        |SELECT memory_id, tool, title, score, session_id, content,
-        |  sequence_order, preceding_memory_id, value, props
+        |SELECT memory_id, score, title, content, context, tool, session_id,
+        |  sequence_order, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp,
+        |  preceding_memory_id, parameters, frames,
+        |  $sqlMetaJson AS meta
         |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "search_knn_topk" ->
@@ -1807,24 +1878,29 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    // mirrors format_content_preview + extract_summary(max_sentences=2)
+    // (reference formatters.py:172-218): first-2-fragment summary joined
+    // ". " + ".", overflow truncates the SUMMARY at 147
     "text_preview" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
         |  FROM documents),
         |sen AS (
         |  SELECT doc_id, norm,
-        |    list_transform(regexp_extract_all(norm, '[^.!?]+[.!?]+'), s -> trim(s)) AS sentences
+        |    list_filter(list_transform(string_split_regex(norm, '[.!?]+'),
+        |      s -> trim(s)), s -> s <> '') AS sentences
         |  FROM n),
         |p AS (
-        |  SELECT doc_id, norm,
-        |    list_reduce(list_prepend('', sentences), (a, b) ->
-        |      CASE WHEN len(a) = 0 AND len(b) <= 147 THEN b
-        |           WHEN len(a) + 1 + len(b) <= 147 THEN a || ' ' || b
-        |           ELSE a END) AS prefix
+        |  SELECT doc_id, norm, sentences,
+        |    array_to_string(sentences[1:2], '. ') || '.' AS summary
         |  FROM sen)
-        |SELECT doc_id, CASE WHEN len(norm) <= 150 THEN norm
-        |  WHEN len(prefix) > 0 THEN prefix || '...'
-        |  ELSE substr(norm, 1, 147) || '...' END AS preview
+        |SELECT doc_id, CASE
+        |  WHEN len(norm) <= 150 THEN norm
+        |  WHEN len(sentences) = 0 THEN
+        |    CASE WHEN len(norm) <= 100 THEN norm
+        |         ELSE substr(norm, 1, 97) || '...' END
+        |  WHEN len(summary) <= 150 THEN summary
+        |  ELSE substr(summary, 1, 147) || '...' END AS preview
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_relative_time" ->

@@ -14,34 +14,36 @@ object TextFunctions {
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** Content preview (reference: formatters.py:172-218): whitespace-normalize,
-    * and if longer than `maxLen` chars truncate sentence-aware — keep whole
-    * sentences while they fit in `maxLen - 3`, else hard-cut at
-    * `maxLen - 3` — and append "...".
+  /** Content preview — a field-exact port of the reference's
+    * `format_content_preview` + `extract_summary(max_sentences=2)`
+    * (formatters.py:172-218):
     *
-    * Implemented as a Column tree: sentence split on [.!?]+ then a bounded
-    * fold that re-assembles the longest fitting prefix.
+    *  1. whitespace-normalize (`" ".join(content.split())`);
+    *  2. if the normalized text fits in `maxLen`, return it;
+    *  3. else build the summary: split on `[.!?]+` runs (fragments do NOT
+    *     need a terminator — a trailing unterminated fragment counts),
+    *     trim, drop empties, take the first TWO, join with ". " and append
+    *     "." (the fragments carry no terminators, so the reference's
+    *     "append if missing" always fires);
+    *  4. no fragments at all (text is only terminators): the
+    *     `extract_summary` fallback — the raw text if ≤ 100 chars, else
+    *     its first 97 + "...";
+    *  5. summary within `maxLen` → summary; else the SUMMARY (not the raw
+    *     text) hard-cut at `maxLen - 3` + "...".
+    *
+    * Pure Column tree (split/slice/array_join — no fold), RE2-safe regex.
     */
   def contentPreview(content: Column, maxLen: Int = 150): Column = {
-    val norm = normalizeWhitespace(content)
-    val budget = maxLen - 3
-    // Longest prefix of whole sentences (with their terminators) <= budget;
-    // fall back to a hard cut. Sentence extraction uses an RE2-safe pattern
-    // (no lookbehind) so the semantics are reproducible in external SQL
-    // oracles: a sentence is a maximal run ending in [.!?]+; a trailing
-    // fragment without a terminator is not a whole sentence.
-    val sentences = transform(
-      regexp_extract_all(norm, lit("[^.!?]+[.!?]+"), lit(0)), s => trim(s))
-    val prefix = aggregate(
-      sentences,
-      lit(""),
-      (acc, s) =>
-        when(length(acc) === 0 && length(s) <= budget, s)
-          .when(length(acc) + 1 + length(s) <= budget, concat(acc, lit(" "), s))
-          .otherwise(acc))
+    val norm = coalesce(normalizeWhitespace(content), lit(""))
+    val sentences = filter(
+      transform(split(norm, "[.!?]+"), s => trim(s)), s => length(s) > 0)
+    val summary = concat(array_join(slice(sentences, 1, 2), ". "), lit("."))
     when(length(norm) <= maxLen, norm)
-      .when(length(prefix) > 0, concat(prefix, lit("...")))
-      .otherwise(concat(substring(norm, 1, budget), lit("...")))
+      .when(size(sentences) === 0,
+        when(length(norm) <= 100, norm)
+          .otherwise(concat(substring(norm, 1, 97), lit("..."))))
+      .when(length(summary) <= maxLen, summary)
+      .otherwise(concat(substring(summary, 1, maxLen - 3), lit("...")))
   }
 
   /** Relative-time bucketing (reference: formatters.py:141-169): render the
@@ -73,30 +75,29 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** DataFrame-level content preview: stages norm/sentences/prefix as
-    * materialized columns so each regexp pass runs once per row (the
+  /** DataFrame-level content preview: stages norm/sentences/summary as
+    * materialized columns so each regexp/HOF pass runs once per row (the
     * single-Column [[contentPreview]] re-evaluates `norm` at every
-    * reference because the HOF parts are interpreted without CSE).
+    * reference because the HOF parts are interpreted without CSE). Same
+    * ported semantics as [[contentPreview]].
     */
   def withContentPreview(df: org.apache.spark.sql.DataFrame, textCol: String,
       outCol: String, maxLen: Int = 150): org.apache.spark.sql.DataFrame = {
-    val budget = maxLen - 3
     df
-      .withColumn("norm_", normalizeWhitespace(col(textCol)))
+      .withColumn("norm_", coalesce(normalizeWhitespace(col(textCol)), lit("")))
       .withColumn("sentences_",
-        transform(regexp_extract_all(col("norm_"), lit("[^.!?]+[.!?]+"), lit(0)),
-          s => trim(s)))
-      .withColumn("prefix_", aggregate(
-        col("sentences_"), lit(""),
-        (acc, s) =>
-          when(length(acc) === 0 && length(s) <= budget, s)
-            .when(length(acc) + 1 + length(s) <= budget, concat(acc, lit(" "), s))
-            .otherwise(acc)))
+        filter(transform(split(col("norm_"), "[.!?]+"), s => trim(s)),
+          s => length(s) > 0))
+      .withColumn("summary_",
+        concat(array_join(slice(col("sentences_"), 1, 2), ". "), lit(".")))
       .withColumn(outCol,
         when(length(col("norm_")) <= maxLen, col("norm_"))
-          .when(length(col("prefix_")) > 0, concat(col("prefix_"), lit("...")))
-          .otherwise(concat(substring(col("norm_"), 1, budget), lit("..."))))
-      .drop("norm_", "sentences_", "prefix_")
+          .when(size(col("sentences_")) === 0,
+            when(length(col("norm_")) <= 100, col("norm_"))
+              .otherwise(concat(substring(col("norm_"), 1, 97), lit("..."))))
+          .when(length(col("summary_")) <= maxLen, col("summary_"))
+          .otherwise(concat(substring(col("summary_"), 1, maxLen - 3), lit("..."))))
+      .drop("norm_", "sentences_", "summary_")
   }
 
   /** BPE-ish subword-ish token count: word chunks, numbers, and single

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object MemoryModel {
 
-  /** events → memories: envelope extraction + sessionization.
+  /** events → memories: the FULL payload envelope + sessionization
+    * (reference: storage.py:154-191 `memory_payload`).
     *
     * - `sequence_order`: 1-based position within session ordered by event
     *   time (reference A2, storage.py:136-139)
@@ -28,7 +29,18 @@ object MemoryModel {
     *   (reference J1, storage.py:181) — `lag` over the same window, so both
     *   derive from a single shuffle.
     * - `content`: the reference's fallback document text
-    *   "Tool: {name}\n{json}" (storage.py:158-160).
+    *   "Tool: {name}\n{json}" (storage.py:158-160), with `props` playing
+    *   the dumped-frames JSON.
+    * - `context`: parameters.get("Context", "") — the testdata carries no
+    *   Context parameter, so the reference's default "" (storage.py:156).
+    * - `parameters` / `frames`: the dynamic JSON payloads with the
+    *   envelope keys filtered out (storage.py:162-171); `props` is the
+    *   event log's only dynamic payload → frames, parameters = "{}".
+    * - `meta`: the canonical 5-field struct (storage.py:184-190).
+    *   `agent_id` is config-scoped in the reference (one per deployment);
+    *   here a per-session surrogate so meta filtering is exercised on
+    *   real data. `archetype_title` capitalizes the tool name (the
+    *   reference reads archetype.get("title")).
     */
   def fromEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -38,12 +50,23 @@ object MemoryModel {
       .withColumn("tool", col("event_type"))
       .withColumn("timestamp", col("ts"))
       .withColumn("title", concat(col("event_type"), lit(" Invocation")))
+      .withColumn("context", lit(""))
       .withColumn("content",
         concat(lit("Tool: "), col("event_type"), lit("\n"), col("props")))
+      .withColumn("parameters", lit("{}"))
+      .withColumn("frames", col("props"))
+      .withColumn("meta", struct(
+        concat(lit("agent-"), col("user_id").cast("string")).as("agent_id"),
+        lit("1.0").as("schema_version"),
+        lit("0.1.0").as("fegis_version"),
+        concat(upper(substring(col("event_type"), 1, 1)),
+          expr("substring(event_type, 2)")).as("archetype_title"),
+        lit("1.0.0").as("archetype_version")))
       .withColumn("sequence_order", row_number().over(w))
       .withColumn("preceding_memory_id", lag(col("event_id").cast("string"), 1).over(w))
-      .select("memory_id", "session_id", "tool", "timestamp", "title",
-        "content", "sequence_order", "preceding_memory_id", "value", "props")
+      .select("memory_id", "session_id", "tool", "timestamp", "title", "context",
+        "content", "sequence_order", "preceding_memory_id", "parameters",
+        "frames", "meta", "value", "props")
   }
 
   /** Generic sessionization over canonical columns (memory_id, session_id,

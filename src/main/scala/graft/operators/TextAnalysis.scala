@@ -106,31 +106,36 @@ object TextAnalysis {
     *  - `dup_gram_ratio`: share of `dupN`-grams occurring more than once
     *    ("duplicate n-gram fraction", larger n)
     *
-    * Physical shape: explode → (doc, gram) count → per-doc aggregate.
+    * Physical shape: ONE corpus scan explodes both gram sizes together
+    * (each gram tagged with its size, same long-form trick as pqTrain),
+    * one (doc, size, gram) count, one conditional per-doc aggregate.
     * Both aggregations are combiner-heavy (within-doc duplicates collapse
-    * map-side), shuffle keys are (doc_id, gram) — uniform, no hot keys —
-    * and docs with too few tokens come back with zero counts and NULL
-    * ratios via the left join. This is the 100 TB shape; a per-row HOF
-    * fold would avoid the shuffle but runs interpreted (no codegen) and
-    * cannot spill a pathological single document.
+    * map-side), shuffle keys are (doc_id, n, gram) — uniform, no hot
+    * keys — and docs with too few tokens come back with zero counts and
+    * NULL ratios via the left join. This is the 100 TB shape; a per-row
+    * HOF fold would avoid the shuffle but runs interpreted (no codegen)
+    * and cannot spill a pathological single document.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
       topN: Int = 2, dupN: Int = 5): DataFrame = {
-    require(topN >= 1 && dupN >= 1)
+    require(topN >= 1 && dupN >= 1 && topN != dupN)
     val base = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks_"))
-    def gramCounts(n: Int) = base
-      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks_"), n).as("grams_"))
-      .select(col("id"), explode(col("grams_")).as("gram"))
-      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val top = gramCounts(topN).groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_top_"), max(col("cnt")).as("topc_"))
-    val dup = gramCounts(dupN).groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_dup_"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dupc_"))
+    def tagged(n: Int): Column = transform(
+      TextFunctions.shinglesFromTokens(col("toks_"), n),
+      g => struct(lit(n).as("n"), g.as("gram")))
+    val counts = base
+      .select(col("id"), explode(concat(tagged(topN), tagged(dupN))).as("g"))
+      .groupBy(col("id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col("id")).agg(
+      sum(when(col("n") === topN, col("cnt"))).as("n_top_"),
+      max(when(col("n") === topN, col("cnt"))).as("topc_"),
+      sum(when(col("n") === dupN, col("cnt"))).as("n_dup_"),
+      sum(when(col("n") === dupN && col("cnt") > 1, col("cnt"))
+        .otherwise(lit(0L))).as("dupc_"))
     docs.select(col(idCol).as("id"))
-      .join(top, Seq("id"), "left")
-      .join(dup, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_top_"), lit(0L)).as("n_top_grams"),
         round(col("topc_").cast("double") / col("n_top_"), 6).as("top_gram_ratio"),

@@ -95,7 +95,8 @@ object Search {
       dims: Int,
       req: SearchRequest,
       idCol: String = "memory_id",
-      tieBreak: String = "memory_id"): DataFrame = {
+      tieBreak: String = "memory_id",
+      now: Column = current_timestamp()): DataFrame = {
     req.validate
     val hits = req.searchType match {
       case "by_memory_id" =>
@@ -105,7 +106,7 @@ object Search {
           limit = req.limit, scoreThreshold = req.scoreThreshold,
           filters = req.filters, tieBreak = tieBreak)
     }
-    project(hits, req.detail)
+    project(hits, req.detail, now)
   }
 
   /** Reciprocal-rank fusion of a dense ranking and a keyword ranking
@@ -127,7 +128,10 @@ object Search {
       tieBreak: Column,
       k: Int = 60,
       maxCandidates: Int = 1 << 20): DataFrame = {
-    val n = scored.limit(maxCandidates + 1).count()
+    // Bound gate: count the tie-break projection only — Catalyst prunes the
+    // scoring columns (embed + cosine + keyword) out of this job entirely,
+    // so the guard costs one id-column scan, not a second scoring pass.
+    val n = scored.select(tieBreak).limit(maxCandidates + 1).count()
     require(n <= maxCandidates,
       s"rrfFuse ranks globally in a single partition and got more than " +
         s"$maxCandidates candidate rows — pre-prune the pool or use rrfFuseTopM")
@@ -227,21 +231,57 @@ object Search {
       .limit(limit)
   }
 
-  /** View projections (reference P3, formatters.py:28-92): named column
-    * lists; pure `select`, so column pruning reaches the scan.
+  /** View projections (reference P3): the EXACT field sets and order of
+    * the reference's RESULT_VIEWS (formatters.py:28-74), including the
+    * derived fields its field processors compute (formatters.py:95-110):
+    * `content_preview` (extract_summary over content) and `relative_time`
+    * (bucketed age vs now). Pure `select` + scalar expressions, so column
+    * pruning reaches the scan.
     */
   val views: Map[String, Seq[String]] = Map(
-    "compact" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id"),
-    "summary" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
-      "content", "sequence_order"),
-    "graph" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
-      "content", "sequence_order", "preceding_memory_id"),
-    "full" -> Seq("memory_id", "tool", "title", "timestamp", "score", "session_id",
-      "content", "sequence_order", "preceding_memory_id", "value", "props"))
+    "compact" -> Seq("memory_id", "title", "tool", "context", "session_id",
+      "score"),
+    "summary" -> Seq("memory_id", "title", "context", "tool", "score",
+      "content_preview", "relative_time", "session_id"),
+    "graph" -> Seq("memory_id", "title", "preceding_memory_id", "session_id",
+      "sequence_order", "tool", "relative_time", "timestamp", "score",
+      "meta.agent_id", "meta.archetype_title"),
+    "full" -> Seq("memory_id", "score", "title", "content", "context", "tool",
+      "session_id", "sequence_order", "timestamp", "preceding_memory_id",
+      "parameters", "frames", "meta"))
 
-  def project(df: DataFrame, view: String): DataFrame = {
-    val cols = views.getOrElse(view,
+  /** Serialization choices mirror the MCP response surface: timestamps are
+    * ISO-8601 strings (the reference isoformat()s datetimes,
+    * formatters.py:108-110 — fixed 6-digit micros here), `meta` in the
+    * `full` view is the JSON-serialized payload dict, and a field the row
+    * does not carry projects as NULL (the reference's dict.get(None)).
+    * `now` anchors relative_time — parameterized so results are
+    * deterministic and oracle-checkable; real callers use the default.
+    */
+  def project(df: DataFrame, view: String,
+      now: Column = current_timestamp()): DataFrame = {
+    val fields = views.getOrElse(view,
       throw new IllegalArgumentException(s"unknown view '$view'"))
-    df.select(cols.filter(df.columns.contains).map(col): _*)
+    val present = df.columns.toSet
+    def ifPresent(needed: String)(c: => Column): Column =
+      if (present(needed)) c else lit(null).cast("string")
+    val cols = fields.map { f =>
+      (f match {
+        case "content_preview" =>
+          ifPresent("content")(
+            graft.functions.TextFunctions.contentPreview(col("content")))
+        case "relative_time" =>
+          ifPresent("timestamp")(
+            graft.functions.TextFunctions.relativeTime(col("timestamp"), now))
+        case "timestamp" =>
+          ifPresent("timestamp")(
+            date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        case "meta" => ifPresent("meta")(to_json(col("meta")))
+        case nested if nested.contains(".") =>
+          ifPresent(nested.takeWhile(_ != '.'))(col(nested))
+        case plain => ifPresent(plain)(col(plain))
+      }).as(f)
+    }
+    df.select(cols: _*)
   }
 }

@@ -13,20 +13,59 @@ class FunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.normalizeWhitespace(lit("  a \t b\n\nc "))).getString(0) == "a b c")
   }
 
-  test("contentPreview: short text passes through") {
-    assert(one(TextFunctions.contentPreview(lit("Short one."), 150)).getString(0) == "Short one.")
+  // Literal Scala port of the reference's format_content_preview +
+  // extract_summary (formatters.py:172-218) — the oracle for the Column
+  // implementation.
+  private def pySummary(content: String, maxSentences: Int): String = {
+    if (content.isEmpty) return ""
+    val sentences = content.split("[.!?]+").map(_.trim).filter(_.nonEmpty)
+    if (sentences.isEmpty) {
+      if (content.length <= 100) content else content.substring(0, 97) + "..."
+    } else {
+      var summary = sentences.take(maxSentences).mkString(". ")
+      if (summary.nonEmpty && !".!?".contains(summary.last)) summary += "."
+      summary
+    }
+  }
+  private def pyPreview(content: String, maxLength: Int = 150): String = {
+    if (content.isEmpty) return ""
+    val cleaned = content.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    if (cleaned.length <= maxLength) return cleaned
+    val preview = pySummary(cleaned, 2)
+    if (preview.length <= maxLength) preview
+    else preview.substring(0, maxLength - 3) + "..."
   }
 
-  test("contentPreview: sentence-aware truncation with ellipsis") {
-    val s1 = "First sentence is right here."             // 29 chars
-    val s2 = "Second sentence follows along nicely too." // fits
-    val s3 = "x".repeat(120) + "."
-    val got = one(TextFunctions.contentPreview(lit(s"$s1 $s2 $s3"), 150)).getString(0)
-    assert(got == s"$s1 $s2...")
-    // no sentence fits -> hard cut at 147 + "..."
-    val long = "y".repeat(200)
-    val hard = one(TextFunctions.contentPreview(lit(long), 150)).getString(0)
-    assert(hard == "y".repeat(147) + "...")
+  test("contentPreview matches the ported reference semantics") {
+    val long1 = "A".repeat(90) + " tail!"
+    val long2 = "B".repeat(90) + "?"
+    val cases = Seq(
+      "Short one.",
+      "",
+      "  spaced   out\t\ttext  ",
+      // 2-sentence cap: third sentence never appears
+      s"$long1 $long2 Third sentence here.",
+      // terminator rewrite: "!"/"?" become ". " joins + trailing "."
+      "Wow! " + "Really?".repeat(30),
+      // unterminated trailing fragment counts as a sentence
+      "x".repeat(200),
+      "first bit. " + "y".repeat(180),
+      // no fragments at all -> extract_summary raw fallback
+      ". ! ? ".repeat(40),
+      "z. ".repeat(120),
+      "Sentence one is here. Sentence two is here. Sentence three is long " +
+        "enough that everything together far exceeds the length cap of one " +
+        "hundred and fifty characters in total.")
+    for (c <- cases) {
+      val got = one(TextFunctions.contentPreview(lit(c), 150)).getString(0)
+      assert(got == pyPreview(c), s"for input: '$c'")
+    }
+    // staged DataFrame form agrees with the single-Column form
+    import spark.implicits._
+    val df = cases.toDF("text")
+    val staged = TextFunctions.withContentPreview(df, "text", "p")
+      .select("p").as[String].collect()
+    assert(staged.toSeq == cases.map(pyPreview(_)))
   }
 
   test("relativeTime buckets") {

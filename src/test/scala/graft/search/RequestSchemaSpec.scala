@@ -83,9 +83,9 @@ class RequestSchemaSpec extends SparkSpec {
 
     val basic = Search.searchMemory(mem, "embedding", dims,
       SearchRequest("alpha clicks", limit = 2, scoreThreshold = 0.0, detail = "compact"))
-    // compact view: only the compact columns that exist on the input
+    // compact view: the FULL reference field list (missing fields → NULL)
     assert(basic.columns.toSeq ==
-      Seq("memory_id", "tool", "title", "score", "session_id"))
+      Seq("memory_id", "title", "tool", "context", "session_id", "score"))
     assert(basic.count() == 2)
 
     val graph = Search.searchMemory(mem, "embedding", dims,

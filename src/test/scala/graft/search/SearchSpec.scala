@@ -51,14 +51,52 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(got("c") - (1.0 / 63 + 1.0 / 62)) < 1e-12)
   }
 
-  test("view projections select the declared column lists (P3)") {
+  test("view projections carry the reference's exact field lists (P3)") {
     import spark.implicits._
-    val df = Seq(("m1", "t", "ti", "c", 1))
+    val df = Seq(("m1", "t", "ti", "First part. Second part. Third part.", 1))
       .toDF("memory_id", "tool", "title", "content", "sequence_order")
-    assert(Search.project(df, "compact").columns.toSeq == Seq("memory_id", "tool", "title"))
+      .withColumn("timestamp", to_timestamp(lit("2024-01-30 23:00:00")))
+      .withColumn("context", lit(""))
+      .withColumn("session_id", lit("s1"))
+      .withColumn("score", lit(0.5))
+      .withColumn("preceding_memory_id", lit(null).cast("string"))
+      .withColumn("parameters", lit("{}"))
+      .withColumn("frames", lit("{}"))
+      .withColumn("meta", struct(
+        lit("agent-1").as("agent_id"), lit("1.0").as("schema_version"),
+        lit("0.1.0").as("fegis_version"), lit("T").as("archetype_title"),
+        lit("1.0.0").as("archetype_version")))
+    // field sets and ORDER mirror RESULT_VIEWS (formatters.py:28-74)
+    assert(Search.project(df, "compact").columns.toSeq ==
+      Seq("memory_id", "title", "tool", "context", "session_id", "score"))
     assert(Search.project(df, "summary").columns.toSeq ==
-      Seq("memory_id", "tool", "title", "content", "sequence_order"))
+      Seq("memory_id", "title", "context", "tool", "score",
+        "content_preview", "relative_time", "session_id"))
+    assert(Search.project(df, "graph").columns.toSeq ==
+      Seq("memory_id", "title", "preceding_memory_id", "session_id",
+        "sequence_order", "tool", "relative_time", "timestamp", "score",
+        "meta.agent_id", "meta.archetype_title"))
+    assert(Search.project(df, "full").columns.toSeq ==
+      Seq("memory_id", "score", "title", "content", "context", "tool",
+        "session_id", "sequence_order", "timestamp", "preceding_memory_id",
+        "parameters", "frames", "meta"))
     intercept[IllegalArgumentException](Search.project(df, "wat"))
+
+    val now = to_timestamp(lit("2024-01-31 00:00:00"))
+    val g = Search.project(df, "graph", now).head()
+    assert(g.getAs[String]("relative_time") == "1 hour ago")
+    assert(g.getAs[String]("timestamp") == "2024-01-30T23:00:00.000000")
+    assert(g.getAs[String]("meta.agent_id") == "agent-1")
+    val f = Search.project(df, "full").head()
+    assert(f.getAs[String]("meta") ==
+      """{"agent_id":"agent-1","schema_version":"1.0","fegis_version":"0.1.0","archetype_title":"T","archetype_version":"1.0.0"}""")
+    val s = Search.project(df, "summary", now).head()
+    assert(s.getAs[String]("content_preview") == "First part. Second part. Third part.")
+
+    // a field the rows don't carry projects as NULL (reference dict.get)
+    val sparse = Seq(("m2", "t2", 0.9)).toDF("memory_id", "tool", "score")
+    val c = Search.project(sparse, "compact").head()
+    assert(c.isNullAt(c.fieldIndex("context")) && c.isNullAt(c.fieldIndex("title")))
   }
 
   test("lshSearch returns the query's own bucket ranked by cosine") {
