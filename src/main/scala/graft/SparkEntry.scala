@@ -651,7 +651,10 @@ object SparkEntry {
           FilterSpec("timestamp", "before", SV("2024-01-25T00:00:00")),
           FilterSpec("value", "between", RV(NV(5.0), NV(40.0))),
           FilterSpec("session_id", "is_not", SV("42")),
-          FilterSpec("props", "contains", SV("\"k\": 6")))))
+          // tokenized MatchText: token "6" matches {"k": 6} ONLY — the
+          // substring form would also pull in 16, 60..69, etc.
+          FilterSpec("props", "contains", SV("6")),
+          FilterSpec("props", "contains_substring", SV("\"k\"")))))
         // timestamps leave results as strings: parquet ns-vs-µs physical
         // types would otherwise break hash-compare despite equal values
         .select(col("memory_id"), col("tool"), col("value"),
@@ -941,6 +944,15 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Multi-table recall path: 2 hash tables (seeds) at a HIGHER plane
+    // count, candidates unioned before one exact verify — recovers pairs
+    // a single 6-plane table drops (recall spec in DedupSpec).
+    "dedup_embedding_multitable" -> ((s, d) => {
+      Dedup.embeddingNearDupPairsMultiTable(embs(s, d), "embedding", "vec_id",
+        minCosine = 0.2, planes = 6, seeds = Seq(7, 21), dims = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Cluster resolution over LSH candidate pairs: min-label propagation
     // (one shuffle per round) -> canonical keeper per near-dup cluster.
     "dedup_components" -> ((s, d) => {
@@ -1162,6 +1174,29 @@ object SparkEntry {
         .select(col("memory_id"), col("session_id"), col("tool"),
           col("sequence_order"), col("preceding_memory_id"))
         .orderBy(col("memory_id").cast("long"))
+    }),
+
+    // Streaming as-of enrich gate: a REAL two-stream run (file-staged,
+    // ≥2 micro-batches, keyed update-history state across the boundary),
+    // oracle-checked against DuckDB ASOF LEFT JOIN. Timestamps are
+    // ms-truncated up front (the stream envelope carries epoch millis) and
+    // updates deduped per (key, ms) — two same-key same-ms updates have no
+    // defined ASOF winner in either engine.
+    "stream_asof_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      val ticks = ev.where(col("event_id") % 2 === 0)
+        .select(col("user_id").cast("string").as("key"),
+          col("tsm").as("ts"), col("event_id").cast("string").as("tickId"))
+      val updates = ev.where(col("event_id") % 2 === 1)
+        .groupBy(col("user_id").cast("string").as("key"), col("tsm").as("ts"))
+        .agg(max(col("value")).as("refValue"))
+      val work = "/tmp/graft_stream_asof_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedAsofRoundtrip(s, ticks, updates, work)
+        .select(col("key"), col("tickId").as("tick_id"),
+          col("tsMs").as("ts_ms"), col("matchedTsMs").as("matched_ts_ms"),
+          col("matchedValue").as("matched_value"))
+        .orderBy(col("tick_id").cast("long"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1446,7 +1481,8 @@ object SparkEntry {
         |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
         |  AND value BETWEEN 5.0 AND 40.0
         |  AND CAST(user_id AS VARCHAR) <> '42'
-        |  AND contains(lower(props), lower('"k": 6'))
+        |  AND list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '6')
+        |  AND contains(lower(props), lower('"k"'))
         |ORDER BY event_id""".stripMargin,
 
     "mem_filter_meta" ->
@@ -1827,6 +1863,26 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin
     },
 
+    "dedup_embedding_multitable" -> {
+      def bucketExpr(seed: Int) = sqlSigns(planes = 6, dims = 64, seed = seed)
+        .zipWithIndex.map { case (s, p) =>
+          s"(CASE WHEN list_dot_product(v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b1 AS (SELECT vec_id, v, ${bucketExpr(7)} AS bucket FROM e),
+         |b2 AS (SELECT vec_id, v, ${bucketExpr(21)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  UNION
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT c.a, c.b, ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+         |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+         |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
+         |ORDER BY a, b""".stripMargin
+    },
+
     "dedup_components" -> {
       val mh = (0 until 4).map(i =>
         s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
@@ -2115,5 +2171,23 @@ object SparkEntry {
         |  LAG(memory_id) OVER w AS preceding_memory_id
         |FROM src
         |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
-        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin)
+        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
+
+    // the streamed enrichment must equal the BATCH as-of join (the
+    // stagings split by event time, so arrival order = event-time order)
+    "stream_asof_enrich" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    date_trunc('milliseconds', ts) AS ts,
+        |    CAST(event_id AS VARCHAR) AS tick_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |u AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    date_trunc('milliseconds', ts) AS ts, MAX(value) AS value
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT t.key, t.tick_id, CAST(epoch_ms(t.ts) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(u.ts) AS BIGINT) AS matched_ts_ms,
+        |  u.value AS matched_value
+        |FROM t ASOF LEFT JOIN u ON t.key = u.key AND u.ts <= t.ts
+        |ORDER BY CAST(t.tick_id AS BIGINT)""".stripMargin)
 }

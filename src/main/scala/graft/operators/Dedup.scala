@@ -240,12 +240,51 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Multi-table RHP-LSH near-dup pairs — the production recall shape
+    * [[planesFor]]'s doc promises: one hash TABLE per seed, candidates
+    * unioned across tables, then one exact-cosine verification pass.
+    * A pair collides in table t iff no hyperplane of seed t separates it
+    * (probability (1 - θ/π)^planes), so each extra table recovers recall
+    * that high plane counts cost, while precision is unaffected — the
+    * cosine check is exact either way.
+    *
+    * Physical shape at 100 TB: ONE corpus scan computes all per-seed
+    * buckets (explode over a literal (seed, bucket) struct array — |seeds|
+    * small), the self-join shuffles on (seed, bucket) exactly like the
+    * single-table form shuffles on bucket, `distinct` dedups the candidate
+    * ids (tiny vs corpus), and the two vector join-backs are id-equi-joins
+    * (bucketable by id at rest). Never all-pairs, never a driver collect.
+    */
+  def embeddingNearDupPairsMultiTable(vecs: DataFrame, vecCol: String,
+      idCol: String, minCosine: Double, planes: Int, seeds: Seq[Int],
+      dims: Int): DataFrame = {
+    require(planes >= 1 && seeds.nonEmpty && seeds.distinct == seeds && dims > 0)
+    val base = vecs.select(col(idCol), col(vecCol))
+    val tables = base
+      .withColumn("sb", explode(array(seeds.map(sd =>
+        struct(lit(sd).as("seed"),
+          VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims).as("bucket"))): _*)))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"), col(idCol))
+    val l = tables.select(col("seed"), col("bucket"), col(idCol).as("a"))
+    val r = tables.select(col("seed"), col("bucket"), col(idCol).as("b"))
+    val cand = l.join(r, Seq("seed", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(base.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(base.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("va"), col("vb"), dims), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** Derive the RHP plane count from corpus size: enough hyperplanes that
     * the EXPECTED bucket holds ~`targetBucketSize` vectors (buckets halve
     * per plane), clamped to [minPlanes, 62] (the bucket id is a signed-long
-    * bitmask). Recall drops as planes grow — production pipelines run
-    * several hash tables (seeds) and union candidates; one table is the
-    * oracle-checkable core here.
+    * bitmask). Recall drops as planes grow — the multi-table form
+    * [[embeddingNearDupPairsMultiTable]] unions candidates across seeds to
+    * recover it; the single-table form is the oracle-checkable core.
     */
   def planesFor(corpusSize: Long, targetBucketSize: Long = 1024,
       minPlanes: Int = 4): Int = {

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * A filter is `{field, operator, value}`; a request carries a list of
   * filters AND-combined (`must`, strategies.py:96-114). `contains` is the
-  * reference's case-variant full-text hack (strategies.py:240-259) — here a
-  * single case-insensitive containment, which subsumes the 3-variant OR.
+  * reference's Qdrant `MatchText` (strategies.py:240-259): TOKENIZED
+  * full-text matching — every word of the query must appear as a whole
+  * word of the field, so "cat" never matches "concatenate" — with the
+  * {value, lower, capitalize} variant-OR subsumed by lowercased tokens.
+  * Plain substring matching stays available as the explicit
+  * `contains_substring` engine extension.
   *
   * Compiling to `Column` (instead of executing) means Catalyst pushes every
   * compiled predicate into the parquet scan — the scale replacement for the
@@ -34,7 +38,21 @@ object Filters {
     "archetype_version" -> "meta.archetype_version")
 
   val allowedOps: Set[String] =
-    Set("is", "is_not", "before", "after", "between", "contains", "any_of")
+    Set("is", "is_not", "before", "after", "between", "contains",
+      "contains_substring", "any_of")
+
+  /** Word tokenizer backing `contains` on both the engine side and any SQL
+    * twin: maximal `[a-z0-9]+` runs of the lowercased text (the shape of
+    * Qdrant's default "word" tokenizer — split on every non-alphanumeric).
+    */
+  val TokenPattern = "[a-z0-9]+"
+
+  private def textTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(TokenPattern), lit(0))
+
+  /** Driver-side twin of [[textTokens]] for the (literal) query string. */
+  def tokenize(s: String): Seq[String] =
+    TokenPattern.r.findAllIn(s.toLowerCase).toSeq
 
   private def resolve(field: String): Column = col(fieldMap.getOrElse(field, field))
 
@@ -63,10 +81,21 @@ object Filters {
         case RV(lo, hi) => c >= litOf(lo, temporal) && c <= litOf(hi, temporal)
         case other => throw new IllegalArgumentException(s"between needs [min,max], got $other")
       }
+      // MatchText: every query token must be a whole token of the field.
+      // An empty token list matches everything (empty MatchText). The
+      // token array is a per-row regexp expression — like every text
+      // predicate it evaluates post-scan (no parquet pushdown), which is
+      // the same place Qdrant's full-text index sits in the reference.
       case "contains" => f.value match {
-        // subsumes the reference's {v, lower, capitalize} OR-expansion
-        case SV(s) => lower(c).contains(lower(lit(s)))
+        case SV(s) =>
+          tokenize(s).map(t => array_contains(textTokens(c), t))
+            .reduceOption(_ && _).getOrElse(lit(true))
         case other => throw new IllegalArgumentException(s"contains needs a string, got $other")
+      }
+      // engine extension: raw case-insensitive substring containment
+      case "contains_substring" => f.value match {
+        case SV(s) => lower(c).contains(lower(lit(s)))
+        case other => throw new IllegalArgumentException(s"contains_substring needs a string, got $other")
       }
       case "any_of" => f.value match {
         case AV(vs) => c.isin(vs: _*)

@@ -271,6 +271,82 @@ object StreamingIngest {
       }
   }
 
+  /** Drive [[asofEnrichStream]] end-to-end over staged JSONL and return the
+    * enriched output — the CORRECTNESS-gate harness for the streaming as-of
+    * path, mirroring [[stagedIngestRoundtrip]]: both streams are staged in
+    * two halves split at the midpoint EVENT time, with `processAllAvailable`
+    * between stagings, so the output is built across ≥2 micro-batches with
+    * per-key update history carried in state across the batch boundary.
+    *
+    * Because the split is by event time, every batch-1 event precedes every
+    * batch-2 event, so arrival order equals event-time order and the final
+    * output must equal the BATCH as-of join of the same inputs — exactly
+    * what a DuckDB `ASOF LEFT JOIN` oracle checks. (Callers should
+    * millisecond-truncate `ts` first: the streamed envelope carries epoch
+    * millis, and splitting sub-millisecond timestamps at the midpoint could
+    * otherwise put a tick and its equal-ms update on opposite sides.)
+    *
+    * `ticks` needs (key, ts, tickId), `updates` (key, ts, refValue);
+    * `workDir` is wiped first.
+    */
+  def stagedAsofRoundtrip(spark: SparkSession, ticks: DataFrame,
+      updates: DataFrame, workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val tickDir = s"$workDir/ticks"
+    val updDir = s"$workDir/updates"
+    val table = "asof_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(df: DataFrame, dir: String): Unit = df
+      .select(to_json(struct(df.columns.map { c =>
+        if (c == "ts") date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts")
+        else col(c)
+      }: _*)).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(dir)
+
+    val bounds = ticks.select(col("ts"))
+      .union(updates.select(col("ts")))
+      .agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+
+    stage(ticks.where(col("ts") < lit(mid)), tickDir)
+    stage(updates.where(col("ts") < lit(mid)), updDir)
+
+    def readJsonl(dir: String, fields: Seq[(String, DataType)]): DataFrame =
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(dir)
+        .select(from_json(col("value"),
+          StructType(fields.map { case (n, t) => StructField(n, t) })).as("j"))
+        .select(col("j.*"))
+
+    val tickDs = readJsonl(tickDir, Seq(
+      "key" -> StringType, "ts" -> TimestampType, "tickId" -> StringType)).as[Tick]
+    val updDs = readJsonl(updDir, Seq(
+      "key" -> StringType, "ts" -> TimestampType, "refValue" -> DoubleType)).as[RefUpdate]
+    val q = asofEnrichStream(tickDs, updDs)
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: first halves
+      // updates FIRST: the running stream may fire a micro-batch between
+      // the two stagings, and a tick must never be processed before the
+      // updates of its own half land (extra updates ahead of ticks are
+      // harmless — they only extend history ticks haven't probed yet)
+      stage(updates.where(col("ts") >= lit(mid)), updDir)
+      stage(ticks.where(col("ts") >= lit(mid)), tickDir)
+      q.processAllAvailable() // micro-batch 2+: state continues histories
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only

@@ -109,4 +109,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs == Map((1L, 2L) -> 1.0))
   }
+
+  test("multi-table LSH recovers recall a single high-plane table drops") {
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingNearDupPairs(
+      vecs, "embedding", "vec_id", minCosine = 0.2, planes = 0, dims = 64))
+    val single = pairSet(Dedup.embeddingNearDupPairs(
+      vecs, "embedding", "vec_id", minCosine = 0.2, planes = 6, seed = 7, dims = 64))
+    val multi = pairSet(Dedup.embeddingNearDupPairsMultiTable(
+      vecs, "embedding", "vec_id", minCosine = 0.2, planes = 6,
+      seeds = Seq(7, 21), dims = 64))
+    // precision is exact on every path (cosine verify), so candidates nest
+    assert(single.subsetOf(multi) && multi.subsetOf(exact))
+    // the second table must contribute pairs the first table's buckets
+    // split — i.e. strictly better recall at the same plane count
+    assert(multi.size > single.size,
+      s"multi=${multi.size} single=${single.size} exact=${exact.size}")
+  }
 }

@@ -29,7 +29,11 @@ class FiltersPropertySpec extends SparkSpec {
       lo <- Gen.choose(-60.0, 100.0); hi <- Gen.choose(lo, 160.0)
     } yield FilterSpec("value", "between", RV(NV(lo), NV(hi))),
     Gen.someOf(tools).map(ts => FilterSpec("tool", "any_of", AV(ts.toSeq))),
-    Gen.oneOf("li", "VIEW", "pur", "x").map(sub => FilterSpec("tool", "contains", SV(sub))))
+    // tokenized: whole tokens hit, fragments miss
+    Gen.oneOf("li", "VIEW", "purchase", "x", "click scroll")
+      .map(sub => FilterSpec("tool", "contains", SV(sub))),
+    Gen.oneOf("li", "VIEW", "pur", "x")
+      .map(sub => FilterSpec("tool", "contains_substring", SV(sub))))
 
   /** Reference semantics, mirroring the reference engine's operators
     * (SQL three-valued logic: comparisons on a missing value are not
@@ -38,7 +42,12 @@ class FiltersPropertySpec extends SparkSpec {
     case ("tool", "is", SV(s)) => r.tool == s
     case ("tool", "is_not", SV(s)) => r.tool != s
     case ("tool", "any_of", AV(vs)) => vs.contains(r.tool)
-    case ("tool", "contains", SV(s)) => r.tool.toLowerCase.contains(s.toLowerCase)
+    case ("tool", "contains", SV(s)) =>
+      // independent MatchText twin: all query tokens ⊆ field tokens
+      val toks = r.tool.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).forall(toks)
+    case ("tool", "contains_substring", SV(s)) =>
+      r.tool.toLowerCase.contains(s.toLowerCase)
     case ("value", "before", NV(v)) => r.value.exists(_ < v)
     case ("value", "after", NV(v)) => r.value.exists(_ > v)
     case ("value", "between", RV(NV(lo), NV(hi))) => r.value.exists(x => x >= lo && x <= hi)

@@ -34,9 +34,15 @@ class FiltersSpec extends SparkSpec {
     assert(ids(FilterSpec("value", "between", RV(NV(10.0), NV(20.0)))) == Set(1L, 2L))
   }
 
-  test("contains is case-insensitive (subsumes the reference's 3-variant OR)") {
+  test("contains is tokenized MatchText; contains_substring is the raw form") {
+    // case-insensitive whole-token match (subsumes the 3-variant OR)
     assert(ids(FilterSpec("note", "contains", SV("ALPHA"))) == Set(1L))
-    assert(ids(FilterSpec("note", "contains", SV("mm"))) == Set(2L))
+    // token boundary: "mm" occurs inside "gamma" but is not a whole token
+    assert(ids(FilterSpec("note", "contains", SV("mm"))) == Set.empty[Long])
+    assert(ids(FilterSpec("note", "contains_substring", SV("mm"))) == Set(2L))
+    // multi-token query: every token must appear (MatchText AND semantics)
+    assert(ids(FilterSpec("note", "contains", SV("beta ALPHA"))) == Set(1L))
+    assert(ids(FilterSpec("note", "contains", SV("alpha gamma"))) == Set.empty[Long])
   }
 
   test("any_of and conjunction of filters") {
