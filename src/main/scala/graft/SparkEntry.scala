@@ -50,6 +50,13 @@ object SparkEntry {
   /** Pinned `now` for relative_time in the view gates (both engines). */
   private val ViewNow = "2024-01-31 00:30:00"
 
+  /** BM25 gate parameters — the oracle SQL interpolates these Scala
+    * doubles (shortest-repr decimal text) so both engines compute with
+    * bit-identical constants. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = "spark window join"
+
   // ---- Oracle SQL fragment builders (shared constants keep the Spark
   // side and the DuckDB side in lockstep) ----
 
@@ -759,6 +766,33 @@ object SparkEntry {
         .select(col("memory_id"), col("tool"), col("score"))
     }),
 
+    // O5 hybrid fusion with a REAL sparse ranker: dense cosine + Okapi
+    // BM25 over the memory store's content, fused with pruned top-M RRF
+    // (the reference's fastembed hybrid ranks dense + sparse-BM25 and
+    // fuses with RRF opaquely; here every stage is an explicit plan).
+    // BM25 runs over a (memory_id, content) projection, so the
+    // sessionization window prunes out of its stats/df/tf jobs.
+    "mem_search_hybrid_bm25" -> ((s, d) => {
+      val mem = memories(s, d)
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
+      val bm = operators.Bm25.score(
+        mem.select(col("memory_id"), col("content")),
+        "content", "memory_id", SearchQueryText, k1 = Bm25K1, b = Bm25B)
+        .withColumnRenamed("score", "kw_score")
+      val scored = mem
+        .join(bm, Seq("memory_id"), "left")
+        .withColumn("kw", coalesce(col("kw_score"), lit(0.0)))
+        .withColumn("dense",
+          VectorFunctions.cosine(col("embedding"), qv, SearchDims))
+      Search.rrfFuseTopM(scored, col("dense"), col("kw"),
+        col("memory_id").cast("long"), m = 100)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+        .limit(10)
+        .select(col("memory_id"), col("tool"), col("score"))
+    }),
+
     // P3 view projection over a search result — field-exact vs the
     // reference's RESULT_VIEWS summary list (formatters.py:33-43),
     // including the derived content_preview and relative_time. `now` is
@@ -810,6 +844,15 @@ object SparkEntry {
     }),
 
     // ---- Vector search (S8/T1 + ANN scale path) ----
+
+    // Sparse half of hybrid search made explicit (SURVEY §4.3): Okapi
+    // BM25 over the documents corpus — df/avgdl from two combiner
+    // aggregations, one (doc, term) scoring pass, decimal-summed.
+    "search_bm25" -> ((s, d) => {
+      operators.Bm25.topK(docs(s, d), "text", "doc_id", Bm25Query, k = 20,
+        k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
 
     "search_knn_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(embs(s, d), "embedding", "vec_id",
@@ -1570,6 +1613,50 @@ object SparkEntry {
         |      + (CASE WHEN kr <= 100 THEN CAST(1.0 AS DOUBLE)/(60+kr) ELSE 0 END), 9) AS score
         |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin),
 
+    "mem_search_hybrid_bm25" -> {
+      val terms = operators.Bm25.queryTerms(SearchQueryText)
+        .map(t => s"'$t'").mkString(", ")
+      memVecCte(SearchDims) +
+      s""",
+        |tk AS (SELECT event_id,
+        |  list_filter(string_split_regex(lower(content), '\\s+'), t -> t <> '') AS toks
+        |  FROM vec),
+        |st AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS tot FROM tk),
+        |tf AS (
+        |  SELECT event_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+        |    SELECT event_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM (
+        |    SELECT event_id, unnest(list_distinct(toks)) AS term FROM tk)
+        |  WHERE term IN ($terms) GROUP BY 1),
+        |idf AS (SELECT term,
+        |  ROUND(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)), 6) AS idf
+        |  FROM df),
+        |avgdl AS (SELECT CAST(tot AS DOUBLE) / n AS a FROM st),
+        |contrib AS (
+        |  SELECT tf.event_id,
+        |    ROUND(idf.idf * ((tf.tf * ${Bm25K1 + 1}) /
+        |      (tf.tf + $Bm25K1 * (${1 - Bm25B} + ($Bm25B * tf.dl) / a.a))), 9) AS c
+        |  FROM tf JOIN idf ON tf.term = idf.term, avgdl a),
+        |kw AS (SELECT event_id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS kw
+        |  FROM contrib GROUP BY 1),
+        |scored AS (
+        |  SELECT v.memory_id, v.event_id, v.tool,
+        |    list_cosine_similarity(v.embedding, qv.qvec) AS dense,
+        |    COALESCE(kw.kw, 0.0) AS kw
+        |  FROM vec v LEFT JOIN kw ON kw.event_id = v.event_id, qv),
+        |ranked AS (
+        |  SELECT memory_id, event_id, tool,
+        |    ROW_NUMBER() OVER (ORDER BY dense DESC, event_id) AS dr,
+        |    ROW_NUMBER() OVER (ORDER BY kw DESC, event_id) AS kr
+        |  FROM scored)
+        |SELECT memory_id, tool,
+        |  ROUND((CASE WHEN dr <= 100 THEN CAST(1.0 AS DOUBLE)/(60+dr) ELSE 0 END)
+        |      + (CASE WHEN kr <= 100 THEN CAST(1.0 AS DOUBLE)/(60+kr) ELSE 0 END), 9) AS score
+        |FROM ranked ORDER BY score DESC, event_id LIMIT 10""".stripMargin
+    },
+
     "mem_search_view_summary" -> (memVecCte(SearchDims) +
       s""",
         |scored AS (
@@ -1623,6 +1710,33 @@ object SparkEntry {
         |  preceding_memory_id, parameters, frames,
         |  $sqlMetaJson AS meta
         |FROM topk WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    "search_bm25" -> {
+      val terms = operators.Bm25.queryTerms(Bm25Query)
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |st AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS tot FROM tok),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+         |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+         |df AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+         |  WHERE term IN ($terms) GROUP BY 1),
+         |idf AS (SELECT term,
+         |  ROUND(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)), 6) AS idf
+         |  FROM df),
+         |avgdl AS (SELECT CAST(tot AS DOUBLE) / n AS a FROM st),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |    ROUND(idf.idf * ((tf.tf * ${Bm25K1 + 1}) /
+         |      (tf.tf + $Bm25K1 * (${1 - Bm25B} + ($Bm25B * tf.dl) / a.a))), 9) AS c
+         |  FROM tf JOIN idf ON tf.term = idf.term, avgdl a)
+         |SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "search_knn_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
