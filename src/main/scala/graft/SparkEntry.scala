@@ -1054,6 +1054,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: distinct-5-gram overlap against a small
+    // "eval set" (every 50th doc), benchmark side broadcast — flags the
+    // benchmark docs themselves plus any near-copy sharing >= 3 shingles.
+    "dedup_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_doc_id"), col("text").as("bench_text"))
+      Dedup.contaminationPairs(dd, "text", "doc_id",
+        bench, "bench_text", "bench_doc_id", k = 5, minHits = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Deterministic sequence packing: docs -> fixed token-budget training
+    // sequences, one window per hash group (no global sort), totals
+    // bounded by budget + max doc.
+    "sample_pack" -> ((s, d) => {
+      val withTok = docs(s, d).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      operators.Sampling.packSequences(withTok, "doc_id", "n_tokens",
+        budget = 256, groups = 8)
+        .select(col("doc_id"), col("pack_group"), col("n_tokens"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic splits: same row → same split on every run, engine,
     // and partitioning (content-hash buckets, not RNG sampling).
     "sample_split" -> ((s, d) => {
@@ -2096,6 +2120,34 @@ object SparkEntry {
         |      || (CASE WHEN floor(floor(secs/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
         |  END AS rel
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "dedup_decontaminate" -> {
+      val grams5 =
+        """CASE WHEN len(toks) < 5 THEN []
+          |  ELSE list_transform(generate_series(1, len(toks)-4),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct($grams5)) AS gram FROM tok),
+         |bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+         |SELECT g.doc_id, bg.bench_id, COUNT(*) AS n_overlap
+         |FROM g JOIN bg ON g.gram = bg.gram
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY g.doc_id, bg.bench_id""".stripMargin
+    },
+
+    "sample_pack" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#pack'")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+         |    (($h % 8) + 8) % 8 AS pack_group
+         |  FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_
+         |  FROM t)
+         |SELECT doc_id, pack_group, n_tokens,
+         |  CAST(pack_group * 1000000 + floor(start_ / 256.0) AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "sample_split" -> {
       val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines, each designed around
@@ -238,6 +238,41 @@ object Dedup {
         else VectorFunctions.cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Benchmark decontamination — the training-data hygiene twin of
+    * near-dup detection: flag corpus documents sharing at least `minHits`
+    * DISTINCT word `k`-shingles with any benchmark/test-set document
+    * (the n-gram overlap rule used to scrub eval sets out of pretraining
+    * corpora; 8-13-gram overlap is the common production setting, k here
+    * is a parameter because the synthetic corpus is tiny).
+    *
+    * Physical shape at 100 TB: the benchmark side is small by definition
+    * (an eval set), so its distinct (bench_id, gram) pairs BROADCAST and
+    * the corpus-side explode joins map-side — no shuffle of corpus grams;
+    * the only aggregation keys are (doc, bench_doc) hit pairs. A gram
+    * shared by many benchmark docs fans out at most |bench| ways; for
+    * pathological boilerplate benchmarks pre-cap with a df filter like
+    * [[ngramJaccardPairs]]'s maxDf.
+    *
+    * Returns (idCol, bench_id, n_overlap) for flagged docs only.
+    */
+  def contaminationPairs(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      k: Int, minHits: Long): DataFrame = {
+    require(k >= 1 && minHits >= 1)
+    def grams(df: DataFrame, id: Column, outId: String, t: String): DataFrame =
+      df.select(id.as(outId), TextFunctions.tokens(col(t)).as("toks_"))
+        .select(col(outId),
+          explode(array_distinct(TextFunctions.shinglesFromTokens(col("toks_"), k)))
+            .as("gram"))
+    val dg = grams(docs, col(idCol), "id_", textCol)
+    val bg = grams(bench, col(benchIdCol), "bench_id", benchTextCol)
+    dg.join(broadcast(bg), Seq("gram"))
+      .groupBy(col("id_"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minHits)
+      .select(col("id_").as(idCol), col("bench_id"), col("n_overlap"))
   }
 
   /** Multi-table RHP-LSH near-dup pairs — the production recall shape

@@ -48,6 +48,39 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic sequence packing — the corpus-assembly step that
+    * groups documents into fixed token-budget training sequences.
+    *
+    * Docs hash into `groups` independent packing groups (content hash of
+    * the id — partitioning/retry-stable like every sampler here) and pack
+    * in id order within their group: a doc joins the sequence where its
+    * group's running token total STARTS, i.e.
+    * `seq_in_group = floor(cumsum_before / budget)`. A sequence's total
+    * is bounded by `budget + max_doc_tokens` (the straddling doc) — the
+    * streaming-friendly bound scalable packers accept; strict first-fit
+    * is inherently sequential and cannot shard.
+    *
+    * One window shuffle PARTITIONED BY GROUP — no global sort; `groups`
+    * scales with the cluster (each group packs independently, so more
+    * groups = more parallelism, same bound). Global `seq_id` namespaces
+    * group × sequence.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Long, groups: Int, salt: String = "pack"): DataFrame = {
+    require(budget >= 1 && groups >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pack_group").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df
+      .withColumn("pack_group",
+        pmod(HashFunctions.hash64(concat(col(idCol).cast("string"),
+          lit("#" + salt))), lit(groups.toLong)))
+      .withColumn("start_", coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("pack_group") * lit(1000000L) + floor(col("start_") / budget))
+      .drop("start_")
+  }
+
   /** Corpus mixing: keep each row with its source's rate — the
     * domain-weighting step of corpus assembly (e.g. wiki ×1.0, web ×0.3).
     * One scan, no union-of-filtered-copies; sources absent from `rates`

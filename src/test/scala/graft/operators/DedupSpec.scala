@@ -110,6 +110,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Map((1L, 2L) -> 1.0))
   }
 
+  test("contaminationPairs flags shingle overlap with the benchmark only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // copy of bench 100
+      (2L, "a b c d e x y z w q"),    // one 5-gram shared ("a b c d e")
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("b_id", "b_text")
+    def flagged(minHits: Long) =
+      Dedup.contaminationPairs(docs, "text", "doc_id", bench, "b_text", "b_id",
+        k = 5, minHits = minHits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc1 shares all 4 distinct 5-grams; doc2 exactly one; doc3 none
+    assert(flagged(1) == Set((1L, 100L, 4L), (2L, 100L, 1L)))
+    assert(flagged(2) == Set((1L, 100L, 4L)))
+  }
+
   test("multi-table LSH recovers recall a single high-plane table drops") {
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -50,4 +50,25 @@ class SamplingSpec extends SparkSpec {
     val d = counts("src2")                  // defaultRate ~0.5
     assert(d > 420 && d < 580, d)
   }
+
+  test("packSequences bounds every sequence by budget + max doc tokens") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, 10 + (i * 7 % 90))).toDF("id", "n_tok")
+      .withColumn("n_tok", col("n_tok").cast("long"))
+    val budget = 300L
+    val packed = Sampling.packSequences(docs, "id", "n_tok", budget, groups = 4)
+    val rows = packed.select("id", "pack_group", "n_tok", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxDoc = rows.map(_._3).max
+    val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    assert(bySeq.values.forall(_ <= budget + maxDoc),
+      s"overflow: ${bySeq.maxBy(_._2)}")
+    // each group packs multiple sequences (cumsum actually advances)
+    assert(rows.map(_._4).distinct.length > 4)
+    // deterministic under repartitioning
+    val re = Sampling.packSequences(docs.repartition(13), "id", "n_tok",
+      budget, groups = 4)
+      .select("id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, _, _, seq) => re(id) == seq })
+  }
 }
