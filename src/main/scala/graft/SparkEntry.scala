@@ -1223,6 +1223,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Bucketed co-located join: both stores written bucketBy(memory_id),
+    // so the store×scores equi-join plans with NO exchange on either side
+    // (asserted in StoreLayoutSpec) — the shape that replaces a full
+    // two-sided shuffle at 100 TB. The gate round-trips real bucketed
+    // writes and checks the joined content.
+    "store_bucketed_join" -> ((s, d) => {
+      val work = "/tmp/graft_bucketed_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val mem = memories(s, d)
+      graft.sink.StoreLayout.writeBucketed(
+        mem.select(col("memory_id"), col("tool"), col("value")),
+        "graft_mem_store", s"$work/mem", "memory_id", 8)
+      graft.sink.StoreLayout.writeBucketed(
+        mem.select(col("memory_id"), round(col("value") * 2.0, 6).as("score")),
+        "graft_mem_scores", s"$work/scores", "memory_id", 8)
+      s.table("graft_mem_store")
+        .join(s.table("graft_mem_scores"), Seq("memory_id"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
     // §2.10 streaming gate: the REAL startJsonlIngest stream builds the
     // store across ≥2 micro-batches plus one replayed batch, then the
     // store itself is oracle-checked — gapless per-session sequence_order
@@ -2317,6 +2336,12 @@ object SparkEntry {
         |LEFT JOIN c ON c.user_id = u.user_id
         |LEFT JOIN p ON p.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    // bucketing never changes data — the oracle is the plain join
+    "store_bucketed_join" ->
+      """SELECT CAST(event_id AS VARCHAR) AS memory_id, event_type AS tool,
+        |  value, ROUND(value * 2.0, 6) AS score
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // layout preserves content exactly — the oracle is the raw source
     "store_layout_roundtrip" ->

@@ -61,6 +61,30 @@ object StoreLayout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed store layout: an external parquet table hash-CLUSTERED on
+    * `bucketCol` (`bucketBy` + in-bucket sort). Two stores bucketed the
+    * same way equi-join on that key with NO exchange on either side —
+    * the co-located join that replaces a full shuffle of both stores at
+    * 100 TB (provenance self-joins, store×score joins, incremental-dedup
+    * corpus joins). `numBuckets` is fixed at write time; pick it from the
+    * target task size, like shuffle partitions.
+    *
+    * Uses the session catalog with an explicit external `path` — dropping
+    * the table forgets metadata, the parquet stays.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    require(numBuckets >= 1)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** (partitionDirectory → parquet file count) for layout assertions —
     * driver-side listing, test/ops use only.
     */

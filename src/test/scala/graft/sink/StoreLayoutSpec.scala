@@ -46,6 +46,26 @@ class StoreLayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("k#"), plan)
   }
 
+  test("bucketed stores equi-join with no shuffle exchange") {
+    import spark.implicits._
+    val left = (1L to 500L).map(i => (i.toString, s"t${i % 5}", i * 1.0))
+      .toDF("memory_id", "tool", "value")
+    val right = (1L to 500L).map(i => (i.toString, i * 2.0))
+      .toDF("memory_id", "score")
+    StoreLayout.writeBucketed(left, "spec_bucket_l", tempPath("bl"), "memory_id", 4)
+    StoreLayout.writeBucketed(right, "spec_bucket_r", tempPath("br"), "memory_id", 4)
+    val joined = spark.table("spec_bucket_l")
+      .join(spark.table("spec_bucket_r"), Seq("memory_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: the sort-merge join reads both bucketed scans directly
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(joined.count() == 500)
+    val r = joined.where(col("memory_id") === "7").head()
+    assert(r.getAs[Double]("value") == 7.0 && r.getAs[Double]("score") == 14.0)
+    spark.sql("DROP TABLE IF EXISTS spec_bucket_l")
+    spark.sql("DROP TABLE IF EXISTS spec_bucket_r")
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
