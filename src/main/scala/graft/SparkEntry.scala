@@ -1262,6 +1262,35 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // Streaming event-time rollup gate: the X27 streaming twin driven for
+    // real — the micro-batch boundary cuts through live hours, so the
+    // boundary windows' counts must merge across batch state. Complete-
+    // mode sink => final table equals the batch rollup (same oracle).
+    "stream_hourly_rollup" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      val work = "/tmp/graft_stream_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedRollupRoundtrip(s, src, work)
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Streaming inactivity-session gate (X28's streaming twin, APPEND
+    // mode): sessions emit only after the watermark passes their close —
+    // sentinel events flush them; micro-batch boundaries cut through
+    // live sessions so merged state is what's checked.
+    "stream_session_windows" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("value"))
+      val work = "/tmp/graft_stream_sess_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedSessionRoundtrip(s, src, work)
+        .select(col("user_id"),
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Streaming as-of enrich gate: a REAL two-stream run (file-staged,
     // ≥2 micro-batches, keyed update-history state across the boundary),
     // oracle-checked against DuckDB ASOF LEFT JOIN. Timestamps are
@@ -2363,6 +2392,32 @@ object SparkEntry {
         |FROM src
         |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
         |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
+
+    // the streamed rollup must equal the batch rollup of the same events
+    "stream_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window.start = first event of each inactivity-gap island;
+    // the streamed sessions must equal the batch gaps-and-islands
+    "stream_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM flagged)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sno
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the streamed enrichment must equal the BATCH as-of join (the
     // stagings split by event time, so arrival order = event-time order)

@@ -347,6 +347,123 @@ object StreamingIngest {
     spark.table(table)
   }
 
+  /** Drive [[hourlyRollup]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for the streaming event-time aggregation:
+    * two stagings split at the midpoint event time force the micro-batch
+    * boundary through the MIDDLE of a live hour, so the final counts for
+    * boundary windows must come from state merged across batches. The
+    * memory sink runs in Complete mode (every batch re-emits the full
+    * aggregate), so the final table equals the batch rollup of the same
+    * events — checkable by the same oracle as the batch twin.
+    */
+  def stagedRollupRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "rollup_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(events.where(col("ts") < lit(mid)))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*"))
+    val q = hourlyRollup(parsed)
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: first half
+      stage(events.where(col("ts") >= lit(mid)))
+      q.processAllAvailable() // micro-batch 2: merges boundary-hour state
+    } finally q.stop()
+    spark.table(table)
+  }
+
+  /** Drive [[sessionWindows]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for streaming inactivity sessionization,
+    * in APPEND mode with a real watermark: sessions only emit once the
+    * watermark passes their close, so the harness appends sentinel
+    * events (user_id −1) far past the horizon to flush them. TWO flush
+    * stagings are needed — Spark advances the watermark at the END of a
+    * batch, so the batch after the first sentinel is the one that emits
+    * (the second sentinel forces it to run). Sentinels filter out of the
+    * returned table; their own still-open session is never emitted.
+    *
+    * The event-time midpoint split again forces micro-batch boundaries
+    * through live sessions — merged session state, not per-batch
+    * sessions, is what the oracle checks.
+    */
+  def stagedSessionRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "session_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(events.where(col("ts") < lit(mid)))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*"))
+    val q = sessionWindows(parsed, gap, watermark)
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: first half
+      stage(events.where(col("ts") >= lit(mid)))
+      q.processAllAvailable() // micro-batch 2: merges boundary sessions
+      def sentinel(offsetHours: Int): DataFrame = spark.range(1)
+        .select(
+          (lit(bounds.getTimestamp(1)).cast("timestamp") +
+            expr(s"INTERVAL $offsetHours HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+      stage(sentinel(4))
+      q.processAllAvailable() // advances the watermark past every session
+      stage(sentinel(5))
+      q.processAllAvailable() // ...and this batch emits them
+    } finally q.stop()
+    spark.table(table).where(col("user_id") >= 0)
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only

@@ -68,6 +68,27 @@ class FunctionsSpec extends SparkSpec {
     assert(staged.toSeq == cases.map(pyPreview(_)))
   }
 
+  test("contentPreview fuzz: random sentence soups match the port") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "ep", "zeta-long-word",
+      "x", "..", "!?", "X".repeat(60))
+    val terms = Seq(".", "!", "?", "...", "?!", " ", "")
+    val cases = (1 to 200).map { _ =>
+      val n = rnd.nextInt(25)
+      (0 until n).map { _ =>
+        words(rnd.nextInt(words.length)) + terms(rnd.nextInt(terms.length)) +
+          (if (rnd.nextBoolean()) " " else "  ")
+      }.mkString
+    }
+    val got = TextFunctions.withContentPreview(cases.toDF("text"), "text", "p")
+      .select("p").as[String].collect().toSeq
+    val want = cases.map(pyPreview(_))
+    got.zip(want).zip(cases).foreach { case ((g, w), in) =>
+      assert(g == w, s"for input <$in>: got <$g> want <$w>")
+    }
+  }
+
   test("relativeTime buckets") {
     val now = lit(Timestamp.valueOf("2024-01-31 00:00:00"))
     def rel(ts: String) =
