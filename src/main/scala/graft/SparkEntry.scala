@@ -50,6 +50,12 @@ object SparkEntry {
   /** Pinned `now` for relative_time in the view gates (both engines). */
   private val ViewNow = "2024-01-31 00:30:00"
 
+  /** Pinned `now` INSIDE the event-time range for the text_relative_time
+    * gate, so events after it exercise the reference's negative-timedelta
+    * normalization (future ts → hours/minutes of the positive remainder,
+    * formatters.py:146-152 via Python timedelta). */
+  private val RelTimeNow = "2024-01-11 00:30:00"
+
   /** BM25 gate parameters — the oracle SQL interpolates these Scala
     * doubles (shortest-repr decimal text) so both engines compute with
     * bit-identical constants. */
@@ -152,27 +158,36 @@ object SparkEntry {
   }
 
   /** DuckDB twin of [[TextFunctions.relativeTime]]'s bucketing CASE over a
-    * seconds-difference column named `secs_`. (`||` stays at end-of-line:
-    * a line-leading `||` loses a `|` to the OUTER stripMargin when this
+    * seconds-difference column named `secs_` — including the Python
+    * timedelta normalization (floor-div days, pmod remainder) so future
+    * timestamps render identically. (`||` stays at end-of-line: a
+    * line-leading `||` loses a `|` to the OUTER stripMargin when this
     * fragment is interpolated into a margin-stripped oracle string.) */
-  private val sqlRelCase: String =
-    """CASE
-      |  WHEN secs_ < 60 THEN 'just now'
-      |  WHEN floor(secs_/60.0) < 60
-      |    THEN CAST(CAST(floor(secs_/60.0) AS BIGINT) AS VARCHAR) ||
-      |      (CASE WHEN floor(secs_/60.0) = 1 THEN ' minute ago' ELSE ' minutes ago' END)
-      |  WHEN floor(secs_/3600.0) < 24
-      |    THEN CAST(CAST(floor(secs_/3600.0) AS BIGINT) AS VARCHAR) ||
-      |      (CASE WHEN floor(secs_/3600.0) = 1 THEN ' hour ago' ELSE ' hours ago' END)
-      |  WHEN floor(secs_/86400.0) < 7
-      |    THEN CAST(CAST(floor(secs_/86400.0) AS BIGINT) AS VARCHAR) ||
-      |      (CASE WHEN floor(secs_/86400.0) = 1 THEN ' day ago' ELSE ' days ago' END)
-      |  WHEN floor(secs_/86400.0) < 30
-      |    THEN CAST(CAST(floor(floor(secs_/86400.0)/7) AS BIGINT) AS VARCHAR) ||
-      |      (CASE WHEN floor(floor(secs_/86400.0)/7) = 1 THEN ' week ago' ELSE ' weeks ago' END)
-      |  ELSE CAST(CAST(floor(floor(secs_/86400.0)/30) AS BIGINT) AS VARCHAR) ||
-      |      (CASE WHEN floor(floor(secs_/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
-      |  END""".stripMargin
+  private val sqlRelCase: String = {
+    val days = "floor(secs_/86400.0)"
+    val rem = "(((secs_ % 86400) + 86400) % 86400)"
+    val hours = s"floor($rem/3600.0)"
+    val mins = s"floor(($rem % 3600)/60.0)"
+    s"""CASE
+       |  WHEN $days > 0 THEN (CASE
+       |    WHEN $days < 7
+       |      THEN CAST(CAST($days AS BIGINT) AS VARCHAR) ||
+       |        (CASE WHEN $days = 1 THEN ' day ago' ELSE ' days ago' END)
+       |    WHEN $days < 30
+       |      THEN CAST(CAST(floor($days/7) AS BIGINT) AS VARCHAR) ||
+       |        (CASE WHEN floor($days/7) = 1 THEN ' week ago' ELSE ' weeks ago' END)
+       |    ELSE CAST(CAST(floor($days/30) AS BIGINT) AS VARCHAR) ||
+       |        (CASE WHEN floor($days/30) = 1 THEN ' month ago' ELSE ' months ago' END)
+       |    END)
+       |  WHEN $hours > 0
+       |    THEN CAST(CAST($hours AS BIGINT) AS VARCHAR) ||
+       |      (CASE WHEN $hours = 1 THEN ' hour ago' ELSE ' hours ago' END)
+       |  WHEN $mins > 0
+       |    THEN CAST(CAST($mins AS BIGINT) AS VARCHAR) ||
+       |      (CASE WHEN $mins = 1 THEN ' minute ago' ELSE ' minutes ago' END)
+       |  ELSE 'just now'
+       |  END""".stripMargin
+  }
 
   /** Seconds-since `ts` at the pinned view `now` (truncating like Spark's
     * unix_timestamp). */
@@ -1022,8 +1037,7 @@ object SparkEntry {
     "text_relative_time" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("rel",
-          TextFunctions.relativeTime(col("ts"),
-            to_timestamp(lit("2024-01-31 00:30:00"))))
+          TextFunctions.relativeTime(col("ts"), to_timestamp(lit(RelTimeNow))))
         .select(col("event_id"), col("rel"))
         .orderBy(col("event_id"))
     }),
@@ -2145,29 +2159,13 @@ object SparkEntry {
         |  ELSE substr(summary, 1, 147) || '...' END AS preview
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    "text_relative_time" ->
-      """WITH t AS (SELECT event_id,
-        |  CAST(floor(epoch(TIMESTAMP '2024-01-31 00:30:00')) AS BIGINT)
-        |    - CAST(floor(epoch(ts)) AS BIGINT) AS secs
-        |  FROM events)
-        |SELECT event_id, CASE
-        |  WHEN secs < 60 THEN 'just now'
-        |  WHEN floor(secs/60.0) < 60
-        |    THEN CAST(CAST(floor(secs/60.0) AS BIGINT) AS VARCHAR)
-        |      || (CASE WHEN floor(secs/60.0) = 1 THEN ' minute ago' ELSE ' minutes ago' END)
-        |  WHEN floor(secs/3600.0) < 24
-        |    THEN CAST(CAST(floor(secs/3600.0) AS BIGINT) AS VARCHAR)
-        |      || (CASE WHEN floor(secs/3600.0) = 1 THEN ' hour ago' ELSE ' hours ago' END)
-        |  WHEN floor(secs/86400.0) < 7
-        |    THEN CAST(CAST(floor(secs/86400.0) AS BIGINT) AS VARCHAR)
-        |      || (CASE WHEN floor(secs/86400.0) = 1 THEN ' day ago' ELSE ' days ago' END)
-        |  WHEN floor(secs/86400.0) < 30
-        |    THEN CAST(CAST(floor(floor(secs/86400.0)/7) AS BIGINT) AS VARCHAR)
-        |      || (CASE WHEN floor(floor(secs/86400.0)/7) = 1 THEN ' week ago' ELSE ' weeks ago' END)
-        |  ELSE CAST(CAST(floor(floor(secs/86400.0)/30) AS BIGINT) AS VARCHAR)
-        |      || (CASE WHEN floor(floor(secs/86400.0)/30) = 1 THEN ' month ago' ELSE ' months ago' END)
-        |  END AS rel
-        |FROM t ORDER BY event_id""".stripMargin,
+    "text_relative_time" -> (
+      s"""WITH t AS (SELECT event_id,
+         |  CAST(floor(epoch(TIMESTAMP '$RelTimeNow')) AS BIGINT)
+         |    - CAST(floor(epoch(ts)) AS BIGINT) AS secs_
+         |  FROM events)
+         |SELECT event_id, $sqlRelCase AS rel
+         |FROM t ORDER BY event_id""".stripMargin),
 
     "dedup_decontaminate" -> {
       val grams5 =

@@ -49,26 +49,38 @@ object TextFunctions {
   /** Relative-time bucketing (reference: formatters.py:141-169): render the
     * age of `ts` relative to `now` as "just now" / "N minutes ago" /
     * "N hours ago" / "N days ago" / "N weeks ago" / "N months ago",
-    * singular when N = 1 ("1 day ago", "1 week ago", ...) exactly as the
-    * reference pluralizes. `now` is a parameter (not current_timestamp())
-    * so results are deterministic and oracle-checkable.
+    * singular when N = 1 exactly as the reference pluralizes. `now` is a
+    * parameter (not current_timestamp()) so results are deterministic and
+    * oracle-checkable.
+    *
+    * Ported faithfully INCLUDING Python timedelta normalization: a
+    * negative difference (future `ts`) carries days = floor(secs/86400)
+    * and a non-negative seconds remainder, so the reference reports a
+    * future timestamp through the hours/minutes branches of the
+    * remainder ("23 hours ago" for now+30s), never "just now" — floor
+    * division + pmod reproduce that here (spec-checked vs a literal
+    * port).
     */
   def relativeTime(ts: Column, now: Column): Column = {
     val secs = unix_timestamp(now) - unix_timestamp(ts)
-    val mins = floor(secs / 60)
-    val hours = floor(secs / 3600)
+    // timedelta(seconds=secs): days = floor-div, remainder in [0, 86400)
     val days = floor(secs / 86400)
+    val rem = pmod(secs, lit(86400))
+    val hours = floor(rem / 3600)
+    val mins = floor(pmod(rem, lit(3600)) / 60)
     val weeks = floor(days / 7)
     val months = floor(days / 30)
     def ago(n: Column, unit: String): Column =
       concat(n.cast("string"),
         when(n === 1, lit(s" $unit ago")).otherwise(lit(s" ${unit}s ago")))
-    when(secs < 60, lit("just now"))
-      .when(mins < 60, ago(mins, "minute"))
-      .when(hours < 24, ago(hours, "hour"))
-      .when(days < 7, ago(days, "day"))
-      .when(days < 30, ago(weeks, "week"))
-      .otherwise(ago(months, "month"))
+    when(days > 0,
+      when(days < 7, ago(days, "day"))
+        .when(days < 30, ago(weeks, "week"))
+        .otherwise(ago(months, "month")))
+      .otherwise(
+        when(hours > 0, ago(hours, "hour"))
+          .when(mins > 0, ago(mins, "minute"))
+          .otherwise(lit("just now")))
   }
 
   /** Word tokens: split on whitespace, drop empties. */

@@ -89,21 +89,45 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("relativeTime buckets") {
-    val now = lit(Timestamp.valueOf("2024-01-31 00:00:00"))
+  // Literal port of format_relative_time (formatters.py:141-169) with
+  // Python timedelta normalization: days = floorDiv, remainder >= 0.
+  private def pyRelTime(secs: Long): String = {
+    val days = Math.floorDiv(secs, 86400L)
+    val rem = Math.floorMod(secs, 86400L)
+    if (days > 0) {
+      if (days == 1) "1 day ago"
+      else if (days < 7) s"$days days ago"
+      else if (days < 30) { val w = days / 7; s"$w week${if (w > 1) "s" else ""} ago" }
+      else { val m = days / 30; s"$m month${if (m > 1) "s" else ""} ago" }
+    } else {
+      val hours = rem / 3600
+      val minutes = (rem % 3600) / 60
+      if (hours > 0) s"$hours hour${if (hours > 1) "s" else ""} ago"
+      else if (minutes > 0) s"$minutes minute${if (minutes > 1) "s" else ""} ago"
+      else "just now"
+    }
+  }
+
+  test("relativeTime buckets match the ported reference incl. future ts") {
+    val nowTs = Timestamp.valueOf("2024-01-31 00:00:00")
+    val now = lit(nowTs)
     def rel(ts: String) =
       one(TextFunctions.relativeTime(lit(Timestamp.valueOf(ts)), now)).getString(0)
-    assert(rel("2024-01-30 23:59:30") == "just now")
-    assert(rel("2024-01-30 23:59:00") == "1 minute ago")
+    def want(ts: String) =
+      pyRelTime((nowTs.getTime - Timestamp.valueOf(ts).getTime) / 1000)
+    val cases = Seq(
+      "2024-01-30 23:59:30", "2024-01-30 23:59:00", "2024-01-30 23:30:00",
+      "2024-01-30 23:00:00", "2024-01-30 12:00:00", "2024-01-30 00:00:00",
+      "2024-01-28 00:00:00", "2024-01-20 00:00:00", "2023-12-25 00:00:00",
+      "2023-11-01 00:00:00",
+      // FUTURE timestamps: timedelta normalization reports the positive
+      // remainder, never "just now" (formatters.py via Python timedelta)
+      "2024-01-31 00:00:30", "2024-01-31 02:15:00", "2024-02-06 12:00:00")
+    cases.foreach(ts => assert(rel(ts) == want(ts), s"for ts $ts"))
+    // spot-check the exact reference strings
     assert(rel("2024-01-30 23:30:00") == "30 minutes ago")
-    assert(rel("2024-01-30 23:00:00") == "1 hour ago")
-    assert(rel("2024-01-30 12:00:00") == "12 hours ago")
-    assert(rel("2024-01-30 00:00:00") == "1 day ago")
-    assert(rel("2024-01-28 00:00:00") == "3 days ago")
-    // singular forms match the reference (formatters.py:141-169)
     assert(rel("2024-01-20 00:00:00") == "1 week ago")
-    assert(rel("2023-12-25 00:00:00") == "1 month ago")
-    assert(rel("2023-11-01 00:00:00") == "3 months ago")
+    assert(rel("2024-01-31 00:00:30") == "23 hours ago") // future, 30s ahead
   }
 
   test("tokens and wordShingles") {
