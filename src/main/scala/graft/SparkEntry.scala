@@ -1034,6 +1034,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // log_viewer's _pretty truncation (textwrap.shorten, width 80, "…"):
+    // word-boundary greedy prefix, placeholder appended.
+    "text_shorten" -> ((s, d) => {
+      TextFunctions.withShortened(docs(s, d), "text", "short", 80)
+        .select(col("doc_id"), col("short"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_relative_time" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("rel",
@@ -2158,6 +2166,23 @@ object SparkEntry {
         |  WHEN len(summary) <= 150 THEN summary
         |  ELSE substr(summary, 1, 147) || '...' END AS preview
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_shorten" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |    list_filter(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, norm, toks,
+        |    list_max(list_transform(generate_series(1, len(toks)),
+        |      i -> CASE WHEN len(array_to_string(toks[1:i], ' ')) <= 79 THEN i ELSE 0 END)) AS keep
+        |  FROM n)
+        |SELECT doc_id, CASE
+        |  WHEN len(norm) <= 80 THEN norm
+        |  WHEN COALESCE(keep, 0) > 0 THEN array_to_string(toks[1:keep], ' ') || '…'
+        |  ELSE '…' END AS short
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_relative_time" -> (
       s"""WITH t AS (SELECT event_id,

@@ -112,6 +112,39 @@ object TextFunctions {
       .drop("norm_", "sentences_", "summary_")
   }
 
+  /** `textwrap.shorten` twin (reference log_viewer.py:25-30 `_pretty`):
+    * whitespace-normalize; if longer than `width`, keep the longest
+    * CONTIGUOUS whole-word prefix that fits in `width - len(placeholder)`
+    * and append the placeholder; if not even the first word fits, the
+    * placeholder alone.
+    *
+    * Greedy-prefix contiguity is load-bearing: after a long word stops
+    * the prefix, a later shorter word must NOT be glued on — so the
+    * prefix is found as max{i : len(join(words[0..i])) ≤ budget}, which
+    * equals textwrap's fill-then-drop-words rule. Staged columns keep the
+    * interpreted HOFs from re-evaluating the token array per element.
+    */
+  def withShortened(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String, width: Int = 80,
+      placeholder: String = "…"): org.apache.spark.sql.DataFrame = {
+    require(width > placeholder.length)
+    val budget = width - placeholder.length
+    df
+      .withColumn("norm_", coalesce(normalizeWhitespace(col(textCol)), lit("")))
+      .withColumn("toks_", tokens(col("norm_")))
+      .withColumn("keep_", array_max(transform(
+        sequence(lit(1), size(col("toks_"))),
+        i => when(length(array_join(slice(col("toks_"), lit(1), i), " ")) <= budget, i)
+          .otherwise(lit(0)))))
+      .withColumn(outCol,
+        when(length(col("norm_")) <= width, col("norm_"))
+          .when(coalesce(col("keep_"), lit(0)) > 0,
+            concat(array_join(slice(col("toks_"), lit(1), col("keep_")), " "),
+              lit(placeholder)))
+          .otherwise(lit(placeholder)))
+      .drop("norm_", "toks_", "keep_")
+  }
+
   /** BPE-ish subword-ish token count: word chunks, numbers, and single
     * punctuation marks each count as one token (a cheap stand-in for a real
     * tokenizer with the same asymptotics).

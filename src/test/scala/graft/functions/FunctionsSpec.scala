@@ -130,6 +130,36 @@ class FunctionsSpec extends SparkSpec {
     assert(rel("2024-01-31 00:00:30") == "23 hours ago") // future, 30s ahead
   }
 
+  // Literal port of textwrap.shorten(width, placeholder='…') — validated
+  // against CPython textwrap on the same cases before porting.
+  private def pyShorten(text: String, width: Int, ph: String = "…"): String = {
+    val norm = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    if (norm.length <= width) norm
+    else {
+      val toks = norm.split(" ").toSeq
+      val budget = width - ph.length
+      val keep = (1 to toks.length)
+        .filter(i => toks.take(i).mkString(" ").length <= budget)
+        .lastOption.getOrElse(0)
+      if (keep > 0) toks.take(keep).mkString(" ") + ph else ph
+    }
+  }
+
+  test("withShortened matches textwrap.shorten semantics") {
+    import spark.implicits._
+    val cases = Seq(
+      "aaa bbbbbbbbbb cc", // long word stops the prefix; cc must NOT glue on
+      "the quick brown fox jumps over the lazy dog",
+      "superlongwordthatneverfits",
+      "short", "a  b   c", "word ".repeat(40), "x".repeat(79) + " yy")
+    for (width <- Seq(10, 20, 80)) {
+      val got = graft.functions.TextFunctions
+        .withShortened(cases.toDF("text"), "text", "s", width)
+        .select("s").as[String].collect().toSeq
+      assert(got == cases.map(pyShorten(_, width)), s"width=$width")
+    }
+  }
+
   test("tokens and wordShingles") {
     assert(one(TextFunctions.tokens(lit(" a  b c "))).getSeq[String](0) == Seq("a", "b", "c"))
     assert(one(TextFunctions.wordShingles(lit("a b c d"), 3)).getSeq[String](0)
