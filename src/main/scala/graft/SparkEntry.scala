@@ -897,6 +897,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // The LSH scale path made literal: the store is WRITTEN partitioned
+    // by bucket, and the probe reads back through partition pruning —
+    // the scan opens ~1/2^planes of the directories instead of scoring
+    // the corpus (PartitionFilters asserted in StoreLayoutSpec). Same
+    // result as search_lsh (same planes/seed/query).
+    "search_lsh_pruned" -> ((s, d) => {
+      val (planes, seed) = (4, 7)
+      val qv = queryVec(s, d)
+      val work = "/tmp/graft_lsh_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val withBucket = Tables.embeddings(s, d).withColumn("bucket",
+        VectorFunctions.rhpBucket(col("embedding"), planes, seed, 64))
+      graft.sink.StoreLayout.writeOptimized(withBucket, work,
+        partitionCols = Seq("bucket"), sortCols = Seq("vec_id"))
+      s.read.parquet(work)
+        .where(col("bucket") === Search.queryBucket(qv, planes, seed))
+        .withColumn("score",
+          round(VectorFunctions.cosine(col("embedding"), typedLit(qv), 64), 6))
+        .select(col("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "search_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val centroids = Similarity.pickCentroids(e, "embedding", "vec_id", numCells = 16)
@@ -1863,6 +1885,22 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "search_lsh" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      def bucket(v: String) = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product($v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |b AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+         |qb AS (SELECT ${bucket("qv")} AS qbucket FROM q)
+         |SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS score
+         |FROM b, q, qb WHERE bucket = qbucket
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // identical to search_lsh (same planes/seed/query; the partitioned
+    // layout only changes WHERE rows are read from, never the result)
+    "search_lsh_pruned" -> {
       val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
       def bucket(v: String) = signs.zipWithIndex.map { case (s, p) =>
         s"(CASE WHEN list_dot_product($v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"

@@ -206,6 +206,19 @@ object Search {
     * `bucket` so this reads ~1/2^planes of the data (partition pruning),
     * instead of the full scan [[basic]] does.
     */
+  /** The query's RHP bucket, computed driver-side from the same
+    * hyperplanes the store side hashes with — the probe key for
+    * [[lshSearch]] and for partition-pruned reads of a store written
+    * `partitionBy("bucket")`.
+    */
+  def queryBucket(queryVec: Seq[Float], planes: Int, seed: Int): Long = {
+    val signs = VectorFunctions.hyperplaneSigns(planes, queryVec.length, seed)
+    signs.zipWithIndex.map { case (s, p) =>
+      val proj = s.zip(queryVec).map { case (a, b) => a * b.toDouble }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.sum
+  }
+
   def lshSearch(
       points: DataFrame,
       vecCol: String,
@@ -217,14 +230,8 @@ object Search {
     val dims = queryVec.length
     val withBucket = points.withColumn(
       "bucket", VectorFunctions.rhpBucket(col(vecCol), planes, seed, dims))
-    // query bucket computed driver-side from the same hyperplanes
-    val signs = VectorFunctions.hyperplaneSigns(planes, dims, seed)
-    val qBucket = signs.zipWithIndex.map { case (s, p) =>
-      val proj = s.zip(queryVec).map { case (a, b) => a * b.toDouble }.sum
-      if (proj >= 0) 1L << p else 0L
-    }.sum
     withBucket
-      .where(col("bucket") === qBucket)
+      .where(col("bucket") === queryBucket(queryVec, planes, seed))
       .withColumn("score",
         round(VectorFunctions.cosine(col(vecCol), typedLit(queryVec), dims), 6))
       .orderBy(col("score").desc, col(tieBreak))

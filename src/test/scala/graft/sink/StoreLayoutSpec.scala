@@ -66,6 +66,20 @@ class StoreLayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS spec_bucket_r")
   }
 
+  test("bucket-partitioned store probe prunes at the scan (PartitionFilters)") {
+    import spark.implicits._
+    val path = tempPath("prune")
+    val df = (0L until 200L).map(i => (i, i % 16)).toDF("vec_id", "bucket")
+    StoreLayout.writeOptimized(df, path, Seq("bucket"), Seq("vec_id"))
+    val probe = spark.read.parquet(path).where(col("bucket") === 3)
+    val scan = probe.queryExecution.executedPlan.toString
+    // the bucket predicate lands in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group filtering after opening files)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    assert(pf.contains("bucket"), scan.take(1500))
+    assert(probe.count() == 200 / 16 + (if (3 < 200 % 16) 1 else 0))
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")

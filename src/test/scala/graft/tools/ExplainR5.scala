@@ -15,7 +15,8 @@ object ExplainR5 {
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("mem_search_basic", "mem_search_view_summary",
         "mem_search_view_graph", "mem_search_view_full", "mem_filter_meta",
-        "dedup_embedding_multitable", "text_repetition", "mem_search_rrf")) {
+        "dedup_embedding_multitable", "text_repetition", "mem_search_rrf",
+        "dedup_decontaminate", "sample_pack", "search_bm25", "text_shorten")) {
       val plan = graft.SparkEntry.queries(name)(s, d)
         .queryExecution.executedPlan.toString
       def c(p: String) = plan.linesIterator.count(_.contains(p))
