@@ -1326,6 +1326,7 @@ object SparkEntry {
     // live sessions so merged state is what's checked.
     "stream_session_windows" -> ((s, d) => {
       val src = Tables.events(s, d)
+        .where(col("event_id") % 3 === 0) // bounded gate slice, like X34's
         .select(col("ts"), col("user_id"), col("value"))
       val work = "/tmp/graft_stream_sess_" + d.replaceAll("[^A-Za-z0-9]", "_")
       StreamingIngest.stagedSessionRoundtrip(s, src, work)
@@ -2464,11 +2465,12 @@ object SparkEntry {
     // session_window.start = first event of each inactivity-gap island;
     // the streamed sessions must equal the batch gaps-and-islands
     "stream_session_windows" ->
-      """WITH flagged AS (
+      """WITH src AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        |flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

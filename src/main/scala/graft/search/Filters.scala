@@ -90,7 +90,12 @@ object Filters {
         case SV(s) =>
           tokenize(s).map(t => array_contains(textTokens(c), t))
             .reduceOption(_ && _).getOrElse(lit(true))
-        case other => throw new IllegalArgumentException(s"contains needs a string, got $other")
+        // non-string values match as text of their rendering, like the
+        // reference's MatchText(str(value)) (strategies.py:243-246)
+        case NV(n) =>
+          tokenize(n.toString).map(t => array_contains(textTokens(c), t))
+            .reduceOption(_ && _).getOrElse(lit(true))
+        case other => throw new IllegalArgumentException(s"contains needs a scalar, got $other")
       }
       // engine extension: raw case-insensitive substring containment
       case "contains_substring" => f.value match {

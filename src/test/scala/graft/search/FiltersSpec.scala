@@ -43,6 +43,8 @@ class FiltersSpec extends SparkSpec {
     // multi-token query: every token must appear (MatchText AND semantics)
     assert(ids(FilterSpec("note", "contains", SV("beta ALPHA"))) == Set(1L))
     assert(ids(FilterSpec("note", "contains", SV("alpha gamma"))) == Set.empty[Long])
+    // non-string values match as text of their rendering (MatchText(str(v)))
+    assert(ids(FilterSpec("note", "contains", NV(1.0))) == Set.empty[Long])
   }
 
   test("any_of and conjunction of filters") {
@@ -63,7 +65,7 @@ class FiltersSpec extends SparkSpec {
   test("invalid specs raise, mirroring the reference's validation") {
     intercept[IllegalArgumentException](compile(FilterSpec("tool", "nope", SV("x"))))
     intercept[IllegalArgumentException](compile(FilterSpec("v", "between", NV(1.0))))
-    intercept[IllegalArgumentException](compile(FilterSpec("v", "contains", NV(1.0))))
+    intercept[IllegalArgumentException](compile(FilterSpec("v", "contains", AV(Seq("x")))))
     intercept[IllegalArgumentException](compile(FilterSpec("v", "any_of", SV("x"))))
   }
 }
