@@ -1131,6 +1131,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source cap: at most k docs per source, ranked by content hash
+    // (stable, partitioning-independent) — the per-domain cap rule.
+    "sample_cap_per_group" -> ((s, d) => {
+      operators.Sampling.capPerGroup(docs(s, d), "doc_id", "source", k = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus mixing: per-source keep rates (domain weighting), one scan.
     "sample_mixture" -> ((s, d) => {
       operators.Sampling.mixture(docs(s, d), "doc_id", "source",
@@ -2257,6 +2265,17 @@ object SparkEntry {
          |SELECT doc_id, pack_group, n_tokens,
          |  CAST(pack_group * 1000000 + floor(start_ / 256.0) AS BIGINT) AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_cap_per_group" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#cap'")
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY (($h % 1000000) + 1000000) % 1000000, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rk <= 15
+         |ORDER BY doc_id""".stripMargin
     },
 
     "sample_split" -> {

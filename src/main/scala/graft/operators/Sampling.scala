@@ -48,6 +48,24 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-group cap — the "at most k documents per domain/source" rule of
+    * corpus assembly, deterministic like every sampler here: rows rank
+    * within their group by content hash (stable across runs/engines/
+    * partitionings — NOT arrival order) and only the first `k` survive.
+    * One window shuffle partitioned by group; no global sort; skewed
+    * groups cost one task each at worst, bounded by the group's size.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+      salt: String = "cap"): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("rank_", row_number().over(w))
+      .where(col("rank_") <= k)
+      .drop("rank_")
+  }
+
   /** Deterministic sequence packing — the corpus-assembly step that
     * groups documents into fixed token-budget training sequences.
     *

@@ -51,6 +51,21 @@ class SamplingSpec extends SparkSpec {
     assert(d > 420 && d < 580, d)
   }
 
+  test("capPerGroup keeps exactly k per group, stable under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept = Sampling.capPerGroup(df, "id", "grp", k = 20)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.toSet == Set(20L))
+    // hash-ranked, not arrival-ranked: same survivors on any partitioning
+    val again = Sampling.capPerGroup(df.repartition(17), "id", "grp", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+    // under-cap groups pass through whole
+    assert(Sampling.capPerGroup(df, "id", "grp", 1000).count() == 300)
+  }
+
   test("packSequences bounds every sequence by budget + max doc tokens") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, 10 + (i * 7 % 90))).toDF("id", "n_tok")
