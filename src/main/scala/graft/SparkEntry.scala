@@ -2255,6 +2255,7 @@ object SparkEntry {
 
     "sample_pack" -> {
       val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#pack'")
+      val stride = operators.Sampling.packStride(8)
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
          |    (($h % 8) + 8) % 8 AS pack_group
@@ -2263,7 +2264,7 @@ object SparkEntry {
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_
          |  FROM t)
          |SELECT doc_id, pack_group, n_tokens,
-         |  CAST(pack_group * 1000000 + floor(start_ / 256.0) AS BIGINT) AS seq_id
+         |  CAST(pack_group * $stride + (start_ // 256) AS BIGINT) AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin
     },
 

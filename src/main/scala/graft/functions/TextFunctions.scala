@@ -37,11 +37,15 @@ object TextFunctions {
     val norm = coalesce(normalizeWhitespace(content), lit(""))
     val sentences = filter(
       transform(split(norm, "[.!?]+"), s => trim(s)), s => length(s) > 0)
-    val summary = concat(array_join(slice(sentences, 1, 2), ". "), lit("."))
+    // extract_summary: 2-fragment summary, or the raw-text fallback when
+    // the text is nothing but terminators
+    val summary = when(size(sentences) === 0,
+      when(length(norm) <= 100, norm)
+        .otherwise(concat(substring(norm, 1, 97), lit("..."))))
+      .otherwise(concat(array_join(slice(sentences, 1, 2), ". "), lit(".")))
+    // the final cap applies to WHATEVER extract_summary returned —
+    // including the fallback (matters when maxLen < ~103)
     when(length(norm) <= maxLen, norm)
-      .when(size(sentences) === 0,
-        when(length(norm) <= 100, norm)
-          .otherwise(concat(substring(norm, 1, 97), lit("..."))))
       .when(length(summary) <= maxLen, summary)
       .otherwise(concat(substring(summary, 1, maxLen - 3), lit("...")))
   }
@@ -101,12 +105,12 @@ object TextFunctions {
         filter(transform(split(col("norm_"), "[.!?]+"), s => trim(s)),
           s => length(s) > 0))
       .withColumn("summary_",
-        concat(array_join(slice(col("sentences_"), 1, 2), ". "), lit(".")))
+        when(size(col("sentences_")) === 0,
+          when(length(col("norm_")) <= 100, col("norm_"))
+            .otherwise(concat(substring(col("norm_"), 1, 97), lit("..."))))
+          .otherwise(concat(array_join(slice(col("sentences_"), 1, 2), ". "), lit("."))))
       .withColumn(outCol,
         when(length(col("norm_")) <= maxLen, col("norm_"))
-          .when(size(col("sentences_")) === 0,
-            when(length(col("norm_")) <= 100, col("norm_"))
-              .otherwise(concat(substring(col("norm_"), 1, 97), lit("..."))))
           .when(length(col("summary_")) <= maxLen, col("summary_"))
           .otherwise(concat(substring(col("summary_"), 1, maxLen - 3), lit("..."))))
       .drop("norm_", "sentences_", "summary_")

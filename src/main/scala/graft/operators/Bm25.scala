@@ -44,6 +44,9 @@ object Bm25 {
     val base = docs.select(toks(col(textCol)).as("toks_"))
     val g = base.agg(count(lit(1)), sum(size(col("toks_")))).collect()(0)
     val n = g.getLong(0)
+    // empty corpus (or all-null text): SUM aggregates to NULL — report
+    // zero stats instead of an NPE; score() then yields no rows
+    if (n == 0 || g.isNullAt(1)) return Stats(0L, 0.0, Map.empty)
     val df = base
       .select(explode(array_distinct(col("toks_"))).as("term"))
       .where(col("term").isin(terms: _*))

@@ -81,11 +81,15 @@ object Sampling {
     * One window shuffle PARTITIONED BY GROUP — no global sort; `groups`
     * scales with the cluster (each group packs independently, so more
     * groups = more parallelism, same bound). Global `seq_id` namespaces
-    * group × sequence.
+    * group × sequence with a Long.MaxValue/groups stride — collision-free
+    * until a single group exceeds ~9e18/groups sequences (i.e. never:
+    * that would need more tokens than fit in a long), and all arithmetic
+    * is integer (`div`), so no double-precision loss on huge cumsums.
     */
   def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
       budget: Long, groups: Int, salt: String = "pack"): DataFrame = {
     require(budget >= 1 && groups >= 1)
+    val stride = Long.MaxValue / groups
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pack_group").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -95,9 +99,13 @@ object Sampling {
           lit("#" + salt))), lit(groups.toLong)))
       .withColumn("start_", coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
       .withColumn("seq_id",
-        col("pack_group") * lit(1000000L) + floor(col("start_") / budget))
+        col("pack_group") * lit(stride) + expr(s"start_ div ${budget}L"))
       .drop("start_")
   }
+
+  /** The seq_id stride [[packSequences]] uses — exposed so external
+    * twins (oracle SQL) derive the identical namespace. */
+  def packStride(groups: Int): Long = Long.MaxValue / groups
 
   /** Corpus mixing: keep each row with its source's rate — the
     * domain-weighting step of corpus assembly (e.g. wiki ×1.0, web ×0.3).

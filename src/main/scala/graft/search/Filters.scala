@@ -91,9 +91,12 @@ object Filters {
           tokenize(s).map(t => array_contains(textTokens(c), t))
             .reduceOption(_ && _).getOrElse(lit(true))
         // non-string values match as text of their rendering, like the
-        // reference's MatchText(str(value)) (strategies.py:243-246)
+        // reference's MatchText(str(value)) (strategies.py:243-246) —
+        // integral values render WITHOUT ".0" (str() of a JSON int)
         case NV(n) =>
-          tokenize(n.toString).map(t => array_contains(textTokens(c), t))
+          val rendered =
+            if (n.isWhole && !n.isInfinity) n.toLong.toString else n.toString
+          tokenize(rendered).map(t => array_contains(textTokens(c), t))
             .reduceOption(_ && _).getOrElse(lit(true))
         case other => throw new IllegalArgumentException(s"contains needs a scalar, got $other")
       }

@@ -201,11 +201,6 @@ object Search {
       .drop("tb_", "dense_rank_", "kw_rank_")
   }
 
-  /** ANN via random-hyperplane LSH: prune to the query's bucket, then exact
-    * cosine within it. At 100 TB the store is written partitioned by
-    * `bucket` so this reads ~1/2^planes of the data (partition pruning),
-    * instead of the full scan [[basic]] does.
-    */
   /** The query's RHP bucket, computed driver-side from the same
     * hyperplanes the store side hashes with — the probe key for
     * [[lshSearch]] and for partition-pruned reads of a store written
@@ -219,6 +214,12 @@ object Search {
     }.sum
   }
 
+  /** ANN via random-hyperplane LSH: prune to the query's bucket, then exact
+    * cosine within it. At 100 TB the store is written partitioned by
+    * `bucket` so this reads ~1/2^planes of the data (partition pruning —
+    * the `search_lsh_pruned` gate drives that literal layout), instead of
+    * the full scan [[basic]] does.
+    */
   def lshSearch(
       points: DataFrame,
       vecCol: String,
@@ -265,30 +266,40 @@ object Search {
     * `now` anchors relative_time — parameterized so results are
     * deterministic and oracle-checkable; real callers use the default.
     */
+  /** Canonical output type per view field — an absent field projects as a
+    * NULL of this type, so the same view always has the same schema
+    * whatever subset of the model the input carries. */
+  private val fieldTypes: Map[String, String] =
+    Map("score" -> "double", "sequence_order" -> "int").withDefaultValue("string")
+
   def project(df: DataFrame, view: String,
       now: Column = current_timestamp()): DataFrame = {
     val fields = views.getOrElse(view,
       throw new IllegalArgumentException(s"unknown view '$view'"))
     val present = df.columns.toSet
-    def ifPresent(needed: String)(c: => Column): Column =
-      if (present(needed)) c else lit(null).cast("string")
+    // stage the preview derivation as real columns — the single-Column
+    // form re-evaluates its interpreted HOFs per reference (no CSE)
+    val staged =
+      if (fields.contains("content_preview") && present("content"))
+        graft.functions.TextFunctions.withContentPreview(df, "content", "preview_")
+      else df
+    def ifPresent(f: String, needed: String)(c: => Column): Column =
+      if (present(needed)) c else lit(null).cast(fieldTypes(f))
     val cols = fields.map { f =>
       (f match {
-        case "content_preview" =>
-          ifPresent("content")(
-            graft.functions.TextFunctions.contentPreview(col("content")))
+        case "content_preview" => ifPresent(f, "content")(col("preview_"))
         case "relative_time" =>
-          ifPresent("timestamp")(
+          ifPresent(f, "timestamp")(
             graft.functions.TextFunctions.relativeTime(col("timestamp"), now))
         case "timestamp" =>
-          ifPresent("timestamp")(
+          ifPresent(f, "timestamp")(
             date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-        case "meta" => ifPresent("meta")(to_json(col("meta")))
+        case "meta" => ifPresent(f, "meta")(to_json(col("meta")))
         case nested if nested.contains(".") =>
-          ifPresent(nested.takeWhile(_ != '.'))(col(nested))
-        case plain => ifPresent(plain)(col(plain))
+          ifPresent(f, nested.takeWhile(_ != '.'))(col(nested))
+        case plain => ifPresent(f, plain)(col(plain))
       }).as(f)
     }
-    df.select(cols: _*)
+    staged.select(cols: _*)
   }
 }

@@ -68,6 +68,13 @@ class FunctionsSpec extends SparkSpec {
     assert(staged.toSeq == cases.map(pyPreview(_)))
   }
 
+  test("contentPreview caps the no-sentence fallback at small maxLen too") {
+    val c = ". ".repeat(40) // 79 normalized chars, zero sentence fragments
+    assert(one(TextFunctions.contentPreview(lit(c), 50)).getString(0)
+      == pyPreview(c, 50)) // fallback text must still be cut to 47 + "..."
+    assert(pyPreview(c, 50).length == 50)
+  }
+
   test("contentPreview fuzz: random sentence soups match the port") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

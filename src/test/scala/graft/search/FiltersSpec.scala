@@ -44,7 +44,15 @@ class FiltersSpec extends SparkSpec {
     assert(ids(FilterSpec("note", "contains", SV("beta ALPHA"))) == Set(1L))
     assert(ids(FilterSpec("note", "contains", SV("alpha gamma"))) == Set.empty[Long])
     // non-string values match as text of their rendering (MatchText(str(v)))
-    assert(ids(FilterSpec("note", "contains", NV(1.0))) == Set.empty[Long])
+    // — integral doubles render like JSON ints: "6", not "6.0"
+    import spark.implicits._
+    val digits = Seq((1L, "k 6"), (2L, "k 60"), (3L, "k 6.5")).toDF("id", "note")
+    def dids(f: FilterSpec) =
+      digits.where(compile(f)).select("id").collect().map(_.getLong(0)).toSet
+    // "6" (not "6.0") as the token — matches "6" and the "6" inside
+    // "6.5" (the word tokenizer splits on '.'), but never "60"
+    assert(dids(FilterSpec("note", "contains", NV(6.0))) == Set(1L, 3L))
+    assert(dids(FilterSpec("note", "contains", NV(6.5))) == Set(3L))
   }
 
   test("any_of and conjunction of filters") {

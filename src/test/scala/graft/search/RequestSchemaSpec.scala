@@ -21,8 +21,10 @@ class RequestSchemaSpec extends SparkSpec {
     assert(RequestSchema.thresholdMin == 0.0 && RequestSchema.thresholdMax == 1.0)
     assert(RequestSchema.thresholdDefault == 0.4)
     assert(RequestSchema.filterFields.size == 12)
+    // the reference's 7 operators plus the engine's explicit substring form
     assert(RequestSchema.filterOps ==
-      Seq("is", "is_not", "before", "after", "between", "contains", "any_of"))
+      Seq("is", "is_not", "before", "after", "between", "contains",
+        "contains_substring", "any_of"))
     assert(RequestSchema.requiredParams == Seq("query"))
   }
 
