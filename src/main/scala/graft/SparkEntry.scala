@@ -961,6 +961,19 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // SQ8 scalar quantization: per-dimension affine int8 codes (4× less
+    // scan I/O than float32, no codebook training — the compression tier
+    // below PQ). Calibration is one combiner-heavy posexplode min/max agg;
+    // encode/search are shuffle-free codegen'd scans; search is asymmetric
+    // (exact query vs dequantized base) + TakeOrderedAndProject.
+    "search_sq8" -> ((s, d) => {
+      val e = embs(s, d)
+      val (mins, maxs) = Similarity.sqCalibrate(e, "embedding")
+      val enc = Similarity.sqEncode(e, "embedding", "vec_id", mins, maxs)
+      Similarity.sqSearch(enc, "vec_id", mins, maxs, queryVec(s, d), k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- Dedup / text-analysis extensions ----
 
     "dedup_exact" -> ((s, d) => {
@@ -1987,6 +2000,24 @@ object SparkEntry {
         |JOIN tab t2 ON t2.sub = 2 AND t2.code = codes.code2
         |JOIN tab t3 ON t3.sub = 3 AND t3.code = codes.code3
         |ORDER BY score DESC, codes.vec_id LIMIT 10""".stripMargin),
+
+    // replays sqCalibrate/sqEncode/sqDequantize exactly: per-dim min/max,
+    // code = round((x-mn)/(mx-mn)*255), xq = mn + code*(mx-mn)/255 (all
+    // IEEE double in both engines), asymmetric cosine vs the exact query
+    "search_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |deq AS (
+        |  SELECT vec_id, x.pos,
+        |    CASE WHEN d.mx = d.mn THEN d.mn
+        |         ELSE d.mn + CAST(round((x.x - d.mn) / (d.mx - d.mn) * 255) AS INT)
+        |              * ((d.mx - d.mn) / 255.0) END AS xq
+        |  FROM x JOIN dims d USING (pos)),
+        |arr AS (SELECT vec_id, list(xq ORDER BY pos) AS vq FROM deq GROUP BY vec_id),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT a.vec_id, ROUND(list_cosine_similarity(a.vq, qv), 6) AS score
+        |FROM arr a, q ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

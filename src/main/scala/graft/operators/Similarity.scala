@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,78 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Per-dimension (min, max) calibration for scalar quantization: one
+    * posexplode + min/max aggregation — combiner-heavy (each partition
+    * pre-reduces to `dims` rows map-side), so the shuffle moves
+    * dims × partitions rows no matter the corpus size. Only `dims`
+    * doubles reach the driver.
+    */
+  def sqCalibrate(vecs: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = vecs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Scalar quantization (SQ8) encode: each dimension compressed to an
+    * 8-bit code by a per-dimension affine map
+    * `code = round((x - min) / (max - min) * 255)` — 4× smaller than
+    * float32 (codes pack to one byte/dim on disk; kept as ints here so the
+    * oracle can see them). Calibration bounds come from [[sqCalibrate]]
+    * and ship as broadcast literals: encoding is a pure per-row Column
+    * tree — shuffle-free, codegen'd, pushdown-friendly. Constant
+    * dimensions (max == min) encode to 0 and decode back to min exactly.
+    *
+    * Like PQ ([[pqEncode]]) the encoded table REPLACES raw vectors for
+    * first-pass search; unlike PQ there is no codebook training and
+    * per-dimension resolution is fixed at 256 levels — the standard
+    * cheap-and-cheerful compression tier (Faiss SQ8, Lucene/Elasticsearch
+    * int8_hnsw, Qdrant scalar quantization).
+    */
+  def sqEncode(vecs: DataFrame, vecCol: String, idCol: String,
+      mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    val ranges = mins.zip(maxs).map { case (mn, mx) => mx - mn }
+    vecs.select(col(idCol),
+      zip_with(
+        zip_with(col(vecCol), typedLit(mins), (x, mn) => x.cast("double") - mn),
+        typedLit(ranges),
+        (d, r) => when(r === 0.0, lit(0))
+          .otherwise(round(d / r * 255).cast("int"))).as("codes"))
+  }
+
+  /** Inverse of [[sqEncode]]: `x ≈ min + code · (max - min) / 255`.
+    * Scales/mins are literals; the reconstruction is exact IEEE double
+    * arithmetic, so the same codes dequantize bit-identically on every
+    * engine (the oracle replays this formula in SQL).
+    */
+  def sqDequantize(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val scales = mins.zip(maxs).map { case (mn, mx) => (mx - mn) / 255.0 }
+    zip_with(
+      zip_with(codes, typedLit(scales), (c, s) => c.cast("double") * s),
+      typedLit(mins), (t, mn) => t + mn)
+  }
+
+  /** Asymmetric SQ8 search: the query stays exact (full precision), every
+    * base vector is reconstructed from its int8 codes on the fly, cosine
+    * top-k as usual — one codegen'd scan over the codes table (¼ the bytes
+    * of the raw vectors; with the store column-pruned to (id, codes) this
+    * is the whole I/O win) + TakeOrderedAndProject. No shuffle.
+    */
+  def sqSearch(encoded: DataFrame, idCol: String,
+      mins: Seq[Double], maxs: Seq[Double], query: Seq[Float], k: Int): DataFrame =
+    encoded
+      .withColumn("score", round(
+        VectorFunctions.cosine(
+          sqDequantize(col("codes"), mins, maxs),
+          typedLit(query.map(_.toDouble)), mins.length), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
 
   /** IVF probe: assign the query to its `nprobe` nearest cells, scan only
     * those cells, exact cosine inside.

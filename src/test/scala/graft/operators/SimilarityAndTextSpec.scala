@@ -114,6 +114,42 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(r(3L).getAs[String]("redacted") == "clean text only")
   }
 
+  test("SQ8: codes bounded 0..255, constant dims decode to min, search recalls brute force") {
+    import spark.implicits._
+    // 4-dim vectors; dim 4 is constant (max == min edge case)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.2f, 0.5f)),
+      (1L, Seq(0.9f, 0.1f, -0.3f, 0.5f)),
+      (2L, Seq(0.0f, 1.0f, 0.8f, 0.5f)),
+      (3L, Seq(-1.0f, 0.2f, 0.1f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqCalibrate(df, "embedding")
+    assert(mins == Seq(-1.0f, 0.0f, -0.3f, 0.5f).map(_.toDouble) &&
+      maxs == Seq(1.0f, 1.0f, 0.8f, 0.5f).map(_.toDouble))
+    val enc = Similarity.sqEncode(df, "embedding", "vec_id", mins, maxs)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    assert(codes(0L)(0) == 255 && codes(3L)(0) == 0) // range endpoints
+    assert(codes.values.forall(_(3) == 0))           // constant dim → code 0
+    // dequantized constant dim is exactly min
+    val deq = enc.select(col("vec_id"),
+      Similarity.sqDequantize(col("codes"), mins, maxs).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(deq.values.forall(_(3) == 0.5))
+    // 8-bit resolution on a 2.0-wide range ⇒ error ≤ half a step
+    df.collect().foreach { r =>
+      val raw = r.getSeq[Float](1); val d = deq(r.getLong(0))
+      raw.zip(d).zip(maxs.zip(mins)).foreach { case ((x, xq), (mx, mn)) =>
+        assert(math.abs(x - xq) <= (mx - mn) / 255.0 / 2 + 1e-12) }
+    }
+    // asymmetric search agrees with brute force on this easy set
+    val got = Similarity.sqSearch(enc, "vec_id", mins, maxs,
+      Seq(1.0f, 0.0f, 0.2f, 0.5f), k = 2).collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.2f, 0.5f), k = 2).collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
   test("repetitionStats: top-2-gram share, duplicate-5-gram share, short-doc nulls") {
     import spark.implicits._
     val df = Seq(
