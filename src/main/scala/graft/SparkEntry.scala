@@ -1161,6 +1161,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature rebalancing over the REAL language skew (en ≈ 3× fr in
+    // the corpus): α=0.5 smooths counts toward balance without upsampling.
+    // Rates are statistics-driven (per-lang count agg → integer
+    // thresholds), the filter is one hash-compare scan.
+    "sample_temperature" -> ((s, d) => {
+      operators.Sampling.temperatureSample(docs(s, d), "doc_id", "lang",
+        alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: the synthetic corpus carries no PII, so the gate injects
     // deterministic emails/URLs/phones (same expression in the oracle)
     // and checks counts + masked text byte-for-byte.
@@ -2327,6 +2338,20 @@ object SparkEntry {
          |  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
          |  WHEN 'src2' THEN 250000 ELSE 100000 END)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // same formula as temperatureSample: integer thresholds
+    // round((n_min/n_i)^(1-α) · 1e6) from real per-lang counts
+    "sample_temperature" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#temp'")
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS nmin FROM n),
+         |t AS (SELECT lang,
+         |  CAST(round(pow(CAST(nmin AS DOUBLE) / n, 0.5) * 1000000) AS BIGINT) AS thr
+         |  FROM n, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+         |WHERE $b % 1000000 < t.thr
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "text_redact_pii" ->

@@ -107,6 +107,37 @@ object Sampling {
     * twins (oracle SQL) derive the identical namespace. */
   def packStride(groups: Int): Long = Long.MaxValue / groups
 
+  /** Temperature-based source rebalancing — the multilingual-corpus
+    * downsampling rule (effective counts ∝ n_i^α, as in the XLM-R /
+    * mBERT exponential-smoothing recipe) restated as a keep-rate with no
+    * upsampling: `rate_i = (n_min / n_i)^(1-α)`. α=1 keeps everything;
+    * α=0 downsamples every group to the smallest group's size (fully
+    * balanced); in between, over-represented groups shrink smoothly.
+    *
+    * Rates derive from REAL per-group counts (one combiner-heavy
+    * count agg; only one row per group reaches the driver — the same
+    * statistics-driven-parameter pattern as [[graft.operators.SkewJoin]]'s
+    * `bucketsFor`). The filter itself is [[mixture]]'s shape: one scan,
+    * one integer-threshold comparison per row against the content-hash
+    * bucket — deterministic across runs/engines/partitionings. Thresholds
+    * are integers (`round(rate · 1e6)`) so external twins compare the
+    * same exact longs rather than re-deriving a float cutoff.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0)
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+    require(counts.nonEmpty, "temperatureSample: empty input")
+    val nMin = counts.map(_._2).min
+    val thresholds = counts.map { case (s, n) =>
+      (s, math.round(math.pow(nMin.toDouble / n, 1 - alpha) * Buckets)) }
+    val thr = thresholds.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((src, t), rest) => when(col(sourceCol) === src, lit(t)).otherwise(rest)
+    }
+    df.where(hashBucket(col(idCol), salt) < thr)
+  }
+
   /** Corpus mixing: keep each row with its source's rate — the
     * domain-weighting step of corpus assembly (e.g. wiki ×1.0, web ×0.3).
     * One scan, no union-of-filtered-copies; sources absent from `rates`

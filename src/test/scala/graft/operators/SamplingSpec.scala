@@ -66,6 +66,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(df, "id", "grp", 1000).count() == 300)
   }
 
+  test("temperatureSample: α=1 keeps all, α=0 balances to the smallest group") {
+    import spark.implicits._
+    // skewed groups: big=800, mid=200, small=50
+    val df = ((1L to 800L).map((_, "big")) ++ (801L to 1000L).map((_, "mid")) ++
+      (1001L to 1050L).map((_, "small"))).toDF("id", "grp")
+    assert(Sampling.temperatureSample(df, "id", "grp", alpha = 1.0).count() == 1050)
+    val balanced = Sampling.temperatureSample(df, "id", "grp", alpha = 0.0)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group lands near the smallest group's size (hash noise ±40%)
+    assert(balanced("small") == 50)
+    assert(balanced("big") > 30 && balanced("big") < 70, balanced.toString)
+    assert(balanced("mid") > 30 && balanced("mid") < 70, balanced.toString)
+    // α=0.5 sits between: keeps more of big than α=0, less than α=1
+    val mid = Sampling.temperatureSample(df, "id", "grp", alpha = 0.5)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid("big") > balanced("big") && mid("big") < 800)
+    // deterministic under repartitioning
+    val a = Sampling.temperatureSample(df, "id", "grp", alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(17), "id", "grp", alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("packSequences bounds every sequence by budget + max doc tokens") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, 10 + (i * 7 % 90))).toDF("id", "n_tok")
