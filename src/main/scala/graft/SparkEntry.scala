@@ -1237,6 +1237,33 @@ object SparkEntry {
 
     // Time-series gap filling: dense (user × hour) spine with zero-fill —
     // the "no data is data" reporting shape. The spine is a tiny explode
+    // Hourly volume anomaly detection per event_type: trailing-24-bucket
+    // baseline as EXACT integer window sums (Σn, Σn², m — no
+    // order-dependent float aggregation), closed-form mean/variance,
+    // z-score flag at |z| ≥ 2.5. One hourly-rollup shuffle (uniform
+    // keys) + one window partitioned by event_type — both scale-safe;
+    // at 100 TB the rollup is the only pass over raw events and the
+    // window runs over ~hours×types rows.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("s", sum(col("n")).over(win).cast("double"))
+        .withColumn("q", sum(col("n") * col("n")).over(win).cast("double"))
+        .withColumn("m", count(lit(1)).over(win).cast("double"))
+        .where(col("m") >= 12 &&
+          (col("q") - col("s") * col("s") / col("m")) > 0)
+        .withColumn("z", (col("n") - col("s") / col("m")) /
+          sqrt((col("q") - col("s") * col("s") / col("m")) / (col("m") - 1)))
+        .where(abs(col("z")) >= 2.5)
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), round(col("z"), 6).as("z"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // cross-joined to the user dim; the only real shuffle is the hourly
     // aggregate (uniform keys). At scale the spine join partition-prunes
     // against a date-partitioned store.
@@ -2451,6 +2478,28 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same exact-integer-sums construction: the z expression is the
+    // identical IEEE double op sequence on both engines
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, n,
+        |    CAST(SUM(n) OVER win AS DOUBLE) AS s,
+        |    CAST(SUM(n*n) OVER win AS DOUBLE) AS q,
+        |    CAST(COUNT(*) OVER win AS DOUBLE) AS m
+        |  FROM hourly WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, h, n,
+        |    (n - s/m) / sqrt((q - s*s/m)/(m-1)) AS z
+        |  FROM w WHERE m >= 12 AND (q - s*s/m) > 0)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        |  ROUND(z, 6) AS z
+        |FROM z WHERE abs(z) >= 2.5
+        |ORDER BY hour, event_type""".stripMargin,
 
     "events_session_windows" ->
       """WITH flagged AS (
