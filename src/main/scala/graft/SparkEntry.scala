@@ -1031,6 +1031,35 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // End-to-end near-dup pipeline to a DEDUP MAP: signatures → banded
+    // candidates → connected components → one canonical doc per cluster
+    // (longest text, tie = smallest id, both deterministic) → every doc
+    // labeled (canonical_id, cluster_size, is_keeper). The map is the
+    // artifact a corpus pipeline actually materializes — downstream joins
+    // drop or rewrite duplicates against it. Adds one broadcast-size
+    // aggregate and one map-side join over the components output; the
+    // heavy lifting stays in the banded-LSH shape that never goes
+    // all-pairs.
+    "dedup_canonical" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
+      val comp = Components.connectedComponents(
+        dd.select(col("doc_id").as("id")), pairs)
+        .join(dd.select(col("doc_id").as("id"), col("n_chars")), "id")
+      val canon = comp.groupBy(col("component"))
+        .agg(max(struct(col("n_chars").cast("long").as("nc"),
+          (-col("id")).as("nid"))).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("component"), (-col("best.nid")).as("canonical_id"),
+          col("cluster_size"))
+      comp.join(canon, "component")
+        .select(col("id").as("doc_id"), col("canonical_id"),
+          col("cluster_size"),
+          (col("id") === col("canonical_id")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_embedding_pairs" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(embs(s, d), "embedding", "vec_id",
         minCosine = 0.2, planes = 4, seed = 7, dims = 64)
@@ -2238,6 +2267,54 @@ object SparkEntry {
          |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
          |ORDER BY id""".stripMargin
+    },
+
+    // components CTE extended with the canonical pick: row_number per
+    // component ordered (n_chars DESC, id) — same deterministic argmax
+    // as the Spark max(struct(n_chars, -id))
+    "dedup_canonical" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+         |comp AS (
+         |  SELECT d.doc_id AS id,
+         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component, d.n_chars
+         |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.src),
+         |rk AS (
+         |  SELECT id, component,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, id) AS rn
+         |  FROM comp),
+         |canon AS (
+         |  SELECT component, id AS canonical_id FROM rk WHERE rn = 1),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT c.id AS doc_id, canon.canonical_id, sz.cluster_size,
+         |  (c.id = canon.canonical_id) AS is_keeper
+         |FROM comp c JOIN canon USING (component) JOIN sz USING (component)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_langid" -> {
