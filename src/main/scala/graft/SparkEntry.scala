@@ -1379,6 +1379,21 @@ object SparkEntry {
     // store itself is oracle-checked — gapless per-session sequence_order
     // and correct preceding ids prove state continuity across batch
     // boundaries and replay idempotence (at-least-once foreachBatch).
+    // Streaming exact dedup across a real micro-batch boundary: batch 2
+    // re-delivers batch 1's last hour verbatim; state (bounded by the
+    // watermark horizon) must drop every replay, so the sink equals the
+    // distinct original events.
+    "stream_dedup" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val work = "/tmp/graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedDedupRoundtrip(s, src, work)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     "stream_ingest_sequenced" -> ((s, d) => {
       val src = Tables.events(s, d)
         .where(col("event_id") % 5 === 0)
@@ -2656,6 +2671,13 @@ object SparkEntry {
         |FROM src
         |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
         |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
+
+    // every replay must be dropped, so the streamed dedup equals the
+    // distinct original events — the oracle needs no dedup logic
+    "stream_dedup" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the streamed rollup must equal the batch rollup of the same events
     "stream_hourly_rollup" ->

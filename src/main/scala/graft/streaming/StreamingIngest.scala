@@ -464,6 +464,65 @@ object StreamingIngest {
     spark.table(table).where(col("user_id") >= 0)
   }
 
+  /** Drive [[dedupStream]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for streaming dedup. Batch 2 re-delivers an
+    * exact copy of batch 1's last hour (event times still inside the
+    * watermark horizon when batch 2 runs) alongside its own new rows, so
+    * those duplicates can only be dropped by dedup STATE carried across
+    * the micro-batch boundary — not by within-batch dedup and not by the
+    * late-event filter. Re-deliveries older than the horizon are dropped
+    * as late events; either way every id survives exactly once, so the
+    * final table must equal the distinct original events (the batch
+    * oracle needs no dedup knowledge at all).
+    */
+  def stagedDedupRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "dedup_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    val firstHalf = events.where(col("ts") < lit(mid))
+    stage(firstHalf)
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*"))
+    val q = dedupStream(parsed, "event_id", "ts", watermark)
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: first half, ids into state
+      // re-delivery: batch 1's last hour verbatim (inside the horizon:
+      // watermark after batch 1 is mid − watermark) + the real second half
+      stage(firstHalf.where(col("ts") >= lit(mid) - expr("INTERVAL 1 HOUR"))
+        .unionByName(events.where(col("ts") >= lit(mid))))
+      q.processAllAvailable() // micro-batch 2: state drops the replays
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only

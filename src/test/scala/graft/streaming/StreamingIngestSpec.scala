@@ -123,6 +123,23 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stagedDedupRoundtrip: cross-batch replays dropped, output = distinct input") {
+    import spark.implicits._
+    // 6 hours of events, one per 30 min; the harness replays the last
+    // hour before the midpoint as exact copies in batch 2
+    val events = (0L until 12L).map { i =>
+      (i, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1800 * 1000),
+        if (i % 2 == 0) "click" else "view", i * 1.5)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = stagedDedupRoundtrip(spark, events,
+      "/tmp/graft_spec_stream_dedup", watermark = "2 hours")
+      .select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = (0L until 12L).map(i =>
+      (i, if (i % 2 == 0) "click" else "view", i * 1.5)).toSet
+    assert(out == expected)
+  }
+
   test("hourlyRollup: watermarked tumbling window aggregates by event time") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
