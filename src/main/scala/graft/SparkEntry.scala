@@ -1023,11 +1023,18 @@ object SparkEntry {
 
     // Edit-distance verification on LSH candidates (never a global cross
     // join): two prunable equi-joins + one codegen'd levenshtein per pair.
+    // The candidates repartition to full parallelism first (AQE coalesces
+    // the small band shuffle to one partition, which would serialize the
+    // O(len²) verify CPU), and the verified result — candidate-sized by
+    // construction — materializes once so the deterministic range sort's
+    // sampling pass doesn't re-run the whole minhash DAG.
     "dedup_levenshtein" -> ((s, d) => {
       val dd = docs(s, d)
       val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
       val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
+        .repartition(s.sparkContext.defaultParallelism)
       Dedup.levenshteinVerify(pairs, dd, "doc_id", "text")
+        .localCheckpoint()
         .orderBy(col("a"), col("b"))
     }),
 

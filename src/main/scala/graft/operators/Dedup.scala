@@ -204,15 +204,25 @@ object Dedup {
     * affordable AFTER candidate pruning, never as a global cross join.
     * Two key-equi joins against the corpus (prunable at scale), linear in
     * the candidate count.
+    *
+    * The per-pair O(len²) distance is the dominant CPU here (~1 ms per
+    * ~300-char pair): partition `pairs` by the cluster's parallelism
+    * before calling, or the verify stage serializes on however few
+    * partitions candidate generation left behind. When `maxDist` is
+    * unbounded the filter is skipped entirely — otherwise Catalyst pushes
+    * the always-true predicate into the join condition and evaluates the
+    * distance twice per row.
     */
   def levenshteinVerify(pairs: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, maxDist: Int = Int.MaxValue): DataFrame =
-    pairs
+      idCol: String, textCol: String, maxDist: Int = Int.MaxValue): DataFrame = {
+    val joined = pairs
       .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
       .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
       .withColumn("lev", levenshtein(col("ta"), col("tb")))
-      .where(col("lev") <= maxDist)
-      .select(col("a"), col("b"), col("lev"))
+    val bounded = if (maxDist == Int.MaxValue) joined
+      else joined.where(col("lev") <= maxDist)
+    bounded.select(col("a"), col("b"), col("lev"))
+  }
 
   /** Embedding near-duplicate pairs: RHP-LSH bucket join (shuffle on
     * bucket), exact cosine verification inside buckets. `planes = 0`
