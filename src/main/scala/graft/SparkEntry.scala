@@ -1147,6 +1147,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Composite C4/Gopher corpus filter: named per-rule verdicts + final
+    // keep flag — the corpus-quality audit artifact. Thresholds sit inside
+    // the real data's spread so every rule fires on some docs.
+    "text_corpus_filter" -> ((s, d) => {
+      TextAnalysis.corpusFilter(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: distinct-5-gram overlap against a small
     // "eval set" (every 50th doc), benchmark side broadcast — flags the
     // benchmark docs themselves plus any near-copy sharing >= 3 shingles.
@@ -2550,6 +2558,43 @@ object SparkEntry {
          |LEFT JOIN a2 ON d.doc_id = a2.doc_id
          |LEFT JOIN a5 ON d.doc_id = a5.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // quality ratios + top-2-gram share recomputed with the same rounding
+    // as text_quality / text_repetition, then the rule comparisons
+    "text_corpus_filter" -> {
+      val grams2 =
+        """CASE WHEN len(toks) < 2 THEN []
+          |  ELSE list_transform(generate_series(1, len(toks)-1),
+          |    i -> toks[i] || ' ' || toks[i+1]) END""".stripMargin
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars_c,
+         |    len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+         |    len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+         |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stops
+         |  FROM documents),
+         |qr AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(punct / NULLIF(n_chars_c, 0), 4) AS punct_ratio,
+         |    ROUND(stops / NULLIF(n_tokens, 0), 4) AS stopword_ratio
+         |  FROM f),
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |g2 AS (SELECT doc_id, unnest($grams2) AS gram FROM tok),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id,
+         |    ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS top_gram_ratio
+         |  FROM c2 GROUP BY 1),
+         |v AS (
+         |  SELECT qr.doc_id,
+         |    (qr.n_tokens < 40) AS r_too_short,
+         |    COALESCE(qr.stopword_ratio < 0.05, TRUE) AS r_low_stopword,
+         |    COALESCE(qr.punct_ratio > 0.2, FALSE) AS r_high_punct,
+         |    COALESCE(a2.top_gram_ratio > 0.1, FALSE) AS r_repetitive
+         |  FROM qr LEFT JOIN a2 ON qr.doc_id = a2.doc_id)
+         |SELECT doc_id, r_too_short, r_low_stopword, r_high_punct, r_repetitive,
+         |  NOT (r_too_short OR r_low_stopword OR r_high_punct OR r_repetitive) AS keep
+         |FROM v ORDER BY doc_id""".stripMargin
     },
 
     "multimodal_features" -> {

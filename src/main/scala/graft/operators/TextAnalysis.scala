@@ -142,4 +142,45 @@ object TextAnalysis {
         coalesce(col("n_dup_"), lit(0L)).as("n_dup_grams"),
         round(col("dupc_").cast("double") / col("n_dup_"), 6).as("dup_gram_ratio"))
   }
+
+  /** C4/Gopher-style composite corpus filter: every document gets a NAMED
+    * verdict per quality rule plus the final `keep` flag — the audit
+    * artifact corpus pipelines report ("why did this doc drop") rather
+    * than a bare filtered table. Rules:
+    *
+    *  - `r_too_short`     n_tokens < minTokens (Gopher's 50-token floor)
+    *  - `r_low_stopword`  stopword_ratio < minStopRatio (C4's "no English
+    *                      function words" boilerplate signal; fires too
+    *                      when the ratio is undefined — zero tokens)
+    *  - `r_high_punct`    punct_ratio > maxPunctRatio (symbol spam)
+    *  - `r_repetitive`    top 2-gram share > maxTopGramRatio (Gopher
+    *                      repetition rule, [[repetitionStats]])
+    *
+    * Physical shape: [[qualityFeatures]] is a pure per-row Column tree on
+    * one scan; [[repetitionStats]] is the one combiner-heavy explode agg;
+    * one id-equi join combines them. Verdicts compare the same ROUNDED
+    * ratios the individual operators emit, so the flags reproduce
+    * bit-identically on any engine that matches those operators.
+    */
+  def corpusFilter(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 40, minStopRatio: Double = 0.05,
+      maxPunctRatio: Double = 0.2, maxTopGramRatio: Double = 0.1): DataFrame = {
+    val q = qualityFeatures(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"))
+    val rep = repetitionStats(docs, textCol, idCol, topN = 2, dupN = 5)
+      .select(col(idCol), col("top_gram_ratio"))
+    q.join(rep, Seq(idCol))
+      .withColumn("r_too_short", col("n_tokens") < minTokens)
+      .withColumn("r_low_stopword",
+        coalesce(col("stopword_ratio") < minStopRatio, lit(true)))
+      .withColumn("r_high_punct",
+        coalesce(col("punct_ratio") > maxPunctRatio, lit(false)))
+      .withColumn("r_repetitive",
+        coalesce(col("top_gram_ratio") > maxTopGramRatio, lit(false)))
+      .withColumn("keep", !(col("r_too_short") || col("r_low_stopword") ||
+        col("r_high_punct") || col("r_repetitive")))
+      .select(col(idCol), col("r_too_short"), col("r_low_stopword"),
+        col("r_high_punct"), col("r_repetitive"), col("keep"))
+  }
 }

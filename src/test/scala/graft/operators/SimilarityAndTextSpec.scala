@@ -150,6 +150,29 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("corpusFilter: each rule fires on its pathological doc, clean doc kept") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and then " +
+      "it runs to the old mill where a friendly miller offers it a meal " +
+      "of bread and cheese which the fox gladly accepts before heading home") // 40+ toks, stopwords, no punct
+    val df = Seq(
+      (1L, clean),
+      (2L, "short doc"),                                  // too short
+      (3L, ("lorem ipsum dolor sit amet " * 10).trim),    // repeated 2-grams + no stopwords
+      (4L, clean + " " + ("!@#$%^&*()" * 60)))            // punct spam
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusFilter(df, "text", "doc_id",
+      minTokens = 10, minStopRatio = 0.05, maxPunctRatio = 0.2,
+      maxTopGramRatio = 0.15)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5))).toMap
+    assert(r(1L) == ((false, false, false, false, true)))
+    assert(r(2L)._1 && !r(2L)._5)                         // too short, dropped
+    assert(r(3L)._2 && r(3L)._4 && !r(3L)._5)             // low stopword + repetitive
+    assert(r(4L)._3 && !r(4L)._5)                         // high punct
+  }
+
   test("repetitionStats: top-2-gram share, duplicate-5-gram share, short-doc nulls") {
     import spark.implicits._
     val df = Seq(
