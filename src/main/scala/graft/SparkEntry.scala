@@ -961,6 +961,13 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // Per-label class prototypes: decimal-summed exact means per (label,
+    // dimension) — centroid-based filtering/labeling's model artifact.
+    "search_label_centroids" -> ((s, d) => {
+      Similarity.labelCentroids(embs(s, d), "embedding", "label")
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // SQ8 scalar quantization: per-dimension affine int8 codes (4× less
     // scan I/O than float32, no codebook training — the compression tier
     // below PQ). Calibration is one combiner-heavy posexplode min/max agg;
@@ -1153,6 +1160,13 @@ object SparkEntry {
     "text_corpus_filter" -> ((s, d) => {
       TextAnalysis.corpusFilter(docs(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary (tf + df per term, top 50): the tokenizer-training
+    // / stopword-derivation artifact. Explode → two-phase agg →
+    // TakeOrderedAndProject.
+    "text_vocabulary" -> ((s, d) => {
+      TextAnalysis.vocabulary(docs(s, d), "text", "doc_id", topK = 50)
     }),
 
     // Benchmark decontamination: distinct-5-gram overlap against a small
@@ -2098,6 +2112,17 @@ object SparkEntry {
         |JOIN tab t3 ON t3.sub = 3 AND t3.code = codes.code3
         |ORDER BY score DESC, codes.vec_id LIMIT 10""".stripMargin),
 
+    // decimal-summed exact means, same construction as the Spark side
+    "search_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |FROM x GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+
     // replays sqCalibrate/sqEncode/sqDequantize exactly: per-dim min/max,
     // code = round((x-mn)/(mx-mn)*255), xq = mn + code*(mx-mn)/255 (all
     // IEEE double in both engines), asymmetric cosine vs the exact query
@@ -2559,6 +2584,13 @@ object SparkEntry {
          |LEFT JOIN a5 ON d.doc_id = a5.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "text_vocabulary" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM tok)
+         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |FROM t GROUP BY term
+         |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
     // quality ratios + top-2-gram share recomputed with the same rounding
     // as text_quality / text_repetition, then the rule comparisons

@@ -224,6 +224,26 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Per-label embedding centroids (long form: label, pos, c) — the class
+    * prototypes used for centroid-based filtering and labeling (score a
+    * candidate against the "good" class centroid, FineWeb-edu style) and
+    * for seeding [[ivfAssign]] with supervised cells.
+    *
+    * Means are decimal-summed per (label, dimension) — exact and
+    * order-independent, the same reproducibility trick as
+    * [[kmeansRefine]] — then divided once in double and rounded. One
+    * posexplode + one combiner-heavy aggregation; output is
+    * labels × dims rows (broadcast-sized by construction).
+    */
+  def labelCentroids(vecs: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    vecs
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(
+        sum(col("x").cast("decimal(28,8)")).cast("double") / count(lit(1)), 6)
+        .as("c"))
+
   /** Per-dimension (min, max) calibration for scalar quantization: one
     * posexplode + min/max aggregation — combiner-heavy (each partition
     * pre-reduces to `dims` rows map-side), so the shuffle moves

@@ -143,6 +143,30 @@ object TextAnalysis {
         round(col("dupc_").cast("double") / col("n_dup_"), 6).as("dup_gram_ratio"))
   }
 
+  /** Corpus vocabulary table: term frequency + document frequency for the
+    * `topK` most frequent tokens — the input artifact for tokenizer
+    * training, stopword derivation, and df-based weighting (BM25/TF-IDF
+    * reuse the same pass).
+    *
+    * Physical shape: one explode, then a two-phase aggregation Spark
+    * plans automatically for the distinct — partial (term, doc) dedup
+    * map-side, then per-term counts. Hot terms (stopwords hit every doc)
+    * are absorbed by map-side partial aggregation, not a skewed reduce.
+    * Top-k is TakeOrderedAndProject — no global sort. At 100 TB swap the
+    * exact df for approx_count_distinct and keep the plan.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1)
+    docs
+      .select(col(idCol).as("_doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_doc")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** C4/Gopher-style composite corpus filter: every document gets a NAMED
     * verdict per quality rule plus the final `keep` flag — the audit
     * artifact corpus pipelines report ("why did this doc drop") rather

@@ -150,6 +150,25 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("labelCentroids: exact per-label per-dimension means") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 1.0f)),   // label 0: mean (2.0, 0.5)
+      (1, Seq(-1.0f, 4.0f)))                         // label 1: itself
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 2.0, (0, 1) -> 0.5, (1, 0) -> -1.0, (1, 1) -> 4.0))
+  }
+
+  test("vocabulary: tf/df counts, top-k by tf then term") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(df, "text", "doc_id", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+  }
+
   test("corpusFilter: each rule fires on its pathological doc, clean doc kept") {
     import spark.implicits._
     val clean = ("the quick brown fox jumps over the lazy dog and then " +
