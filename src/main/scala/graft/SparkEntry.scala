@@ -968,6 +968,19 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Nearest-centroid labeling: every vector assigned to its closest
+    // class prototype by cosine — centroid-based filtering's scoring
+    // pass (ivfAssign reused with supervised centroids; broadcast table,
+    // one codegen'd scan). Emits true label vs predicted for audit.
+    "search_centroid_assign" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+        .select(col("vec_id"), col("label"), col("cell").as("predicted_label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SQ8 scalar quantization: per-dimension affine int8 codes (4× less
     // scan I/O than float32, no codebook training — the compression tier
     // below PQ). Calibration is one combiner-heavy posexplode min/max agg;
@@ -2122,6 +2135,29 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
         |FROM x GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    // label-mean centroids + the ivfAssign argmax (sim DESC, cell DESC)
+    "search_centroid_assign" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, label, cell FROM (
+        |    SELECT e.vec_id, e.label, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT vec_id, label, cell AS predicted_label
+        |FROM a ORDER BY vec_id""".stripMargin,
 
     // replays sqCalibrate/sqEncode/sqDequantize exactly: per-dim min/max,
     // code = round((x-mn)/(mx-mn)*255), xq = mn + code*(mx-mn)/255 (all

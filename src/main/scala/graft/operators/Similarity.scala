@@ -244,6 +244,19 @@ object Similarity {
         sum(col("x").cast("decimal(28,8)")).cast("double") / count(lit(1)), 6)
         .as("c"))
 
+  /** Collect a long-form centroid table ([[labelCentroids]] output:
+    * label, pos, c) into the broadcast-literal shape [[ivfAssign]] /
+    * [[ivfSearch]] take. Bounded by labels × dims — centroid tables are
+    * broadcast-sized by construction. */
+  def centroidsFromLong(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.collect()
+      .groupBy(r => r.get(0).asInstanceOf[Number].intValue)
+      .toSeq
+      .map { case (label, rows) =>
+        (label, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      .sortBy(_._1)
+
   /** Per-dimension (min, max) calibration for scalar quantization: one
     * posexplode + min/max aggregation — combiner-heavy (each partition
     * pre-reduces to `dims` rows map-side), so the shuffle moves
