@@ -773,8 +773,12 @@ object SparkEntry {
         .withColumn("dense", VectorFunctions.cosine(col("embedding"), qv, SearchDims))
         .withColumn("kw",
           size(array_intersect(TextFunctions.tokens(lower(col("content"))), qToks)))
-      Search.rrfFuseTopM(scored, col("dense"), col("kw").cast("double"),
-        col("memory_id").cast("long"), m = 100)
+      // fused scores come back id-only (≤2m rows); the reattach join is
+      // broadcast + column-pruned, so the embed pipeline runs ONCE
+      val fused = Search.rrfFuseTopMScores(scored, col("dense"),
+        col("kw").cast("double"), col("memory_id").cast("long"), m = 100)
+      mem.select(col("memory_id"), col("tool"))
+        .join(broadcast(fused), col("memory_id").cast("long") === fused("tb"))
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
         .limit(10)
@@ -800,8 +804,12 @@ object SparkEntry {
         .withColumn("kw", coalesce(col("kw_score"), lit(0.0)))
         .withColumn("dense",
           VectorFunctions.cosine(col("embedding"), qv, SearchDims))
-      Search.rrfFuseTopM(scored, col("dense"), col("kw"),
+      // id-only fused scores + broadcast reattach: embed and BM25 both
+      // evaluate exactly once (into the persisted fusion projection)
+      val fused = Search.rrfFuseTopMScores(scored, col("dense"), col("kw"),
         col("memory_id").cast("long"), m = 100)
+      mem.select(col("memory_id"), col("tool"))
+        .join(broadcast(fused), col("memory_id").cast("long") === fused("tb"))
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
         .limit(10)

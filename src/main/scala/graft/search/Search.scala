@@ -201,6 +201,46 @@ object Search {
       .drop("tb_", "dense_rank_", "kw_rank_")
   }
 
+  /** Fused scores for the union of both top-M lists ONLY — the form of
+    * [[rrfFuseTopM]] that never re-evaluates `scored`. The expensive
+    * scoring pipeline (embed + cosine at scale) materializes exactly once
+    * — the persisted projection feeds both top-M collects — and
+    * everything after runs on ≤ 2m driver rows. A row outside both lists
+    * scores 0 under bounded-list RRF and can never outrank a list member,
+    * so any top-k consumer with k ≤ m reattaches payload columns via a
+    * broadcast id-join against the returned (tb, score) table instead of
+    * paying a second scoring pass; the reattach scan is column-pruned to
+    * the id + payload (the embedding pipeline never runs again).
+    */
+  def rrfFuseTopMScores(
+      scored: DataFrame,
+      denseScore: Column,
+      keywordScore: Column,
+      tieBreak: Column,
+      m: Int,
+      k: Int = 60): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val proj = scored
+      .select(tieBreak.cast("long").as("tb"),
+        denseScore.cast("double").as("ds"),
+        keywordScore.cast("double").as("ks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankList(score: String): Map[Long, Int] = {
+      proj.orderBy(col(score).desc, col("tb")).limit(m).collect()
+        .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toMap
+    }
+    val dr = rankList("ds")
+    val kr = rankList("ks")
+    proj.unpersist(blocking = false)
+    (dr.keySet ++ kr.keySet).toSeq.sorted
+      .map { tb =>
+        (tb, dr.get(tb).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+          kr.get(tb).map(r => 1.0 / (k + r)).getOrElse(0.0))
+      }
+      .toDF("tb", "score")
+  }
+
   /** The query's RHP bucket, computed driver-side from the same
     * hyperplanes the store side hashes with — the probe key for
     * [[lshSearch]] and for partition-pruned reads of a store written

@@ -36,4 +36,27 @@ class RrfPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("rrfFuseTopMScores equals rrfFuseTopM on list members, and covers them all") {
+    import spark.implicits._
+    val prop = Prop.forAllNoShrink(Gen.listOfN(25, genCand)) { cs0 =>
+      val cs = cs0.zipWithIndex.map { case (c, i) => c.copy(id = i.toLong) }
+      val df = cs.map(c => (c.id, c.dense, c.kw)).toDF("id", "dense", "kw")
+      val m = 8
+      val full = Search.rrfFuseTopM(df, col("dense"), col("kw"), col("id"), m)
+        .select(col("id"), round(col("score"), 9).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val idsOnly = Search.rrfFuseTopMScores(df, col("dense"), col("kw"),
+        col("id"), m)
+        .select(col("tb"), round(col("score"), 9).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // every returned row matches the full form's score, every nonzero
+      // scorer of the full form is present, nothing else is
+      idsOnly.forall { case (id, sc) => full(id) == sc } &&
+        full.filter(_._2 > 0).keySet == idsOnly.keySet
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
