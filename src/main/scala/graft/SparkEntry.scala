@@ -1314,8 +1314,6 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_no"))
     }),
 
-    // Time-series gap filling: dense (user × hour) spine with zero-fill —
-    // the "no data is data" reporting shape. The spine is a tiny explode
     // Hourly volume anomaly detection per event_type: trailing-24-bucket
     // baseline as EXACT integer window sums (Σn, Σn², m — no
     // order-dependent float aggregation), closed-form mean/variance,
@@ -1343,6 +1341,8 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Time-series gap filling: dense (user × hour) spine with zero-fill —
+    // the "no data is data" reporting shape. The spine is a tiny explode
     // cross-joined to the user dim; the only real shuffle is the hourly
     // aggregate (uniform keys). At scale the spine join partition-prunes
     // against a date-partitioned store.

@@ -209,15 +209,19 @@ object Dedup {
     * ~300-char pair): partition `pairs` by the cluster's parallelism
     * before calling, or the verify stage serializes on however few
     * partitions candidate generation left behind. When `maxDist` is
-    * unbounded the filter is skipped entirely — otherwise Catalyst pushes
-    * the always-true predicate into the join condition and evaluates the
-    * distance twice per row.
+    * unbounded the distance filter is skipped entirely — otherwise
+    * Catalyst pushes the always-true predicate into the join condition
+    * and evaluates the distance twice per row. Pairs whose text is NULL
+    * on either side are dropped before the distance (the only case where
+    * `lev` could be NULL — the old always-on `lev <= maxDist` predicate
+    * dropped them implicitly), so `lev` is never NULL in the output.
     */
   def levenshteinVerify(pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, maxDist: Int = Int.MaxValue): DataFrame = {
     val joined = pairs
       .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
       .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
+      .where(col("ta").isNotNull && col("tb").isNotNull)
       .withColumn("lev", levenshtein(col("ta"), col("tb")))
     val bounded = if (maxDist == Int.MaxValue) joined
       else joined.where(col("lev") <= maxDist)

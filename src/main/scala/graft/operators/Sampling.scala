@@ -117,25 +117,38 @@ object Sampling {
     * Rates derive from REAL per-group counts (one combiner-heavy
     * count agg; only one row per group reaches the driver — the same
     * statistics-driven-parameter pattern as [[graft.operators.SkewJoin]]'s
-    * `bucketsFor`). The filter itself is [[mixture]]'s shape: one scan,
-    * one integer-threshold comparison per row against the content-hash
-    * bucket — deterministic across runs/engines/partitionings. Thresholds
-    * are integers (`round(rate · 1e6)`) so external twins compare the
-    * same exact longs rather than re-deriving a float cutoff.
+    * `bucketsFor`). The per-row filter compares the content-hash bucket
+    * against an integer threshold joined in from a BROADCAST threshold
+    * table (map-side, no shuffle of `df`) — deterministic across
+    * runs/engines/partitionings, and safe at any group cardinality where
+    * a when-chain Column tree would not analyze. Thresholds are integers
+    * (`round(rate · 1e6)`) so external twins compare the same exact longs
+    * rather than re-deriving a float cutoff. Rows with a null group are
+    * dropped (inner-join semantics).
     */
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
       alpha: Double, salt: String = "temp"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0)
-    val counts = df.groupBy(col(sourceCol)).count().collect()
-      .map(r => (r.get(0).toString, r.getLong(1)))
-    require(counts.nonEmpty, "temperatureSample: empty input")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null-keyed groups are dropped (a null source has no count to
+    // rebalance against — same rows-with-null-key semantics as an inner
+    // join on the group column)
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureSample: no non-null groups")
     val nMin = counts.map(_._2).min
-    val thresholds = counts.map { case (s, n) =>
-      (s, math.round(math.pow(nMin.toDouble / n, 1 - alpha) * Buckets)) }
-    val thr = thresholds.sortBy(_._1).foldRight(lit(0L): Column) {
-      case ((src, t), rest) => when(col(sourceCol) === src, lit(t)).otherwise(rest)
-    }
-    df.where(hashBucket(col(idCol), salt) < thr)
+    // thresholds join as a broadcast table, not a when-chain: group
+    // cardinality is data-derived (domains can run to millions), and a
+    // million-deep Column tree never analyzes — the table shape is the
+    // same at any cardinality
+    val thresholds = broadcast(counts.toSeq.map { case (s, n) =>
+      (s, math.round(math.pow(nMin.toDouble / n, 1 - alpha) * Buckets))
+    }.toDF("_src", "_thr"))
+    df.join(thresholds, col(sourceCol).cast("string") === col("_src"))
+      .where(hashBucket(col(idCol), salt) < col("_thr"))
+      .drop("_src", "_thr")
   }
 
   /** Corpus mixing: keep each row with its source's rate — the

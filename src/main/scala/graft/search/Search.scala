@@ -211,6 +211,10 @@ object Search {
     * broadcast id-join against the returned (tb, score) table instead of
     * paying a second scoring pass; the reattach scan is column-pruned to
     * the id + payload (the embedding pipeline never runs again).
+    *
+    * Like [[rrfFuseTopM]], `tieBreak` must be a numeric UNIQUE id — a
+    * duplicated id would collapse to one rank per list here (last wins)
+    * where the join form emits one row per input row.
     */
   def rrfFuseTopMScores(
       scored: DataFrame,

@@ -88,6 +88,14 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.temperatureSample(df.repartition(17), "id", "grp", alpha = 0.5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+    // null-group rows are dropped, not a crash; schema passes through
+    val withNull = df.withColumn("grp",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") <= 10, null)
+        .otherwise(org.apache.spark.sql.functions.col("grp")))
+    val nn = Sampling.temperatureSample(withNull, "id", "grp", alpha = 1.0)
+    assert(nn.columns.toSeq == Seq("id", "grp"))
+    assert(nn.count() == 1040) // 1050 minus the 10 null-group rows
   }
 
   test("packSequences bounds every sequence by budget + max doc tokens") {
