@@ -792,8 +792,15 @@ object SparkEntry {
     // BM25 runs over a (memory_id, content) projection, so the
     // sessionization window prunes out of its stats/df/tf jobs.
     "mem_search_hybrid_bm25" -> ((s, d) => {
+      // the memory "store", persisted once: BM25's two stats passes, the
+      // (doc, term) tf pass, the fusion projection, and the payload
+      // reattach all read the cache instead of re-running the
+      // events → memories pipeline five times. A deployment reads the
+      // materialized parquet store here (X33), so the cache stands in
+      // for storage, not for a missing optimization.
       val mem = memories(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
       val bm = operators.Bm25.score(
         mem.select(col("memory_id"), col("content")),
