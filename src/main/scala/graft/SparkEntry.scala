@@ -1274,6 +1274,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Data profiling (ANALYZE-style artifacts) ----
+
+    // One-pass column profile (nulls / distinct / min / max per column):
+    // single agg with one Expand for the exact distincts; stack-unpivoted
+    // plan-side.
+    "profile_columns" -> ((s, d) => {
+      operators.Profiling.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("column"))
+    }),
+
+    // Statistics-driven equi-width histogram of event values per type:
+    // bounds from one min/max agg, binning is a per-row Column tree, the
+    // only shuffle is the (type, bucket) count.
+    "profile_histogram" -> ((s, d) => {
+      operators.Profiling.histogram(Tables.events(s, d), "value",
+        "event_type", buckets = 20)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ---- Multimodal binary columns (stub decode, real plumbing) ----
 
     "multimodal_features" -> ((s, d) => {
@@ -2642,6 +2662,31 @@ object SparkEntry {
          |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM t GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    "profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", n_rows, n_rows - cnt_$c AS n_nulls,
+           |  dst_$c AS n_distinct, min_$c AS min_str, max_$c AS max_str FROM a""".stripMargin
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val aggs = cols.map(c =>
+        s"""COUNT($c) AS cnt_$c, COUNT(DISTINCT $c) AS dst_$c,
+           |  CAST(MIN($c) AS VARCHAR) AS min_$c, CAST(MAX($c) AS VARCHAR) AS max_$c""".stripMargin)
+        .mkString(",\n  ")
+      s"""WITH a AS (SELECT COUNT(*) AS n_rows, $aggs FROM lineitem)
+         |${cols.map(one).mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
+
+    // identical IEEE binning: bounds CTE, w = (hi-lo)/20, floor + least
+    "profile_histogram" ->
+      """WITH b AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+        |    CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket
+        |  FROM events, b WHERE value IS NOT NULL)
+        |SELECT event_type, bucket, COUNT(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // quality ratios + top-2-gram share recomputed with the same rounding
     // as text_quality / text_repetition, then the rule comparisons

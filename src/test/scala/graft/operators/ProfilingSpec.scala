@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+
+  test("profile: nulls, distincts, min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (Some(2), Some("c")), (None, Some("a")))
+      .toDF("x", "s")
+    val p = Profiling.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("x") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "c")))
+  }
+
+  test("histogram: equi-width bins, closed top edge, nulls excluded, counts sum") {
+    import spark.implicits._
+    val df = Seq(("g", Some(0.0)), ("g", Some(2.5)), ("g", Some(5.0)),
+      ("g", Some(10.0)), ("g", None), ("h", Some(10.0)))
+      .toDF("grp", "v")
+    val h = Profiling.histogram(df, "v", "grp", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // width 2.5 over [0,10]: 0.0→0, 2.5→1, 5.0→2, 10.0→top bin 3 (closed)
+    assert(h == Map(("g", 0) -> 1L, ("g", 1) -> 1L, ("g", 2) -> 1L,
+      ("g", 3) -> 1L, ("h", 3) -> 1L))
+    assert(h.values.sum == 5) // the null row is excluded
+    // constant column degenerates to one bin
+    val const = Profiling.histogram(
+      Seq(("g", 7.0), ("g", 7.0)).toDF("grp", "v"), "v", "grp", buckets = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(const == Seq((0, 2L)))
+  }
+}
