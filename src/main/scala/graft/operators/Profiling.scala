@@ -15,24 +15,41 @@ object Profiling {
   /** Long-form column profile: one row per requested column with
     * `(column, n_rows, n_nulls, n_distinct, min_str, max_str)`.
     *
-    * ONE pass over the data: every per-column aggregate evaluates inside
-    * a single `agg` (Spark plans the multiple DISTINCT aggregates with
-    * one Expand over the scan — at 100 TB swap `countDistinct` for
-    * `approx_count_distinct` and the Expand disappears, same plan
-    * otherwise). The single aggregated row is unpivoted plan-side with
-    * `stack`, never collected. min/max stringify via CAST — callers
-    * profiling double columns whose magnitude crosses 1e7 should
-    * pre-format them (engines disagree on scientific notation there).
+    * Physical shape (the naive all-in-one `agg` is a trap): string
+    * min/max buffers are immutable, which drops the WHOLE aggregate to
+    * SortAggregate — combined with the multi-DISTINCT Expand that means
+    * fully sorting (cols+1)× the input on a wide key (measured 4.2 s on
+    * 600k rows). Instead:
+    *   - counts + min/max run in one no-grouping agg: empty grouping key
+    *     means SortAggregate needs NO sort — a streaming fold per
+    *     partition plus a single-row merge;
+    *   - the exact distinct counts run in a separate agg whose buffers
+    *     are all longs, so the Expand feeds hash aggregation throughout;
+    *   - the two single rows cross-join (trivially broadcast) and the
+    *     result is unpivoted plan-side with `stack`, never collected.
+    * With `exact = false` the distincts become `approx_count_distinct`
+    * (fixed-size HLL buffers) and everything fuses into ONE pass with no
+    * Expand — the 100 TB default; exact mode is the oracle/audit path.
+    * min/max stringify via CAST — callers profiling double columns whose
+    * magnitude crosses 1e7 should pre-format them (engines disagree on
+    * scientific notation there).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"dst_$c"),
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
-    val row = df.agg(count(lit(1)).as("n_rows_"), aggs: _*)
+    val row =
+      if (exact) {
+        val dstAggs = cols.map(c => countDistinct(col(c)).as(s"dst_$c"))
+        df.agg(count(lit(1)).as("n_rows_"), basicAggs: _*)
+          .crossJoin(df.agg(dstAggs.head, dstAggs.tail: _*))
+      } else {
+        val dstAggs = cols.map(c => approx_count_distinct(col(c)).as(s"dst_$c"))
+        df.agg(count(lit(1)).as("n_rows_"), (basicAggs ++ dstAggs): _*)
+      }
     val stacked = cols.map(c =>
       s"'$c', n_rows_, n_rows_ - cnt_$c, dst_$c, min_$c, max_$c").mkString(", ")
     row.select(expr(

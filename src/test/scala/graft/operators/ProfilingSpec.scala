@@ -17,6 +17,23 @@ class ProfilingSpec extends SparkSpec {
     assert(p("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("profile: approx mode (single-pass HLL) matches exact at tiny cardinality") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (Some(2), Some("c")), (None, Some("a")))
+      .toDF("x", "s")
+    val p = Profiling.profile(df, Seq("x", "s"), exact = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // HLL is exact at this cardinality; counts/min/max identical to exact mode
+    assert(p("x") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "c")))
+    // single-pass shape: no join in the approx plan (exact mode cross-joins)
+    val plan = Profiling.profile(df, Seq("x", "s"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"approx profile should be one agg, got:\n$plan")
+  }
+
   test("histogram: equi-width bins, closed top edge, nulls excluded, counts sum") {
     import spark.implicits._
     val df = Seq(("g", Some(0.0)), ("g", Some(2.5)), ("g", Some(5.0)),
