@@ -884,6 +884,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Sparse (bag-of-bigrams) cosine pairs via inverted-index self-join.
+    // The df cap is statistics-driven: terms in > 6% of the corpus are
+    // stop-terms at every scale (literal caps stop working once the
+    // corpus outgrows them). Bigram term space — this corpus's unigram
+    // vocab is so small that every pair shares most of it.
+    "search_sparse_cosine" -> ((s, d) => {
+      operators.SparseSim.cosinePairsAuto(docs(s, d), "text", "doc_id",
+        minSim = 0.3, maxDfFrac = 0.06, termK = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "search_knn_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(embs(s, d), "embedding", "vec_id",
         queryVec(s, d), k = 10)
@@ -2034,6 +2045,30 @@ object SparkEntry {
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    // identical shape: bigram tf, df cap = ceil(6% of doc count), norms
+    // over survivors, integer dot products, one end-round(6)
+    "search_sparse_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+         |  ELSE list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1]) END AS terms FROM tok),
+         |ex AS (SELECT doc_id, unnest(terms) AS term FROM sh),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+         |caps AS (SELECT GREATEST(2, CEIL(0.06 * (SELECT COUNT(*) FROM documents))) AS cap),
+         |dfs AS (SELECT doc_id, term, tf,
+         |  COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+         |capped AS (SELECT doc_id, term, tf FROM dfs, caps WHERE df <= cap),
+         |norms AS (SELECT doc_id, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS norm
+         |  FROM capped GROUP BY 1),
+         |dots AS (SELECT l.doc_id AS a, r.doc_id AS b, SUM(l.tf * r.tf) AS dot
+         |  FROM capped l JOIN capped r ON l.term = r.term AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+         |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+         |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
+         |ORDER BY a, b""".stripMargin,
 
     "search_knn_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

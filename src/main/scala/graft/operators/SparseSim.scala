@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (term-vector) cosine similarity via an inverted index — the
+  * exact lexical twin of the dense embedding near-dup pass
+  * (Dedup.embeddingNearDupPairs) and the all-pairs form of BM25-style
+  * retrieval: each document is its bag-of-words count vector, similarity
+  * is the cosine between those sparse vectors, and candidate generation
+  * is a self-join of the postings list — two documents meet ONLY on terms
+  * they share, never in an all-pairs cross join.
+  *
+  * Reference anchor: the reference ranks with an opaque sparse model next
+  * to its dense vectors (fegis/search/handler.py:52); this operator is
+  * the transparent corpus-level form of that sparse half.
+  *
+  * Physical shape at 100 TB:
+  *  - postings build: explode → (doc, term) count — uniform shuffle keys,
+  *    combiner-heavy (map-side partial counts absorb token repeats);
+  *  - df cap: `count over (partition by term)` drops stop-terms BEFORE
+  *    the pair join. Without it one term appearing in f docs fans out f²
+  *    candidate rows — the cap bounds every term's fan-out at maxDf² and
+  *    is what keeps the global form runnable (same hazard and same cure
+  *    as ngramJaccardPairs' hot-shingle cap). Dropping near-universal
+  *    terms barely moves cosine: they add nearly-equal mass to every dot
+  *    product and both norms. Norms are recomputed over the SURVIVING
+  *    terms so the similarity stays a true cosine of the capped space;
+  *  - pair scoring: postings self-join on the term key (the only data-
+  *    scale shuffle), then one combiner-heavy (a, b) aggregation. Dot
+  *    products are integer tf sums — exact on any engine; the final
+  *    cosine divides once through correctly-rounded sqrt/mul/div, so a
+  *    single end round(6) is cross-engine stable.
+  */
+object SparseSim {
+
+  /** All document pairs with df-capped bag-of-words cosine >= minSim.
+    * Output: (a, b, cosine) with a < b.
+    *
+    * `termK` picks the term space: 1 = unigrams, k>1 = word k-shingles
+    * WITH multiplicity (counts, not the distinct sets Jaccard uses).
+    * Corpora with tiny vocabularies (or heavy boilerplate) make unigram
+    * cosine non-discriminative — every pair shares most of the vocab — so
+    * the shingle space is the robust default for near-dup work, while
+    * unigrams fit topical retrieval. At scale hash the term string to 64
+    * bits before the join (HashFunctions.hash64, as ngramJaccardPairs
+    * does) — elided here only to keep the oracle twin readable.
+    */
+  def cosinePairs(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
+      termK: Int = 1): DataFrame = {
+    require(termK >= 1)
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val terms = if (termK == 1) toks
+      else TextFunctions.shinglesFromTokens(toks, termK)
+    val tfAll = docs
+      .select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf =
+      if (maxDf == Long.MaxValue) tfAll
+      else tfAll // df = docs per term (tf rows are per (doc, term))
+        .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .where(col("df_") <= maxDf)
+        .drop("df_")
+    // per-doc norm over surviving terms: sqrt of an exact integer sum
+    val norms = tf.groupBy(col("id"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
+    val l = tf.select(col("term"), col("id").as("a"), col("tf").as("tfa"))
+    val r = tf.select(col("term"), col("id").as("b"), col("tf").as("tfb"))
+    l.join(r, "term")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .join(norms.select(col("id").as("a"), col("norm").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("norm").as("nb")), "b")
+      .withColumn("cosine",
+        round(col("dot").cast("double") / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= minSim)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** [[cosinePairs]] with the df cap DERIVED from corpus statistics
+    * instead of hand-picked: cap = max(2, ceil(maxDfFrac · n_docs)), so
+    * "stop-term" keeps meaning "appears in more than maxDfFrac of the
+    * corpus" at every scale (the literal-cap form silently stops dropping
+    * anything once the corpus outgrows it). Costs one count() on a
+    * pruned scan; only the single cap scalar reaches the driver — the
+    * same statistics-driven-parameter discipline as Dedup.planesFor and
+    * SkewJoin.bucketsFor.
+    */
+  def cosinePairsAuto(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double = 0.5, maxDfFrac: Double = 0.06,
+      termK: Int = 1): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0)
+    val cap = math.max(2L, math.ceil(maxDfFrac * docs.count()).toLong)
+    cosinePairs(docs, textCol, idCol, minSim, cap, termK)
+  }
+}
