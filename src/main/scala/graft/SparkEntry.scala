@@ -1208,6 +1208,19 @@ object SparkEntry {
       TextAnalysis.vocabulary(docs(s, d), "text", "doc_id", topK = 50)
     }),
 
+    // GloVe-style windowed co-occurrence counts: per-token offset
+    // expansion over the in-row array (no self-join), one pair count.
+    "text_cooccurrence" -> ((s, d) => {
+      TextAnalysis.cooccurrence(docs(s, d), "text", "doc_id",
+        window = 2, topK = 50)
+    }),
+
+    // BPE first-merge-round pair counts: within-word adjacent character
+    // pairs weighted by word occurrence.
+    "text_bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpePairStats(docs(s, d), "text", topK = 50)
+    }),
+
     // Benchmark decontamination: distinct-5-gram overlap against a small
     // "eval set" (every 50th doc), benchmark side broadcast — flags the
     // benchmark docs themselves plus any near-copy sharing >= 3 shingles.
@@ -2697,6 +2710,30 @@ object SparkEntry {
          |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM t GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    // identical pairing rule: 1-based p, neighbor p+off for off in 1..2,
+    // guarded to the token count; unordered least/greatest pair
+    "text_cooccurrence" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok),
+         |offs AS (SELECT unnest([1, 2]) AS off),
+         |pairs AS (
+         |  SELECT LEAST(toks[p], toks[p + off]) AS w1,
+         |    GREATEST(toks[p], toks[p + off]) AS w2
+         |  FROM ex, offs WHERE p + off <= len(toks))
+         |SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+         |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // identical pair build: positions 1..len-1, 2-char slices, per-word-
+    // occurrence weighting
+    "text_bpe_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS w FROM tok),
+         |p AS (SELECT unnest(CASE WHEN length(w) < 2 THEN []
+         |  ELSE list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))
+         |  END) AS pair FROM w)
+         |SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "profile_columns" -> {
       def one(c: String) =

@@ -207,4 +207,67 @@ object TextAnalysis {
       .select(col(idCol), col("r_too_short"), col("r_low_stopword"),
         col("r_high_punct"), col("r_repetitive"), col("keep"))
   }
+
+  /** Windowed co-occurrence counts — the GloVe/word2vec-style corpus
+    * statistic (how often two words appear within `window` positions of
+    * each other), the input matrix for classical embedding training and
+    * PMI-based collocation mining. Pairs are unordered (least/greatest)
+    * and counted per occurrence.
+    *
+    * Physical shape: NO self-join. The naive formulation joins the
+    * (doc, pos, word) table to itself on doc with |Δpos| ≤ window — a
+    * data-scale join with a quadratic worst case. Instead each token row
+    * expands to at most `window` (token, right-neighbor) rows via two
+    * narrow generators (posexplode, then an offset explode) reading the
+    * SAME in-row token array — pipelined, never shuffled. The only
+    * shuffle is the final (w1, w2) count: combiner-heavy, uniform keys
+    * (hot pairs collapse map-side). Top-k is TakeOrderedAndProject.
+    */
+  def cooccurrence(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, topK: Int = 50): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .withColumn("n_", size(col("toks_")))
+    base
+      .select(col("toks_"), col("n_"),
+        posexplode(col("toks_")).as(Seq("pos", "w")))
+      .select(col("toks_"), col("pos"), col("w"), col("n_"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .where(col("pos") + col("off") < col("n_")) // guard BEFORE element_at (ANSI)
+      .select(
+        least(col("w"), element_at(col("toks_"), col("pos") + col("off") + 1)).as("w1"),
+        greatest(col("w"), element_at(col("toks_"), col("pos") + col("off") + 1)).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Adjacent-symbol pair statistics over a character-initialized vocab —
+    * the counting pass of BPE tokenizer training's first merge round:
+    * every within-word adjacent character pair, counted per word
+    * OCCURRENCE (word frequency weighting, as BPE requires). Real BPE
+    * also carries an end-of-word marker and re-counts after each merge;
+    * this is the (by far dominant) first-round corpus statistic.
+    *
+    * Physical shape: two narrow generators (word explode, then in-word
+    * pair positions from a `sequence` transform — no join, no window),
+    * then ONE combiner-heavy pair count; the pair key space is tiny
+    * (alphabet²), so map-side partial aggregation absorbs nearly
+    * everything and the shuffle is bytes, not data-scale.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1)
+    val w = docs.select(
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    w.select(explode(
+        when(length(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
 }

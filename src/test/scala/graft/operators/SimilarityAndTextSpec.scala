@@ -207,4 +207,26 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(r(3L).getLong(1) == 0 && r(3L).isNullAt(2))
     assert(r(3L).getLong(3) == 0 && r(3L).isNullAt(4))
   }
+
+  test("cooccurrence: window-2 unordered pairs, no out-of-bounds neighbors") {
+    import spark.implicits._
+    // doc "a b c": offsets give (a,b), (a,c), (b,c); doc "b a": (a,b)
+    val df = Seq((1L, "a b c"), (2L, "b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.cooccurrence(df, "text", "doc_id", window = 2, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // window 1 drops the distance-2 pair
+    val r1 = TextAnalysis.cooccurrence(df, "text", "doc_id", window = 1, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r1 == Map(("a", "b") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("bpePairStats: per-occurrence char-pair counts, 1-char words skipped") {
+    import spark.implicits._
+    // "abc" → ab, bc; "ab" ×2 occurrences → ab ×2; "x" → nothing
+    val df = Seq((1L, "abc ab x"), (2L, "ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairStats(df, "text", topK = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("ab" -> 3L, "bc" -> 1L))
+  }
 }
