@@ -1475,6 +1475,37 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // SCD Type-2 dimension build: user event stream → minimal validity-
+    // interval history (consecutive identical states collapse). One
+    // shuffle on the key; all windows share its sort. Sliced to a stable
+    // user subset to bound the compare.
+    "store_scd2" -> ((s, d) => {
+      operators.Scd.buildScd2(
+        Tables.events(s, d).where(col("user_id") % 17 === 0),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateCols = Seq("event_type", "value"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Snapshot changelog: full-outer key join of two order snapshots →
+    // added/removed/changed rows (column-wise null-safe compare, no
+    // serialized hashes). Snapshot B synthesizes changes: price bump for
+    // orderkey%97, dropped rows for orderkey%89=1, plus a half-year of
+    // genuinely new orders.
+    "store_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val before = base.where(col("o_orderdate") < "1997-01-01")
+        .drop("o_orderdate")
+      val after = base.where(col("o_orderdate") < "1997-07-01")
+        .where(col("o_orderkey") % 89 =!= 1).drop("o_orderdate")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, round(col("o_totalprice") * 2, 2))
+            .otherwise(col("o_totalprice")))
+      operators.Scd.diffSnapshots(before, after, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.10 streaming gate: the REAL startJsonlIngest stream builds the
     // store across ≥2 micro-batches plus one replayed batch, then the
     // store itself is oracle-checked — gapless per-session sequence_order
@@ -2902,6 +2933,46 @@ object SparkEntry {
       """SELECT CAST(event_id AS VARCHAR) AS memory_id, event_type AS tool,
         |  value, ROUND(value * 2.0, 6) AS score
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // identical history build: per-field IS DISTINCT FROM mirrors the
+    // null-safe struct compare; first row's NULL lag flags as a change
+    "store_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, value
+        |  FROM events WHERE user_id % 17 = 0),
+        |w AS (SELECT *,
+        |  CASE WHEN (event_type IS DISTINCT FROM lag(event_type) OVER win)
+        |         OR (value IS DISTINCT FROM lag(value) OVER win)
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, event_type, value, ts,
+        |    CAST(row_number() OVER vw AS INT) AS version,
+        |    lead(ts) OVER vw AS valid_to_
+        |  FROM w WHERE chg = 1
+        |  WINDOW vw AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, value, version,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (valid_to_ IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // identical snapshot synthesis + column-wise null-safe compare
+    "store_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN ROUND(o_totalprice * 2, 2)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-07-01' AND o_orderkey % 89 <> 1),
+        |j AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |           OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // layout preserves content exactly — the oracle is the raw source
     "store_layout_roundtrip" ->

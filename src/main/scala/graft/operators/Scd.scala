@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance — the warehouse side of the
+  * engine's store: turning an update/event stream into SCD Type-2
+  * validity intervals, and diffing two snapshots of a table into the
+  * added/removed/changed changelog that incremental pipelines consume.
+  * (The reference's store keeps only latest-state points; these operators
+  * are the standard batch-warehouse extension of that model.)
+  */
+object Scd {
+
+  /** SCD Type-2 build from an ordered change stream: one output row per
+    * (key, state version) with `valid_from`/`valid_to` interval bounds
+    * and `is_current`. Consecutive updates carrying an IDENTICAL state
+    * collapse into one version (null-safe struct compare), so the output
+    * is the minimal interval history.
+    *
+    * Ordering within a key is (tsCol, tieCol) — the tie column (a unique
+    * event id) makes the history deterministic under same-timestamp
+    * updates on any engine and any partitioning.
+    *
+    * Physical shape at 100 TB: everything is per-key windows over ONE
+    * hash partitioning on the key — Spark plans a single Exchange on
+    * keyCol and runs lag/flag/version-sum/lead in consecutive window
+    * operators over the same sort, no joins, no second shuffle. State is
+    * one row lookback/lookahead; nothing driver-side. Skewed keys (one
+    * entity with millions of updates) sort within their partition —
+    * spillable, not OOM-bound.
+    */
+  def buildScd2(updates: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val state = struct(stateCols.map(col): _*)
+    // first row per key: lag is NULL and a struct is never NULL, so the
+    // null-safe compare comes back false → flagged as a change
+    val flagged = updates
+      .withColumn("chg_",
+        when(!(state <=> lag(state, 1).over(byKey)), lit(1)).otherwise(lit(0)))
+    val versions = flagged
+      .where(col("chg_") === 1)
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("valid_from_", col(tsCol))
+      .withColumn("valid_to_", lead(col(tsCol), 1).over(byKey))
+    versions.select(
+      Seq(col(keyCol)) ++ stateCols.map(col) ++ Seq(
+        col("version"),
+        date_format(col("valid_from_"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_").isNull.as("is_current")): _*)
+  }
+
+  /** Snapshot diff: the added/removed/changed changelog between two
+    * versions of a table sharing a schema. `changed` means any non-key
+    * column differs under null-safe compare — compared COLUMN-WISE, never
+    * through a serialized-string hash, so double/decimal/timestamp
+    * formatting differences between engines can't fake a change.
+    * Unchanged rows are dropped (the changelog, not a full outer copy).
+    *
+    * Physical shape: one full-outer sort-merge join on the key (the only
+    * shuffle, AQE-skew-splittable), per-row status expression, filter.
+    * At 100 TB both sides prune to key+compared columns at the scan.
+    */
+  def diffSnapshots(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    val compareCols = before.columns.filterNot(keyCols.contains).toSeq
+    require(compareCols.nonEmpty, "diffSnapshots: no non-key columns")
+    val a = before.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("present_a_", lit(1))
+    val b = after.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("present_b_", lit(1))
+    val renamedB = compareCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val joined = a.join(renamedB, keyCols, "full_outer")
+    val anyChanged = compareCols
+      .map(c => !(col(c) <=> col(s"b_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("status",
+        when(col("present_a_").isNull, lit("added"))
+          .when(col("present_b_").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class ScdSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("buildScd2: collapses identical consecutive states, intervals chain") {
+    import spark.implicits._
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "new", 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 11L, "new", 1.0), // identical → collapses
+      (1L, ts("2024-01-03 00:00:00"), 12L, "paid", 1.0),
+      (1L, ts("2024-01-04 00:00:00"), 13L, "paid", 2.0), // value change → new version
+      (2L, ts("2024-01-01 00:00:00"), 20L, "new", 5.0))
+      .toDF("k", "t", "id", "status", "v")
+    val got = Scd.buildScd2(updates, "k", "t", "id", Seq("status", "v"))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getString(1), r.getDouble(2), r.getString(4), r.getString(5), r.getBoolean(6)))
+      .toMap
+    assert(got((1L, 1)) == (("new", 1.0, "2024-01-01 00:00:00", "2024-01-03 00:00:00", false)))
+    assert(got((1L, 2)) == (("paid", 1.0, "2024-01-03 00:00:00", "2024-01-04 00:00:00", false)))
+    assert(got((1L, 3)) == (("paid", 2.0, "2024-01-04 00:00:00", null, true)))
+    assert(got((2L, 1)) == (("new", 5.0, "2024-01-01 00:00:00", null, true)))
+    assert(got.size == 4)
+  }
+
+  test("buildScd2: same-timestamp updates ordered by the tie column") {
+    import spark.implicits._
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "b", 0.0),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0))
+      .toDF("k", "t", "id", "status", "v")
+    val got = Scd.buildScd2(updates, "k", "t", "id", Seq("status", "v"))
+      .collect().map(r => r.getInt(3) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "b")) // id=1 first despite equal ts
+  }
+
+  test("diffSnapshots: added / removed / changed, unchanged dropped, null-safe") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("x"), 1.0), (2L, Some("y"), 2.0), (3L, None: Option[String], 3.0),
+      (4L, Some("z"), 4.0))
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("x"), 1.0),                 // unchanged → dropped
+      (2L, Some("y2"), 2.0),                // changed (string)
+      (3L, None: Option[String], 3.0),      // unchanged incl. NULL == NULL
+      (5L, Some("w"), 5.0))                 // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = Scd.diffSnapshots(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+}
