@@ -1262,6 +1262,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-ordered curriculum phases: quantile thresholds from ONE
+    // exact percentile aggregate (3 scalars to the driver), per-row
+    // threshold compare — no global ntile sort. Quarter quantiles over
+    // integer token counts are exact in binary on any engine.
+    "sample_curriculum" -> ((s, d) => {
+      val withTok = docs(s, d).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))))
+      operators.Sampling.curriculumPhases(withTok, "doc_id", "n_tokens",
+        phases = 4)
+        .select(col("doc_id"), col("n_tokens"), col("phase"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus mixing: per-source keep rates (domain weighting), one scan.
     "sample_mixture" -> ((s, d) => {
       operators.Sampling.mixture(docs(s, d), "doc_id", "source",
@@ -1419,6 +1432,20 @@ object SparkEntry {
     // purchase they got, each step strictly AFTER the previous one's
     // first occurrence. Three combiner aggregates chained by broadcast
     // joins — no window over raw events, no per-user collect.
+    // Weekly cohort retention: cohort = first-activity week per user,
+    // cells = distinct users active k weeks later. Two combiner-heavy
+    // aggregations + one user-key join; no windows, no self-join.
+    "events_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      e.distinct().join(cohort, "user_id")
+        .groupBy(date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cwk")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     "events_funnel" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
       val v = e.where(col("event_type") === "view")
@@ -2649,6 +2676,19 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // identical thresholds: quantile_cont matches Spark's exact
+    // percentile at quarter fractions over integers; ties land low
+    "sample_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tok),
+         |t AS (SELECT ROUND(quantile_cont(n_tokens, 0.25), 6) AS t1,
+         |  ROUND(quantile_cont(n_tokens, 0.50), 6) AS t2,
+         |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS t3 FROM n)
+         |SELECT doc_id, n_tokens,
+         |  1 + CAST(n_tokens > t1 AS INT) + CAST(n_tokens > t2 AS INT)
+         |    + CAST(n_tokens > t3 AS INT) AS phase
+         |FROM n, t ORDER BY doc_id""".stripMargin,
+
     // same formula as temperatureSample: integer thresholds
     // round((n_min/n_i)^(1-α) · 1e6) from real per-lang counts
     "sample_temperature" -> {
@@ -2904,6 +2944,17 @@ object SparkEntry {
         |FROM u CROSS JOIN spine s
         |LEFT JOIN hourly ON hourly.user_id = u.user_id AND hourly.h = s.h
         |ORDER BY u.user_id, hour_s""".stripMargin,
+
+    // identical cohorting: Monday-truncated weeks, day-diff/7 offsets
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT strftime(c.cwk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', c.cwk, a.wk) / 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH v AS (

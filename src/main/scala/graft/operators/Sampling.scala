@@ -165,4 +165,37 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol), salt) < (rate * Buckets).cast("long"))
   }
+
+  /** Curriculum phases: partition the corpus into `phases` difficulty
+    * tiers by a numeric score (length-ordered curricula feed short docs
+    * first; quality-ordered ones feed clean docs first). Phase 1 is the
+    * lowest-score tier.
+    *
+    * NOT an ntile: a global ntile needs a total order — one partition
+    * sorting the whole corpus. Instead the (phases−1) quantile thresholds
+    * come from ONE exact `percentile` aggregate (only those scalars reach
+    * the driver), and assignment is a per-row threshold compare —
+    * embarrassingly parallel, partitioning-independent, pushdown-friendly.
+    * Ties at a threshold all land in the lower phase (score > t), so
+    * equal scores NEVER split across phases (an ntile splits them
+    * arbitrarily); phase populations are near-equal only when the score
+    * has enough distinct values. Thresholds are rounded to 6 digits so
+    * external twins compare against the same cutoffs; with quarter
+    * quantiles over integer scores the interpolation arithmetic is exact
+    * in binary on any engine. At 100 TB swap `percentile` for
+    * `approx_percentile` and keep the plan.
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+      phases: Int): DataFrame = {
+    require(phases >= 2)
+    val ps = (1 until phases).map(i => i.toDouble / phases)
+    val cuts = df
+      .agg(expr(s"percentile($scoreCol, array(${ps.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+      .map(t => BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val phase = cuts.foldLeft(lit(1): Column) {
+      (acc, t) => acc + when(col(scoreCol) > lit(t), 1).otherwise(0)
+    }
+    df.withColumn("phase", phase)
+  }
 }

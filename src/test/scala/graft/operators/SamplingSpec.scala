@@ -118,4 +118,24 @@ class SamplingSpec extends SparkSpec {
       .select("id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.forall { case (id, _, _, seq) => re(id) == seq })
   }
+
+  test("curriculumPhases: quantile thresholds, ties stay together, no sort shuffle") {
+    import spark.implicits._
+    // scores 1..8: quartile cuts 2.75 / 4.5 / 6.25 → phases 1:{1,2} 2:{3,4} 3:{5,6} 4:{7,8}
+    val df = (1L to 8L).map(i => (i, i.toInt)).toDF("id", "score")
+    val got = Sampling.curriculumPhases(df, "id", "score", phases = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+    // massive ties: every equal score lands in ONE phase (never split)
+    val tied = ((1L to 6L).map(i => (i, 10)) ++ Seq((7L, 20), (8L, 30)))
+      .toDF("id", "score")
+    val t = Sampling.curriculumPhases(tied, "id", "score", phases = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1L to 6L).map(t).toSet.size == 1)
+    // assignment is per-row: the plan carries no global Sort before phase
+    val plan = Sampling.curriculumPhases(df, "id", "score", phases = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"curriculum must not globally sort:\n$plan")
+  }
 }
