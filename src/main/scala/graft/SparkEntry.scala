@@ -1007,6 +1007,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-quality audit: per-label centroid silhouette (broadcast
+    // cross join vs the tiny centroid table, never the O(n²) pairwise
+    // form). Centroids from the same decimal-summed labelCentroids pass
+    // the assign gate proves portable.
+    "search_silhouette" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      Similarity.centroidSilhouette(e, "embedding", "vec_id", "label", cents)
+        .orderBy(col("label"))
+    }),
+
     // SQ8 scalar quantization: per-dimension affine int8 codes (4× less
     // scan I/O than float32, no codebook training — the compression tier
     // below PQ). Calibration is one combiner-heavy posexplode min/max agg;
@@ -1221,6 +1233,12 @@ object SparkEntry {
       TextAnalysis.bpePairStats(docs(s, d), "text", topK = 50)
     }),
 
+    // Bigram LM table: exact conditional frequencies (integer ratio, no
+    // log-space — ln() is the classic cross-engine divergence).
+    "text_bigram_lm" -> ((s, d) => {
+      TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
+    }),
+
     // Benchmark decontamination: distinct-5-gram overlap against a small
     // "eval set" (every 50th doc), benchmark side broadcast — flags the
     // benchmark docs themselves plus any near-copy sharing >= 3 shingles.
@@ -1432,6 +1450,21 @@ object SparkEntry {
     // purchase they got, each step strictly AFTER the previous one's
     // first occurrence. Three combiner aggregates chained by broadcast
     // joins — no window over raw events, no per-user collect.
+    // Event-type transition matrix (Markov counts): next event per user
+    // via one lead window over the per-user sort; last events (no
+    // successor) drop. Feeds funnel design and anomaly baselines.
+    "events_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Weekly cohort retention: cohort = first-activity week per user,
     // cells = distinct users active k weeks later. Two combiner-heavy
     // aggregations + one user-key join; no windows, no self-join.
@@ -2300,6 +2333,39 @@ object SparkEntry {
         |SELECT vec_id, label, cell AS predicted_label
         |FROM a ORDER BY vec_id""".stripMargin,
 
+    // identical silhouette algebra on identically-rounded sims; the
+    // centroid CTEs replay labelCentroids exactly (as the assign gate)
+    "search_silhouette" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT e.vec_id, e.label,
+        |    MAX(CASE WHEN c.cell = e.label
+        |      THEN ROUND(list_cosine_similarity(e.v, c.cv), 6) END) AS own,
+        |    MAX(CASE WHEN c.cell <> e.label
+        |      THEN ROUND(list_cosine_similarity(e.v, c.cv), 6) END) AS oth
+        |  FROM e CROSS JOIN cent c GROUP BY 1, 2),
+        |p AS (
+        |  SELECT label,
+        |    ROUND(CASE WHEN GREATEST(1.0 - own, 1.0 - oth) = 0 THEN 0
+        |      ELSE ((1.0 - oth) - (1.0 - own)) / GREATEST(1.0 - own, 1.0 - oth)
+        |      END, 9) AS sil
+        |  FROM s WHERE own IS NOT NULL AND oth IS NOT NULL)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+        |    AS silhouette
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
     // replays sqCalibrate/sqEncode/sqDequantize exactly: per-dim min/max,
     // code = round((x-mn)/(mx-mn)*255), xq = mn + code*(mx-mn)/255 (all
     // IEEE double in both engines), asymmetric cosine vs the exact query
@@ -2795,6 +2861,19 @@ object SparkEntry {
          |SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
          |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
 
+    // identical table: adjacent ordered pairs, exact integer ratio via
+    // one double division, prefix totals as a window over w1
+    "text_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok),
+         |pairs AS (SELECT toks[p] AS w1, toks[p + 1] AS w2
+         |  FROM ex WHERE p + 1 <= len(toks)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+         |SELECT w1, w2, n,
+         |  ROUND(CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
+         |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
     // identical pair build: positions 1..len-1, 2-char slices, per-word-
     // occurrence weighting
     "text_bpe_pairs" ->
@@ -2944,6 +3023,15 @@ object SparkEntry {
         |FROM u CROSS JOIN spine s
         |LEFT JOIN hourly ON hourly.user_id = u.user_id AND hourly.h = s.h
         |ORDER BY u.user_id, hour_s""".stripMargin,
+
+    // identical lead window, last events drop
+    "events_transitions" ->
+      """SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical cohorting: Monday-truncated weeks, day-diff/7 offsets
     "events_retention" ->

@@ -351,4 +351,49 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cell"), col("score"))
   }
+
+  /** Centroid silhouette — cluster-quality audit for a labeled embedding
+    * table (how separated the classes are, the go/no-go check before
+    * trusting centroid-based filtering or IVF cells built from labels).
+    * Simplified silhouette: distances are to CENTROIDS, not all points
+    * (the O(n²) pairwise form is unrunnable at scale; the centroid form
+    * is the standard approximation). Per vector, with cosine distance
+    * d = 1 − sim: a = d(own centroid), b = min over other centroids,
+    * s = (b − a) / max(a, b); output is the per-label mean s and count.
+    *
+    * Physical shape: ONE broadcast cross join against the tiny centroid
+    * table (labels × dims literals — never a data-scale join), a per-row
+    * conditional argmax aggregation keyed by vector id, and one per-label
+    * mean. Determinism: sims round to 6 before the distance algebra
+    * (one subtract/divide chain on identically-rounded doubles), per-row
+    * s rounds to 9, and the label mean decimal-sums — the same
+    * cross-engine discipline as kmeansRefine. Vectors whose label has no
+    * centroid (or with no other centroid to compare against) are
+    * excluded rather than scored against nothing.
+    */
+  def centroidSilhouette(vecs: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(centroids.size >= 2, "silhouette needs >= 2 centroids")
+    val dims = centroids.head._2.length
+    val cdf = broadcast(centroids.toDF("cell", "cvec"))
+    val sims = vecs.select(col(idCol), col(labelCol).as("label"), col(vecCol))
+      .crossJoin(cdf)
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col("cvec"), dims), 6))
+      .groupBy(col(idCol), col("label"))
+      .agg(max(when(col("cell") === col("label"), col("sim"))).as("own"),
+        max(when(col("cell") =!= col("label"), col("sim"))).as("oth"))
+      .where(col("own").isNotNull && col("oth").isNotNull)
+    val a = lit(1.0) - col("own") // distance to own centroid
+    val b = lit(1.0) - col("oth") // distance to nearest other centroid
+    sims
+      .withColumn("sil", round(
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)), 9))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("silhouette"))
+  }
 }

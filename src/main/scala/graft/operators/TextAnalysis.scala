@@ -270,4 +270,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Bigram language-model table: P(next | word) as exact conditional
+    * frequencies — the classical n-gram LM artifact (fluency scoring,
+    * next-token baselines, CCNet-style quality signals train on exactly
+    * this table). `prob` = count(w1 w2) / count(w1 ·), a single division
+    * of two exact integers — no log-space arithmetic, so the table is
+    * bit-portable across engines (ln() is NOT correctly-rounded and is
+    * the classic cross-engine divergence in LM scoring).
+    *
+    * Physical shape: ordered adjacent pairs from one narrow offset
+    * expansion (no self-join, as [[cooccurrence]]), one combiner-heavy
+    * (w1, w2) count, then the prefix totals as a window over w1 — the
+    * windowed table is vocab² COUNTS, not corpus rows, so the window
+    * shuffle is bytes at any corpus size. Top-k is TakeOrderedAndProject.
+    */
+  def bigramLm(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1)
+    val base = docs.select(TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .withColumn("n_", size(col("toks_")))
+    val pairs = base
+      .select(col("toks_"), col("n_"), posexplode(col("toks_")).as(Seq("pos", "w1")))
+      .where(col("pos") + 1 < col("n_")) // guard BEFORE element_at (ANSI)
+      .select(col("w1"), element_at(col("toks_"), col("pos") + 2).as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prob", round(col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))), 6))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

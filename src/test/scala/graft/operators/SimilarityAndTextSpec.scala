@@ -221,6 +221,45 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(r1 == Map(("a", "b") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("bigramLm: conditional probabilities sum to 1 per prefix, exact ratios") {
+    import spark.implicits._
+    // "a b", "a b", "a c" → P(b|a)=0.75 across docs? No: per-doc bigrams:
+    // doc1 "a b a c": (a,b),(b,a),(a,c); doc2 "a b": (a,b)
+    val df = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.666667)), // 2 of 3 a-prefixed bigrams
+      ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("centroidSilhouette: separated clusters near 1, overlapped near 0") {
+    import spark.implicits._
+    // two tight clusters along axes 0 and 1 → well separated
+    val good = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroidsFromLong(
+      Similarity.labelCentroids(good, "embedding", "label"))
+    val g = Similarity.centroidSilhouette(good, "embedding", "vec_id", "label", cents)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g(0)._1 == 2 && g(1)._1 == 2)
+    assert(g(0)._2 > 0.5 && g(1)._2 > 0.5, s"expected separation, got $g")
+    // identical clusters → own and other distances match → s = 0
+    val bad = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val bcents = Similarity.centroidsFromLong(
+      Similarity.labelCentroids(bad, "embedding", "label"))
+    val b = Similarity.centroidSilhouette(bad, "embedding", "vec_id", "label", bcents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(b.values.forall(v => math.abs(v) < 0.01), s"expected ~0, got $b")
+  }
+
   test("bpePairStats: per-occurrence char-pair counts, 1-char words skipped") {
     import spark.implicits._
     // "abc" → ab, bc; "ab" ×2 occurrences → ab ×2; "x" → nothing
