@@ -1239,6 +1239,15 @@ object SparkEntry {
       TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
     }),
 
+    // TextRank keywords: 3 PageRank iterations over the co-occurrence
+    // graph. damping=0.75 (not the canonical 0.85) so both d and 1−d are
+    // exact in binary AND decimal — 0.15 as a double literal differs from
+    // 1.0−0.85 by 1 ulp, the classic cross-engine literal trap.
+    "text_textrank" -> ((s, d) => {
+      TextAnalysis.textrank(docs(s, d), "text", window = 2,
+        iters = 3, damping = 0.75, topK = 50)
+    }),
+
     // Benchmark decontamination: distinct-5-gram overlap against a small
     // "eval set" (every 50th doc), benchmark side broadcast — flags the
     // benchmark docs themselves plus any near-copy sharing >= 3 shingles.
@@ -2873,6 +2882,34 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // identical graph + 3 unrolled power iterations: per-edge
+    // contributions round(12) → DECIMAL(28,14) sums, scores round(9);
+    // 0.25/0.75 literals are exact in both decimal and binary
+    "text_textrank" -> {
+      def iter(prev: String, scoreExpr: String) =
+        s"""SELECT e.dst AS node,
+           |  ROUND(0.25 + 0.75 * CAST(SUM(CAST(ROUND($scoreExpr * e.n / e.wsrc, 12)
+           |    AS DECIMAL(28,14))) AS DOUBLE), 9) AS score
+           |FROM e $prev GROUP BY 1""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok),
+         |offs AS (SELECT unnest([1, 2]) AS off),
+         |prs AS (
+         |  SELECT LEAST(toks[p], toks[p + off]) AS w1,
+         |    GREATEST(toks[p], toks[p + off]) AS w2
+         |  FROM ex, offs WHERE p + off <= len(toks)),
+         |pc AS (SELECT w1, w2, COUNT(*) AS n FROM prs GROUP BY 1, 2),
+         |e0 AS (SELECT w1 AS src, w2 AS dst, n FROM pc
+         |  UNION ALL SELECT w2, w1, n FROM pc),
+         |tw AS (SELECT src, SUM(n) AS wsrc FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst, e0.n, tw.wsrc FROM e0 JOIN tw USING (src)),
+         |p1 AS (${iter("", "1.0")}),
+         |p2 AS (${iter("JOIN p1 ON e.src = p1.node", "p1.score")}),
+         |p3 AS (${iter("JOIN p2 ON e.src = p2.node", "p2.score")})
+         |SELECT node AS word, score FROM p3
+         |ORDER BY score DESC, word LIMIT 50""".stripMargin
+    },
 
     // identical pair build: positions 1..len-1, 2-char slices, per-word-
     // occurrence weighting

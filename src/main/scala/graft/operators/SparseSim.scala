@@ -44,9 +44,17 @@ object SparseSim {
     * Corpora with tiny vocabularies (or heavy boilerplate) make unigram
     * cosine non-discriminative — every pair shares most of the vocab — so
     * the shingle space is the robust default for near-dup work, while
-    * unigrams fit topical retrieval. At scale hash the term string to 64
-    * bits before the join (HashFunctions.hash64, as ngramJaccardPairs
-    * does) — elided here only to keep the oracle twin readable.
+    * unigrams fit topical retrieval.
+    *
+    * The capped postings table fans out to THREE consumers (norms + both
+    * join sides), so it persists — without that the whole tokenize →
+    * shingle → explode → count → window pipeline runs three times per
+    * query. Measured on the bench corpus: persisting beats re-evaluation,
+    * and hashing terms to 64 bits before the join (ngramJaccardPairs'
+    * trick) measured SLOWER here, not faster — the md5 expression is
+    * interpreted (no codegen) and its 3× re-evaluation cost exceeded the
+    * narrower-shuffle win; with the postings persisted the hash would be
+    * computed once, but string keys on a persisted table already win.
     */
   def cosinePairs(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
@@ -59,12 +67,13 @@ object SparseSim {
       .select(col(idCol).as("id"), explode(terms).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val tf =
+    val tf = (
       if (maxDf == Long.MaxValue) tfAll
       else tfAll // df = docs per term (tf rows are per (doc, term))
         .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("term"))))
         .where(col("df_") <= maxDf)
         .drop("df_")
+      ).persist() // read by norms + both join sides
     // per-doc norm over surviving terms: sqrt of an exact integer sum
     val norms = tf.groupBy(col("id"))
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))

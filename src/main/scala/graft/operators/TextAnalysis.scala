@@ -225,9 +225,19 @@ object TextAnalysis {
     */
   def cooccurrence(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 2, topK: Int = 50): DataFrame = {
-    require(window >= 1 && topK >= 1)
-    val base = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+    require(topK >= 1)
+    cooccurrenceCounts(docs, textCol, window)
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Full unordered within-window pair-count table (w1, w2, n) — the
+    * shared core of [[cooccurrence]] (top-k view) and [[textrank]] (graph
+    * edges). See [[cooccurrence]] for the no-self-join physical shape. */
+  def cooccurrenceCounts(docs: DataFrame, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1)
+    val base = docs.select(TextFunctions.tokens(lower(col(textCol))).as("toks_"))
       .withColumn("n_", size(col("toks_")))
     base
       .select(col("toks_"), col("n_"),
@@ -240,7 +250,55 @@ object TextAnalysis {
         greatest(col("w"), element_at(col("toks_"), col("pos") + col("off") + 1)).as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w1"), col("w2"))
+  }
+
+  /** TextRank keyword extraction: PageRank power iterations over the
+    * weighted word co-occurrence graph (Mihalcea & Tarau 2004) — the
+    * classical unsupervised keyword/keyphrase scorer, and the engine's
+    * graph-analytics primitive on a corpus-derived graph:
+    *
+    *   PR(i) = (1 − d) + d · Σ_j  PR(j) · w_ji / W_j
+    *
+    * over undirected edges (each co-occurrence pair contributes both
+    * directions), W_j = total edge weight at j, fixed iteration count.
+    *
+    * Physical shape at 100 TB: the GRAPH is aggregated corpus statistics
+    * (vocab² counts at worst), orders of magnitude smaller than the
+    * corpus — one cooccurrence pass builds it, then each iteration is one
+    * (join + combiner-heavy sum) over edge rows, shuffled on the word
+    * key. The edge table persists across iterations (one materialization,
+    * `iters` reads); scores never leave the cluster; top-k is
+    * TakeOrderedAndProject. Fixed small `iters` (TextRank converges in a
+    * handful) keeps the lineage bounded — no driver loop state beyond the
+    * DataFrame reference.
+    *
+    * Determinism: integer edge weights; per-edge contributions round(12)
+    * then DECIMAL-sum (order-independent); per-iteration scores
+    * round(9) — bit-portable across engines, same discipline as
+    * kmeansRefine.
+    */
+  def textrank(docs: DataFrame, textCol: String, window: Int = 2,
+      iters: Int = 3, damping: Double = 0.85, topK: Int = 50): DataFrame = {
+    require(iters >= 1 && topK >= 1 && damping > 0.0 && damping < 1.0)
+    val pairs = cooccurrenceCounts(docs, textCol, window)
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
+    val weighted = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("n")).as("wsrc")), "src")
+      .persist() // read once per iteration, not rebuilt from the corpus
+    var pr = weighted.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      pr = weighted
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("score") * col("n") / col("wsrc"), 12).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit(1.0 - damping) + lit(damping) *
+          sum(col("c").cast("decimal(28,14)")).cast("double"), 9).as("score"))
+    }
+    pr.select(col("node").as("word"), col("score"))
+      .orderBy(col("score").desc, col("word"))
       .limit(topK)
   }
 
