@@ -1525,6 +1525,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Z-order layout roundtrip: events clustered by the Morton key of
+    // (user_id, hour-of-day) — every output file a bounded 2-D rectangle,
+    // so either-dimension range scans skip files via footer min/max
+    // (locality asserted in StoreLayoutSpec; content equality here).
+    "store_zorder_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          hour(col("ts")).as("hr"), col("value"))
+      val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sink.StoreLayout.writeZOrdered(src, path, "user_id", "hr",
+        numFiles = 16)
+      graft.sink.StoreLayout.read(s, path)
+        .orderBy(col("event_id"))
+    }),
+
     // Bucketed co-located join: both stores written bucketBy(memory_id),
     // so the store×scores equi-join plans with NO exchange on either side
     // (asserted in StoreLayoutSpec) — the shape that replaces a full
@@ -3153,6 +3168,11 @@ object SparkEntry {
     // layout preserves content exactly — the oracle is the raw source
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // z-order also preserves content exactly; locality is spec-gated
+    "store_zorder_roundtrip" ->
+      """SELECT event_id, user_id, CAST(hour(ts) AS INT) AS hr, value
         |FROM events ORDER BY event_id""".stripMargin,
 
     // the streamed store must equal ONE global sessionization of the

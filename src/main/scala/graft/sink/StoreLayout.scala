@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-path layout for the 100 TB store: partition directories for
@@ -83,6 +83,45 @@ object StoreLayout {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
+
+  /** 2-D Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative integer columns — bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Rows close in z are close in BOTH dimensions,
+    * which is the whole point: sorting by one column makes parquet
+    * min/max stats selective for that column only; sorting by z makes
+    * every file a small (a, b) RECTANGLE, so range predicates on either
+    * (or both) dimensions skip files/row groups. Pure bitwise Column
+    * tree — codegen'd, shuffle-free, 2·bits ops per row.
+    */
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31)
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` clustered by the z-order of (`colA`, `colB`): one range
+    * exchange on the z key (`numFiles` ranges, sampled bounds), in-range
+    * sort, key dropped before the bytes hit disk. Each output file covers
+    * a contiguous z-range — a bounded rectangle in (colA, colB) — so
+    * 2-D-filtered scans skip most files via footer min/max where a
+    * single-column sort only prunes its own column. The multi-dimensional
+    * complement of [[writeOptimized]]'s directory partitioning (which
+    * stays the right tool for LOW-cardinality prune columns).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1)
+    df.withColumn("_z", zOrder2(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z") // projection after sort: order survives, key isn't stored
+      .write.mode(mode).parquet(path)
   }
 
   /** (partitionDirectory → parquet file count) for layout assertions —

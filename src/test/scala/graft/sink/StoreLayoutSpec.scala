@@ -80,6 +80,45 @@ class StoreLayoutSpec extends SparkSpec {
     assert(probe.count() == 200 / 16 + (if (3 < 200 % 16) 1 else 0))
   }
 
+  test("zOrder2: exact Morton interleave") {
+    import spark.implicits._
+    val df = Seq((3, 0), (1, 1), (2, 3), (0, 0), (65535, 65535))
+      .toDF("a", "b")
+      .withColumn("z", StoreLayout.zOrder2(col("a"), col("b"), bits = 16))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // bit i of a → 2i, bit i of b → 2i+1
+    assert(got((3, 0)) == 0x5L)          // a=11 → positions 0,2
+    assert(got((1, 1)) == 0x3L)          // 1|2
+    assert(got((2, 3)) == 14L)           // a bit1→4; b bits0,1→2,8
+    assert(got((0, 0)) == 0L)
+    assert(got((65535, 65535)) == 0xFFFFFFFFL) // all 32 low bits set
+  }
+
+  test("writeZOrdered: files are bounded rectangles in BOTH dimensions") {
+    import spark.implicits._
+    // 64×64 grid in row-major order — a plain sort by `a` would give each
+    // file the full b-range; z-order must bound both
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    val path = tempPath("zorder")
+    StoreLayout.writeZOrdered(grid, path, "a", "b", numFiles = 16, bits = 6)
+    val perFile = spark.read.parquet(path)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy(col("f"))
+      .agg(org.apache.spark.sql.functions.max(col("a")) -
+        org.apache.spark.sql.functions.min(col("a")),
+        org.apache.spark.sql.functions.max(col("b")) -
+          org.apache.spark.sql.functions.min(col("b")))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(perFile.length > 4)
+    val avgSpanA = perFile.map(_._1).sum.toDouble / perFile.length
+    val avgSpanB = perFile.map(_._2).sum.toDouble / perFile.length
+    // global span is 63 on each axis; z-files must be local on BOTH
+    assert(avgSpanA < 40, s"a-span $avgSpanA, files: ${perFile.mkString(",")}")
+    assert(avgSpanB < 40, s"b-span $avgSpanB, files: ${perFile.mkString(",")}")
+    // content survives the layout exactly
+    assert(spark.read.parquet(path).count() == 64 * 64)
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
