@@ -74,6 +74,22 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
 
+  /** Shared by `dedup_decontaminate` and its bloom-prefiltered twin —
+    * the bloom stage only prunes stage-2 input, never changes output. */
+  private lazy val decontaminateSql: String = {
+    val grams5 =
+      """CASE WHEN len(toks) < 5 THEN []
+        |  ELSE list_transform(generate_series(1, len(toks)-4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct($grams5)) AS gram FROM tok),
+       |bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+       |SELECT g.doc_id, bg.bench_id, COUNT(*) AS n_overlap
+       |FROM g JOIN bg ON g.gram = bg.gram
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY g.doc_id, bg.bench_id""".stripMargin
+  }
+
   /** DuckDB twin of [[TextFunctions.wordShingles]] (k=3) + array_distinct. */
   private val sqlShingles3 =
     s"""list_distinct(CASE WHEN len(toks) < 3 THEN []
@@ -1260,6 +1276,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // Same result through the broadcast-bloom prefilter (exact verify
+    // discards bloom false positives) — the shape for when the eval-set
+    // shingle table itself outgrows a broadcast join.
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_doc_id"), col("text").as("bench_text"))
+      Dedup.contaminationPairsBloom(dd, "text", "doc_id",
+        bench, "bench_text", "bench_doc_id", k = 5, minHits = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Deterministic sequence packing: docs -> fixed token-budget training
     // sequences, one window per hash group (no global sort), totals
     // bounded by budget + max doc.
@@ -1356,6 +1384,19 @@ object SparkEntry {
       operators.Profiling.histogram(Tables.events(s, d), "value",
         "event_type", buckets = 20)
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Distribution drift between the first and second half-month of
+    // events: shared bins from one union min/max agg, per-side counts in
+    // one tagged aggregation, exact-integer share deltas (no PSI/KL — ln
+    // is not correctly-rounded across engines).
+    "profile_drift" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      operators.Profiling.histogramDrift(
+        e.where(col("ts") < "2024-01-16").select(col("value")),
+        e.where(col("ts") >= "2024-01-16").select(col("value")),
+        "value", buckets = 20)
+        .orderBy(col("bucket"))
     }),
 
     // ---- Multimodal binary columns (stub decode, real plumbing) ----
@@ -2707,19 +2748,11 @@ object SparkEntry {
          |SELECT event_id, $sqlRelCase AS rel
          |FROM t ORDER BY event_id""".stripMargin),
 
-    "dedup_decontaminate" -> {
-      val grams5 =
-        """CASE WHEN len(toks) < 5 THEN []
-          |  ELSE list_transform(generate_series(1, len(toks)-4),
-          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END""".stripMargin
-      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct($grams5)) AS gram FROM tok),
-         |bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
-         |SELECT g.doc_id, bg.bench_id, COUNT(*) AS n_overlap
-         |FROM g JOIN bg ON g.gram = bg.gram
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-         |ORDER BY g.doc_id, bg.bench_id""".stripMargin
-    },
+    "dedup_decontaminate" -> decontaminateSql,
+
+    // the bloom prefilter admits no false negatives and the exact join
+    // discards false positives — the oracle is the exact form's, verbatim
+    "dedup_decontaminate_bloom" -> decontaminateSql,
 
     "sample_pack" -> {
       val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#pack'")
@@ -2961,6 +2994,29 @@ object SparkEntry {
         |  FROM events, b WHERE value IS NOT NULL)
         |SELECT event_type, bucket, COUNT(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical shared bins over the union, tagged per-side counts,
+    // rounded shares subtracted after rounding (as the engine does)
+    "profile_drift" ->
+      """WITH u AS (SELECT value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'b' ELSE 'a' END AS side
+        |  FROM events),
+        |bnd AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+        |  CAST(MAX(value) AS DOUBLE) AS hi FROM u),
+        |h AS (SELECT side,
+        |    CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket
+        |  FROM u, bnd WHERE value IS NOT NULL),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |  FROM h GROUP BY 1),
+        |p AS (SELECT bucket, n_before, n_after,
+        |    ROUND(CAST(n_before AS DOUBLE) / CAST(SUM(n_before) OVER () AS DOUBLE), 6) AS p_before,
+        |    ROUND(CAST(n_after AS DOUBLE) / CAST(SUM(n_after) OVER () AS DOUBLE), 6) AS p_after
+        |  FROM c)
+        |SELECT bucket, n_before, n_after, p_before, p_after,
+        |  ROUND(ABS(p_after - p_before), 6) AS d_share
+        |FROM p ORDER BY bucket""".stripMargin,
 
     // quality ratios + top-2-gram share recomputed with the same rounding
     // as text_quality / text_repetition, then the rule comparisons

@@ -289,6 +289,47 @@ object Dedup {
       .select(col("id_").as(idCol), col("bench_id"), col("n_overlap"))
   }
 
+  /** [[contaminationPairs]] behind a broadcast BLOOM prefilter — the
+    * shape that survives when even the benchmark SHINGLE SET outgrows a
+    * broadcast hash join (a few GB of eval-set shingles still fits as ~a
+    * hundred MB of bloom bits). Stage 1 probes every corpus shingle
+    * against the bloom (map-side, shuffle-free) and keeps only documents
+    * with ≥ minHits possible hits; stage 2 runs the EXACT overlap join on
+    * that usually-tiny remnant. Bloom false positives cannot leak into
+    * the result — they only admit extra rows into stage 2, where the
+    * exact join discards them — so output is bit-identical to
+    * [[contaminationPairs]] (false negatives don't exist in a bloom).
+    * The probe is a deserialized-sketch UDF: no codegen, but one long
+    * hash per shingle against broadcast bits — cheap, embarrassingly
+    * parallel, and the reason stage 2's shuffle is no longer data-scale.
+    */
+  def contaminationPairsBloom(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      k: Int, minHits: Long, fpp: Double = 0.01): DataFrame = {
+    require(k >= 1 && minHits >= 1 && fpp > 0.0 && fpp < 1.0)
+    val benchGrams = bench
+      .select(TextFunctions.tokens(col(benchTextCol)).as("toks_"))
+      .select(explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("toks_"), k))).as("gram"))
+      .select(HashFunctions.hash64(col("gram")).as("gh"))
+      .distinct()
+    val expected = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("gh", expected, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf((gh: Long) => bc.value.mightContainLong(gh))
+    val survivors = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks_"))
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("toks_"), k))).as("gram"))
+      .where(mightHit(HashFunctions.hash64(col("gram"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("possible_"))
+      .where(col("possible_") >= minHits)
+      .select(col(idCol))
+    contaminationPairs(docs.join(survivors, idCol), textCol, idCol,
+      bench, benchTextCol, benchIdCol, k, minHits)
+  }
+
   /** Multi-table RHP-LSH near-dup pairs — the production recall shape
     * [[planesFor]]'s doc promises: one hash TABLE per seed, candidates
     * unioned across tables, then one exact-cosine verification pass.

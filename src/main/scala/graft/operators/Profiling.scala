@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the ANALYZE-style artifacts a pipeline's health
@@ -80,5 +81,52 @@ object Profiling {
       .withColumn("bucket", bucket)
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Distribution drift report between two slices of the same column —
+    * the data-drift check ML pipelines run before trusting a new batch
+    * (input shift, upstream breakage, seasonality). Deliberately NOT a
+    * PSI/KL score: those need ln(), which is not correctly-rounded across
+    * engines; per-bucket share deltas (total variation mass) carry the
+    * same signal with only exact-integer ratios.
+    *
+    * Shared equi-width bins from ONE min/max aggregate over the UNION of
+    * both slices (two scalars to the driver — bins must be shared or the
+    * comparison is meaningless); per-side bucket counts in one combined
+    * aggregation over a side tag (no second scan, no join of two
+    * histograms); shares are single divisions of exact integers. Output:
+    * one row per bucket with counts, shares, and |Δshare|; Σ|Δshare|/2 is
+    * the total variation distance if a scalar is wanted downstream.
+    */
+  def histogramDrift(before: DataFrame, after: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val b = before.select(col(valueCol)).unionAll(after.select(col(valueCol)))
+      .agg(min(col(valueCol)).cast("double"), max(col(valueCol)).cast("double"))
+      .collect()(0)
+    require(!b.isNullAt(0), "histogramDrift: no non-null values")
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val w = (hi - lo) / buckets
+    val bucket =
+      if (w == 0.0) lit(0)
+      else least(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)),
+        lit(buckets - 1)).cast("int")
+    val tagged = before.select(col(valueCol)).withColumn("side_", lit("b"))
+      .unionAll(after.select(col(valueCol)).withColumn("side_", lit("a")))
+    val counts = tagged
+      .where(col(valueCol).isNotNull)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("side_") === "b", 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("side_") === "a", 1L).otherwise(0L)).as("n_after"))
+    val totals = Window.partitionBy(lit(1))
+    counts
+      .withColumn("p_before",
+        round(col("n_before").cast("double") /
+          sum(col("n_before")).over(totals), 6))
+      .withColumn("p_after",
+        round(col("n_after").cast("double") /
+          sum(col("n_after")).over(totals), 6))
+      .withColumn("d_share", round(abs(col("p_after") - col("p_before")), 6))
   }
 }

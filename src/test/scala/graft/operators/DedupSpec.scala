@@ -126,6 +126,22 @@ class DedupSpec extends SparkSpec {
     assert(flagged(2) == Set((1L, 100L, 4L)))
   }
 
+  test("contaminationPairsBloom: bit-identical to the exact form") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, s"u$i v$i w$i x$i y$i z$i")) ++
+      Seq((98L, "a b c d e f g h"), (99L, "a b c d e x y z w q")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("b_id", "b_text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Dedup.contaminationPairs(docs, "text", "doc_id",
+      bench, "b_text", "b_id", k = 5, minHits = 1))
+    val bloomed = rows(Dedup.contaminationPairsBloom(docs, "text", "doc_id",
+      bench, "b_text", "b_id", k = 5, minHits = 1))
+    assert(bloomed == exact)
+    assert(exact == Set((98L, 100L, 4L), (99L, 100L, 1L)))
+  }
+
   test("multi-table LSH recovers recall a single high-plane table drops") {
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -34,6 +34,24 @@ class ProfilingSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"approx profile should be one agg, got:\n$plan")
   }
 
+  test("histogramDrift: shared bins, per-side shares, delta mass") {
+    import spark.implicits._
+    val before = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")   // uniform over [0,4)
+    val after = Seq(0.0, 0.5, 0.9, 3.0).toDF("v")    // mass shifted to bin 0
+    val got = Profiling.histogramDrift(before, after, "v", buckets = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // shared bounds [0,3], width 0.75: before 0,1,2,3 → bins 0,1,2,3;
+    // after 0,0.5,0.9,3 → bins 0,0,1,3
+    assert(got(0) == ((1L, 2L, 0.25, 0.5, 0.25)))
+    assert(got(1) == ((1L, 1L, 0.25, 0.25, 0.0)))
+    assert(got(2)._1 == 1L && got(2)._2 == 0L)
+    assert(got(3) == ((1L, 1L, 0.25, 0.25, 0.0)))
+    // total variation distance = half the delta mass
+    assert(math.abs(got.values.map(_._5).sum / 2 - 0.25) < 1e-9)
+  }
+
   test("histogram: equi-width bins, closed top edge, nulls excluded, counts sum") {
     import spark.implicits._
     val df = Seq(("g", Some(0.0)), ("g", Some(2.5)), ("g", Some(5.0)),
