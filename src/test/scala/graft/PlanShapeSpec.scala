@@ -46,4 +46,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1, p.take(800))
     assert(count(p, "HashAggregate") >= 2, p.take(800)) // partial + final
   }
+
+  test("search_sparse_cosine: postings cached once, no cartesian, no broadcast of data scale") {
+    val p = plan("search_sparse_cosine")
+    assert(count(p, "CartesianProduct") == 0, p.take(800))
+    assert(count(p, "InMemoryTableScan") >= 3, p.take(800)) // norms + both join sides
+  }
+
+  test("text_cooccurrence / text_bigram_lm: no self-join — zero joins at all") {
+    for (n <- Seq("text_cooccurrence", "text_bigram_lm")) {
+      val p = plan(n)
+      assert(count(p, "Join") == 0, s"$n:\n${p.take(800)}")
+      assert(count(p, "TakeOrderedAndProject") == 1, s"$n:\n${p.take(800)}")
+    }
+  }
+
+  test("profile_columns: distinct Expand feeds hash aggregation, never a sort") {
+    val p = plan("profile_columns")
+    // the 4.2 s regression shape was Expand → Sort[..., gid] →
+    // SortAggregate; keyless min/max SortAggregates (no sort needed) are
+    // fine and expected
+    assert(count(p, "Expand") == 1, p.take(1200))
+    assert(!p.linesIterator.exists(l => l.contains("Sort [") && l.contains("gid#")),
+      p.take(1200))
+  }
+
+  test("profile_drift: per-side counts in ONE tagged aggregation (no histogram join)") {
+    val p = plan("profile_drift")
+    assert(count(p, "Join") == 0, p.take(800))
+  }
+
+  test("store_scd2: one exchange on the key, windows share its sort") {
+    val p = plan("store_scd2")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+  }
+
+  test("events_transitions: single scan, one window partitioning") {
+    val p = plan("events_transitions")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    assert(count(p, "Window") == 1, p.take(800))
+  }
+
+  test("search_silhouette: centroid join is broadcast, never shuffled") {
+    val p = plan("search_silhouette")
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1,
+      p.take(1200))
+    assert(count(p, "SortMergeJoin") == 0, p.take(1200))
+  }
 }
