@@ -277,6 +277,39 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q7 volume shipping: the two-nation filter lands on the TINY
+    // nation dim BEFORE any fact join (suppliers/customers of other
+    // nations never enter the plan), nation broadcasts, the only
+    // data-scale shuffle is lineitem⋈orders; year-bucketed decimal sums.
+    "q7_volume_shipping" -> ((s, d) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(Tables.nation(s, d)
+        .where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      val su = Tables.supplier(s, d)
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = Tables.customer(s, d)
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31")))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === nations(0) && col("cust_nation") === nations(1)) ||
+          (col("supp_nation") === nations(1) && col("cust_nation") === nations(0)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // Join family: broadcast the dim side (customer filtered), shuffle join
     // lineitem⋈orders on orderkey; top-k via TakeOrderedAndProject.
     "q3_unshipped_orders" -> ((s, d) => {
@@ -1255,6 +1288,13 @@ object SparkEntry {
       TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
     }),
 
+    // Per-doc TF-IDF keywords (linear idf — exact integers + one
+    // division; log-idf would drag non-portable ln() in).
+    "text_doc_keywords" -> ((s, d) => {
+      TextAnalysis.docKeywords(docs(s, d), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // TextRank keywords: 3 PageRank iterations over the co-occurrence
     // graph. damping=0.75 (not the canonical 0.85) so both d and 1−d are
     // exact in binary AND decimal — 0.15 as a double literal differs from
@@ -1735,6 +1775,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q3_unshipped_orders" ->
       """SELECT l_orderkey, o_orderdate,
@@ -2930,6 +2986,23 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // identical ranking: tf·N/df with one double division, window top-3
+    "text_doc_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ROUND(CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / dfs.df, 6) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // identical graph + 3 unrolled power iterations: per-edge
     // contributions round(12) → DECIMAL(28,14) sums, scores round(9);

@@ -329,6 +329,39 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document keywords: top `k` terms by tf · N/df — the linear-idf
+    * form of TF-IDF ranking (log-idf reorders little at small k and
+    * drags ln() in, which is not correctly-rounded across engines; the
+    * linear form is exact-integer arithmetic plus one division).
+    * Output: (idCol, term, score, rank), rank 1..k per document.
+    *
+    * Physical shape: one explode → (doc, term) count, per-term df from
+    * one aggregation of that table (vocab-sized, shuffles on the term
+    * key it already has), join back on term, then ONE per-doc window for
+    * the top-k — ranks within a document are at most vocab-sized, and
+    * the window partitions on the uniform doc key. N costs one count()
+    * on a pruned scan; only that scalar reaches the driver.
+    */
+  def docKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        round((col("tf") * lit(n)).cast("double") / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("score"), col("rank"))
+  }
+
   /** Bigram language-model table: P(next | word) as exact conditional
     * frequencies — the classical n-gram LM artifact (fluency scoring,
     * next-token baselines, CCNet-style quality signals train on exactly

@@ -235,6 +235,23 @@ class SimilarityAndTextSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("docKeywords: rare terms outrank common ones, rank capped at k") {
+    import spark.implicits._
+    // "z" appears only in doc 1 (df=1); "a" in all three (df=3)
+    val df = Seq((1L, "a a a z"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.docKeywords(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // doc1: z → 1·3/1 = 3.0 beats a → 3·3/3 = 3.0? tie → term asc: a first.
+    // scores: a = 3*3/3 = 3.0, z = 1*3/1 = 3.0 — tie broken by term
+    assert(got((1L, 1)) == (("a", 3.0)))
+    assert(got((1L, 2)) == (("z", 3.0)))
+    // doc2: b → 1·3/2 = 1.5, a → 1·3/3 = 1.0
+    assert(got((2L, 1)) == (("b", 1.5)))
+    assert(got((2L, 2)) == (("a", 1.0)))
+    assert(!got.contains((1L, 3))) // k caps ranks
+  }
+
   test("centroidSilhouette: separated clusters near 1, overlapped near 0") {
     import spark.implicits._
     // two tight clusters along axes 0 and 1 → well separated
