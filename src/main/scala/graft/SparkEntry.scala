@@ -1426,6 +1426,13 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // Join-key skew report on the events fact key: feeds the
+    // SkewJoin.bucketsFor / hotKeys sizing decisions.
+    "profile_key_skew" -> ((s, d) => {
+      operators.Profiling.keyFrequencyProfile(Tables.events(s, d), "user_id")
+        .orderBy(col("rows_per_key"))
+    }),
+
     // Distribution drift between the first and second half-month of
     // events: shared bins from one union min/max agg, per-side counts in
     // one tagged aggregation, exact-integer share deltas (no PSI/KL — ln
@@ -3067,6 +3074,12 @@ object SparkEntry {
         |  FROM events, b WHERE value IS NOT NULL)
         |SELECT event_type, bucket, COUNT(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical two-level aggregation
+    "profile_key_skew" ->
+      """SELECT rows_per_key, COUNT(*) AS n_keys FROM (
+        |  SELECT user_id, COUNT(*) AS rows_per_key FROM events GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical shared bins over the union, tagged per-side counts,
     // rounded shares subtracted after rounding (as the engine does)

@@ -98,6 +98,20 @@ object Profiling {
     * one row per bucket with counts, shares, and |Δshare|; Σ|Δshare|/2 is
     * the total variation distance if a scalar is wanted downstream.
     */
+  /** Join-key frequency-of-frequencies — the skew diagnostic read before
+    * planning a join on `keyCol` (feeds SkewJoin.bucketsFor / hotKeys
+    * thresholds): how many keys appear once, how many appear a million
+    * times. Two combiner-heavy aggregations; the second one's input is
+    * already key-cardinality-sized, and its key space (distinct
+    * frequencies) is tiny. NULL keys count as a group — a null-heavy join
+    * key is exactly what this report exists to expose.
+    */
+  def keyFrequencyProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("rows_per_key"))
+      .groupBy(col("rows_per_key"))
+      .agg(count(lit(1)).as("n_keys"))
+
   def histogramDrift(before: DataFrame, after: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1)
