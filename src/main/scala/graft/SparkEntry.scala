@@ -90,6 +90,27 @@ object SparkEntry {
        |ORDER BY g.doc_id, bg.bench_id""".stripMargin
   }
 
+  /** Shared by `store_scd2` and `store_scd2_incremental` — the
+    * incremental fold must equal the full rebuild row for row. */
+  private lazy val scd2Sql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type, value
+      |  FROM events WHERE user_id % 17 = 0),
+      |w AS (SELECT *,
+      |  CASE WHEN (event_type IS DISTINCT FROM lag(event_type) OVER win)
+      |         OR (value IS DISTINCT FROM lag(value) OVER win)
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (SELECT user_id, event_type, value, ts,
+      |    CAST(row_number() OVER vw AS INT) AS version,
+      |    lead(ts) OVER vw AS valid_to_
+      |  FROM w WHERE chg = 1
+      |  WINDOW vw AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_type, value, version,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(valid_to_, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  (valid_to_ IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** DuckDB twin of [[TextFunctions.wordShingles]] (k=3) + array_distinct. */
   private val sqlShingles3 =
     s"""list_distinct(CASE WHEN len(toks) < 3 THEN []
@@ -1547,6 +1568,21 @@ object SparkEntry {
     // purchase they got, each step strictly AFTER the previous one's
     // first occurrence. Three combiner aggregates chained by broadcast
     // joins — no window over raw events, no per-user collect.
+    // Rolling 7-day active users (WAU curve): distinct (user, day) pairs
+    // range-joined to a broadcast day spine — days are tiny, the pair
+    // table shuffles once for the distinct and once for the count.
+    "events_rolling_actives" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val spine = broadcast(ud.select(col("day").as("d")).distinct())
+      ud.join(spine, datediff(col("d"), col("day")).between(0, 6))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("active_users"))
+        .orderBy(col("day"))
+    }),
+
     // Event-type transition matrix (Markov counts): next event per user
     // via one lead window over the per-user sort; last events (no
     // successor) drop. Feeds funnel design and anomaly baselines.
@@ -1656,6 +1692,18 @@ object SparkEntry {
         Tables.events(s, d).where(col("user_id") % 17 === 0),
         keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
         stateCols = Seq("event_type", "value"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Incremental SCD2: dimension built from the first half-month, the
+    // second half folded in with applyScd2 — output must equal the full
+    // rebuild row for row (the oracle is the full-rebuild SQL).
+    "store_scd2_incremental" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("user_id") % 17 === 0)
+      val dim = operators.Scd.buildScd2(e.where(col("ts") < "2024-01-16"),
+        "user_id", "ts", "event_id", Seq("event_type", "value"))
+      operators.Scd.applyScd2(dim, e.where(col("ts") >= "2024-01-16"),
+        "user_id", "ts", "event_id", Seq("event_type", "value"))
         .orderBy(col("user_id"), col("version"))
     }),
 
@@ -3218,6 +3266,15 @@ object SparkEntry {
         |LEFT JOIN hourly ON hourly.user_id = u.user_id AND hourly.h = s.h
         |ORDER BY u.user_id, hour_s""".stripMargin,
 
+    // identical spine join: trailing 7 calendar days, distinct users
+    "events_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sp AS (SELECT DISTINCT day AS d FROM ud)
+        |SELECT strftime(sp.d, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT ud.user_id) AS active_users
+        |FROM ud JOIN sp ON date_diff('day', ud.day, sp.d) BETWEEN 0 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // identical lead window, last events drop
     "events_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
@@ -3269,24 +3326,11 @@ object SparkEntry {
 
     // identical history build: per-field IS DISTINCT FROM mirrors the
     // null-safe struct compare; first row's NULL lag flags as a change
-    "store_scd2" ->
-      """WITH e AS (SELECT user_id, ts, event_id, event_type, value
-        |  FROM events WHERE user_id % 17 = 0),
-        |w AS (SELECT *,
-        |  CASE WHEN (event_type IS DISTINCT FROM lag(event_type) OVER win)
-        |         OR (value IS DISTINCT FROM lag(value) OVER win)
-        |    THEN 1 ELSE 0 END AS chg
-        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |v AS (SELECT user_id, event_type, value, ts,
-        |    CAST(row_number() OVER vw AS INT) AS version,
-        |    lead(ts) OVER vw AS valid_to_
-        |  FROM w WHERE chg = 1
-        |  WINDOW vw AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, event_type, value, version,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-        |  strftime(valid_to_, '%Y-%m-%d %H:%M:%S') AS valid_to,
-        |  (valid_to_ IS NULL) AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin,
+    "store_scd2" -> scd2Sql,
+
+    // incremental fold == full rebuild, row for row — the oracle IS the
+    // full-rebuild SQL, verbatim
+    "store_scd2_incremental" -> scd2Sql,
 
     // identical snapshot synthesis + column-wise null-safe compare
     "store_snapshot_diff" ->

@@ -54,6 +54,43 @@ object Scd {
         col("valid_to_").isNull.as("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance: fold a NEW batch of updates into an
+    * existing [[buildScd2]] table without rebuilding history — the daily
+    * dimension-refresh shape (at 100 TB the closed history is immutable
+    * cold data; only current rows and the new batch move).
+    *
+    * Closed versions pass through untouched. Each key's current row is
+    * replayed as a synthetic first update (its valid_from, a tie below
+    * every real id) and re-chained with the new batch through the same
+    * [[buildScd2]]; versions renumber with the key's closed-row offset.
+    * Result is row-identical to `buildScd2(fullHistory)` — gated exactly
+    * that way — provided updates arrive after the key's current
+    * valid_from (late-arriving rewrites need the rebuild path).
+    *
+    * Physical shape: one filter pass over the existing table, the
+    * rebuild's single key-partitioned window over (current ∪ batch) —
+    * per-key input is 1 + batch rows, NOT history — and one broadcast-
+    * sized offset join.
+    */
+  def applyScd2(existing: DataFrame, updates: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, stateCols: Seq[String]): DataFrame = {
+    val closed = existing.where(!col("is_current"))
+    val offsets = existing.groupBy(col(keyCol))
+      .agg((max(col("version")) - 1).as("voff_"))
+    val synth = existing.where(col("is_current"))
+      .select(Seq(col(keyCol),
+        to_timestamp(col("valid_from")).as(tsCol),
+        lit(Long.MinValue).as(tieCol)) ++ stateCols.map(col): _*)
+    val batch = updates.select(Seq(col(keyCol), col(tsCol),
+      col(tieCol).cast("long").as(tieCol)) ++ stateCols.map(col): _*)
+    val rebuilt = buildScd2(synth.unionByName(batch),
+      keyCol, tsCol, tieCol, stateCols)
+    val bumped = rebuilt.join(offsets, Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("voff_"), lit(0)))
+      .drop("voff_")
+    closed.unionByName(bumped)
+  }
+
   /** Snapshot diff: the added/removed/changed changelog between two
     * versions of a table sharing a schema. `changed` means any non-key
     * column differs under null-safe compare — compared COLUMN-WISE, never

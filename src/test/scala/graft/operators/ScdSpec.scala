@@ -38,6 +38,29 @@ class ScdSpec extends SparkSpec {
     assert(got == Map(1 -> "a", 2 -> "b")) // id=1 first despite equal ts
   }
 
+  test("applyScd2: incremental fold equals full rebuild, versions continue") {
+    import spark.implicits._
+    val all = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "new", 1.0),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "paid", 1.0),
+      (1L, ts("2024-01-10 00:00:00"), 12L, "paid", 1.0),  // collapses across the split
+      (1L, ts("2024-01-12 00:00:00"), 13L, "done", 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 20L, "new", 5.0),   // no updates after split
+      (3L, ts("2024-01-11 00:00:00"), 30L, "new", 7.0))   // key born after split
+      .toDF("k", "t", "id", "status", "v")
+    val cut = ts("2024-01-05 00:00:00")
+    val dim = Scd.buildScd2(all.where($"t" < cut), "k", "t", "id", Seq("status", "v"))
+    val inc = Scd.applyScd2(dim, all.where($"t" >= cut), "k", "t", "id", Seq("status", "v"))
+    val full = Scd.buildScd2(all, "k", "t", "id", Seq("status", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getString(4),
+        if (r.isNullAt(5)) null else r.getString(5), r.getBoolean(6))).toSet
+    assert(rows(inc) == rows(full))
+    // the collapse across the split boundary actually happened
+    assert(rows(full).count(_._1 == 1L) == 3) // new, paid (merged), done
+  }
+
   test("diffSnapshots: added / removed / changed, unchanged dropped, null-safe") {
     import spark.implicits._
     val before = Seq(
