@@ -970,6 +970,15 @@ object SparkEntry {
         queryVec(s, d), k = 10)
     }),
 
+    // Matryoshka audit: rank by a 16-dim prefix (4× less scan I/O),
+    // report full-dim scores and full-top-k membership — the recall
+    // evidence for serving truncated embeddings.
+    "search_matryoshka" -> ((s, d) => {
+      Similarity.matryoshkaAudit(embs(s, d), "embedding", "vec_id",
+        queryVec(s, d), prefixDims = 16, k = 10)
+        .orderBy(col("rank_prefix"))
+    }),
+
     "search_knn_filtered" -> ((s, d) => {
       Search.basic(embs(s, d), "embedding", queryVec(s, d),
         limit = 10, scoreThreshold = 0.0,
@@ -1307,6 +1316,14 @@ object SparkEntry {
     // log-space — ln() is the classic cross-engine divergence).
     "text_bigram_lm" -> ((s, d) => {
       TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
+    }),
+
+    // Concordance (KWIC): every "spark" occurrence with ±2 context words
+    // — in-row slices only, no shuffle before the output ordering.
+    "text_concordance" -> ((s, d) => {
+      TextAnalysis.concordance(docs(s, d), "text", "doc_id",
+        term = "spark", window = 2)
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // Per-doc TF-IDF keywords (linear idf — exact integers + one
@@ -2350,6 +2367,27 @@ object SparkEntry {
          |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
 
+    // identical prefix slice, two top-10 rankings, full-score join
+    "search_matryoshka" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pre AS (
+        |  SELECT vec_id,
+        |    ROUND(list_cosine_similarity(v[1:16], (SELECT qv[1:16] FROM q)), 6) AS score_prefix
+        |  FROM e ORDER BY score_prefix DESC, vec_id LIMIT 10),
+        |prer AS (SELECT vec_id, score_prefix,
+        |    CAST(row_number() OVER (ORDER BY score_prefix DESC, vec_id) AS INT) AS rank_prefix
+        |  FROM pre),
+        |fullk AS (SELECT vec_id FROM (
+        |  SELECT vec_id, ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS s
+        |  FROM e ORDER BY s DESC, vec_id LIMIT 10)),
+        |fs AS (SELECT vec_id,
+        |  ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score_full FROM e)
+        |SELECT p.vec_id, p.rank_prefix, p.score_prefix, fs.score_full,
+        |  (fullk.vec_id IS NOT NULL) AS in_full_topk
+        |FROM prer p JOIN fs USING (vec_id) LEFT JOIN fullk USING (vec_id)
+        |ORDER BY p.rank_prefix""".stripMargin,
+
     "search_knn_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
@@ -3041,6 +3079,19 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // identical 1-based slicing, edge-truncated contexts; COALESCE
+    // because DuckDB yields NULL (not []) for an empty slice where
+    // Spark's array_join gives ''
+    "text_concordance" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok)
+         |SELECT doc_id, p AS pos,
+         |  COALESCE(array_to_string(toks[GREATEST(1, p - 2):p - 1], ' '), '') AS left_ctx,
+         |  toks[p] AS term,
+         |  COALESCE(array_to_string(toks[p + 1:p + 2], ' '), '') AS right_ctx
+         |FROM ex WHERE toks[p] = 'spark'
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // identical ranking: tf·N/df with one double division, window top-3
     "text_doc_keywords" ->

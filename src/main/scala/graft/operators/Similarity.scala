@@ -352,6 +352,40 @@ object Similarity {
       .select(col(idCol), col("cell"), col("score"))
   }
 
+  /** Matryoshka prefix-dimension audit: rank by the first `prefixDims`
+    * dimensions only, attach each hit's FULL-dimension score and whether
+    * it also makes the full top-k — the recall/cost evidence for serving
+    * MRL-style truncated embeddings (scan I/O shrinks by dims/prefix;
+    * this table says what recall that buys). Output: (idCol,
+    * rank_prefix, score_prefix, score_full, in_full_topk).
+    *
+    * Physical shape: two TakeOrderedAndProject scans (prefix-sliced and
+    * full — in production the prefix scan reads a truncated column or
+    * PQ/SQ8 codes, which is the point), then joins over two k-row
+    * broadcast sides. Nothing data-scale beyond the two scans.
+    */
+  def matryoshkaAudit(vecs: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], prefixDims: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1 && prefixDims < query.length && k >= 1)
+    val pre = bruteForceTopK(
+      vecs.withColumn("_pre", slice(col(vecCol), 1, prefixDims)),
+      "_pre", idCol, query.take(prefixDims), k)
+      .withColumnRenamed("score", "score_prefix")
+      .withColumn("rank_prefix", row_number().over(
+        Window.orderBy(col("score_prefix").desc, col(idCol))))
+    val fullIds = bruteForceTopK(vecs, vecCol, idCol, query, k)
+      .select(col(idCol), lit(true).as("in_full_topk"))
+    val fullScores = vecs.select(col(idCol),
+      round(VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6)
+        .as("score_full"))
+    pre
+      .join(fullScores, Seq(idCol))
+      .join(fullIds, Seq(idCol), "left")
+      .withColumn("in_full_topk", coalesce(col("in_full_topk"), lit(false)))
+      .select(col(idCol), col("rank_prefix"), col("score_prefix"),
+        col("score_full"), col("in_full_topk"))
+  }
+
   /** Centroid silhouette — cluster-quality audit for a labeled embedding
     * table (how separated the classes are, the go/no-go check before
     * trusting centroid-based filtering or IVF cells built from labels).

@@ -329,6 +329,36 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Concordance (KWIC): every occurrence of `term` with up to `window`
+    * words of context on each side — the corpus-exploration view behind
+    * "show me how this token is used" (sense disambiguation, filter-rule
+    * debugging, tokenizer audits). Output: (idCol, pos 1-based,
+    * left_ctx, term, right_ctx), contexts space-joined, truncated at
+    * document edges.
+    *
+    * Physical shape: one narrow posexplode with an equality filter on
+    * the generated token (for literal terms the filter collapses the
+    * generator's output immediately — only matches survive the pipeline);
+    * contexts are in-row array slices, no joins, no shuffle at all
+    * before the caller's ordering.
+    */
+  def concordance(docs: DataFrame, textCol: String, idCol: String,
+      term: String, window: Int = 2): DataFrame = {
+    require(term.nonEmpty && window >= 1)
+    docs
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .select(col(idCol), col("toks_"),
+        posexplode(col("toks_")).as(Seq("pos0", "w")))
+      .where(col("w") === term)
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        array_join(slice(col("toks_"),
+          greatest(lit(1), col("pos0") + 1 - window), least(lit(window), col("pos0"))),
+          " ").as("left_ctx"),
+        col("w").as("term"),
+        array_join(slice(col("toks_"), col("pos0") + 2, lit(window)), " ")
+          .as("right_ctx"))
+  }
+
   /** Per-document keywords: top `k` terms by tf · N/df — the linear-idf
     * form of TF-IDF ranking (log-idf reorders little at small k and
     * drags ln() in, which is not correctly-rounded across engines; the

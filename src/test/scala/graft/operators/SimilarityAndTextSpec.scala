@@ -235,6 +235,40 @@ class SimilarityAndTextSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("concordance: edge-truncated contexts, 1-based positions") {
+    import spark.implicits._
+    val df = Seq((1L, "x a b x c"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.concordance(df, "text", "doc_id", "x", window = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getString(4))).toMap
+    assert(got == Map(
+      (1L, 1) -> (("", "a b")),      // doc start: empty left
+      (1L, 4) -> (("a b", "c")),     // mid: full left, truncated right
+      (2L, 1) -> (("", ""))))        // singleton doc: both empty
+  }
+
+  test("matryoshkaAudit: prefix ranking with full-score attachment") {
+    import spark.implicits._
+    // 4-dim vectors; prefix = first 2 dims. v1 matches q on the prefix
+    // but diverges on the tail; v2 matches fully.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f, 1.0f, 0.0f)
+    val got = Similarity.matryoshkaAudit(vecs, "embedding", "vec_id", q,
+      prefixDims = 2, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // prefix space: v1 and v2 both cosine 1.0 with q-prefix → tie, id asc
+    assert(got(1L)._1 == 1 && got(2L)._1 == 2)
+    assert(got(1L)._2 == 1.0 && got(2L)._2 == 1.0)
+    // full space: v2 = 1.0 (in full top-k), v1 = 0.5
+    assert(got(2L)._3 == 1.0 && got(2L)._4)
+    assert(got(1L)._3 == 0.5 && got(1L)._4) // k=2 of 3 vectors: still in
+  }
+
   test("docKeywords: rare terms outrank common ones, rank capped at k") {
     import spark.implicits._
     // "z" appears only in doc 1 (df=1); "a" in all three (df=3)
