@@ -1464,6 +1464,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // Data-contract expectations over orders: named violation counts in
+    // ONE aggregation pass (nullability, range, positivity, key
+    // uniqueness), stack-unpivoted — the dbt-test / GE health artifact.
+    "profile_expectations" -> ((s, d) => {
+      operators.Profiling.expectations(Tables.orders(s, d),
+        rules = Seq(
+          "orderkey_not_null" -> col("o_orderkey").isNull,
+          "totalprice_positive" -> !(col("o_totalprice") > 0),
+          "orderdate_in_range" ->
+            !col("o_orderdate").between(lit("1990-01-01"), lit("2010-01-01"))),
+        uniqueCols = Seq("o_orderkey"))
+        .orderBy(col("rule"))
+    }),
+
     // Join-key skew report on the events fact key: feeds the
     // SkewJoin.bucketsFor / hotKeys sizing decisions.
     "profile_key_skew" -> ((s, d) => {
@@ -3173,6 +3187,23 @@ object SparkEntry {
         |  FROM events, b WHERE value IS NOT NULL)
         |SELECT event_type, bucket, COUNT(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical one-pass contract: conditional sums + count-minus-distinct
+    "profile_expectations" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT (o_orderdate BETWEEN TIMESTAMP '1990-01-01'
+        |      AND TIMESTAMP '2010-01-01') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS vu
+        |  FROM orders),
+        |s AS (
+        |  SELECT 'orderkey_not_null' AS rule, n_rows, v0 AS n_violations FROM a
+        |  UNION ALL SELECT 'totalprice_positive', n_rows, v1 FROM a
+        |  UNION ALL SELECT 'orderdate_in_range', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'unique_o_orderkey', n_rows, vu FROM a)
+        |SELECT rule, n_rows, n_violations, (n_violations = 0) AS pass
+        |FROM s ORDER BY rule""".stripMargin,
 
     // identical two-level aggregation
     "profile_key_skew" ->

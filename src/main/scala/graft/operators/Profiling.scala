@@ -98,6 +98,39 @@ object Profiling {
     * one row per bucket with counts, shares, and |Δshare|; Σ|Δshare|/2 is
     * the total variation distance if a scalar is wanted downstream.
     */
+  /** Data-contract expectations — the dbt-test / Great-Expectations
+    * shape: named per-rule violation counts plus a pass flag, ALL
+    * evaluated in ONE aggregation pass (each predicate is a conditional
+    * sum; uniqueness checks ride the same agg as `count − countDistinct`,
+    * whose all-long buffers keep the multi-distinct Expand on hash
+    * aggregation — the [[profile]] lesson). The single aggregated row is
+    * stack-unpivoted plan-side, never collected. Output:
+    * (rule, n_rows, n_violations, pass), one row per rule.
+    *
+    * `rules` maps rule name → VIOLATION predicate (true = bad row);
+    * `uniqueCols` adds a `unique_<col>` rule per column.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueCols.nonEmpty)
+    val ruleAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$i")
+    }
+    val uniqAggs = uniqueCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"uc_$i"), countDistinct(col(c)).as(s"ud_$i"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows_"), (ruleAggs ++ uniqAggs): _*)
+    val stacked = (
+      rules.zipWithIndex.map { case ((name, _), i) => s"'$name', n_rows_, v_$i" } ++
+      uniqueCols.zipWithIndex.map { case (c, i) =>
+        s"'unique_$c', n_rows_, uc_$i - ud_$i" }
+    ).mkString(", ")
+    val n = rules.size + uniqueCols.size
+    row.select(expr(
+      s"stack($n, $stacked) AS (rule, n_rows, n_violations)"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   /** Join-key frequency-of-frequencies — the skew diagnostic read before
     * planning a join on `keyCol` (feeds SkewJoin.bucketsFor / hotKeys
     * thresholds): how many keys appear once, how many appear a million

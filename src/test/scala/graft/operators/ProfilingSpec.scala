@@ -34,6 +34,29 @@ class ProfilingSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"approx profile should be one agg, got:\n$plan")
   }
 
+  test("expectations: one-pass named verdicts, uniqueness, null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, not}
+    val df = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), Some(-1.0)),     // one range violation
+      (Some(2L), None), (None, Some(3.0)))               // dup key; null key; null value
+      .toDF("k", "v")
+    val got = Profiling.expectations(df,
+      rules = Seq(
+        "k_not_null" -> col("k").isNull,
+        "v_positive" -> not(col("v") > 0)),              // NULL v → not a violation
+      uniqueCols = Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got("k_not_null") == ((4L, 1L, false)))
+    assert(got("v_positive") == ((4L, 1L, false)))       // only -1.0; NULL doesn't count
+    assert(got("unique_k") == ((4L, 1L, false)))         // one duplicate of k=2
+    // plan stays on hash aggregation despite the distinct
+    val plan = Profiling.expectations(df, Seq("r" -> col("k").isNull), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
+
   test("histogramDrift: shared bins, per-side shares, delta mass") {
     import spark.implicits._
     val before = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")   // uniform over [0,4)
