@@ -1680,6 +1680,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Backfill roundtrip: write the store partitioned by event_type,
+    // then dynamic-overwrite ONLY the click partition with corrected
+    // values — other partitions' files stay physically untouched
+    // (spec-asserted); content equality checked here.
+    "store_backfill_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      val path = "/tmp/graft_backfill_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sink.StoreLayout.writeOptimized(src, path,
+        partitionCols = Seq("event_type"), sortCols = Seq("event_id"))
+      val fix = src.where(col("event_type") === "click")
+        .withColumn("value", round(col("value") * 2, 6))
+      graft.sink.StoreLayout.backfillPartitions(fix, path, Seq("event_type"))
+      graft.sink.StoreLayout.read(s, path)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Z-order layout roundtrip: events clustered by the Morton key of
     // (user_id, hour-of-day) — every output file a bounded 2-D rectangle,
     // so either-dimension range scans skip files via footer min/max
@@ -1723,6 +1741,18 @@ object SparkEntry {
         Tables.events(s, d).where(col("user_id") % 17 === 0),
         keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
         stateCols = Seq("event_type", "value"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Streaming SCD2: a real file stream foreachBatch-folds each
+    // micro-batch into the versioned dimension store; the final store
+    // must equal the full rebuild (same oracle as store_scd2).
+    "stream_scd2" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("user_id") % 17 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      streaming.StreamingIngest.stagedScd2Roundtrip(s, e,
+        "/tmp/graft_scd2stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
         .orderBy(col("user_id"), col("version"))
     }),
 
@@ -3414,6 +3444,9 @@ object SparkEntry {
     // full-rebuild SQL, verbatim
     "store_scd2_incremental" -> scd2Sql,
 
+    // the stream of per-batch folds must also land on the full rebuild
+    "stream_scd2" -> scd2Sql,
+
     // identical snapshot synthesis + column-wise null-safe compare
     "store_snapshot_diff" ->
       """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -3436,6 +3469,13 @@ object SparkEntry {
     // layout preserves content exactly — the oracle is the raw source
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // post-backfill content: clicks corrected, everything else verbatim
+    "store_backfill_roundtrip" ->
+      """SELECT event_id, event_type, user_id,
+        |  CASE WHEN event_type = 'click' THEN ROUND(value * 2, 6)
+        |    ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
     // z-order also preserves content exactly; locality is spec-gated

@@ -85,6 +85,26 @@ object StoreLayout {
       .saveAsTable(table)
   }
 
+  /** Partition backfill: dynamic-mode overwrite that replaces ONLY the
+    * partition directories present in `df`, leaving every other
+    * directory's files physically untouched — the corrected-day /
+    * reprocessed-source repair shape. Static overwrite mode (Spark's
+    * default) would delete the ENTIRE store first; at 100 TB that's the
+    * difference between rewriting one day and rewriting three years.
+    * The mode flips only around this write and is restored after.
+    */
+  def backfillPartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally spark.conf.set(key, prev)
+  }
+
   /** 2-D Morton (Z-order) key: interleaves the low `bits` bits of two
     * non-negative integer columns — bit i of `a` lands at position 2i,
     * bit i of `b` at 2i+1. Rows close in z are close in BOTH dimensions,

@@ -552,4 +552,77 @@ object StreamingIngest {
       .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Streaming SCD2 maintenance gate harness: a REAL file stream feeds
+    * `foreachBatch`, the first micro-batch builds the dimension with
+    * [[graft.operators.Scd.buildScd2]], every later batch folds in with
+    * [[graft.operators.Scd.applyScd2]] — the daily-dimension-refresh loop
+    * as a stream. Each batch writes a NEW versioned store directory
+    * (write-new-then-read-latest; overwriting the directory a batch is
+    * reading is the classic self-overwrite corruption). The staging
+    * splits events by time, so every batch's updates come after the
+    * current rows' valid_from — applyScd2's documented precondition.
+    * Returns the final store; the gate's oracle is the FULL-REBUILD SQL,
+    * so the stream of incremental folds must land row-identical to one
+    * batch build over all history.
+    */
+  def stagedScd2Roundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+    val stateCols = Seq("event_type", "value")
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(events.where(col("ts") < lit(mid)))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val next = latest match {
+          case None =>
+            graft.operators.Scd.buildScd2(batch, "user_id", "ts",
+              "event_id", stateCols)
+          case Some(prev) =>
+            graft.operators.Scd.applyScd2(spark.read.parquet(prev), batch,
+              "user_id", "ts", "event_id", stateCols)
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: build the dimension
+      stage(events.where(col("ts") >= lit(mid)))
+      q.processAllAvailable() // batch 1+: incremental folds
+    } finally q.stop()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("stagedScd2Roundtrip: no batch ran")))
+  }
 }

@@ -119,6 +119,38 @@ class StoreLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 64 * 64)
   }
 
+  test("backfillPartitions: only targeted partitions rewritten, others physically untouched") {
+    import spark.implicits._
+    val path = tempPath("backfill")
+    val src = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+      .toDF("id", "part", "v")
+    StoreLayout.writeOptimized(src, path, Seq("part"), Seq("id"))
+    def files(dir: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/part=$dir")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, false)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.getName + ":" + f.getModificationTime
+      }
+      b.result()
+    }
+    val bBefore = files("b")
+    val cBefore = files("c")
+    StoreLayout.backfillPartitions(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "part", "v"), path, Seq("part"))
+    // partition a carries corrected rows; b and c files byte-identical
+    assert(files("b") == bBefore && files("c") == cBefore)
+    val got = spark.read.parquet(path).select(col("id"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+    // the overwrite mode is restored afterwards
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
