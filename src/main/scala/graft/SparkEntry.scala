@@ -331,6 +331,30 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // Pareto contribution: per-nation revenue share + running cumulative
+    // share. Sums stay DECIMAL until the share division; the cumulative
+    // sum runs over rounded shares in a fixed total order, so the float
+    // sequence is identical on any engine.
+    "q_pareto_nations" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev_d"))
+      val byRev = Window.orderBy(col("rev_d").desc, col("n_name"))
+      rev
+        .withColumn("total_", sum(col("rev_d")).over(Window.partitionBy(lit(1))))
+        .withColumn("share", round(
+          col("rev_d").cast("double") / col("total_").cast("double"), 6))
+        .withColumn("cum_share", round(sum(col("share")).over(byRev), 6))
+        .select(col("n_name"), col("rev_d").cast("double").as("revenue"),
+          col("share"), col("cum_share"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Join family: broadcast the dim side (customer filtered), shuffle join
     // lineitem⋈orders on orderkey; top-k via TakeOrderedAndProject.
     "q3_unshipped_orders" -> ((s, d) => {
@@ -1614,6 +1638,25 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Top opening paths (first 3 events per user): one ranked window,
+    // conditional-max pivot to a path string, combiner-heavy path count.
+    "events_top_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("s1"),
+          max(when(col("rn") === 2, col("event_type"))).as("s2"),
+          max(when(col("rn") === 3, col("event_type"))).as("s3"))
+        .groupBy(concat_ws(" > ", col("s1"), col("s2"), col("s3")).as("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Event-type transition matrix (Markov counts): next event per user
     // via one lead window over the per-user sort; last events (no
     // successor) drop. Feeds funnel design and anomaly baselines.
@@ -1907,6 +1950,26 @@ object SparkEntry {
         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // identical: DECIMAL revenue, share division once, cumulative sum of
+    // ROUNDED shares in the same total order
+    "q_pareto_nations" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT *, SUM(rev_d) OVER () AS total_ FROM rev),
+        |s AS (SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        |    ROUND(CAST(rev_d AS DOUBLE) / CAST(total_ AS DOUBLE), 6) AS share
+        |  FROM t)
+        |SELECT n_name, revenue, share,
+        |  ROUND(SUM(share) OVER (ORDER BY revenue DESC, n_name
+        |    ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+        |FROM s ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q3_unshipped_orders" ->
       """SELECT l_orderkey, o_orderdate,
@@ -3377,6 +3440,21 @@ object SparkEntry {
         |FROM u CROSS JOIN spine s
         |LEFT JOIN hourly ON hourly.user_id = u.user_id AND hourly.h = s.h
         |ORDER BY u.user_id, hour_s""".stripMargin,
+
+    // identical pivot to a path string; concat_ws skips NULLs in both
+    "events_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) AS s1,
+        |    MAX(CASE WHEN rn = 2 THEN event_type END) AS s2,
+        |    MAX(CASE WHEN rn = 3 THEN event_type END) AS s3
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |c AS (SELECT concat_ws(' > ', s1, s2, s3) AS path, COUNT(*) AS n_users
+        |  FROM p GROUP BY 1)
+        |SELECT path, n_users FROM c
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // identical spine join: trailing 7 calendar days, distinct users
     "events_rolling_actives" ->
