@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Embedder, TextFunctions, VectorFunctions}
+import graft.functions.{Embedder, HashFunctions, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
 import graft.multimodal.Multimodal
 import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
@@ -1140,6 +1140,20 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => {
       Dedup.exactClusters(docs(s, d), "text", "doc_id")
         .orderBy(col("fingerprint"))
+    }),
+
+    // Per-source duplication report: the corpus-health artifact that says
+    // WHERE the duplication lives (a crawl source gone rogue) — one
+    // combiner-heavy agg over normalized fingerprints per source.
+    "dedup_rate_by_source" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(HashFunctions.fingerprint(col("text")))
+            .as("n_distinct"))
+        .withColumn("dup_rate", round(
+          (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {
@@ -2708,6 +2722,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical normalized-fingerprint distinct per source
+    "dedup_rate_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct,
+        |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_sig" -> {
