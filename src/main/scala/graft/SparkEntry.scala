@@ -757,6 +757,13 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // Bounded-depth lineage paths along the provenance chain: 4 static
+    // key-equi self-joins, never an unbounded recursion.
+    "mem_provenance_path" -> ((s, d) => {
+      MemoryModel.provenancePaths(memories(s, d), maxDepth = 4)
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
     // F1-F8: the full filter algebra AND-combined, compiled to one
     // pushed-down predicate.
     "mem_filter_algebra" -> ((s, d) => {
@@ -2240,6 +2247,23 @@ object SparkEntry {
         |  LAG(event_type) OVER w AS preceding_tool
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // recursive twin of the 4 static self-joins: terminal row per memory
+    "mem_provenance_path" ->
+      """WITH RECURSIVE mem AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |    LAG(CAST(event_id AS VARCHAR))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pre
+        |  FROM events),
+        |walk AS (
+        |  SELECT memory_id, pre AS cur, memory_id AS path, 0 AS depth FROM mem
+        |  UNION ALL
+        |  SELECT w.memory_id, m.pre, w.path || ' <- ' || w.cur, w.depth + 1
+        |  FROM walk w JOIN mem m ON w.cur = m.memory_id
+        |  WHERE w.depth < 4)
+        |SELECT memory_id, CAST(depth AS INT) AS depth, path FROM walk
+        |QUALIFY row_number() OVER (PARTITION BY memory_id ORDER BY depth DESC) = 1
+        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
 
     "mem_filter_algebra" ->
       """SELECT CAST(event_id AS VARCHAR) AS memory_id, event_type AS tool,

@@ -104,4 +104,39 @@ object MemoryModel {
     memories.join(prev, memories("preceding_memory_id") === prev("p_memory_id"), "left")
       .drop("p_memory_id")
   }
+
+  /** Bounded-depth ancestor paths along the provenance chain: for every
+    * memory, the " <- "-joined trail of up to `maxDepth` preceding ids
+    * plus the depth actually reached — the lineage view behind "how did
+    * this memory come to be" (the reference surfaces only the single
+    * parent edge; this is its transitive extension).
+    *
+    * Physical shape: `maxDepth` left self-joins on the id key — each a
+    * key-equi join (bucketable by memory_id at rest, zero-exchange with
+    * [[graft.sink.StoreLayout.writeBucketed]] stores), depth STATICALLY
+    * bounded so the plan is k joins, not an unbounded recursion holding
+    * frontier state. Full-depth connectivity goes through
+    * [[graft.operators.Components]]; this is the per-row path artifact.
+    */
+  def provenancePaths(memories: DataFrame, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1)
+    val mem = memories.select(col("memory_id"), col("preceding_memory_id"))
+    var df = mem.select(col("memory_id"),
+      col("preceding_memory_id").as("cur"),
+      col("memory_id").as("path"),
+      lit(0).as("depth"))
+    for (_ <- 1 to maxDepth) {
+      df = df.join(mem.select(col("memory_id").as("cur2_"),
+          col("preceding_memory_id").as("next_")),
+        col("cur") === col("cur2_"), "left")
+        .withColumn("path", when(col("cur").isNotNull,
+          concat(col("path"), lit(" <- "), col("cur"))).otherwise(col("path")))
+        .withColumn("depth", when(col("cur").isNotNull, col("depth") + 1)
+          .otherwise(col("depth")))
+        .withColumn("cur", when(col("cur").isNotNull, col("next_"))
+          .otherwise(lit(null).cast("string")))
+        .drop("cur2_", "next_")
+    }
+    df.select(col("memory_id"), col("depth"), col("path"))
+  }
 }

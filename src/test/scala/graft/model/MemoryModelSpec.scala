@@ -43,4 +43,18 @@ class MemoryModelSpec extends SparkSpec {
       .select("preceding_memory_id", "preceding_tool").head()
     assert((got.getString(0), got.getString(1)) == ("2", "view"))
   }
+
+  test("provenancePaths: bounded ancestor trails with reached depth") {
+    val got = MemoryModel.provenancePaths(MemoryModel.fromEvents(events), maxDepth = 4)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got == Map(
+      "1" -> ((0, "1")),               // session head: no ancestors
+      "2" -> ((1, "2 <- 1")),
+      "4" -> ((2, "4 <- 2 <- 1")),
+      "3" -> ((0, "3"))))
+    // depth cap truncates the trail
+    val capped = MemoryModel.provenancePaths(MemoryModel.fromEvents(events), maxDepth = 1)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(capped("4") == ((1, "4 <- 2")))
+  }
 }
