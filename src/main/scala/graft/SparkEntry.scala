@@ -1001,6 +1001,15 @@ object SparkEntry {
         queryVec(s, d), k = 10)
     }),
 
+    // Hard negatives: per query, most-similar DIFFERENT-label vectors —
+    // the contrastive-training negatives that sit at the boundary.
+    "search_hard_negatives" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.hardNegatives(e, e.where(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", "label", k = 3, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Matryoshka audit: rank by a 16-dim prefix (4× less scan I/O),
     // report full-dim scores and full-top-k membership — the recall
     // evidence for serving truncated embeddings.
@@ -2511,6 +2520,19 @@ object SparkEntry {
          |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
          |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    // identical mismatch-then-rank order
+    "search_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS ql FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, e.vec_id AS base_id, e.label AS base_label,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, base_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, base_id, base_label, score, rank FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // identical prefix slice, two top-10 rankings, full-score join
     "search_matryoshka" ->

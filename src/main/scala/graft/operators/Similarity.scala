@@ -352,6 +352,35 @@ object Similarity {
       .select(col(idCol), col("cell"), col("score"))
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label —
+    * the highest-value negatives for embedding-model fine-tuning (random
+    * negatives are trivially separable; these sit right at the decision
+    * boundary). Output: (query_id, base_id, base_label, score, rank).
+    *
+    * Physical shape: [[knnJoin]]'s broadcast-NL + per-query window, with
+    * the label-mismatch filter applied BEFORE ranking so same-class
+    * pairs never enter the top-k computation. The query batch broadcasts;
+    * the corpus streams once.
+    */
+  def hardNegatives(base: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int, dims: Int): DataFrame = {
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_vec"),
+      col(labelCol).as("base_label"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"), col(labelCol).as("query_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("base_id"))
+    b.crossJoin(broadcast(q))
+      .where(col("base_label") =!= col("query_label"))
+      .withColumn("score", round(
+        VectorFunctions.cosine(col("base_vec"), col("query_vec"), dims), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("base_label"),
+        col("score"), col("rank"))
+  }
+
   /** Matryoshka prefix-dimension audit: rank by the first `prefixDims`
     * dimensions only, attach each hit's FULL-dimension score and whether
     * it also makes the full top-k — the recall/cost evidence for serving

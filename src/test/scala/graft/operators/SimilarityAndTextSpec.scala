@@ -247,6 +247,20 @@ class SimilarityAndTextSpec extends SparkSpec {
       (2L, 1) -> (("", ""))))        // singleton doc: both empty
   }
 
+  test("hardNegatives: nearest different-label vectors only") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // query
+      (1L, Seq(0.99f, 0.14f), 0), // same label — excluded despite proximity
+      (2L, Seq(0.9f, 0.44f), 1),  // nearest wrong-label
+      (3L, Seq(0.0f, 1.0f), 1))   // far wrong-label
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, e.where($"vec_id" === 0),
+      "embedding", "vec_id", "label", k = 2, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.toSeq == Seq((0L, 2L, 1, 1), (0L, 3L, 1, 2)))
+  }
+
   test("matryoshkaAudit: prefix ranking with full-score attachment") {
     import spark.implicits._
     // 4-dim vectors; prefix = first 2 dims. v1 matches q on the prefix
