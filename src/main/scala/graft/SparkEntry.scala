@@ -111,6 +111,27 @@ object SparkEntry {
       |  (valid_to_ IS NULL) AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** Shared langId predictor CTEs (ends in `pred(doc_id, lang_pred)`) —
+    * used by `text_langid` and the `text_langid_confusion` audit. */
+  private lazy val langidCtes: String = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($lst, t))) AS h_$lang"
+    }.mkString(",\n  ")
+    val best = langs.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
+    val pick = langs.map(_._1).sorted.reverse
+      .map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n  ")
+    s"""tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+       |h AS (SELECT doc_id, $hitCols FROM tok),
+       |g AS (SELECT *, $best AS best FROM h),
+       |pred AS (
+       |  SELECT doc_id, CASE WHEN best IS NULL OR best = 0 THEN 'und'
+       |    $pick
+       |    ELSE 'und' END AS lang_pred
+       |  FROM g)""".stripMargin
+  }
+
   /** DuckDB twin of [[TextFunctions.wordShingles]] (k=3) + array_distinct. */
   private val sqlShingles3 =
     s"""list_distinct(CASE WHEN len(toks) < 3 THEN []
@@ -1001,6 +1022,18 @@ object SparkEntry {
         queryVec(s, d), k = 10)
     }),
 
+    // k-NN label propagation: every 10th vector plays unlabeled and
+    // takes its 3 nearest labeled neighbors' majority label; true label
+    // rides along for the audit.
+    "search_label_propagation" -> ((s, d) => {
+      val e = embs(s, d)
+      val unl = e.where(col("vec_id") % 10 === 0)
+      Similarity.labelPropagate(e.where(col("vec_id") % 10 =!= 0), unl,
+        "embedding", "vec_id", "label", k = 3, dims = 64)
+        .join(unl.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // Hard negatives: per query, most-similar DIFFERENT-label vectors —
     // the contrastive-training negatives that sit at the boundary.
     "search_hard_negatives" -> ((s, d) => {
@@ -1364,6 +1397,16 @@ object SparkEntry {
     // pairs weighted by word occurrence.
     "text_bpe_pairs" -> ((s, d) => {
       TextAnalysis.bpePairStats(docs(s, d), "text", topK = 50)
+    }),
+
+    // Language-ID confusion matrix: heuristic prediction vs stored lang
+    // metadata — one per-row predictor scan, one combiner-heavy count.
+    "text_langid_confusion" -> ((s, d) => {
+      docs(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
     }),
 
     // Bigram LM table: exact conditional frequencies (integer ratio, no
@@ -2521,6 +2564,28 @@ object SparkEntry {
          |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
 
+    // identical vote: top-3 window, count per label, most-votes-then-
+    // smallest-label
+    "search_label_propagation" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS true_label FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (SELECT q.query_id, e.label AS base_label, e.vec_id AS base_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id % 10 <> 0),
+        |r AS (SELECT query_id, base_label FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, base_id) AS rn FROM s)
+        |  WHERE rn <= 3),
+        |v AS (SELECT query_id, base_label, COUNT(*) AS n_votes
+        |  FROM r GROUP BY 1, 2),
+        |p AS (SELECT query_id, base_label AS predicted_label, n_votes FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY n_votes DESC, base_label) AS rb FROM v)
+        |  WHERE rb = 1)
+        |SELECT p.query_id AS vec_id, p.predicted_label, p.n_votes, q.true_label
+        |FROM p JOIN q ON p.query_id = q.query_id
+        |ORDER BY vec_id""".stripMargin,
+
     // identical mismatch-then-rank order
     "search_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
@@ -3004,23 +3069,17 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "text_langid" -> {
-      val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
-      val hitCols = langs.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, t))) AS h_$lang"
-      }.mkString(",\n  ")
-      val best = langs.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
-      val pick = langs.map(_._1).sorted.reverse
-        .map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n  ")
-      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
-         |h AS (SELECT doc_id, $hitCols FROM tok),
-         |g AS (SELECT *, $best AS best FROM h)
-         |SELECT doc_id, CASE WHEN best IS NULL OR best = 0 THEN 'und'
-         |  $pick
-         |  ELSE 'und' END AS lang_pred
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
+    "text_langid" ->
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""".stripMargin,
+
+    // same predictor CTEs joined back to the stored lang — the audit
+    // matrix (where does the heuristic disagree with the metadata)
+    "text_langid_confusion" ->
+      s"""WITH $langidCtes
+         |SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors format_content_preview + extract_summary(max_sentences=2)
     // (reference formatters.py:172-218): first-2-fragment summary joined

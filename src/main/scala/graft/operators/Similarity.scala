@@ -352,6 +352,44 @@ object Similarity {
       .select(col(idCol), col("cell"), col("score"))
   }
 
+  /** One round of k-NN label propagation: each unlabeled vector takes
+    * the majority label of its k nearest LABELED neighbors (ties to the
+    * smaller label) — the instance-based semi-supervised labeling step,
+    * complementing prototype-based [[ivfAssign]] (nearest centroid).
+    * Output: (idCol, predicted_label, n_votes).
+    *
+    * Physical shape: the labeled corpus streams once against the
+    * broadcast unlabeled batch (chunk huge batches and union — the
+    * per-chunk plan is identical), per-query window for the k nearest,
+    * then a vote count and a struct-max argmax: max((votes, −label))
+    * picks most-votes-then-smallest-label with no second window.
+    */
+  def labelPropagate(labeled: DataFrame, unlabeled: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int,
+      dims: Int): DataFrame = {
+    require(k >= 1)
+    val b = labeled.select(col(idCol).as("base_id"),
+      col(vecCol).as("base_vec"), col(labelCol).as("base_label"))
+    val q = unlabeled.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("base_id"))
+    val neighbors = b.crossJoin(broadcast(q))
+      .withColumn("score", round(
+        VectorFunctions.cosine(col("base_vec"), col("query_vec"), dims), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    neighbors
+      .groupBy(col("query_id"), col("base_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("n_votes"), (-col("base_label")).as("neg_")))
+        .as("best_"))
+      .select(col("query_id").as(idCol),
+        (-col("best_.neg_")).as("predicted_label"),
+        col("best_.n_votes").as("n_votes"))
+  }
+
   /** Hard-negative mining for contrastive training: for every query
     * vector, the top-k most-similar vectors carrying a DIFFERENT label —
     * the highest-value negatives for embedding-model fine-tuning (random

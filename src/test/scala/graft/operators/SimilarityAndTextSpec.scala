@@ -247,6 +247,25 @@ class SimilarityAndTextSpec extends SparkSpec {
       (2L, 1) -> (("", ""))))        // singleton doc: both empty
   }
 
+  test("labelPropagate: majority of k nearest labeled, ties to smaller label") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.0f), 5), (2L, Seq(0.95f, 0.31f), 5),
+      (3L, Seq(0.9f, 0.44f), 7), (4L, Seq(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val unl = Seq((100L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.labelPropagate(labeled, unl,
+      "embedding", "vec_id", "label", k = 3, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 3 nearest: ids 1,2 (label 5) and 3 (label 7) → majority 5 with 2 votes
+    assert(got.toSeq == Seq((100L, 5, 2L)))
+    // tie case: k=2 → one vote each for 5 and 7 → smaller label wins
+    val tied = Similarity.labelPropagate(labeled.where($"vec_id" =!= 2L), unl,
+      "embedding", "vec_id", "label", k = 2, dims = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((5, 1L)))
+  }
+
   test("hardNegatives: nearest different-label vectors only") {
     import spark.implicits._
     val e = Seq(
