@@ -93,4 +93,34 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
     assert(count(p, "SortMergeJoin") == 0, p.take(1200))
   }
+
+  test("q7_volume_shipping: dims broadcast, at most one data-scale join, no cartesian") {
+    val p = plan("q7_volume_shipping")
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(1500))
+    assert(count(p, "SortMergeJoin") <= 1, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+  }
+
+  test("hard negatives / label propagation: query batch broadcast, corpus streams once") {
+    for (n <- Seq("search_hard_negatives", "search_label_propagation")) {
+      val p = plan(n)
+      assert(count(p, "BroadcastNestedLoopJoin") >= 1, s"$n:\n${p.take(1200)}")
+      assert(count(p, "CartesianProduct") == 0, s"$n:\n${p.take(1200)}")
+    }
+  }
+
+  test("events_top_paths: one scan, one window, rank-limit pushed below it") {
+    val p = plan("events_top_paths")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    assert(count(p, "Window [") == 1, p.take(800))
+    // rn <= 3 prunes BEFORE the full window via WindowGroupLimit
+    // (partial map-side + final) — the rank-pushdown that matters at scale
+    assert(count(p, "WindowGroupLimit") == 2, p.take(800))
+  }
+
+  test("mem_provenance_path: exactly maxDepth static self-joins, no recursion") {
+    val p = plan("mem_provenance_path")
+    assert(count(p, "Join") == 4, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+  }
 }
