@@ -1291,6 +1291,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH recall audit: exact pair set vs the single-table RHP pair set,
+    // counted, with recall — the eval artifact that justifies (or
+    // indicts) a bucket configuration before it ships. At 100 TB run it
+    // on a sampled slice; the shape is two pair jobs + three counts.
+    "dedup_lsh_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val exact = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
+        minCosine = 0.2, planes = 0, dims = 64).select(col("a"), col("b"))
+      val lsh = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
+        minCosine = 0.2, planes = 4, seed = 7, dims = 64)
+        .select(col("a"), col("b"))
+      val found = exact.join(lsh, Seq("a", "b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .withColumn("recall",
+          round(col("n_found").cast("double") / col("n_exact"), 6))
+    }),
+
     "dedup_embedding_pairs" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(embs(s, d), "embedding", "vec_id",
         minCosine = 0.2, planes = 4, seed = 7, dims = 64)
@@ -2966,6 +2985,29 @@ object SparkEntry {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
+    },
+
+    // same exact and LSH pair sets, counted; recall = one division
+    "dedup_lsh_recall" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      val bucket = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product(v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exact AS (SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+         |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2),
+         |bk AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |lsh AS (SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2),
+         |f AS (SELECT COUNT(*) AS n FROM exact
+         |  JOIN lsh ON exact.a = lsh.a AND exact.b = lsh.b)
+         |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |  (SELECT n FROM f) AS n_found,
+         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
     },
 
     "dedup_embedding_multitable" -> {
