@@ -3445,7 +3445,9 @@ object SparkEntry {
         |    CAST(MAX(value) AS DOUBLE) AS hi FROM events),
         |h AS (
         |  SELECT event_type,
-        |    CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket
+        |    CASE WHEN hi = lo THEN 0 ELSE
+        |      CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT)
+        |    END AS bucket
         |  FROM events, b WHERE value IS NOT NULL)
         |SELECT event_type, bucket, COUNT(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -3482,7 +3484,9 @@ object SparkEntry {
         |bnd AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
         |  CAST(MAX(value) AS DOUBLE) AS hi FROM u),
         |h AS (SELECT side,
-        |    CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket
+        |    CASE WHEN hi = lo THEN 0 ELSE
+        |      CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS INT)
+        |    END AS bucket
         |  FROM u, bnd WHERE value IS NOT NULL),
         |c AS (SELECT bucket,
         |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,

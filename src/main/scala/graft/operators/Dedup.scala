@@ -313,8 +313,12 @@ object Dedup {
         TextFunctions.shinglesFromTokens(col("toks_"), k))).as("gram"))
       .select(HashFunctions.hash64(col("gram")).as("gh"))
       .distinct()
-    val expected = math.max(1L, benchGrams.count())
-    val bloom = benchGrams.stat.bloomFilter("gh", expected, fpp)
+      .persist() // two actions below (count + bloom build) — one pipeline run
+    val bloom =
+      try {
+        val expected = math.max(1L, benchGrams.count())
+        benchGrams.stat.bloomFilter("gh", expected, fpp)
+      } finally benchGrams.unpersist() // bounded lifetime, no session leak
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightHit = udf((gh: Long) => bc.value.mightContainLong(gh))
     val survivors = docs

@@ -83,21 +83,6 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Distribution drift report between two slices of the same column —
-    * the data-drift check ML pipelines run before trusting a new batch
-    * (input shift, upstream breakage, seasonality). Deliberately NOT a
-    * PSI/KL score: those need ln(), which is not correctly-rounded across
-    * engines; per-bucket share deltas (total variation mass) carry the
-    * same signal with only exact-integer ratios.
-    *
-    * Shared equi-width bins from ONE min/max aggregate over the UNION of
-    * both slices (two scalars to the driver — bins must be shared or the
-    * comparison is meaningless); per-side bucket counts in one combined
-    * aggregation over a side tag (no second scan, no join of two
-    * histograms); shares are single divisions of exact integers. Output:
-    * one row per bucket with counts, shares, and |Δshare|; Σ|Δshare|/2 is
-    * the total variation distance if a scalar is wanted downstream.
-    */
   /** Data-contract expectations — the dbt-test / Great-Expectations
     * shape: named per-rule violation counts plus a pass flag, ALL
     * evaluated in ONE aggregation pass (each predicate is a conditional
@@ -120,10 +105,13 @@ object Profiling {
       Seq(count(col(c)).as(s"uc_$i"), countDistinct(col(c)).as(s"ud_$i"))
     }
     val row = df.agg(count(lit(1)).as("n_rows_"), (ruleAggs ++ uniqAggs): _*)
+    // rule names are display strings spliced into a SQL stack() — escape
+    // quotes so "isn't null" can't break (or silently re-shape) the parse
+    def q(s: String) = s.replace("'", "''")
     val stacked = (
-      rules.zipWithIndex.map { case ((name, _), i) => s"'$name', n_rows_, v_$i" } ++
+      rules.zipWithIndex.map { case ((name, _), i) => s"'${q(name)}', n_rows_, v_$i" } ++
       uniqueCols.zipWithIndex.map { case (c, i) =>
-        s"'unique_$c', n_rows_, uc_$i - ud_$i" }
+        s"'unique_${q(c)}', n_rows_, uc_$i - ud_$i" }
     ).mkString(", ")
     val n = rules.size + uniqueCols.size
     row.select(expr(
@@ -145,6 +133,21 @@ object Profiling {
       .groupBy(col("rows_per_key"))
       .agg(count(lit(1)).as("n_keys"))
 
+  /** Distribution drift report between two slices of the same column —
+    * the data-drift check ML pipelines run before trusting a new batch
+    * (input shift, upstream breakage, seasonality). Deliberately NOT a
+    * PSI/KL score: those need ln(), which is not correctly-rounded across
+    * engines; per-bucket share deltas (total variation mass) carry the
+    * same signal with only exact-integer ratios.
+    *
+    * Shared equi-width bins from ONE min/max aggregate over the UNION of
+    * both slices (two scalars to the driver — bins must be shared or the
+    * comparison is meaningless); per-side bucket counts in one combined
+    * aggregation over a side tag (no second scan, no join of two
+    * histograms); shares are single divisions of exact integers. Output:
+    * one row per bucket with counts, shares, and |Δshare|; Σ|Δshare|/2 is
+    * the total variation distance if a scalar is wanted downstream.
+    */
   def histogramDrift(before: DataFrame, after: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1)

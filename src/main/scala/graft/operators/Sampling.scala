@@ -189,13 +189,18 @@ object Sampling {
       phases: Int): DataFrame = {
     require(phases >= 2)
     val ps = (1 until phases).map(i => i.toDouble / phases)
-    val cuts = df
+    val cutsRaw = df
       .agg(expr(s"percentile($scoreCol, array(${ps.mkString(", ")}))"))
       .head().getSeq[Double](0)
+    require(cutsRaw != null, "curriculumPhases: no non-null scores")
+    val cuts = cutsRaw
       .map(t => BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val phase = cuts.foldLeft(lit(1): Column) {
       (acc, t) => acc + when(col(scoreCol) > lit(t), 1).otherwise(0)
     }
-    df.withColumn("phase", phase)
+    // null scores have no place on a difficulty axis — dropped, not
+    // silently parked in phase 1 (same rows-with-null-key semantics as
+    // temperatureSample)
+    df.where(col(scoreCol).isNotNull).withColumn("phase", phase)
   }
 }

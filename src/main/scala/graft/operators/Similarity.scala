@@ -429,22 +429,33 @@ object Similarity {
     * Physical shape: two TakeOrderedAndProject scans (prefix-sliced and
     * full — in production the prefix scan reads a truncated column or
     * PQ/SQ8 codes, which is the point), then joins over two k-row
-    * broadcast sides. Nothing data-scale beyond the two scans.
+    * broadcast sides. The prefix hits' full scores come from a THIRD
+    * scan that is broadcast-semi-joined down to the k hit ids first, so
+    * it reads the vector column but computes only k full cosines —
+    * never a third corpus-wide scoring pass.
     */
   def matryoshkaAudit(vecs: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], prefixDims: Int, k: Int): DataFrame = {
     require(prefixDims >= 1 && prefixDims < query.length && k >= 1)
+    // k rows, eagerly materialized: read by the id broadcast AND the
+    // final join without re-running the prefix scan; localCheckpoint
+    // (not persist) so the blocks die with the reference, no session-
+    // lifetime cache entry
     val pre = bruteForceTopK(
       vecs.withColumn("_pre", slice(col(vecCol), 1, prefixDims)),
       "_pre", idCol, query.take(prefixDims), k)
       .withColumnRenamed("score", "score_prefix")
       .withColumn("rank_prefix", row_number().over(
         Window.orderBy(col("score_prefix").desc, col(idCol))))
+      .localCheckpoint(true)
     val fullIds = bruteForceTopK(vecs, vecCol, idCol, query, k)
       .select(col(idCol), lit(true).as("in_full_topk"))
-    val fullScores = vecs.select(col(idCol),
-      round(VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6)
-        .as("score_full"))
+    // restrict FIRST (broadcast of k ids), score the survivors only
+    val fullScores = vecs
+      .join(broadcast(pre.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6)
+          .as("score_full"))
     pre
       .join(fullScores, Seq(idCol))
       .join(fullIds, Seq(idCol), "left")

@@ -49,7 +49,13 @@ object SparseSim {
     * The capped postings table fans out to THREE consumers (norms + both
     * join sides), so it persists — without that the whole tokenize →
     * shingle → explode → count → window pipeline runs three times per
-    * query. Measured on the bench corpus: persisting beats re-evaluation,
+    * query. The cache entry lives until the returned plan is dropped:
+    * Spark's CacheManager dedupes identical plans, so repeated calls on
+    * the SAME corpus reuse one entry, but batch drivers sweeping MANY
+    * corpora in one session should `spark.catalog.clearCache()` (or
+    * unpersist via the catalog) between corpora — a function-local
+    * unpersist here would invalidate the result before it is consumed.
+    * Measured on the bench corpus: persisting beats re-evaluation,
     * and hashing terms to 64 bits before the join (ngramJaccardPairs'
     * trick) measured SLOWER here, not faster — the md5 expression is
     * interpreted (no codegen) and its 3× re-evaluation cost exceeded the

@@ -267,7 +267,10 @@ object TextAnalysis {
     * corpus — one cooccurrence pass builds it, then each iteration is one
     * (join + combiner-heavy sum) over edge rows, shuffled on the word
     * key. The edge table persists across iterations (one materialization,
-    * `iters` reads); scores never leave the cluster; top-k is
+    * `iters` reads; the entry lives with the returned plan — sweeping
+    * many corpora in one session warrants `spark.catalog.clearCache()`
+    * between them, as a local unpersist would invalidate the result
+    * before consumption); scores never leave the cluster; top-k is
     * TakeOrderedAndProject. Fixed small `iters` (TextRank converges in a
     * handful) keeps the lineage bounded — no driver loop state beyond the
     * DataFrame reference.
