@@ -319,6 +319,44 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q8 national market share: every selective predicate (region,
+    // part type, date range) lands on its own dim/fact BEFORE the joins;
+    // all dims broadcast; the share is one decimal-sum ratio per year.
+    "q8_market_share" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val r = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")
+        .select(col("r_regionkey")))
+      val p = Tables.part(s, d).where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate").between(lit("1996-01-01"), lit("1997-12-31")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("l_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_year"))
+    }),
+
     // TPC-H Q7 volume shipping: the two-nation filter lands on the TINY
     // nation dim BEFORE any fact join (suppliers/customers of other
     // nations never enter the plan), nation broadcasts, the only
@@ -2026,6 +2064,26 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT l_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |      THEN CAST(volume AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |    AND p_type = 'PROMO')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
