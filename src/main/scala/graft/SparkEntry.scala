@@ -319,6 +319,23 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // SQL surface of the native Catalyst expressions: register at
+    // runtime (GraftFunctions.register, idempotent) and drive all three
+    // through spark.sql TEXT — the SparkSessionExtensions route was
+    // spec-only until this gate.
+    "q_sql_native_functions" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).where(col("value").isNotNull)
+        .createOrReplaceTempView("events_sqlfn")
+      s.sql("""
+        SELECT event_id, graft_hash64(event_type) AS h,
+          ROUND(cosine_sim(array(CAST(value AS DOUBLE), 1.0d),
+            array(1.0d, 1.0d)), 6) AS cs,
+          ROUND(dot_product(array(CAST(value AS DOUBLE), 2.0d),
+            array(3.0d, 1.0d)), 6) AS dp
+        FROM events_sqlfn ORDER BY event_id LIMIT 100""")
+    }),
+
     // TPC-H Q8 national market share: every selective predicate (region,
     // part type, date range) lands on its own dim/fact BEFORE the joins;
     // all dims broadcast; the share is one decimal-sum ratio per year.
@@ -2064,6 +2081,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // hash64 twin + list math on the same literal vectors
+    "q_sql_native_functions" ->
+      s"""SELECT event_id, ${sqlHash64("event_type")} AS h,
+         |  ROUND(list_cosine_similarity([CAST(value AS DOUBLE), 1.0],
+         |    [1.0, 1.0]), 6) AS cs,
+         |  ROUND(list_dot_product([CAST(value AS DOUBLE), 2.0],
+         |    [3.0, 1.0]), 6) AS dp
+         |FROM events WHERE value IS NOT NULL
+         |ORDER BY event_id LIMIT 100""".stripMargin,
 
     "q8_market_share" ->
       """SELECT l_year,
