@@ -111,6 +111,50 @@ object SparkEntry {
       |  (valid_to_ IS NULL) AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** Shared canonical-dedup CTE chain (minhash → bands → pairs →
+    * recursive closure → comp/canon/sz) — used by `dedup_canonical` and
+    * the `pipeline_dedup_split` capstone. Consumers prefix WITH RECURSIVE. */
+  private lazy val canonicalCtes: String = {
+    val mh = (0 until 4).map(i =>
+      s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+      .mkString(",\n  ")
+    s"""tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+       |sig AS (SELECT doc_id, $mh FROM sh),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+       |  FROM sig WHERE mh0 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 1,
+       |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+       |  FROM sig WHERE mh0 IS NOT NULL),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id < r.doc_id),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+       |comp AS (
+       |  SELECT d.doc_id AS id,
+       |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component, d.n_chars
+       |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.src),
+       |rk AS (
+       |  SELECT id, component,
+       |    ROW_NUMBER() OVER (PARTITION BY component
+       |      ORDER BY n_chars DESC, id) AS rn
+       |  FROM comp),
+       |canon AS (
+       |  SELECT component, id AS canonical_id FROM rk WHERE rn = 1),
+       |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)""".stripMargin
+  }
+
   /** Shared langId predictor CTEs (ends in `pred(doc_id, lang_pred)`) —
     * used by `text_langid` and the `text_langid_confusion` audit. */
   private lazy val langidCtes: String = {
@@ -1327,22 +1371,20 @@ object SparkEntry {
     // heavy lifting stays in the banded-LSH shape that never goes
     // all-pairs.
     "dedup_canonical" -> ((s, d) => {
+      Dedup.canonicalMap(docs(s, d), "text", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Capstone pipeline: canonical near-dup dedup feeding deterministic
+    // splits — the two stages compose with one join, and the oracle
+    // replays the whole chain end to end.
+    "pipeline_dedup_split" -> ((s, d) => {
       val dd = docs(s, d)
-      val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
-      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", 4, 2)
-      val comp = Components.connectedComponents(
-        dd.select(col("doc_id").as("id")), pairs)
-        .join(dd.select(col("doc_id").as("id"), col("n_chars")), "id")
-      val canon = comp.groupBy(col("component"))
-        .agg(max(struct(col("n_chars").cast("long").as("nc"),
-          (-col("id")).as("nid"))).as("best"),
-          count(lit(1)).as("cluster_size"))
-        .select(col("component"), (-col("best.nid")).as("canonical_id"),
-          col("cluster_size"))
-      comp.join(canon, "component")
-        .select(col("id").as("doc_id"), col("canonical_id"),
-          col("cluster_size"),
-          (col("id") === col("canonical_id")).as("is_keeper"))
+      val keepers = Dedup.canonicalMap(dd, "text", "doc_id", "n_chars")
+        .where(col("is_keeper")).select(col("doc_id"))
+      operators.Sampling.assignSplit(dd.join(keepers, "doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3151,49 +3193,26 @@ object SparkEntry {
     // components CTE extended with the canonical pick: row_number per
     // component ordered (n_chars DESC, id) — same deterministic argmax
     // as the Spark max(struct(n_chars, -id))
-    "dedup_canonical" -> {
-      val mh = (0 until 4).map(i =>
-        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
-        .mkString(",\n  ")
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
-         |sig AS (SELECT doc_id, $mh FROM sh),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band,
-         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
-         |  FROM sig WHERE mh0 IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, 1,
-         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
-         |  FROM sig WHERE mh0 IS NOT NULL),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
-         |  WHERE l.doc_id < r.doc_id),
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b, a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
-         |comp AS (
-         |  SELECT d.doc_id AS id,
-         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component, d.n_chars
-         |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.src),
-         |rk AS (
-         |  SELECT id, component,
-         |    ROW_NUMBER() OVER (PARTITION BY component
-         |      ORDER BY n_chars DESC, id) AS rn
-         |  FROM comp),
-         |canon AS (
-         |  SELECT component, id AS canonical_id FROM rk WHERE rn = 1),
-         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $canonicalCtes
          |SELECT c.id AS doc_id, canon.canonical_id, sz.cluster_size,
          |  (c.id = canon.canonical_id) AS is_keeper
          |FROM comp c JOIN canon USING (component) JOIN sz USING (component)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the full chain replayed end to end: canonical keepers → the same
+    // hash-bucket split rule as sample_split
+    "pipeline_dedup_split" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")
+      s"""WITH RECURSIVE $canonicalCtes,
+         |keepers AS (
+         |  SELECT c.id AS doc_id FROM comp c JOIN canon USING (component)
+         |  WHERE c.id = canon.canonical_id)
+         |SELECT doc_id, CASE
+         |  WHEN $b % 1000000 < 800000 THEN 'train'
+         |  WHEN $b % 1000000 < 900000 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM keepers ORDER BY doc_id""".stripMargin
     },
 
     "text_langid" ->

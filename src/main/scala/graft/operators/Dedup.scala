@@ -387,4 +387,31 @@ object Dedup {
     val p = math.ceil(math.log(buckets) / math.log(2)).toInt
     math.min(math.max(p, minPlanes), 62)
   }
+
+  /** End-to-end canonical dedup map: minhash signatures → banded
+    * candidate pairs → connected components → one deterministic keeper
+    * per cluster (longest text by `sizeCol`, then smallest id, via a
+    * struct-max argmax). Output: (idCol, canonical_id, cluster_size,
+    * is_keeper) — the doc → canonical artifact downstream joins and the
+    * corpus-prep pipeline consume. Each stage's physical shape is its
+    * own operator's (bucketed banding, lineage-truncating components);
+    * the keeper pick adds one combiner-heavy per-component aggregate.
+    */
+  def canonicalMap(docs: DataFrame, textCol: String, idCol: String,
+      sizeCol: String, numHashes: Int = 4, bands: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, textCol, idCol, numHashes)
+    val pairs = minhashCandidatePairs(sig, idCol, numHashes, bands)
+    val comp = Components.connectedComponents(
+      docs.select(col(idCol).as("id")), pairs)
+      .join(docs.select(col(idCol).as("id"), col(sizeCol)), "id")
+    val canon = comp.groupBy(col("component"))
+      .agg(max(struct(col(sizeCol).cast("long").as("nc"),
+        (-col("id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), (-col("best.nid")).as("canonical_id"),
+        col("cluster_size"))
+    comp.join(canon, "component")
+      .select(col("id").as(idCol), col("canonical_id"), col("cluster_size"),
+        (col("id") === col("canonical_id")).as("is_keeper"))
+  }
 }
