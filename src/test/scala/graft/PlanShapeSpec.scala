@@ -123,4 +123,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Join") == 4, p.take(1500))
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
   }
+
+  test("q8_market_share: all dims broadcast, one data-scale join at most") {
+    val p = plan("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") >= 4, p.take(1500))
+    assert(count(p, "SortMergeJoin") <= 1, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+  }
+
+  test("pipeline_dedup_split: the composed chain adds no cartesian or extra shuffle layer") {
+    val p = plan("pipeline_dedup_split")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+  }
 }
