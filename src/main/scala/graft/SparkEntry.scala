@@ -2105,9 +2105,67 @@ object SparkEntry {
           col("tsMs").as("ts_ms"), col("matchedTsMs").as("matched_ts_ms"),
           col("matchedValue").as("matched_value"))
         .orderBy(col("tick_id").cast("long"))
+    }),
+
+    // The `tools/list` catalog surface (reference schema.py:86-132 via
+    // server.py:153-175): render every fixture-archetype tool as its
+    // JSON-Schema document. The oracle is the HAND-WRITTEN expected
+    // documents (derived from the reference semantics, not from this
+    // code), so the gate hash-checks the emitted contract byte-for-byte.
+    // Driver-side metadata — the parallelize is only to ride the gate
+    // harness; ToolSchemaJsonSpec property-checks validator agreement.
+    "catalog_tool_schemas" -> ((s, _) => {
+      import s.implicits._
+      graft.catalog.ToolSchemaJson
+        .renderAll(graft.catalog.ArchetypeCatalog.fromYaml(FixtureArchetypeYaml))
+        .toDF("tool_name", "tool_schema_json")
+        .orderBy(col("tool_name"))
     }))
 
+  /** Fixture archetype exercising every schema.py rendering branch:
+    * null-bound param (required), string-bound param (default), binding to
+    * an unknown pool name (skipped), empty-string binding (skipped),
+    * typed + untyped + required frames, and a tool with no description
+    * (falls back to "Tool: <name>", schema.py:124). */
+  private[graft] val FixtureArchetypeYaml: String =
+    """version: "1.0"
+      |title: Fixture
+      |parameters:
+      |  Mood:
+      |    description: "Overall mood"
+      |    examples: [calm, tense]
+      |  Depth:
+      |    description: "How deep to go"
+      |tools:
+      |  Observe:
+      |    description: "Record an observation"
+      |    parameters:
+      |      Mood:
+      |      Depth: "moderate"
+      |      Unknown:
+      |    frames:
+      |      tags:
+      |        type: List
+      |        required: true
+      |      weight:
+      |        type: integer
+      |      note:
+      |  Recall:
+      |    parameters:
+      |      Mood: ""
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    // expected documents hand-derived from schema.py:86-132 semantics
+    // (NOT generated by the renderer): standard fields lead, params in
+    // binding order (unknown/empty bindings dropped), frames last,
+    // required = sorted set, additionalProperties false, compact JSON
+    "catalog_tool_schemas" ->
+      """SELECT * FROM (VALUES
+        |  ('Observe', '{"name":"Observe","description":"Record an observation","inputSchema":{"type":"object","properties":{"Title":{"type":"string","description":"A clear, descriptive title","x-required":true},"Content":{"type":"string","description":"The main content","x-required":true},"Context":{"type":"string","description":"Relevant context that informed this response","x-required":true},"Mood":{"type":"string","description":"Overall mood","examples":["calm","tense"],"x-required":true},"Depth":{"type":"string","description":"How deep to go","default":"moderate","x-required":true},"tags":{"type":"array","x-required":true},"weight":{"type":"integer"},"note":{"type":"string"}},"required":["Content","Context","Depth","Mood","Title","tags"],"additionalProperties":false}}'),
+        |  ('Recall', '{"name":"Recall","description":"Tool: Recall","inputSchema":{"type":"object","properties":{"Title":{"type":"string","description":"A clear, descriptive title","x-required":true},"Content":{"type":"string","description":"The main content","x-required":true},"Context":{"type":"string","description":"Relevant context that informed this response","x-required":true}},"required":["Content","Context","Title"],"additionalProperties":false}}')
+        |) AS t(tool_name, tool_schema_json) ORDER BY tool_name""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -31,7 +31,8 @@ final case class ParamSpec(
     name: String,
     description: String,
     examples: Seq[String],
-    default: Option[String]) {
+    default: Option[String],
+    paramType: String = "string") {
   def required: Boolean = true // null-bound and default-bound are both required
 }
 
@@ -110,48 +111,48 @@ object ArchetypeCatalog {
   private def textOf(n: JsonNode, field: String, default: String = ""): String =
     Option(n.get(field)).map(_.asText).getOrElse(default)
 
+  /** Ordered (name, node) pairs of an object node. Jackson's `properties()`
+    * is insertion-ordered, but mapping its `asScala` SET wrapper rebuilds a
+    * HashSet and scrambles YAML declaration order — which is part of the
+    * contract: parameters and frames render in binding order
+    * (schema.py:140, 207). Iterate, don't wrap. */
+  private def fieldsOf(n: JsonNode): Seq[(String, JsonNode)] =
+    Option(n).toSeq.flatMap(_.properties().iterator().asScala.map(e =>
+      e.getKey -> e.getValue).toSeq)
+
   private def fromNode(root: JsonNode): Archetype = {
-    val pool: Map[String, (String, Seq[String])] =
-      Option(root.get("parameters")).map { params =>
-        params.properties().asScala.map { e =>
-          val ex = Option(e.getValue.get("examples"))
-            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-          e.getKey -> (textOf(e.getValue, "description"), ex)
-        }.toMap
-      }.getOrElse(Map.empty)
-
-    val tools = Option(root.get("tools")).map { ts =>
-      ts.properties().asScala.map { e =>
-        val (name, defn) = (e.getKey, e.getValue)
-        val params = Option(defn.get("parameters")).map {
-          _.properties().asScala.flatMap { p =>
-            pool.get(p.getKey) match {
-              case None => None // unknown pool parameter: skip (schema.py:146-151)
-              case Some((desc, examples)) =>
-                val binding = p.getValue
-                if (binding == null || binding.isNull)
-                  Some(ParamSpec(p.getKey, desc, examples, None))
-                else if (binding.isTextual && binding.asText.nonEmpty)
-                  Some(ParamSpec(p.getKey, desc, examples, Some(binding.asText)))
-                else None // invalid binding: skip (schema.py:170-175)
-            }
-          }.toSeq
-        }.getOrElse(Nil)
-
-        val frames = Option(defn.get("frames")).map {
-          _.properties().asScala.map { f =>
-            val fd = f.getValue
-            val isObj = fd != null && fd.isObject
-            val rawType =
-              if (isObj) textOf(fd, "type", "string").toLowerCase else "string"
-            val required = isObj && Option(fd.get("required")).exists(_.asBoolean(false))
-            FrameSpec(f.getKey, TypeMapping.getOrElse(rawType, rawType), required)
-          }.toSeq
-        }.getOrElse(Nil)
-
-        name -> ToolSchema(name, textOf(defn, "description", s"Tool: $name"), params, frames)
+    // pool entry: (description, examples, declared type — "string" when
+    // absent, schema.py:154 `global_param_definition.get(KEY_TYPE, KEY_STRING)`)
+    val pool: Map[String, (String, Seq[String], String)] =
+      fieldsOf(root.get("parameters")).map { case (name, v) =>
+        val ex = Option(v.get("examples"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        name -> ((textOf(v, "description"), ex, textOf(v, "type", "string")))
       }.toMap
-    }.getOrElse(Map.empty)
+
+    val tools = fieldsOf(root.get("tools")).map { case (name, defn) =>
+      val params = fieldsOf(defn.get("parameters")).flatMap { case (pname, binding) =>
+        pool.get(pname) match {
+          case None => None // unknown pool parameter: skip (schema.py:146-151)
+          case Some((desc, examples, ptype)) =>
+            if (binding == null || binding.isNull)
+              Some(ParamSpec(pname, desc, examples, None, ptype))
+            else if (binding.isTextual && binding.asText.nonEmpty)
+              Some(ParamSpec(pname, desc, examples, Some(binding.asText), ptype))
+            else None // invalid binding: skip (schema.py:170-175)
+        }
+      }
+
+      val frames = fieldsOf(defn.get("frames")).map { case (fname, fd) =>
+        val isObj = fd != null && fd.isObject
+        val rawType =
+          if (isObj) textOf(fd, "type", "string").toLowerCase else "string"
+        val required = isObj && Option(fd.get("required")).exists(_.asBoolean(false))
+        FrameSpec(fname, TypeMapping.getOrElse(rawType, rawType), required)
+      }
+
+      name -> ToolSchema(name, textOf(defn, "description", s"Tool: $name"), params, frames)
+    }.toMap
 
     Archetype(textOf(root, "title"), textOf(root, "version"), tools)
   }

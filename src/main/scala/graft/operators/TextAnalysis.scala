@@ -68,10 +68,14 @@ object TextAnalysis {
 
   /** Document fingerprint (rolling-hash family): md5 over normalized text
     * plus a 60-bit numeric form for range-partitionable dedup keys.
+    * The 64-bit form is derived from the already-materialized
+    * `fingerprint` column — the normalize+md5 chain is an interpreted
+    * expression (no codegen CSE), so evaluating it twice per row doubles
+    * the whole pipeline's CPU.
     */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", HashFunctions.fingerprint(col(textCol)))
-      .withColumn("fingerprint64", HashFunctions.hash64(HashFunctions.fingerprint(col(textCol))))
+      .withColumn("fingerprint64", HashFunctions.hash64(col("fingerprint")))
 
   /** PII patterns, RE2-safe (no backrefs/lookarounds) so every engine —
     * Java regex here, RE2 in DuckDB/Go scrubbers — replicates them

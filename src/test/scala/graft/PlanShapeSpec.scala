@@ -135,4 +135,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("pipeline_dedup_split")
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
   }
+
+  test("text_fingerprint: normalize+md5 chain evaluated once per row, not twice") {
+    // the r5 regression: fingerprint64 recomputed the whole interpreted
+    // md5/regex chain instead of reading the materialized fingerprint
+    // column. CollapseProject must not re-inline it (it is non-cheap and
+    // referenced twice), so exactly one md5 call survives in the plan.
+    val p = plan("text_fingerprint")
+    val md5s = "md5\\(".r.findAllIn(p).length
+    assert(md5s == 1, s"expected 1 md5 call, got $md5s:\n${p.take(1200)}")
+  }
 }
