@@ -1010,33 +1010,37 @@ object SparkEntry {
     // BM25 over the memory store's content, fused with pruned top-M RRF
     // (the reference's fastembed hybrid ranks dense + sparse-BM25 and
     // fuses with RRF opaquely; here every stage is an explicit plan).
-    // BM25 runs over a (memory_id, content) projection, so the
-    // sessionization window prunes out of its stats/df/tf jobs.
+    // PRODUCTION PATH: the store is MATERIALIZED via the X33 layout
+    // (partitionBy tool, sorted by memory_id) with embeddings computed
+    // once at write time — exactly the reference's embed-at-upsert
+    // (storage.py:194-199) — and every downstream pass reads the parquet
+    // store column-pruned: BM25 stats/df/tf read only content(+id), the
+    // fusion projection only (id, embedding), the payload reattach only
+    // (id, tool). No session cache stands in for storage any more;
+    // PlanShapeSpec pins the reattach scan's pruned ReadSchema.
     "mem_search_hybrid_bm25" -> ((s, d) => {
-      // the memory "store", persisted once: BM25's two stats passes, the
-      // (doc, term) tf pass, the fusion projection, and the payload
-      // reattach all read the cache instead of re-running the
-      // events → memories pipeline five times. A deployment reads the
-      // materialized parquet store here (X33), so the cache stands in
-      // for storage, not for a missing optimization.
-      val mem = memories(s, d)
-        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val path = "/tmp/graft_hybrid_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sink.StoreLayout.writeOptimized(
+        memories(s, d)
+          .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+          .select(col("memory_id"), col("tool"), col("content"), col("embedding")),
+        path, partitionCols = Seq("tool"), sortCols = Seq("memory_id"),
+        filesPerPartition = 8)
+      val store = graft.sink.StoreLayout.read(s, path)
       val qv = Embedder.embed(lit(SearchQueryText), SearchDims)
       val bm = operators.Bm25.score(
-        mem.select(col("memory_id"), col("content")),
+        store.select(col("memory_id"), col("content")),
         "content", "memory_id", SearchQueryText, k1 = Bm25K1, b = Bm25B)
         .withColumnRenamed("score", "kw_score")
-      val scored = mem
+      val scored = store.select(col("memory_id"), col("embedding"))
         .join(bm, Seq("memory_id"), "left")
         .withColumn("kw", coalesce(col("kw_score"), lit(0.0)))
         .withColumn("dense",
           VectorFunctions.cosine(col("embedding"), qv, SearchDims))
-      // id-only fused scores + broadcast reattach: embed and BM25 both
-      // evaluate exactly once (into the persisted fusion projection)
+      // id-only fused scores + broadcast reattach against the store
       val fused = Search.rrfFuseTopMScores(scored, col("dense"), col("kw"),
         col("memory_id").cast("long"), m = 100)
-      mem.select(col("memory_id"), col("tool"))
+      store.select(col("memory_id"), col("tool"))
         .join(broadcast(fused), col("memory_id").cast("long") === fused("tb"))
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("memory_id").cast("long"))

@@ -28,6 +28,14 @@ object StoreLayout {
   /** Write `df` to `path` in the optimized layout. `mode` defaults to
     * overwrite (the batch-rebuild shape); streaming appends go through
     * [[graft.streaming.StreamingIngest.ingestBatch]] instead.
+    *
+    * `filesPerPartition` splits each partition directory across that many
+    * writer tasks (hash of the sort key, else a uniform spread). The
+    * default 1 gives the fewest files, but funnels each directory through
+    * ONE task — with few or skewed partition values the whole upstream
+    * pipeline (embedding, encoding) serializes behind it. At 100 TB a hot
+    * partition (one tool owning most rows) MUST spread; locally the same
+    * setting keeps a 32-core write from running 3-wide.
     */
   def writeOptimized(
       df: DataFrame,
@@ -35,12 +43,23 @@ object StoreLayout {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       maxRecordsPerFile: Long = 0L,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty || sortCols.nonEmpty,
       "writeOptimized without partition or sort columns is a plain write")
+    require(filesPerPartition >= 1)
     val clustered =
       if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
+      else if (filesPerPartition == 1) df.repartition(partitionCols.map(col): _*)
+      else {
+        // deterministic in-directory splitter: hash the first sort key
+        // (stable across runs) when present, else spark_partition_id —
+        // each (partition values, split) pair is one writer task
+        val split =
+          if (sortCols.nonEmpty) pmod(hash(col(sortCols.head)), lit(filesPerPartition))
+          else pmod(spark_partition_id(), lit(filesPerPartition))
+        df.repartition(partitionCols.map(col) :+ split: _*)
+      }
     val sorted =
       if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(

@@ -136,6 +136,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
   }
 
+  test("mem_search_hybrid_bm25: reattach reads the MATERIALIZED store pruned to id+payload") {
+    // production path (r5 verdict item #3): the final plan must read the
+    // X33 parquet store — never re-derive memories from events — with the
+    // reattach scan pruned to (memory_id, tool) and the fused scores a
+    // bounded local relation broadcast into it
+    val p = plan("mem_search_hybrid_bm25")
+    assert(!p.contains("events.parquet"), p.take(1500))
+    val storeScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft_hybrid_store"))
+    assert(storeScan.isDefined, p.take(1500))
+    assert(storeScan.get.contains("memory_id#") && storeScan.get.contains("tool#"),
+      storeScan.get.take(300))
+    assert(!storeScan.get.contains("content#") && !storeScan.get.contains("embedding#"),
+      storeScan.get.take(300))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1500))
+  }
+
   test("text_fingerprint: normalize+md5 chain evaluated once per row, not twice") {
     // the r5 regression: fingerprint64 recomputed the whole interpreted
     // md5/regex chain instead of reading the materialized fingerprint
