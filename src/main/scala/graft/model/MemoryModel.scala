@@ -117,6 +117,11 @@ object MemoryModel {
     * bounded so the plan is k joins, not an unbounded recursion holding
     * frontier state. Full-depth connectivity goes through
     * [[graft.operators.Components]]; this is the per-row path artifact.
+    *
+    * Dangling references: a `preceding_memory_id` that resolves to no
+    * stored memory terminates the trail WITHOUT appearing in the path —
+    * the same verdict a recursive CTE's inner join gives, so operator and
+    * oracle agree on corrupt-provenance corpora too.
     */
   def provenancePaths(memories: DataFrame, maxDepth: Int = 4): DataFrame = {
     require(maxDepth >= 1)
@@ -126,14 +131,17 @@ object MemoryModel {
       col("memory_id").as("path"),
       lit(0).as("depth"))
     for (_ <- 1 to maxDepth) {
+      // extend ONLY when the parent row exists (cur2_ matched): a dangling
+      // preceding_memory_id ends the trail exactly like the oracle's
+      // recursive inner join — the referenced id is not part of the path
       df = df.join(mem.select(col("memory_id").as("cur2_"),
           col("preceding_memory_id").as("next_")),
         col("cur") === col("cur2_"), "left")
-        .withColumn("path", when(col("cur").isNotNull,
+        .withColumn("path", when(col("cur2_").isNotNull,
           concat(col("path"), lit(" <- "), col("cur"))).otherwise(col("path")))
-        .withColumn("depth", when(col("cur").isNotNull, col("depth") + 1)
+        .withColumn("depth", when(col("cur2_").isNotNull, col("depth") + 1)
           .otherwise(col("depth")))
-        .withColumn("cur", when(col("cur").isNotNull, col("next_"))
+        .withColumn("cur", when(col("cur2_").isNotNull, col("next_"))
           .otherwise(lit(null).cast("string")))
         .drop("cur2_", "next_")
     }

@@ -37,22 +37,30 @@ object Profiling {
     */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
-    val basicAggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
+    // internal aliases are INDEX-based (cnt_0, min_0, …) so no
+    // user-supplied name ever appears as a SQL identifier in the stack()
+    // string below; the column's display name enters only as an escaped
+    // string literal
+    val idx = cols.zipWithIndex
+    def c0(c: String) = col("`" + c.replace("`", "``") + "`")
+    val basicAggs = idx.flatMap { case (c, i) =>
+      Seq(count(c0(c)).as(s"cnt_$i"),
+        min(c0(c)).cast("string").as(s"min_$i"),
+        max(c0(c)).cast("string").as(s"max_$i"))
     }
     val row =
       if (exact) {
-        val dstAggs = cols.map(c => countDistinct(col(c)).as(s"dst_$c"))
+        val dstAggs = idx.map { case (c, i) => countDistinct(c0(c)).as(s"dst_$i") }
         df.agg(count(lit(1)).as("n_rows_"), basicAggs: _*)
           .crossJoin(df.agg(dstAggs.head, dstAggs.tail: _*))
       } else {
-        val dstAggs = cols.map(c => approx_count_distinct(col(c)).as(s"dst_$c"))
+        val dstAggs = idx.map { case (c, i) => approx_count_distinct(c0(c)).as(s"dst_$i") }
         df.agg(count(lit(1)).as("n_rows_"), (basicAggs ++ dstAggs): _*)
       }
-    val stacked = cols.map(c =>
-      s"'$c', n_rows_, n_rows_ - cnt_$c, dst_$c, min_$c, max_$c").mkString(", ")
+    val stacked = idx.map { case (c, i) =>
+      val nameLit = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$nameLit', n_rows_, n_rows_ - cnt_$i, dst_$i, min_$i, max_$i"
+    }.mkString(", ")
     row.select(expr(
       s"stack(${cols.size}, $stacked) AS (column, n_rows, n_nulls, n_distinct, min_str, max_str)"))
   }

@@ -74,6 +74,14 @@ object Scd {
     */
   def applyScd2(existing: DataFrame, updates: DataFrame, keyCol: String,
       tsCol: String, tieCol: String, stateCols: Seq[String]): DataFrame = {
+    // the synthetic replay row needs a tie value BELOW every real one, and
+    // injects Long.MinValue — meaningless for a non-numeric tie column
+    // (the cast would silently null out every real tie and the fold would
+    // diverge from the rebuild). buildScd2 itself accepts any ordered
+    // type; only the incremental path carries this restriction.
+    require(updates.schema(tieCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"applyScd2: tie column '$tieCol' must be numeric (got " +
+        s"${updates.schema(tieCol).dataType.simpleString}); use buildScd2 for non-numeric ties")
     val closed = existing.where(!col("is_current"))
     val offsets = existing.groupBy(col(keyCol))
       .agg((max(col("version")) - 1).as("voff_"))

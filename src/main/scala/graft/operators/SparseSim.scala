@@ -49,12 +49,14 @@ object SparseSim {
     * The capped postings table fans out to THREE consumers (norms + both
     * join sides), so it persists — without that the whole tokenize →
     * shingle → explode → count → window pipeline runs three times per
-    * query. The cache entry lives until the returned plan is dropped:
-    * Spark's CacheManager dedupes identical plans, so repeated calls on
-    * the SAME corpus reuse one entry, but batch drivers sweeping MANY
-    * corpora in one session should `spark.catalog.clearCache()` (or
-    * unpersist via the catalog) between corpora — a function-local
-    * unpersist here would invalidate the result before it is consumed.
+    * query. `persist` (not `localCheckpoint`) is deliberate and measured:
+    * CacheManager dedupes identical plans, so REPEATED queries on the
+    * same corpus reuse one entry (localCheckpoint re-materialized every
+    * call — 2.3× slower steady-state on the bench corpus). The cost is
+    * that the entry lives until unpersisted: sweep drivers iterating
+    * MANY corpora should use [[cosinePairsManaged]] and release each
+    * corpus's postings once consumed, instead of `clearCache()`-ing the
+    * whole session.
     * Measured on the bench corpus: persisting beats re-evaluation,
     * and hashing terms to 64 bits before the join (ngramJaccardPairs'
     * trick) measured SLOWER here, not faster — the md5 expression is
@@ -64,7 +66,19 @@ object SparseSim {
     */
   def cosinePairs(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
-      termK: Int = 1): DataFrame = {
+      termK: Int = 1): DataFrame =
+    cosinePairsManaged(docs, textCol, idCol, minSim, maxDf, termK)._1
+
+  /** [[cosinePairs]] plus a release handle that unpersists the internal
+    * postings cache entry (non-blocking). Call it AFTER consuming the
+    * result — sweep drivers iterating many corpora bound their cache
+    * growth per-corpus this way without `clearCache()`-ing unrelated
+    * entries. Releasing before consumption is safe but re-runs the
+    * postings pipeline per consumer.
+    */
+  def cosinePairsManaged(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
+      termK: Int = 1): (DataFrame, () => Unit) = {
     require(termK >= 1)
     val toks = TextFunctions.tokens(lower(col(textCol)))
     val terms = if (termK == 1) toks
@@ -79,13 +93,13 @@ object SparseSim {
         .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("term"))))
         .where(col("df_") <= maxDf)
         .drop("df_")
-      ).persist() // read by norms + both join sides
+      ).persist() // read by norms + both join sides; released via the handle
     // per-doc norm over surviving terms: sqrt of an exact integer sum
     val norms = tf.groupBy(col("id"))
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
     val l = tf.select(col("term"), col("id").as("a"), col("tf").as("tfa"))
     val r = tf.select(col("term"), col("id").as("b"), col("tf").as("tfb"))
-    l.join(r, "term")
+    val pairs = l.join(r, "term")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(sum(col("tfa") * col("tfb")).as("dot"))
@@ -95,6 +109,7 @@ object SparseSim {
         round(col("dot").cast("double") / (col("na") * col("nb")), 6))
       .where(col("cosine") >= minSim)
       .select(col("a"), col("b"), col("cosine"))
+    (pairs, () => { tf.unpersist(false); () })
   }
 
   /** [[cosinePairs]] with the df cap DERIVED from corpus statistics

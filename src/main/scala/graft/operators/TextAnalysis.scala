@@ -270,11 +270,10 @@ object TextAnalysis {
     * (vocab² counts at worst), orders of magnitude smaller than the
     * corpus — one cooccurrence pass builds it, then each iteration is one
     * (join + combiner-heavy sum) over edge rows, shuffled on the word
-    * key. The edge table persists across iterations (one materialization,
-    * `iters` reads; the entry lives with the returned plan — sweeping
-    * many corpora in one session warrants `spark.catalog.clearCache()`
-    * between them, as a local unpersist would invalidate the result
-    * before consumption); scores never leave the cluster; top-k is
+    * key. The edge table persists across iterations (one
+    * materialization, `iters` reads; corpus sweeps release it per-corpus
+    * through [[textrankManaged]]'s handle); scores never leave the
+    * cluster; top-k is
     * TakeOrderedAndProject. Fixed small `iters` (TextRank converges in a
     * handful) keeps the lineage bounded — no driver loop state beyond the
     * DataFrame reference.
@@ -285,14 +284,26 @@ object TextAnalysis {
     * kmeansRefine.
     */
   def textrank(docs: DataFrame, textCol: String, window: Int = 2,
-      iters: Int = 3, damping: Double = 0.85, topK: Int = 50): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85, topK: Int = 50): DataFrame =
+    textrankManaged(docs, textCol, window, iters, damping, topK)._1
+
+  /** [[textrank]] plus a release handle that unpersists the internal edge
+    * cache entry (non-blocking) — same sweep-driver contract as
+    * [[SparseSim.cosinePairsManaged]]: release AFTER consuming the
+    * result to bound cache growth per-corpus without a session-wide
+    * `clearCache()`. (`persist`, not `localCheckpoint`, so repeated runs
+    * on the same corpus dedupe through the CacheManager.)
+    */
+  def textrankManaged(docs: DataFrame, textCol: String, window: Int = 2,
+      iters: Int = 3, damping: Double = 0.85,
+      topK: Int = 50): (DataFrame, () => Unit) = {
     require(iters >= 1 && topK >= 1 && damping > 0.0 && damping < 1.0)
     val pairs = cooccurrenceCounts(docs, textCol, window)
     val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
       .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
     val weighted = edges
       .join(edges.groupBy(col("src")).agg(sum(col("n")).as("wsrc")), "src")
-      .persist() // read once per iteration, not rebuilt from the corpus
+      .persist() // read once per iteration; released via the handle
     var pr = weighted.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1.0))
     for (_ <- 1 to iters) {
@@ -304,9 +315,10 @@ object TextAnalysis {
         .agg(round(lit(1.0 - damping) + lit(damping) *
           sum(col("c").cast("decimal(28,14)")).cast("double"), 9).as("score"))
     }
-    pr.select(col("node").as("word"), col("score"))
+    val ranked = pr.select(col("node").as("word"), col("score"))
       .orderBy(col("score").desc, col("word"))
       .limit(topK)
+    (ranked, () => { weighted.unpersist(false); () })
   }
 
   /** Adjacent-symbol pair statistics over a character-initialized vocab —

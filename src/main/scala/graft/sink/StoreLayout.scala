@@ -132,6 +132,13 @@ object StoreLayout {
     * every file a small (a, b) RECTANGLE, so range predicates on either
     * (or both) dimensions skip files/row groups. Pure bitwise Column
     * tree — codegen'd, shuffle-free, 2·bits ops per row.
+    *
+    * ALIASING: only the low `bits` bits participate. Values ≥ 2^bits
+    * keep their low bits and alias onto the same z-ranges as smaller
+    * values — results stay CORRECT (z is only a clustering key) but the
+    * file-pruning locality silently degrades to hash-like scatter for
+    * the overflowing dimension. Size `bits` to cover the column range;
+    * [[writeZOrdered]] derives it from a max() statistic by default.
     */
   def zOrder2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31)
@@ -152,11 +159,26 @@ object StoreLayout {
     * single-column sort only prunes its own column. The multi-dimensional
     * complement of [[writeOptimized]]'s directory partitioning (which
     * stays the right tool for LOW-cardinality prune columns).
+    *
+    * `bits = 0` (the default) derives the interleave width from a max()
+    * statistic over both columns — one tiny agg, two longs to the
+    * driver — so no value can overflow the key and silently destroy the
+    * rectangle locality ([[zOrder2]]'s aliasing note). An explicit
+    * `bits` skips that pass when the caller already knows the range.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+      numFiles: Int, bits: Int = 0, mode: String = "overwrite"): Unit = {
     require(numFiles >= 1)
-    df.withColumn("_z", zOrder2(col(colA), col(colB), bits))
+    require(bits >= 0 && bits <= 31, "bits must be in [0 (derive), 31]")
+    val zbits =
+      if (bits > 0) bits
+      else {
+        val m = df.agg(max(col(colA).cast("long")), max(col(colB).cast("long"))).collect()(0)
+        val hi = math.max(if (m.isNullAt(0)) 0L else m.getLong(0),
+          if (m.isNullAt(1)) 0L else m.getLong(1))
+        math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(hi)))
+      }
+    df.withColumn("_z", zOrder2(col(colA), col(colB), zbits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z") // projection after sort: order survives, key isn't stored

@@ -57,4 +57,19 @@ class MemoryModelSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
     assert(capped("4") == ((1, "4 <- 2")))
   }
+
+  test("provenancePaths: a dangling parent reference ends the trail (oracle inner-join semantics)") {
+    import spark.implicits._
+    // memory 5 points at id 99 which is not in the store; memory 6 chains
+    // through 5 — the dangling id must not enter any path or depth
+    val mem = Seq(
+      ("5", Some("99")), ("6", Some("5")), ("7", None: Option[String]))
+      .toDF("memory_id", "preceding_memory_id")
+    val got = MemoryModel.provenancePaths(mem, maxDepth = 4)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got == Map(
+      "5" -> ((0, "5")),          // dangling: trail stops before 99
+      "6" -> ((1, "6 <- 5")),     // extends to 5, then stops at 5's dangling edge
+      "7" -> ((0, "7"))))
+  }
 }

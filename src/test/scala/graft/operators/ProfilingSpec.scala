@@ -17,6 +17,17 @@ class ProfilingSpec extends SparkSpec {
     assert(p("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("profile: hostile column names (quotes, spaces, hyphens, dots) survive the unpivot") {
+    import spark.implicits._
+    val names = Seq("it's", "a b", "x-y", "d.ot")
+    val df = Seq((1, "u", 2.0, 3), (2, "v", 4.0, 3)).toDF(names: _*)
+    val p = Profiling.profile(df, names)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p.keySet == names.toSet)
+    assert(p("it's") == ((2L, 0L, 2L)))
+    assert(p("d.ot") == ((2L, 0L, 1L)))
+  }
+
   test("profile: approx mode (single-pass HLL) matches exact at tiny cardinality") {
     import spark.implicits._
     val df = Seq(

@@ -61,6 +61,19 @@ class ScdSpec extends SparkSpec {
     assert(rows(full).count(_._1 == 1L) == 3) // new, paid (merged), done
   }
 
+  test("applyScd2: non-numeric tie column fails fast instead of silently nulling ties") {
+    import spark.implicits._
+    val base = Seq((1L, ts("2024-01-01 00:00:00"), 10L, "new", 1.0))
+      .toDF("k", "t", "id", "status", "v")
+    val dim = Scd.buildScd2(base, "k", "t", "id", Seq("status", "v"))
+    val strTies = Seq((1L, ts("2024-01-02 00:00:00"), "b", "paid", 1.0))
+      .toDF("k", "t", "id", "status", "v")
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyScd2(dim, strTies, "k", "t", "id", Seq("status", "v"))
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("diffSnapshots: added / removed / changed, unchanged dropped, null-safe") {
     import spark.implicits._
     val before = Seq(

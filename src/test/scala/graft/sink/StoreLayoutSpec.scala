@@ -119,6 +119,29 @@ class StoreLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 64 * 64)
   }
 
+  test("writeZOrdered: default bits derived from max() keep locality when values exceed a guessably-small width") {
+    import spark.implicits._
+    // values span [0, 1023] — 10 bits; a hand-picked bits=6 would alias
+    // 16 distinct a-values onto each low-bits pattern and scatter them
+    val grid = (for (a <- 0 until 1024 by 16; b <- 0 until 1024 by 16) yield (a, b)).toDF("a", "b")
+    val path = tempPath("zorder_auto")
+    StoreLayout.writeZOrdered(grid, path, "a", "b", numFiles = 16) // bits derived
+    val perFile = spark.read.parquet(path)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy(col("f"))
+      .agg(org.apache.spark.sql.functions.max(col("a")) -
+        org.apache.spark.sql.functions.min(col("a")),
+        org.apache.spark.sql.functions.max(col("b")) -
+          org.apache.spark.sql.functions.min(col("b")))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val avgSpanA = perFile.map(_._1).sum.toDouble / perFile.length
+    val avgSpanB = perFile.map(_._2).sum.toDouble / perFile.length
+    // global span is ~1008 per axis; derived-bits z-files stay local on BOTH
+    assert(avgSpanA < 640, s"a-span $avgSpanA")
+    assert(avgSpanB < 640, s"b-span $avgSpanB")
+    assert(spark.read.parquet(path).count() == 64 * 64)
+  }
+
   test("backfillPartitions: only targeted partitions rewritten, others physically untouched") {
     import spark.implicits._
     val path = tempPath("backfill")
