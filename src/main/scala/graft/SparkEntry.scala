@@ -931,8 +931,12 @@ object SparkEntry {
     // embedder, like the reference shares its fastembed model) ----
 
     "mem_embed" -> ((s, d) => {
-      val mem = memories(s, d)
-        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+      // through the BATCHED TextEmbedder seam (production embed path) —
+      // the oracle recomputes the vectors in SQL, so this gate proves
+      // Column form, JVM seam, and external SQL agree bit-for-bit; odd
+      // batch size on purpose (boundaries must not change results)
+      val mem = graft.functions.TextEmbedder.embedText(
+        memories(s, d), "content", "embedding", SearchDims, batchSize = 7)
       mem.select(col("memory_id"),
         round(element_at(col("embedding"), 1), 6).as("e0"),
         round(element_at(col("embedding"), 2), 6).as("e1"),

@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.catalog.{Archetype, Validation}
-import graft.functions.Embedder
+import graft.functions.{SurrogateTextEmbedder, TextEmbedder}
 import graft.model.MemoryModel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * → validate → envelope/partition → sessionize → embed → store.
   *
   * Execution shape at 100 TB:
-  *  - validation + envelope + embedding are per-row projections (no
-  *    shuffle, whole-stage codegen);
+  *  - validation + envelope are per-row projections (no shuffle,
+  *    whole-stage codegen); embedding is a shuffle-free batched
+  *    mapPartitions over the [[graft.functions.TextEmbedder]] seam
+  *    (model load amortized per partition, bounded batch memory);
   *  - sessionization is the ONE shuffle (window partitioned by session) —
   *    the reference instead does a per-insert Qdrant read-back
   *    (storage.py:113-143), which cannot scale past one writer;
@@ -24,13 +26,21 @@ object Ingest {
   /** Validated tool-call DataFrame → canonical memories rows.
     * Input needs: tool, args (MAP<STRING,STRING>), session_id, event id
     * (memory_id), timestamp.
+    *
+    * Embedding runs through the batched [[TextEmbedder]] seam (per-
+    * partition model setup, bounded batches) — the default surrogate is
+    * bit-identical to the codegen'd Column form, and a real ONNX model
+    * drops in via the `embedder` parameter without touching this path.
     */
-  def toMemories(calls: DataFrame, archetype: Archetype, dims: Int): DataFrame = {
+  def toMemories(calls: DataFrame, archetype: Archetype, dims: Int,
+      embedder: TextEmbedder = SurrogateTextEmbedder,
+      embedBatchSize: Int = 64): DataFrame = {
     val validated = Validation.validate(
       Validation.withDefaults(calls, archetype), archetype)
     val ok = Validation.partitionArgs(Validation.valid(validated), archetype)
     val sessionized = MemoryModel.sessionize(ok)
-    sessionized.withColumn("embedding", Embedder.embed(col("content"), dims))
+    TextEmbedder.embedText(sessionized, "content", "embedding", dims,
+      embedBatchSize, embedder)
   }
 
   /** Rejects from the same validated pass (route to a quarantine sink). */

@@ -47,11 +47,14 @@ object Search {
       .where(col("score") >= scoreThreshold) // post-rank placement (handler.py:52)
   }
 
-  /** Text-query variant of [[basic]]: embed the query text with the same
-    * surrogate embedder the ingest path uses (the reference embeds queries
-    * with the same model as documents, strategies.py:267-272). The query
-    * embedding is an expression over literals — Catalyst constant-folds it,
-    * so the per-row work is just the cosine.
+  /** Text-query variant of [[basic]]: embed the query text with the SAME
+    * embedder the ingest path uses (the reference embeds queries with the
+    * same model as documents, strategies.py:267-272) — via the pluggable
+    * [[graft.functions.TextEmbedder]] seam, evaluated ONCE driver-side
+    * (one query string, not a distributed pass) and planted as a literal
+    * vector, so the per-row work is just the cosine. The default
+    * surrogate is bit-identical to the ingest Column form; a real model
+    * drops in through `embedder` on both sides together.
     */
   def basicByText(
       points: DataFrame,
@@ -61,8 +64,9 @@ object Search {
       limit: Int = DefaultLimit,
       scoreThreshold: Double = DefaultScoreThreshold,
       filters: Seq[Filters.FilterSpec] = Nil,
-      tieBreak: String = "memory_id"): DataFrame = {
-    val qv = graft.functions.Embedder.embed(lit(queryText), dims)
+      tieBreak: String = "memory_id",
+      embedder: graft.functions.TextEmbedder = graft.functions.SurrogateTextEmbedder): DataFrame = {
+    val qv = typedLit(embedder.embedBatch(Seq(queryText), dims).head.toSeq)
     points
       .where(Filters.compileAll(filters))
       .withColumn("score", round(VectorFunctions.cosine(col(vecCol), qv, dims), 6))
