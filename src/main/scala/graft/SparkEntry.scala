@@ -418,6 +418,81 @@ object SparkEntry {
         .orderBy(col("l_year"))
     }),
 
+    // TPC-H Q2 min-cost supplier (adapted: the testdata ships no
+    // partsupp, so the supply relation derives from lineitem — min unit
+    // price per (part, supplier) pair). Written as the CORRELATED scalar
+    // subquery, exactly as Q2 reads: Catalyst decorrelates it into a
+    // per-part MIN aggregate + join (one extra pass over the derived
+    // supply relation, never a per-row re-execution). Region filter hits
+    // the 5-row region dim first; supplier/nation/region broadcast.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
+          .as("ps_supplycost"))
+        .createOrReplaceTempView("partsupp_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql(
+        """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+          |FROM part_v, supplier_v, partsupp_v, nation_v, region_v
+          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          |  AND p_type = 'LARGE'
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE'
+          |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+          |    FROM partsupp_v ps2, supplier_v s2, nation_v n2, region_v r2
+          |    WHERE ps2.ps_partkey = p_partkey
+          |      AND s2.s_suppkey = ps2.ps_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+    }),
+
+    // TPC-H Q9 product profit (adapted partsupp as in Q2): the
+    // many-fact query — lineitem joins the derived supply relation AND
+    // orders at data scale, with the p_name filter broadcast-pruning
+    // BOTH fact inputs before either data-scale join (the classic
+    // part-filter pushdown story). Profit stays DECIMAL through the sum.
+    "q9_product_profit" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
+          .as("ps_supplycost"))
+      val p = Tables.part(s, d).where(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val n = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation")))
+      val su = Tables.supplier(s, d)
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      // amount is EXACTLY a 6-decimal number in real arithmetic
+      // (2dp·2dp − 6dp·integer), so a DECIMAL(18,6) cast is tie-free and
+      // engine-identical — (18,4) would round at a digit where true
+      // half-ties exist and Spark (half-up) disagrees with DuckDB
+      // (half-even) one ulp per ~10⁴ rows
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("ps_supplycost") * col("l_quantity")).cast("decimal(18,6)")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(ps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+            .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost")),
+          col("l_partkey") === col("ps_partkey")
+            && col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // TPC-H Q7 volume shipping: the two-nation filter lands on the TINY
     // nation dim BEFORE any fact join (suppliers/customers of other
     // nations never enter the plan), nation broadcasts, the only
@@ -1996,6 +2071,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // Incremental BM25 statistics: a real file stream foreachBatch-folds
+    // each micro-batch's (df, N, Σdl) deltas into a versioned stats
+    // store; the final store must equal ONE full-corpus recompute (the
+    // oracle SQL) — the streaming complement of hybrid search's sparse
+    // ranking, matching how the reference continuously upserts.
+    "stream_bm25_stats" -> ((s, d) => {
+      streaming.StreamingIngest.stagedBm25StatsRoundtrip(
+        s, docs(s, d).select(col("doc_id"), lower(col("text")).as("text")),
+        "/tmp/graft_bm25stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("term"))
+    }),
+
     // Incremental SCD2: dimension built from the first half-month, the
     // second half folded in with applyScd2 — output must equal the full
     // rebuild row for row (the oracle is the full-rebuild SQL).
@@ -2219,6 +2306,47 @@ object SparkEntry {
         |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
         |    AND p_type = 'PROMO')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical correlated-min structure over the SAME derived supply
+    // relation (no partsupp in the testdata; min unit price per pair)
+    "q2_min_cost_supplier" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(ROUND(l_extendedprice / l_quantity, 6)) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        |FROM part, supplier, partsupp, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    // same derived supply relation; profit summed in DECIMAL
+    "q9_product_profit" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(ROUND(l_extendedprice / l_quantity, 6)) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT nation, o_year,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount)
+        |      - ps_supplycost * l_quantity AS amount
+        |  FROM lineitem, partsupp, part, supplier, orders, nation
+        |  WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |    AND p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%red%')
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
@@ -3867,6 +3995,18 @@ object SparkEntry {
 
     // the stream of per-batch folds must also land on the full rebuild
     "stream_scd2" -> scd2Sql,
+
+    // the incremental df/totals folds must equal ONE full-corpus pass:
+    // per-term doc frequency over distinct in-doc tokens, doc/token
+    // totals cross-joined flat
+    "stream_bm25_stats" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM tok),
+         |t AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok),
+         |dfs AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term)
+         |SELECT term, df, n_docs, sum_dl FROM dfs, tot
+         |ORDER BY term""".stripMargin,
 
     // identical snapshot synthesis + column-wise null-safe compare
     "store_snapshot_diff" ->

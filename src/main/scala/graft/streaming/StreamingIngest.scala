@@ -625,4 +625,95 @@ object StreamingIngest {
     spark.read.parquet(latest.getOrElse(
       sys.error("stagedScd2Roundtrip: no batch ran")))
   }
+
+  /** Incremental BM25 corpus-statistics maintenance — the streaming twin
+    * of [[graft.operators.Bm25.corpusStats]] and the missing half of
+    * hybrid search's continuous-upsert story (the reference re-embeds and
+    * upserts per call; its sparse ranking's corpus stats drift with every
+    * insert, storage.py:194-199). Each micro-batch of documents folds its
+    * deltas — per-term document-frequency counts, plus (doc count, token
+    * count) totals — into a versioned stats store:
+    *
+    *   df_v+1(t)  = df_v(t) + |{d ∈ batch : t ∈ d}|   (union + re-sum)
+    *   totals_v+1 = totals_v + (|batch|, Σ_batch |d|)
+    *
+    * scoring then derives idf/avgdl from the CURRENT store without ever
+    * rescanning the corpus.
+    *
+    * Physical shape at 100 TB: the df table is VOCABULARY-scale, orders
+    * of magnitude below the corpus, so the per-batch merge (one
+    * vocab-key groupBy over prev ∪ delta) and store rewrite move bytes,
+    * not data; batch deltas are one explode + combiner-heavy count over
+    * the micro-batch only; totals are a single row. Nothing is collected
+    * to the driver. Write-new-then-read-latest versioning as in
+    * [[stagedScd2Roundtrip]] (overwriting a directory a batch reads is
+    * the classic self-overwrite corruption).
+    *
+    * Returns the final stats joined flat — (term, df, n_docs, sum_dl) —
+    * which the gate's oracle recomputes as ONE full-corpus SQL pass: the
+    * stream of incremental folds must land row-identical to the batch
+    * recompute.
+    */
+  def stagedBm25StatsRoundtrip(spark: SparkSession, docs: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val mid = docs.agg(avg(col("doc_id"))).collect()(0).getDouble(0)
+    stage(docs.where(col("doc_id") < mid).select("doc_id", "text"))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks_"))
+        val dfDelta = toks
+          .select(explode(array_distinct(col("toks_"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val totDelta = toks.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("toks_"))), lit(0L)).as("sum_dl"))
+        val (dfNext, totNext) = latest match {
+          case None => (dfDelta, totDelta)
+          case Some(prev) =>
+            (spark.read.parquet(s"$prev/df").unionByName(dfDelta)
+              .groupBy(col("term")).agg(sum(col("df")).as("df")),
+              spark.read.parquet(s"$prev/totals").unionByName(totDelta)
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("sum_dl")).as("sum_dl")))
+        }
+        val out = s"$storeBase/v$id"
+        dfNext.write.mode("overwrite").parquet(s"$out/df")
+        totNext.write.mode("overwrite").parquet(s"$out/totals")
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the stats store
+      stage(docs.where(col("doc_id") >= mid).select("doc_id", "text"))
+      q.processAllAvailable() // batch 1+: incremental folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedBm25StatsRoundtrip: no batch ran"))
+    spark.read.parquet(s"$fin/df")
+      .crossJoin(spark.read.parquet(s"$fin/totals"))
+      .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
+  }
 }

@@ -136,6 +136,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
   }
 
+  test("q2_min_cost_supplier: correlated min DECORRELATED to an aggregate join, dims broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // supplier/nation/region/part all broadcast; no data-scale broadcast
+    assert(count(p, "BroadcastHashJoin") >= 4, p.take(1500))
+    // the correlated subquery must be a join against a per-part MIN
+    // aggregate, not a per-row re-execution
+    assert(p.contains("min(ps_supplycost)"), p.take(1500))
+    assert(count(p, "SortMergeJoin") <= 2, p.take(1500))
+    // part filter reaches the scan
+    assert(p.contains("EqualTo(p_type,LARGE)"), p.take(1500))
+  }
+
+  test("q9_product_profit: part filter broadcast-prunes BOTH fact inputs at the scan") {
+    val p = plan("q9_product_profit")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // the p_name predicate is pushed into a parquet scan and the pruned
+    // part keys broadcast into lineitem AND the derived supply relation
+    assert(count(p, "StringContains(p_name,red)") >= 1, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(1500))
+    // exactly one data-scale shuffle join: lineitem ⋈ supply on (part, supp)
+    assert(count(p, "SortMergeJoin") <= 2, p.take(1500))
+  }
+
   test("mem_search_hybrid_bm25: reattach reads the MATERIALIZED store pruned to id+payload") {
     // production path (r5 verdict item #3): the final plan must read the
     // X33 parquet store — never re-derive memories from events — with the

@@ -140,6 +140,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("stagedBm25StatsRoundtrip: incremental df/totals folds equal one full-corpus pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "beta gamma gamma"),
+      (4L, "epsilon"),
+      (5L, "alpha beta epsilon zeta"),
+      (6L, "zeta zeta"))
+      .toDF("doc_id", "text")
+    val got = stagedBm25StatsRoundtrip(spark, docs, "/tmp/graft_spec_stream_bm25")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // full-corpus truth: df over distinct in-doc terms; N=6; Σdl=16
+    val expected = Map(
+      "alpha" -> ((3L, 6L, 16L)), "beta" -> ((3L, 6L, 16L)),
+      "gamma" -> ((2L, 6L, 16L)), "delta" -> ((1L, 6L, 16L)),
+      "epsilon" -> ((2L, 6L, 16L)), "zeta" -> ((2L, 6L, 16L)))
+    assert(got == expected)
+  }
+
   test("hourlyRollup: watermarked tumbling window aggregates by event time") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
