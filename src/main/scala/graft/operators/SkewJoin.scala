@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
   * splitting isn't available (e.g. non-shuffle-join paths) or when one key
   * dominates so heavily that a single task would own it.
   *
+  * WHEN TO PREFER AQE (measured head-to-head in SkewJoinAqeSpec): a plain
+  * shuffled equi-join whose consumer imposes no distribution requirement —
+  * AQE splits the oversized partition at runtime with result parity and
+  * zero code. The manual salt is still required when:
+  *   - the consumer REUSES the join's partitioning (groupBy on the join
+  *     key): AQE declines the split rather than break the downstream
+  *     distribution requirement (asserted in the spec);
+  *   - the skew is in AGGREGATION state, not a join — AQE never splits
+  *     aggregation; the salted two-level fold does;
+  *   - the join runs inside stateful Structured Streaming (AQE disabled);
+  *   - the layout must stay STATICALLY co-partitioned across stages
+  *     (bucketed stores).
+  *
   * Left (large, skewed) rows get a random salt in [0, buckets); right
   * (smaller) rows are replicated `buckets` times. The join key becomes
   * (key, salt), spreading each hot key over `buckets` tasks. Results are
