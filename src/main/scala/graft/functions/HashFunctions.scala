@@ -25,16 +25,47 @@ object HashFunctions {
     hash64(concat_ws(":", lit(seed.toString), c))
 
   /** JVM-side twin of [[hash64]] for driver/executor Scala code (LSH
-    * hyperplanes, stub decoders): identical md5-top-60-bit derivation, so
-    * Column-tree, JVM, and external-SQL computations all agree. */
+    * hyperplanes, stub decoders, the batched embedder seam): identical
+    * md5-top-60-bit derivation, so Column-tree, JVM, and external-SQL
+    * computations all agree.
+    *
+    * Hot-path form: the first 15 hex digits are the first 8 digest bytes
+    * read big-endian shifted right one nibble — no hex string is built
+    * and no Long.parseLong runs (the string round-trip made the embed
+    * seam 3× slower than the codegen'd Column twin at sf0.1). The digest
+    * instance is thread-cached: MessageDigest.getInstance is a provider
+    * lookup per call.
+    */
   def hash64Jvm(s: String): Long = {
-    val hex = md5HexJvm(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = localMd5.get()
+    d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    (((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)) >>> 4
   }
 
-  def md5HexJvm(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def md5HexJvm(bytes: Array[Byte]): String = {
+    val d = localMd5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    val out = new Array[Char](dig.length * 2)
+    var i = 0
+    while (i < dig.length) {
+      out(2 * i) = hexChars((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Content fingerprint: md5 hex of whitespace-normalized, lower-cased text
     * (reference stores no fingerprint; this is the dedup-key normalization
