@@ -493,6 +493,105 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // TPC-H Q13 customer order-count distribution: the classic LEFT
+    // OUTER with the filter INSIDE the join (filtering the right side
+    // before a left join ≡ an ON-clause predicate — customers with only
+    // urgent orders still count as 0). Two combiner-heavy shuffles:
+    // per-customer count, then the count-of-counts.
+    "q13_order_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18 large-volume customers: the HAVING-filtered order list
+    // is TINY (few orders clear the quantity threshold), so it
+    // broadcasts back into orders AND lineitem — the aggregate-then-
+    // semi-join shape where the second pass touches only matching rows.
+    "q18_large_volume" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq_"))
+        .where(col("sq_") > 180)
+        .select(col("l_orderkey").as("big_okey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(big), col("l_orderkey") === col("big_okey"))
+      val o = Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("big_okey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19 disjunctive predicates: the part-only projection of the
+    // OR tree ((brand, size) alternatives) prunes the part scan BEFORE
+    // the broadcast join; the full disjunction (which also needs
+    // l_quantity) re-evaluates post-join. One fact scan, zero shuffles
+    // before the single-row aggregate.
+    "q19_disjunctive" -> ((s, d) => {
+      val alt1 = (col("p_brand") === "Brand#1") &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+      val alt2 = (col("p_brand") === "Brand#2") &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+      val alt3 = (col("p_brand") === "Brand#3") &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 50)
+      val partOnly = ((col("p_brand") === "Brand#1") && col("p_size").between(1, 15)) ||
+        ((col("p_brand") === "Brand#2") && col("p_size").between(10, 30)) ||
+        ((col("p_brand") === "Brand#3") && col("p_size").between(20, 50))
+      val p = Tables.part(s, d).where(partOnly)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(alt1 || alt2 || alt3)
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q22 global-sales-opportunity (adapted: every synthetic
+    // customer has orders, so "no orders at all" becomes "no URGENT
+    // orders" — the anti-join is the point). The above-average-balance
+    // comparison cross-multiplies against the exact DECIMAL (sum, count)
+    // pair instead of dividing: avg-as-double would put boundary rows
+    // one float ulp apart across engines.
+    "q22_sales_opportunity" -> ((s, d) => {
+      val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+      val c = Tables.customer(s, d)
+        .where(col("c_nationkey").isin(nations: _*))
+      val bal = c.where(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("tot_"),
+          count(lit(1)).as("cnt_"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(bal))
+        .where(col("c_acctbal").cast("decimal(18,2)") * col("cnt_") > col("tot_"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // TPC-H Q7 volume shipping: the two-nation filter lands on the TINY
     // nation dim BEFORE any fact join (suppliers/customers of other
     // nations never enter the plan), nation broadcasts, the only
@@ -1458,6 +1557,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sub-document dedup at fixed-token-chunk granularity (the practical
+    // substring-dedup form): global first occurrence of each 8-token
+    // chunk kept, later copies dropped, documents reassembled from their
+    // kept chunks. One combiner-heavy chunk-key argmin, one chunk-key
+    // join, one per-doc reassembly — no window, no data-scale sort.
+    "dedup_chunks" -> ((s, d) => {
+      Dedup.chunkDedup(docs(s, d), "text", "doc_id", chunkTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone pipeline: canonical near-dup dedup feeding deterministic
     // splits — the two stages compose with one join, and the oracle
     // replays the whole chain end to end.
@@ -2306,6 +2415,61 @@ object SparkEntry {
         |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
         |    AND p_type = 'PROMO')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ON-clause right-side filter ≡ pre-filtered right input
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // identical aggregate-then-rejoin; quantities summed in DECIMAL
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // identical disjunction; revenue in DECIMAL
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 35)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 50))""".stripMargin,
+
+    // same cross-multiplied exact-decimal above-average compare and the
+    // same no-URGENT-orders anti join
+    "q22_sales_opportunity" ->
+      """WITH bal AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_,
+        |    COUNT(*) AS cnt_
+        |  FROM customer
+        |  WHERE c_acctbal > 0.0
+        |    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, bal
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt_ > tot_
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // identical correlated-min structure over the SAME derived supply
     // relation (no partsupp in the testdata; min unit price per pair)
@@ -3383,6 +3547,40 @@ object SparkEntry {
          |FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
          |ORDER BY id""".stripMargin
     },
+
+    // identical chunking (0-based fixed 8-token chunks, 1-based list
+    // slice), two-level first-occurrence pick (min doc, then min idx
+    // within it — the struct-min's lexicographic order), ordered
+    // string_agg reassembly
+    "dedup_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |idxs AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1)) AS idx
+         |  FROM tok WHERE len(toks) > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(idx AS INT) AS idx,
+         |    array_to_string(toks[(CAST(idx AS INT)*8+1):(CAST(idx AS INT)*8+8)], ' ') AS chunk
+         |  FROM idxs),
+         |firstdoc AS (SELECT chunk, MIN(doc_id) AS kdoc FROM chunks GROUP BY chunk),
+         |keeper AS (
+         |  SELECT c.chunk, c.doc_id AS kdoc, MIN(c.idx) AS kidx
+         |  FROM chunks c JOIN firstdoc f ON c.chunk = f.chunk AND c.doc_id = f.kdoc
+         |  GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT c.doc_id, c.idx, c.chunk
+         |  FROM chunks c JOIN keeper k
+         |    ON c.chunk = k.chunk AND c.doc_id = k.kdoc AND c.idx = k.kidx),
+         |re AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(ceil(len(t.toks)/8.0) AS BIGINT) AS n_chunks,
+         |  COALESCE(re.n_kept, 0) AS n_kept,
+         |  COALESCE(re.text_dedup, '') AS text_dedup
+         |FROM tok t LEFT JOIN re ON t.doc_id = re.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // components CTE extended with the canonical pick: row_number per
     // component ordered (n_chars DESC, id) — same deterministic argmax

@@ -414,4 +414,58 @@ object Dedup {
       .select(col("id").as(idCol), col("canonical_id"), col("cluster_size"),
         (col("id") === col("canonical_id")).as("is_keeper"))
   }
+
+  /** Sub-document exact dedup at fixed-token-chunk granularity — the
+    * practical form of substring dedup (Lee et al. 2022's "Deduplicating
+    * Training Data Makes Language Models Better" deduplicates repeated
+    * SPANS, not whole documents; boilerplate headers/footers survive
+    * whole-doc dedup verbatim). Each document splits into consecutive
+    * `chunkTokens`-token chunks; a chunk's global FIRST occurrence
+    * (smallest (doc, position)) is the keeper and every later identical
+    * chunk is dropped; documents reassemble from their kept chunks.
+    *
+    * Output: (idCol, n_chunks, n_kept, text_dedup), one row per input
+    * document (a fully-duplicated document keeps its row with
+    * n_kept = 0 and empty text).
+    *
+    * Physical shape at 100 TB: chunking is a per-row generator (no
+    * shuffle); the keeper pick is ONE combiner-heavy aggregate on the
+    * chunk key (min-struct argmin — no window, no sort); the kept filter
+    * is a chunk-key join against that aggregate (both sides hash-
+    * partitioned on the same key); reassembly is one per-doc aggregate
+    * whose sort is WITHIN each collected row list, never a data-scale
+    * sort. Hot chunks (the boilerplate being hunted) concentrate on few
+    * keys but the aggregate is a min — combiners absorb them map-side.
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1)
+    val k = chunkTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    val chunkArr = when(size(col("toks_")) > 0,
+      expr(s"transform(sequence(0, cast(ceil(size(toks_) / $k.0d) as int) - 1), " +
+        s"i -> array_join(slice(toks_, i * $k + 1, $k), ' '))"))
+      .otherwise(array().cast("array<string>"))
+    val chunks = docs
+      .select(col(idCol).as("doc_"), toks.as("toks_"))
+      .withColumn("chunks_", chunkArr)
+      .select(col("doc_"), posexplode(col("chunks_")).as(Seq("idx", "chunk")))
+    val keeper = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_"), col("idx"))).as("first_"))
+    val kept = chunks.join(keeper, "chunk")
+      .where(col("doc_") === col("first_.doc_") && col("idx") === col("first_.idx"))
+      .select(col("doc_"), col("idx"), col("chunk"))
+    val reassembled = kept.groupBy(col("doc_"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(sort_array(collect_list(struct(idx, chunk))), s -> s.chunk)"),
+          " ").as("text_dedup"))
+    docs.select(col(idCol), size(toks).as("n_toks_"))
+      .withColumn("n_chunks",
+        ceil(col("n_toks_") / lit(k.toDouble)).cast("long"))
+      .drop("n_toks_")
+      .join(reassembled, col(idCol) === col("doc_"), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

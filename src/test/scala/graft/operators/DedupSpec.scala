@@ -160,4 +160,33 @@ class DedupSpec extends SparkSpec {
     assert(multi.size > single.size,
       s"multi=${multi.size} single=${single.size} exact=${exact.size}")
   }
+
+  test("chunkDedup: global first occurrence kept, later identical chunks drop, docs reassemble") {
+    import spark.implicits._
+    // chunk size 2: doc 1 = [a b][c d]; doc 2 repeats [a b] then unique
+    // [e f]; doc 3 repeats both its own first chunk and doc 1's [c d];
+    // doc 4 is entirely made of earlier chunks
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "g h g h c d"),
+      (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "text", "doc_id", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))        // first occurrences of both
+    assert(got(2L) == ((2L, 1L, "e f")))            // [a b] seen in doc 1
+    assert(got(3L) == ((3L, 1L, "g h")))            // own repeat + doc 1's [c d] drop
+    assert(got(4L) == ((3L, 0L, "")))               // fully duplicated, row kept
+  }
+
+  test("chunkDedup: partial tail chunk and empty text handled") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "text", "doc_id", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c")))  // [a b] + partial [c]
+    assert(got(2L) == ((0L, 0L, "")))
+    assert(got(3L) == ((2L, 0L, "")))       // both chunks first seen in doc 1
+  }
 }
