@@ -160,6 +160,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") <= 2, p.take(1500))
   }
 
+  test("q18_large_volume: the HAVING-filtered order list broadcasts into both fact sides") {
+    val p = plan("q18_large_volume")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1500))
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(1500)) // limit 100 never global-sorts
+  }
+
+  test("q19_disjunctive: part-only disjunction reaches the part scan as pushed filters") {
+    val p = plan("q19_disjunctive")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // the (brand, size) alternatives prune the part scan pre-join
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#1)"), p.take(2000))
+    assert(count(p, "BroadcastHashJoin") == 1, p.take(1500))
+    // Catalyst derives the quantity-only projection of the disjunction
+    // and pushes it into the LINEITEM scan too — pin that
+    assert(p.contains("(l_quantity"), p.take(2000))
+    // single-row agg: only the broadcast + the final single-partition
+    // exchange; no data-scale hash shuffle
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(1500))
+  }
+
+  test("dedup_chunks: keeper pick is an aggregate argmin — no window, no data-scale sort") {
+    val p = plan("dedup_chunks")
+    assert(count(p, "Window") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // reassembly sort happens inside collected row lists (sort_array),
+    // never as a physical Sort below the final output ordering
+    assert(count(p, "Sort ") <= 3, p.take(1500))
+  }
+
   test("mem_search_hybrid_bm25: reattach reads the MATERIALIZED store pruned to id+payload") {
     // production path (r5 verdict item #3): the final plan must read the
     // X33 parquet store — never re-derive memories from events — with the
