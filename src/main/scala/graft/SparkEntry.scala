@@ -1723,6 +1723,17 @@ object SparkEntry {
       TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
     }),
 
+    // LM-based quality scoring (CCNet-style perplexity-filter proxy):
+    // each doc's mean bigram probability under the corpus's own bigram
+    // model — the vocab²-bounded LM broadcasts, probs round(6), the
+    // per-doc sum is exact DECIMAL (ln/exp deliberately avoided: not
+    // correctly-rounded across engines; mean prob is monotone-equivalent
+    // for filtering).
+    "text_lm_score" -> ((s, d) => {
+      TextAnalysis.bigramLmScore(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Concordance (KWIC): every "spark" occurrence with ±2 context words
     // — in-row slices only, no shuffle before the output ordering.
     "text_concordance" -> ((s, d) => {
@@ -3851,6 +3862,24 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // same LM derivation as text_bigram_lm, then the per-doc mean of
+    // rounded probs (DECIMAL sum, one double division, round 6)
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok),
+         |pairs AS (SELECT doc_id, toks[p] AS w1, toks[p + 1] AS w2
+         |  FROM ex WHERE p + 1 <= len(toks)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+         |lm AS (SELECT w1, w2,
+         |  ROUND(CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
+         |  FROM counts)
+         |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(prob AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*) AS lm_score
+         |FROM pairs p JOIN lm USING (w1, w2)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     // identical 1-based slicing, edge-truncated contexts; COALESCE
     // because DuckDB yields NULL (not []) for an empty slice where

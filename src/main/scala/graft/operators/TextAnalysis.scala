@@ -441,4 +441,53 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** LM-based document quality scoring — the perplexity-filter proxy a
+    * CCNet-style pipeline runs (score each document under a corpus
+    * language model; outliers are boilerplate/gibberish candidates).
+    * The LM is the corpus's own bigram model; each document scores as
+    * the MEAN conditional probability of its bigrams:
+    *
+    *   score(d) = Σ_{(w1,w2) ∈ d} prob(w2 | w1) / |bigrams(d)|
+    *
+    * A true perplexity would exp/ln — and ln is not correctly-rounded
+    * across engines, so cross-engine gates can't use it. Mean
+    * probability is monotone-equivalent for FILTERING (rank order of
+    * "familiar" vs "unfamiliar" text) and exactly portable: per-bigram
+    * probs round(6), the per-doc sum runs in DECIMAL (exact, order-
+    * independent), and the final mean is ONE un-rounded double division
+    * (correctly rounded by IEEE in every engine; rounding AFTER the
+    * division would re-introduce half-ties — a 6-decimal sum over a
+    * small n lands exactly on .5 boundaries where Spark's half-up and
+    * DuckDB's half-even disagree).
+    *
+    * Physical shape at 100 TB: the LM is vocab²-bounded corpus
+    * statistics (one combiner-heavy count pass), orders of magnitude
+    * below the corpus, so it BROADCASTS into the per-doc bigram stream —
+    * scoring is scan → generate → broadcast-join → per-doc aggregate,
+    * with the doc-key shuffle the only data-scale exchange.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .withColumn("n_", size(col("toks_")))
+    val pairs = base
+      .select(col(idCol), col("toks_"), col("n_"),
+        posexplode(col("toks_")).as(Seq("pos", "w1")))
+      .where(col("pos") + 1 < col("n_"))
+      .select(col(idCol), col("w1"),
+        element_at(col("toks_"), col("pos") + 2).as("w2"))
+    val lm = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))), 6))
+      .select(col("w1"), col("w2"), col("prob"))
+    pairs
+      .join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("prob").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("lm_score"))
+  }
 }

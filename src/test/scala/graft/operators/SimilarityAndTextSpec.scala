@@ -235,6 +235,23 @@ class SimilarityAndTextSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("bigramLmScore: per-doc mean bigram probability under the corpus LM") {
+    import spark.implicits._
+    // corpus LM over both docs: P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    val df = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1 bigrams (a,b),(b,a),(a,c): mean(0.666667, 1.0, 0.333333)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - 2.0 / 3) < 1e-6)
+    // doc2: single bigram (a,b) → its prob
+    assert(got(2L) == ((1L, 0.666667)))
+    // the single-token/empty doc contributes nothing and is absent
+    val withEmpty = TextAnalysis.bigramLmScore(
+      df.unionByName(Seq((3L, "z")).toDF("doc_id", "text")), "text", "doc_id")
+    assert(withEmpty.count() == 2)
+  }
+
   test("concordance: edge-truncated contexts, 1-based positions") {
     import spark.implicits._
     val df = Seq((1L, "x a b x c"), (2L, "x")).toDF("doc_id", "text")
