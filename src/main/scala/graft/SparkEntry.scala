@@ -227,7 +227,7 @@ object SparkEntry {
 
   /** Oracle CTE: sessionized memories + surrogate embeddings, mirroring
     * [[MemoryModel.fromEvents]] + [[Embedder.embed]] in DuckDB SQL. */
-  private def memVecCte(dims: Int): String = {
+  private def memVecCte(dims: Int, where: String = ""): String = {
     val dimList = (0 until dims).mkString("[", ",", "]")
     s"""WITH mem AS (
        |  SELECT CAST(event_id AS VARCHAR) AS memory_id, event_id,
@@ -239,7 +239,7 @@ object SparkEntry {
        |    'Tool: ' || event_type || chr(10) || props AS content,
        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
        |    LAG(CAST(event_id AS VARCHAR)) OVER w AS preceding_memory_id
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |  FROM events $where WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |emb AS (
        |  SELECT *, list_transform($dimList, d ->
        |    (CAST(('0x' || substr(md5(content || '#' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -2269,6 +2269,35 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // The reference's operational loop CLOSED: stream-ingest into the
+    // store (2 micro-batches + a replayed delivery), then run the KNN
+    // text search OVER THE STREAMED STORE — result must equal the batch
+    // pipeline's search (the oracle recomputes sessionize → embed →
+    // cosine → top-k over the same event subset in SQL). Continuous
+    // upsert + query is exactly how the reference runs (storage.py
+    // upsert + strategies.py search); here each half is a gated plan.
+    "stream_search_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .where(col("event_id") % 5 === 0)
+        .select(col("event_id").cast("string").as("memory_id"),
+          col("user_id").cast("string").as("session_id"),
+          col("event_type").as("tool"),
+          col("ts").as("timestamp"),
+          col("value"), col("props"))
+      val work = "/tmp/graft_stream_search_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val store = StreamingIngest.stagedIngestRoundtrip(s, src, work)
+      val mem = store
+        .withColumn("content",
+          concat(lit("Tool: "), col("tool"), lit("\n"), col("props")))
+        .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
+        .withColumn("memory_id_num", col("memory_id").cast("long"))
+      Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
+        limit = 10, scoreThreshold = 0.4, tieBreak = "memory_id_num")
+        .select(col("memory_id"), col("tool"), col("sequence_order"),
+          col("score"))
+        .orderBy(col("score").desc, col("memory_id").cast("long"))
+    }),
+
     // Streaming event-time rollup gate: the X27 streaming twin driven for
     // real — the micro-batch boundary cuts through live hours, so the
     // boundary windows' counts must merge across batch state. Complete-
@@ -2878,6 +2907,18 @@ object SparkEntry {
         |  FROM vec, qv),
         |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
         |SELECT memory_id, tool, title, sequence_order, score FROM topk
+        |WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
+
+    // the streamed store's search == the batch pipeline's search over
+    // the same event subset: one WHERE pushed into the sessionize CTE
+    "stream_search_roundtrip" -> (memVecCte(SearchDims, "WHERE event_id % 5 = 0") +
+      """,
+        |scored AS (
+        |  SELECT memory_id, event_id, tool, sequence_order,
+        |    ROUND(list_cosine_similarity(embedding, qvec), 6) AS score
+        |  FROM vec, qv),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 10)
+        |SELECT memory_id, tool, sequence_order, score FROM topk
         |WHERE score >= 0.4 ORDER BY score DESC, event_id""".stripMargin),
 
     "mem_search_filtered" -> (memVecCte(SearchDims) +

@@ -132,7 +132,8 @@ object StreamingIngest {
       StructField("session_id", StringType),
       StructField("tool", StringType),
       StructField("timestamp", TimestampType),
-      StructField("value", DoubleType)))
+      StructField("value", DoubleType),
+      StructField("props", StringType))) // tool-call payload; absent → null
     val parsed = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(inDir)
@@ -178,13 +179,17 @@ object StreamingIngest {
     val store = s"$workDir/store"
     val ckpt = s"$workDir/ckpt"
 
-    def stage(b: DataFrame): Unit = b
-      .select(to_json(struct(
+    def stage(b: DataFrame): Unit = {
+      val base = Seq(
         col("memory_id"), col("session_id"), col("tool"),
         date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
-        col("value"))).as("value"))
-      .coalesce(1)
-      .write.mode("append").text(inDir)
+        col("value"))
+      val fields = // carry the tool-call payload when the source has one
+        if (b.columns.contains("props")) base :+ col("props") else base
+      b.select(to_json(struct(fields: _*)).as("value"))
+        .coalesce(1)
+        .write.mode("append").text(inDir)
+    }
 
     val bounds = src.agg(min(col("timestamp")), max(col("timestamp"))).collect()(0)
     val mid = new java.sql.Timestamp(
