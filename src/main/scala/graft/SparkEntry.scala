@@ -182,6 +182,29 @@ object SparkEntry {
        |  ELSE list_transform(generate_series(1, len(toks)-2),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)""".stripMargin
 
+  /** Winnowing fingerprint CTE chain ending in `fps(doc_id, fp)` —
+    * positional 3-grams, portable hash64, window-4 frame minima with the
+    * short-doc global-min fallback, distinct. Shared by the fingerprint
+    * gate and the overlap-pairs gate. */
+  private lazy val winnowFpSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+       |idx AS (SELECT doc_id, toks,
+       |    unnest(CASE WHEN len(toks) < 3 THEN []
+       |      ELSE generate_series(1, len(toks) - 2) END) AS i
+       |  FROM tok),
+       |grams AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' ||
+       |      toks[CAST(i AS INT)+2] AS gram
+       |  FROM idx),
+       |h AS (SELECT doc_id, pos, ${sqlHash64("gram")} AS h FROM grams),
+       |wm AS (SELECT doc_id, pos,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS np
+       |  FROM h),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE pos <= np - 4 OR (np < 4 AND pos = 0))""".stripMargin
+
   /** ±1 hyperplane sign rows as SQL list literals (same md5 derivation as
     * the engine, [[VectorFunctions.hyperplaneSigns]]). */
   private def sqlSigns(planes: Int, dims: Int, seed: Int): Seq[String] =
@@ -1565,6 +1588,24 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => {
       Dedup.chunkDedup(docs(s, d), "text", "doc_id", chunkTokens = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (MOSS): 3-gram hashes, window-4 minima —
+    // the position-robust fingerprint set at ~2/(w+1) density.
+    "text_winnow_fp" -> ((s, d) => {
+      Dedup.winnowFingerprints(docs(s, d), "text", "doc_id",
+        shingleK = 3, window = 4)
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // MOSS overlap report: pairs sharing >= 2 winnowing fingerprints,
+    // hot boilerplate fingerprints df-capped before the self-join.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowedPairs(
+        Dedup.winnowFingerprints(docs(s, d), "text", "doc_id",
+          shingleK = 3, window = 4),
+        "doc_id", minShared = 2, maxDf = 50)
+        .orderBy(col("a"), col("b"))
     }),
 
     // Capstone pipeline: canonical near-dup dedup feeding deterministic
@@ -3903,6 +3944,21 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // identical positional 3-grams, hash64, window-4 frame minimum, the
+    // short-doc global-min fallback, distinct
+    "text_winnow_fp" -> (winnowFpSql + "\nSELECT doc_id, fp FROM fps ORDER BY doc_id, fp"),
+
+    // same fingerprint set, df-capped, self-joined on fp, >= 2 shared
+    "dedup_winnow_pairs" -> (winnowFpSql +
+      """,
+        |capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df_
+        |    FROM fps) WHERE df_ <= 50)
+        |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin),
 
     // same LM derivation as text_bigram_lm, then the per-doc mean of
     // rounded probs (DECIMAL sum, one double division, round 6)

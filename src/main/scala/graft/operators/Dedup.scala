@@ -468,4 +468,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS scheme): hash every `shingleK`-gram, slide a `window`-wide
+    * frame over the hash sequence, record each frame's MINIMUM. The
+    * selected set is position-robust (any shared substring of length ≥
+    * shingleK + window − 1 tokens guarantees a shared fingerprint) at
+    * ~2/(window+1) the k-gram density — the guarantee MinHash doesn't
+    * give and the compression a full k-gram index doesn't give.
+    * Documents shorter than one window contribute their global minimum.
+    * Output: (idCol, fp) distinct rows.
+    *
+    * Physical shape at 100 TB: one generator pass (no shuffle), ONE
+    * doc-key window (the only exchange — same key as any doc-partitioned
+    * store, so bucketed layouts make it exchange-free), per-doc
+    * distinct. Hashes are the engine's portable md5-top-60-bit family,
+    * so external SQL replays the selection exactly.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleK >= 1 && window >= 1)
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    docs
+      .select(col(idCol), posexplode(
+        TextFunctions.shinglesFromTokens(toks, shingleK)).as(Seq("pos", "gram")))
+      .withColumn("h", HashFunctions.hash64(col("gram")))
+      .withColumn("fp", min(col("h")).over(w))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .where(col("pos") <= col("np") - window ||
+        (col("np") < window && col("pos") === 0))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints — the
+    * MOSS overlap report: docs sharing ≥ `minShared` fingerprints, with
+    * the count. `maxDf` drops fingerprints present in more than that
+    * many documents (boilerplate k-grams — the same stop-term cure as
+    * the sparse-cosine df cap) BEFORE the self-join, bounding fan-out at
+    * maxDf² per fingerprint. Takes the [[winnowFingerprints]] output so
+    * sweep drivers can persist/reuse the fingerprint table across probes.
+    */
+  def winnowedPairs(fps: DataFrame, idCol: String,
+      minShared: Long = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1)
+    val capped =
+      if (maxDf == Long.MaxValue) fps
+      else fps
+        .withColumn("df_", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .where(col("df_") <= maxDf)
+        .drop("df_")
+    val l = capped.select(col("fp"), col(idCol).as("a"))
+    val r = capped.select(col("fp"), col(idCol).as("b"))
+    l.join(r, "fp")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

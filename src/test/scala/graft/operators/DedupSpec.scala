@@ -180,6 +180,33 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((3L, 0L, "")))               // fully duplicated, row kept
   }
 
+  test("winnowFingerprints: shared substrings guarantee shared fingerprints; short docs fall back to global min") {
+    import spark.implicits._
+    // k=3, w=4: any shared run of >= k+w-1 = 6 tokens must share a fingerprint
+    val common = "p q r s t u v w"  // 8 shared tokens
+    val docs = Seq(
+      (1L, s"a b c $common d e f"),
+      (2L, s"x y $common z"),
+      (3L, "one two"),              // shorter than one shingle window
+      (4L, "totally different words here nothing shared at all okay"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id", shingleK = 3, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) & byDoc(4L)).isEmpty)
+    assert(!byDoc.contains(3L)) // fewer than 3 tokens: no shingles at all
+    // a doc with shingles but fewer than one window still fingerprints
+    val tiny = Seq((9L, "a b c d")).toDF("doc_id", "text") // 2 shingles < window
+    assert(Dedup.winnowFingerprints(tiny, "text", "doc_id", 3, 4).count() == 1)
+    // pairs report the overlap
+    val pairs = Dedup.winnowedPairs(
+      Dedup.winnowFingerprints(docs, "text", "doc_id", 3, 4), "doc_id",
+      minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("chunkDedup: partial tail chunk and empty text handled") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
