@@ -449,11 +449,16 @@ object SparkEntry {
     // supply relation, never a per-row re-execution). Region filter hits
     // the 5-row region dim first; supplier/nation/region broadcast.
     "q2_min_cost_supplier" -> ((s, d) => {
+      // the derived supply relation feeds BOTH the outer join tree and
+      // the decorrelated min-subquery — persist it so the lineitem
+      // aggregation runs once, not twice (CacheManager dedupes the
+      // entry across repeated invocations)
       Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"))
         .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
           .as("ps_supplycost"))
+        .persist()
         .createOrReplaceTempView("partsupp_v")
       Tables.part(s, d).createOrReplaceTempView("part_v")
       Tables.supplier(s, d).createOrReplaceTempView("supplier_v")

@@ -181,6 +181,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 0, p.take(1500))
   }
 
+  test("text_winnow_fp: one doc-key window is the only exchange shape; no join") {
+    val p = plan("text_winnow_fp")
+    assert(count(p, "Window") >= 1, p.take(1200))
+    assert(count(p, "Join") == 0, p.take(1200))
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1200)) // window key + distinct
+  }
+
   test("dedup_chunks: keeper pick is an aggregate argmin — no window, no data-scale sort") {
     val p = plan("dedup_chunks")
     assert(count(p, "Window") == 0, p.take(1500))
