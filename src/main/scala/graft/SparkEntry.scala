@@ -927,6 +927,34 @@ object SparkEntry {
         .orderBy(col("tier"))
     }),
 
+    // Interval-OVERLAP join (both sides ranges): order validity windows
+    // × shipment windows, binned to week buckets — hash equi-join +
+    // residual, each pair attributed to its first shared bucket (no
+    // distinct). The oracle is the plain theta-join.
+    "q_interval_join" -> ((s, d) => {
+      val epoch = lit("1970-01-01")
+      val a = Tables.orders(s, d)
+        .where(col("o_orderdate").between(
+          lit("1996-01-01"), lit("1996-01-31 23:59:59")))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("a_lo"),
+          (datediff(col("o_orderdate"), epoch)
+            + col("o_orderkey") % 7 + 1).cast("long").as("a_hi"))
+      val b = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between(
+          lit("1996-01-01"), lit("1996-01-31 23:59:59"))
+          && col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("b_lo"),
+          (datediff(col("l_shipdate"), epoch)
+            + col("l_linenumber")).cast("long").as("b_hi"))
+      operators.RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+        b, "b_lo", "b_hi", bucketWidth = 7.0)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Salted skew join: identical results to the plain join, hot keys
     // spread over `buckets` tasks (the manual fallback when AQE skew
     // handling can't reach a join). Buckets come from bucketsFor's key
@@ -2788,6 +2816,30 @@ object SparkEntry {
         |SELECT tier, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // plain theta-join oracle: binning + first-shared-bucket attribution
+    // must be invisible in the result
+    "q_interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS a_lo,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      + o_orderkey % 7 + 1 AS a_hi
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |    AND TIMESTAMP '1996-01-31 23:59:59'),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) AS b_lo,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate)
+        |      + l_linenumber AS b_hi
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |    AND TIMESTAMP '1996-01-31 23:59:59'
+        |    AND l_orderkey % 13 = 0)
+        |SELECT o_orderkey, COUNT(*) AS n_overlap
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_join_salted" ->

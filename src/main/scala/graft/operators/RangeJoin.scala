@@ -45,4 +45,38 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval-OVERLAP join: both sides are [lo, hi) intervals; a pair
+    * joins when the intervals intersect (aLo < bHi AND bLo < aHi). The
+    * naive theta-join is a nested loop; here BOTH sides explode into the
+    * fixed-width buckets they cover and the join is a hash equi-join on
+    * the bucket id plus the residual overlap check.
+    *
+    * De-duplication without a distinct: a pair overlapping k shared
+    * buckets would surface k times, so each pair is attributed ONLY to
+    * the FIRST bucket the two intervals share — max(floor(aLo/w),
+    * floor(bLo/w)) — a per-row predicate, no extra shuffle (the standard
+    * reporting trick in binned spatial joins).
+    *
+    * Column names must be disjoint across `a` and `b` (alias before
+    * calling). At 100 TB: cost O(|a|·spanA/w + |b|·spanB/w) exploded
+    * rows through one equi-shuffle; pick `bucketWidth` near the median
+    * interval width, and salt hot buckets via [[SkewJoin]] if one time
+    * window dominates.
+    */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("_bucket", explode(sequence(
+        floor(col(lo) / w).cast("long"),
+        floor(col(hi) / w).cast("long"))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("_bucket"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .where(col("_bucket") ===
+        greatest(floor(col(aLo) / w), floor(col(bLo) / w)).cast("long"))
+      .drop("_bucket")
+  }
 }

@@ -67,6 +67,26 @@ class AsofRangeJoinSpec extends SparkSpec {
       (6L, "d")))
   }
 
+  test("intervalOverlap: half-open semantics, cross-bucket pairs appear exactly once") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 0L, 10L),    // spans buckets 0-2 at width 4
+      (2L, 10L, 12L),   // touches 3L's start: [10,12) vs [12,20) do NOT overlap
+      (3L, 100L, 101L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 8L, 16L),   // overlaps 1 ([0,10)) across bucket boundary AND 2
+      (11L, 12L, 20L),  // overlaps nothing ([10,12) ends at its start)
+      (12L, 0L, 200L))  // giant interval: overlaps all three
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        bucketWidth = 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(3))) // aid, bid
+    // exactly once per overlapping pair — no duplicate from shared buckets
+    assert(got.length == got.distinct.length, s"dupes in ${got.toSeq}")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (1L, 12L), (2L, 12L), (3L, 12L)))
+  }
+
   test("levenshteinVerify computes edit distance on candidate pairs only") {
     import spark.implicits._
     val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "zzz"))
