@@ -1632,11 +1632,13 @@ object SparkEntry {
     }),
 
     // MOSS overlap report: pairs sharing >= 2 winnowing fingerprints,
-    // hot boilerplate fingerprints df-capped before the self-join.
+    // hot boilerplate fingerprints df-capped before the self-join. The
+    // fingerprint table persists (both self-join sides read it — the
+    // documented sweep-driver pattern; CacheManager dedupes across runs).
     "dedup_winnow_pairs" -> ((s, d) => {
       Dedup.winnowedPairs(
         Dedup.winnowFingerprints(docs(s, d), "text", "doc_id",
-          shingleK = 3, window = 4),
+          shingleK = 3, window = 4).persist(),
         "doc_id", minShared = 2, maxDf = 50)
         .orderBy(col("a"), col("b"))
     }),
