@@ -60,4 +60,51 @@ class VectorIndexSinkSpec extends SparkSpec {
     assert(sizes.forall(_ <= 16))
     assert(sizes.sum == 100)
   }
+
+  test("continuous indexing: stream -> batched embed seam -> upsert, replays idempotent") {
+    // the reference's operational write path (per-call embed + Qdrant
+    // upsert, storage.py:194-199) as a real stream: each micro-batch
+    // embeds through the TextEmbedder seam and foreachBatch-upserts into
+    // the vector index; at-least-once delivery (a replayed batch) must
+    // land on the same ids
+    import graft.functions.TextEmbedder
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    InMemoryVectorIndex.reset()
+    ensureCollection(InMemoryVectorIndex.client(), "cstream", 8)
+    val work = "/tmp/graft_spec_index_stream"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    import spark.implicits._
+    def stage(rows: Seq[(String, String)]): Unit = rows.toDF("memory_id", "content")
+      .select(to_json(struct(col("memory_id"), col("content"))).as("value"))
+      .coalesce(1).write.mode("append").text(s"$work/in")
+    stage(Seq("m1" -> "alpha beta", "m2" -> "gamma delta"))
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$work/in")
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("memory_id", StringType),
+        StructField("content", StringType)))).as("j"))
+      .select(col("j.*"))
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val emb = TextEmbedder.embedText(b, "content", "embedding", dims = 8)
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+        indexBatch(emb, "cstream", () => InMemoryVectorIndex.client())
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2 includes a REPLAY of m1 (at-least-once delivery)
+      stage(Seq("m3" -> "epsilon zeta", "m1" -> "alpha beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(InMemoryVectorIndex.pointCount("cstream") == 3)
+    // the streamed vector is the seam's surrogate, bit-exact
+    val expected = graft.functions.SurrogateTextEmbedder
+      .embedOne("alpha beta", 8).map(_.toFloat).toSeq
+    assert(InMemoryVectorIndex.point("cstream", "m1").get.vector == expected)
+  }
 }
