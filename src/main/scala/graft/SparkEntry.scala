@@ -774,6 +774,175 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q11 important stock (adapted partsupp as in Q2/Q9, with
+    // ps_availqty := total shipped quantity; the GERMANY filter widens to
+    // a region — the 100-row supplier dim makes single-nation cuts
+    // degenerate). The per-pair value is cast to DECIMAL(28,8) — exactly
+    // the 6dp×2dp product scale — so BOTH the group sums and the
+    // HAVING-threshold compare are order-independent and engine-exact;
+    // the 0.1% threshold cross-multiplies (sum*1000 > total) instead of
+    // multiplying the total by a float fraction. The value relation feeds
+    // the group-by AND the grand total: persisted, one lineitem pass.
+    "q11_important_stock" -> ((s, d) => {
+      val euro = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("ps_availqty"),
+          min(round(col("l_extendedprice") / col("l_quantity"), 6))
+            .as("ps_supplycost"))
+        .join(broadcast(euro), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("value_d",
+          (col("ps_supplycost") * col("ps_availqty")).cast("decimal(28,8)"))
+        .persist()
+      val total = ps.agg(sum(col("value_d")).as("total_"))
+      ps.groupBy(col("ps_partkey"))
+        .agg(sum(col("value_d")).as("value_sum"))
+        .crossJoin(broadcast(total))
+        .where(col("value_sum") * 1000 > col("total_"))
+        .select(col("ps_partkey"),
+          col("value_sum").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 parts/supplier relationship (adapted: the supplier-
+    // complaints NOT IN becomes negative-acctbal suppliers — the comment
+    // column doesn't ship; partsupp is the DISTINCT (part, supp) pairs
+    // observed in lineitem). Shape preserved: part-side filters prune
+    // before the join, the NOT IN plans as a broadcast anti join (100-row
+    // exclusion list), and the distinct-count shuffles once on the
+    // (brand, type, size) group key.
+    "q16_part_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val excluded = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = Tables.part(s, d)
+        .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      ps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 small-quantity-order revenue: the correlated per-part
+    // AVG decorrelates into one aggregate over the part-filtered lines,
+    // broadcast back (the stats relation is ≤ one row per filtered part).
+    // The 0.2·avg compare cross-multiplies to 5·qty·cnt < sum in exact
+    // DECIMAL — a float avg would put boundary quantities one ulp apart
+    // across engines. One division at the very end, never rounded.
+    "q17_small_quantity" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val lines = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .persist()
+      val stats = lines.groupBy(col("l_partkey").as("ag_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_"),
+          count(lit(1)).as("cnt_"))
+      lines
+        .join(broadcast(stats), col("l_partkey") === col("ag_partkey"))
+        .where(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("cnt_")
+          < col("sum_qty_"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q20 potential part promotion (adapted: availqty := quantity
+    // shipped in 1996, demand := quantity shipped in 1997 — "stocked more
+    // than half of next year's demand"; the original total-vs-half-of-
+    // total is degenerate when availqty derives from the same shipments).
+    // Structure preserved: nested IN (prefix parts → pairs → suppliers),
+    // the correlated demand SUM as an inner join (SQL's NULL-compare
+    // excludes no-demand pairs; so does the join), exact DECIMAL
+    // cross-multiply (2·avail > demand), and a left-semi into the
+    // region-pruned supplier dim.
+    "q20_part_promotion" -> ((s, d) => {
+      val pPrefix = Tables.part(s, d).where(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+      val avail = li
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(pPrefix), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("ps_availqty"))
+      val demand = li
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(pPrefix), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("dk"), col("l_suppkey").as("ds"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("year_qty"))
+      val cand = avail
+        .join(demand,
+          col("ps_partkey") === col("dk") && col("ps_suppkey") === col("ds"))
+        .where(col("ps_availqty") * 2 > col("year_qty"))
+        .select(col("ps_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 suppliers who kept orders waiting (adapted: "late" =
+    // shipped >60 days after the order date — no commit/receipt dates in
+    // the testdata). The double correlation survives intact: late line l1
+    // EXISTS another-supplier line l2 (left-semi with a <> conjunct), NOT
+    // EXISTS another-supplier LATE line l3 (left-anti against the late
+    // set itself). The late relation feeds both sides of that anti
+    // self-join: persisted, one lineitem⋈orders pass. Multi-line
+    // (order, supplier) duplicates count once each, as in the spec.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls"))
+        .persist()
+      val waiting = late
+        .join(l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("lk") === col("k2") && col("ls") =!= col("s2"), "left_semi")
+        .join(late.select(col("lk").as("k3"), col("ls").as("s3")),
+          col("lk") === col("k3") && col("ls") =!= col("s3"), "left_anti")
+      waiting
+        .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)
+                .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+                  col("n_regionkey") === col("r_regionkey"))
+                .select(col("n_nationkey"))),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("ls") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(100)
+    }),
+
     // Pareto contribution: per-nation revenue share + running cumulative
     // share. Sums stay DECIMAL until the share division; the cumulative
     // sum runs over rounded shares in a fixed total order, so the float
@@ -2837,6 +3006,105 @@ object SparkEntry {
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue_d = (SELECT MAX(total_revenue_d) FROM revenue0)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // same derived partsupp (availqty = shipped qty), same DECIMAL(28,8)
+    // value scale and cross-multiplied HAVING threshold
+    "q11_important_stock" ->
+      """WITH euro AS (
+        |  SELECT s_suppkey FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty,
+        |    MIN(ROUND(l_extendedprice / l_quantity, 6)) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |v AS (
+        |  SELECT ps_partkey,
+        |    CAST(ps_supplycost * ps_availqty AS DECIMAL(28,8)) AS value_d
+        |  FROM ps, euro WHERE ps_suppkey = s_suppkey)
+        |SELECT ps_partkey, CAST(SUM(value_d) AS DOUBLE) AS part_value
+        |FROM v
+        |GROUP BY 1
+        |HAVING SUM(value_d) * 1000 > (SELECT SUM(value_d) FROM v)
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin,
+
+    // same DISTINCT-pair partsupp and negative-acctbal NOT IN
+    "q16_part_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+        |    l_suppkey AS ps_suppkey FROM lineitem), part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // same decorrelated per-part stats and exact cross-multiplied
+    // 0.2·avg compare; single trailing division
+    "q17_small_quantity" ->
+      """WITH ag AS (
+        |  SELECT l_partkey AS ag_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_,
+        |    COUNT(*) AS cnt_
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem, part, ag
+        |WHERE l_partkey = p_partkey AND l_partkey = ag_partkey
+        |  AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_ < sum_qty_""".stripMargin,
+
+    // same nested-IN structure; the correlated demand SUM's NULL-compare
+    // excludes no-demand pairs exactly as the engine's inner join does
+    "q20_part_promotion" ->
+      """WITH avail AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM avail
+        |    WHERE ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty * 2 > (
+        |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // same late-ship proxy and EXISTS / NOT EXISTS double correlation
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem, orders
+        |  WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM late l1, supplier, nation, region
+        |WHERE l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
 
     // identical: DECIMAL revenue, share division once, cumulative sum of
     // ROUNDED shares in the same total order
