@@ -223,4 +223,35 @@ class PlanShapeSpec extends SparkSpec {
     val md5s = "md5\\(".r.findAllIn(p).length
     assert(md5s == 1, s"expected 1 md5 call, got $md5s:\n${p.take(1200)}")
   }
+
+  test("q4_order_priority: ONE LeftSemi join carries the correlated EXISTS") {
+    val p = plan("q4_order_priority")
+    assert(count(p, "LeftSemi") == 1, p.take(1200))
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+  }
+
+  test("q10_returned_items: top-20 is TakeOrderedAndProject, no cartesian") {
+    val p = plan("q10_returned_items")
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+  }
+
+  test("q15_top_supplier: the revenue view is cached once, read by join AND max subquery") {
+    val p = plan("q15_top_supplier")
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(1500))
+  }
+
+  test("q17_small_quantity: part-filtered lines cached once; stats rejoin broadcasts") {
+    val p = plan("q17_small_quantity")
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1500))
+  }
+
+  test("q21_waiting_suppliers: semi + anti double correlation over ONE cached late set") {
+    val p = plan("q21_waiting_suppliers")
+    assert(count(p, "LeftSemi") == 1, p.take(2000))
+    assert(count(p, "LeftAnti") == 1, p.take(2000))
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
 }
