@@ -494,8 +494,11 @@ object Dedup {
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     docs
+      // stage tokens as a real column: an inline token expression captured
+      // by the shingle lambda re-tokenizes once per element (O(tokens²))
+      .select(col(idCol), toks.as("toks_"))
       .select(col(idCol), posexplode(
-        TextFunctions.shinglesFromTokens(toks, shingleK)).as(Seq("pos", "gram")))
+        TextFunctions.shinglesFromTokens(col("toks_"), shingleK)).as(Seq("pos", "gram")))
       .withColumn("h", HashFunctions.hash64(col("gram")))
       .withColumn("fp", min(col("h")).over(w))
       .withColumn("np", count(lit(1)).over(wAll))

@@ -63,6 +63,16 @@ object SparseSim {
     * interpreted (no codegen) and its 3× re-evaluation cost exceeded the
     * narrower-shuffle win; with the postings persisted the hash would be
     * computed once, but string keys on a persisted table already win.
+    *
+    * Full A/B sweep (tools.ProbeSparse2, sf0.1 warm): the pair join +
+    * dot aggregate IS the cost (2.5 s of 3.6 s) and is insensitive to
+    * key width — codegen'd xxhash64 keys timed identical to strings, so
+    * the fan-out row volume, not bytes-per-key, bounds it. The window
+    * df-cap beats a groupBy(df)+broadcast-anti shape warm (0.8 s vs
+    * 1.5 s — the anti join re-shuffles what the window reads in place),
+    * and carrying norms through the term join loses to the two post-agg
+    * norm joins (4.0 s vs 3.1 s — norm doubles ride every fanned-out
+    * candidate row instead of only the surviving (a,b) groups).
     */
   def cosinePairs(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
@@ -80,11 +90,15 @@ object SparseSim {
       minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
       termK: Int = 1): (DataFrame, () => Unit) = {
     require(termK >= 1)
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val terms = if (termK == 1) toks
-      else TextFunctions.shinglesFromTokens(toks, termK)
+    // tokens staged as a REAL column before shingling — an inline token
+    // expression captured by the transform lambda re-tokenizes the doc
+    // once per element (HOFs are interpreted, no CSE): O(tokens²)
+    val terms = if (termK == 1) col("toks_")
+      else TextFunctions.shinglesFromTokens(col("toks_"), termK)
     val tfAll = docs
-      .select(col(idCol).as("id"), explode(terms).as("term"))
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .select(col("id"), explode(terms).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val tf = (
