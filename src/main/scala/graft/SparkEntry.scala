@@ -1990,6 +1990,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Entity resolution over the customer dim: (nation, segment) blocks
+    // → native codegen'd Jaro-Winkler per candidate pair → 0.97 cut on
+    // the ROUNDED score. Pair volume is Σ block², never N².
+    "er_scored_pairs" -> ((s, d) => {
+      operators.EntityResolution.scoredPairs(Tables.customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        minSim = 0.97)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // The full linkage: same blocked pair graph closed to entity ids via
+    // the size-adaptive component resolver (min-id labels; singletons
+    // label themselves).
+    "er_entities" -> ((s, d) => {
+      operators.EntityResolution.entities(Tables.customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        minSim = 0.97)
+        .orderBy(col("id"))
+    }),
+
     "text_langid" -> ((s, d) => {
       docs(s, d)
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -4128,6 +4148,41 @@ object SparkEntry {
          |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
     },
+
+    // DuckDB ships the same textbook Jaro-Winkler (empirically pinned:
+    // 0-for-empty, integer half-transpositions, 0.7 boost gate, prefix
+    // cap 4) — scores rounded to 6dp on BOTH sides before the threshold
+    "er_scored_pairs" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS sim
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97
+        |ORDER BY a, b""".stripMargin,
+
+    // same pair graph closed with the recursive-reach min-label pattern
+    // (dedup_components' oracle shape)
+    "er_entities" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1)
+        |SELECT c.c_custkey AS id,
+        |  least(c.c_custkey, coalesce(m.mn, c.c_custkey)) AS component
+        |FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src
+        |ORDER BY id""".stripMargin,
 
     "dedup_components" -> {
       val mh = (0 until 4).map(i =>

@@ -86,7 +86,9 @@ object GraftFunctions {
     ("cosine_sim", classOf[CosineSim],
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
     ("dot_product", classOf[DotProduct],
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("jaro_winkler", classOf[JaroWinkler],
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

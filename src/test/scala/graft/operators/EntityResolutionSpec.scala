@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val records = Seq(
+    // block "x": two near-identical names + one unrelated
+    (1L, "Acme Corporation", "x"),
+    (2L, "Acme Corporatoin", "x"), // transposition typo
+    (3L, "Zenith Holdings", "x"),
+    // block "y": a chain a-b, b-c (transitive entity), plus a singleton
+    (4L, "Jane Smith", "y"),
+    (5L, "Jane Smyth", "y"),
+    (6L, "Jane Smythe", "y"),
+    (7L, "Robert Jones", "y"),
+    // same names as block x but in a different block: must NOT pair
+    (8L, "Acme Corporation", "z")
+  ).toDF("id", "name", "blk")
+
+  test("pairs form only inside blocks and above the rounded threshold") {
+    val pairs = EntityResolution
+      .scoredPairs(records, "id", "name", Seq("blk"), minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(8L) }) // cross-block
+    assert(pairs.contains((4L, 5L)) && pairs.contains((5L, 6L)))
+  }
+
+  test("entities: transitive closure labels with the min id; singletons self-label") {
+    val ents = EntityResolution
+      .entities(records, "id", "name", Seq("blk"), minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents(1L) == 1L && ents(2L) == 1L)
+    assert(ents(3L) == 3L)
+    assert(ents(4L) == 4L && ents(5L) == 4L && ents(6L) == 4L)
+    assert(ents(7L) == 7L)
+    assert(ents(8L) == 8L)
+    assert(ents.size == 8)
+  }
+
+  test("blockMax drops oversized blocks before the self-join") {
+    val hot = (1L to 20L).map(i => (i, s"Name$i", "hot")) ++
+      Seq((21L, "Alpha Beta", "cold"), (22L, "Alpha Betta", "cold"))
+    val df = hot.toDF("id", "name", "blk")
+    val pairs = EntityResolution
+      .scoredPairs(df, "id", "name", Seq("blk"), minSim = 0.5, blockMax = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a >= 21L && b >= 21L })
+  }
+}
