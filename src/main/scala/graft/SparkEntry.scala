@@ -1990,6 +1990,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Market-basket association mining over order baskets: pairs meet
+    // only inside a basket (self-equi-join on the order key), support
+    // threshold prunes pre-metrics, and every metric is ONE division
+    // over exact integer counts.
+    "mine_frequent_pairs" -> ((s, d) => {
+      operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Triangle census of the frequent-co-purchase graph: degree-ordered
+    // orientation bounds the wedge fan-out at O(E^1.5) regardless of
+    // skew; the oracle re-counts with the naive id-ordered join (the
+    // count is orientation-invariant).
+    "graph_triangles" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.triangleStats(edges)
+    }),
+
     // Entity resolution over the customer dim: (nation, segment) blocks
     // → native codegen'd Jaro-Winkler per candidate pair → 0.97 cut on
     // the ROUNDED score. Pair volume is Σ block², never N².
@@ -4148,6 +4169,43 @@ object SparkEntry {
          |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
     },
+
+    // identical basket-distinct, pair join, threshold, and single-division
+    // metrics over exact integer counts
+    "mine_frequent_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
+        |ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+        |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, CAST(w AS BIGINT) AS w,
+        |  CAST(w AS DOUBLE) / nb AS support,
+        |  CAST(w AS DOUBLE) / ca.c AS confidence,
+        |  (CAST(w AS DOUBLE) * nb) / (ca.c * cb.c) AS lift
+        |FROM p JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b = cb.it
+        |  CROSS JOIN n
+        |ORDER BY a, b""".stripMargin,
+
+    // naive id-ordered triangle join (count is orientation-invariant);
+    // wedge denominator from the degree census
+    "graph_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |e AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT v, COUNT(*) AS d FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT COUNT(*) AS triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |wc AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+        |  FROM deg)
+        |SELECT triangles, wedges,
+        |  CASE WHEN wedges > 0 THEN 3.0 * triangles / wedges END AS clustering
+        |FROM tri, wc""".stripMargin,
 
     // DuckDB ships the same textbook Jaro-Winkler (empirically pinned:
     // 0-for-empty, integer half-transpositions, 0.7 boost gate, prefix

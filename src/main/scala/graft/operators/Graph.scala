@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-shape analytics over an edge list — the structural metrics a
+  * similarity/co-occurrence graph pipeline needs after components:
+  * triangle count, wedge count, global clustering coefficient.
+  *
+  * Physical shape at 100 TB — the degree-ordered orientation is the
+  * whole story: a triangle join over raw undirected edges fans out
+  * Σ deg(v)² wedges, which a single celebrity node turns into a
+  * quadratic blow-up. Orienting every edge from its (degree, id)-smaller
+  * endpoint to its larger one (Schank–Wagner / Latapy's compact-forward)
+  * bounds every node's OUT-degree at O(√E) regardless of skew, so the
+  * wedge join fans out at most E·√E rows total and each triangle is
+  * enumerated exactly once — no /3 correction, no distinct. The count is
+  * orientation-invariant, which is what lets the oracle verify with the
+  * naive id-ordered SQL join at test scale.
+  */
+object Graph {
+
+  /** One-row triangle census of the undirected graph given by (a, b)
+    * edge rows (self-loops dropped, duplicates and orientation
+    * normalized away). Output: (triangles, wedges, clustering) where
+    * clustering = 3·triangles / wedges (NULL on a wedge-free graph).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist() // degrees + the three join legs read it
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge (u → w) from the (degree, id)-smaller endpoint
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("d").as("da_")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db_")), "b")
+      .select(
+        when(col("da_") < col("db_") ||
+          (col("da_") === col("db_") && col("a") < col("b")),
+          struct(col("a").as("id"), col("da_").as("d")))
+          .otherwise(struct(col("b").as("id"), col("db_").as("d"))).as("u"),
+        when(col("da_") < col("db_") ||
+          (col("da_") === col("db_") && col("a") < col("b")),
+          struct(col("b").as("id"), col("db_").as("d")))
+          .otherwise(struct(col("a").as("id"), col("da_").as("d"))).as("w"))
+      .persist() // two wedge legs + the closing-edge leg
+    // wedges at u: unordered out-neighbor pairs, ordered by (d, id) so the
+    // closing edge's orientation is known to be x → y
+    val wedges = ed.select(col("u"), col("w").as("x"))
+      .join(ed.select(col("u"), col("w").as("y")), "u")
+      .where(col("x.d") < col("y.d") ||
+        (col("x.d") === col("y.d") && col("x.id") < col("y.id")))
+    val tri = wedges
+      .join(ed.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"),
+        "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    // wedge census of the UNDIRECTED graph: Σ d·(d−1)/2 — the clustering
+    // denominator (paths of length 2, closed or not)
+    val wedgeCount = deg.agg(
+      sum((col("d") * (col("d") - 1)) / 2).cast("long").as("wedges"))
+    tri.crossJoin(wedgeCount)
+      .select(col("triangles"), col("wedges"),
+        when(col("wedges") > 0,
+          lit(3.0) * col("triangles") / col("wedges")).as("clustering"))
+  }
+}

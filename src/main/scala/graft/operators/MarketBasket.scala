@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: frequent co-occurring item pairs
+  * with support / confidence / lift — the pairwise core of Apriori
+  * (the k=2 level is where the real signal and the real data volume
+  * live; higher levels filter THIS output).
+  *
+  * Physical shape at 100 TB:
+  *  - the (basket, item) relation is DISTINCT-ed first — multiplicity
+  *    inside a basket is not co-occurrence, and the distinct also
+  *    bounds the self-join fan-out at basketSize² per basket;
+  *  - candidate pairs come from a self-equi-join on the basket key —
+  *    pairs meet only inside a basket, never across the catalog (the
+  *    blocking discipline shared with ER/dedup). A pathological mega-
+  *    basket fans out quadratically: cap with `basketMax` (window
+  *    count, the df-cap pattern) — a basket that large is a bot or a
+  *    crawl artifact, not a signal;
+  *  - the support threshold prunes BEFORE the metric joins, so the
+  *    item-count join runs over surviving pairs only; item counts are
+  *    a broadcast (|catalog| rows);
+  *  - metrics are each ONE division over exact integer counts
+  *    (support = w/n, confidence = w/cnt_a, lift = w·n/(cnt_a·cnt_b)),
+  *    so the emitted doubles are engine-exact — no rounding games.
+  */
+object MarketBasket {
+
+  /** Frequent item pairs (a < b) with co-occurrence count w >= minSupport
+    * and exact-ratio metrics. Output:
+    * (a, b, w, support, confidence, lift), one row per surviving pair.
+    */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, basketMax: Long = Long.MaxValue): DataFrame = {
+    val bi0 = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val bi = (
+      if (basketMax == Long.MaxValue) bi0
+      else bi0
+        .withColumn("bs_", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        .where(col("bs_") <= basketMax)
+        .drop("bs_")
+      ).persist() // read by the pair join (twice), item counts, and n
+    val nBaskets = bi.select(col("bk")).distinct().count()
+    val itemCnt = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = bi.select(col("bk"), col("it").as("a"))
+      .join(bi.select(col("bk"), col("it").as("b")), "bk")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minSupport)
+    pairs
+      .join(broadcast(itemCnt.select(col("it").as("a"), col("c").as("ca_"))), "a")
+      .join(broadcast(itemCnt.select(col("it").as("b"), col("c").as("cb_"))), "b")
+      .select(col("a"), col("b"), col("w"),
+        (col("w").cast("double") / lit(nBaskets)).as("support"),
+        (col("w").cast("double") / col("ca_")).as("confidence"),
+        ((col("w").cast("double") * lit(nBaskets)) / (col("ca_") * col("cb_")))
+          .as("lift"))
+  }
+}
