@@ -1990,6 +1990,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // EXACT set-similarity join with prefix filtering: only each doc's
+    // rarest |x|−⌈t·|x|⌉+1 shingles are indexed — no false negatives
+    // (unlike minhash-LSH) and no df-cap recall trade (unlike the full
+    // inverted index). Bigram shingle space, as for sparse cosine.
+    "dedup_ssjoin_prefix" -> ((s, d) => {
+      operators.SetSimJoin.jaccardPairs(docs(s, d), "text", "doc_id",
+        minSim = 0.5, termK = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -4169,6 +4179,27 @@ object SparkEntry {
          |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
     },
+
+    // the EXACT form needs no prefix trick at oracle scale: full shared-
+    // shingle join, same distinct bigram sets, same rounded division —
+    // prefix filtering must reproduce it bit-for-bit (no false negatives)
+    "dedup_ssjoin_prefix" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN []
+        |    ELSE list_transform(generate_series(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1]) END) AS terms FROM tok),
+        |sz AS (SELECT doc_id, len(terms) AS sz FROM sh WHERE len(terms) > 0),
+        |post AS (SELECT doc_id, unnest(terms) AS term FROM sh),
+        |inter AS (SELECT pa.doc_id AS a, pb.doc_id AS b, COUNT(*) AS i
+        |  FROM post pa JOIN post pb
+        |    ON pa.term = pb.term AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
 
     // identical basket-distinct, pair join, threshold, and single-division
     // metrics over exact integer counts
