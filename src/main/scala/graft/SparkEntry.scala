@@ -2021,6 +2021,39 @@ object SparkEntry {
       operators.Graph.triangleStats(edges)
     }),
 
+    // Link prediction on the co-purchase graph: distance-2 pairs scored
+    // by common-neighbor count + neighborhood Jaccard — exact integers
+    // and ONE division (chosen over Adamic-Adar, whose 1/ln(deg) terms
+    // inherit libm's last-ulp freedom).
+    "graph_link_predict" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.linkPredict(edges, minCommon = 2)
+        .orderBy(col("score").desc, col("a"), col("b"))
+    }),
+
+    // Exponentially-decayed rolling count per event type: α = 1/2 makes
+    // every weight a dyadic rational, every term an EXACT double, and
+    // the 24-hour window bounds the exponent spread under 52 bits — the
+    // whole sum is engine-exact with no rounding discipline at all.
+    "events_ewma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val r2 = hourly.select(col("event_type").as("et2_"), col("h").as("h2_"),
+        col("n").as("n2_"))
+      hourly.join(r2, col("event_type") === col("et2_") &&
+          col("h2_") <= col("h") &&
+          col("h2_") >= col("h") - expr("INTERVAL 23 HOURS"))
+        .groupBy(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n"))
+        .agg(sum(col("n2_") * pow(lit(0.5),
+          (unix_timestamp(col("h")) - unix_timestamp(col("h2_"))) / lit(3600)))
+          .as("decayed"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // Entity resolution over the customer dim: (nation, segment) blocks
     // → native codegen'd Jaro-Winkler per candidate pair → 0.97 cut on
     // the ROUNDED score. Pair volume is Σ block², never N².
@@ -4179,6 +4212,42 @@ object SparkEntry {
          |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
          |ORDER BY a, b""".stripMargin
     },
+
+    // same wedge-group candidates, anti-joined against the edge set;
+    // score is the identical single division
+    "graph_link_predict" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |e AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS v, COUNT(*) AS d FROM adj GROUP BY 1),
+        |cand AS (SELECT x.b AS a, y.b AS b, COUNT(*) AS cn
+        |  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nc AS (SELECT cand.a, cand.b, cand.cn FROM cand
+        |  LEFT JOIN e ON cand.a = e.a AND cand.b = e.b WHERE e.a IS NULL)
+        |SELECT nc.a, nc.b, CAST(cn AS BIGINT) AS cn,
+        |  CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS score
+        |FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v
+        |ORDER BY score DESC, nc.a, nc.b""".stripMargin,
+
+    // identical dyadic-weight decayed sum: every term is an exact double,
+    // so no rounding appears on either side
+    "events_ewma" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT r1.event_type,
+        |  strftime(r1.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  r1.n,
+        |  SUM(r2.n * pow(0.5, date_diff('hour', r2.h, r1.h))) AS decayed
+        |FROM hourly r1 JOIN hourly r2
+        |  ON r1.event_type = r2.event_type
+        |  AND r2.h <= r1.h AND r2.h >= r1.h - INTERVAL 23 HOUR
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
 
     // the EXACT form needs no prefix trick at oracle scale: full shared-
     // shingle join, same distinct bigram sets, same rounded division —

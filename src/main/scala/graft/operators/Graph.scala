@@ -67,4 +67,41 @@ object Graph {
         when(col("wedges") > 0,
           lit(3.0) * col("triangles") / col("wedges")).as("clustering"))
   }
+
+  /** Link prediction by neighborhood overlap: for every NON-adjacent
+    * pair at distance 2, the common-neighbor count and the neighborhood
+    * Jaccard cn / (deg_a + deg_b − cn) — both exact integers plus one
+    * division, so scores are engine-exact with no rounding discipline
+    * needed (the reason this scorer is chosen over Adamic-Adar, whose
+    * per-neighbor 1/ln(deg) terms inherit libm's last-ulp freedom).
+    *
+    * Shape at 100 TB: candidates are wedges grouped on their endpoint
+    * pair (one shuffle), existing edges removed with an anti join BEFORE
+    * the degree attach; degrees broadcast (|V| rows). The wedge fan-out
+    * is the triangle join's — bound a skewed graph the same way
+    * (orientation or a hub cap upstream).
+    */
+  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist() // wedge legs + anti join + degree census
+    val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val cand = adj.select(col("a").as("z"), col("b").as("x"))
+      .join(adj.select(col("a").as("z"), col("b").as("y")), "z")
+      .where(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCommon)
+      .join(e, Seq("a", "b"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da_"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db_"))), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("cn").cast("double") / (col("da_") + col("db_") - col("cn")))
+          .as("score"))
+  }
 }

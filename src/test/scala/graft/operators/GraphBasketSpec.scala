@@ -37,6 +37,20 @@ class GraphBasketSpec extends SparkSpec {
     assert(r.getLong(1) == 45L + 2L) // hub C(10,2) + wedge at 1 and at 2
   }
 
+  test("linkPredict: distance-2 pairs only, exact Jaccard score, adjacents excluded") {
+    // square 1-2-3-4-1: the two diagonals, each with cn=2 and score 1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val sq = Graph.linkPredict(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sq == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // triangle + pendant: (1,4)/(2,4) reachable through 3; the triangle's
+    // own edges must NOT appear (adjacent)
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.linkPredict(tp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
+  }
+
   test("frequentPairs: counts, support, confidence, lift on a known basket set") {
     // baskets: {x,y,z}, {x,y}, {x,z}, {y} → pairs xy:2 xz:2 yz:1
     val bi = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
