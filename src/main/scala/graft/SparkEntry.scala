@@ -2000,6 +2000,18 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Streaming twin of mine_frequent_pairs: per-micro-batch count
+    // deltas folded into a versioned store (basket-complete batches),
+    // support threshold + metric divisions at read time. Must equal the
+    // one-pass batch recompute row-for-row.
+    "stream_frequent_pairs" -> ((s, d) => {
+      streaming.StreamingIngest.stagedFrequentPairsRoundtrip(s,
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2,
+        "/tmp/graft_fpstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -4268,6 +4280,24 @@ object SparkEntry {
         |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    // the stream of folds must reproduce the one-pass batch recompute —
+    // same oracle text as mine_frequent_pairs
+    "stream_frequent_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
+        |ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+        |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, CAST(w AS BIGINT) AS w,
+        |  CAST(w AS DOUBLE) / nb AS support,
+        |  CAST(w AS DOUBLE) / ca.c AS confidence,
+        |  (CAST(w AS DOUBLE) * nb) / (ca.c * cb.c) AS lift
+        |FROM p JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b = cb.it
+        |  CROSS JOIN n
         |ORDER BY a, b""".stripMargin,
 
     // identical basket-distinct, pair join, threshold, and single-division

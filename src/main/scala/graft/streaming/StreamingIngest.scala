@@ -721,4 +721,100 @@ object StreamingIngest {
       .crossJoin(spark.read.parquet(s"$fin/totals"))
       .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
   }
+
+  /** Streaming market-basket fold: per-micro-batch (pair count, item
+    * count, basket count) deltas summed into a versioned store; the
+    * stream of folds must equal ONE full-corpus
+    * [[graft.operators.MarketBasket.frequentPairs]] recompute (the
+    * gate's oracle).
+    *
+    * Additivity contract: micro-batches are BASKET-COMPLETE — a basket
+    * arrives in one batch (what a CDC feed keyed on the basket id
+    * delivers). A basket split across batches would drop its cross-batch
+    * pairs; the fold cannot see them. The staged driver splits on the
+    * basket key for exactly this reason.
+    *
+    * minSupport and the metric divisions apply at READ time, never at
+    * fold time — thresholding the store would lose sub-threshold mass
+    * that later batches legitimately push over the line, and folding a
+    * ratio is meaningless. The store holds only additive integers.
+    *
+    * At 100 TB the store versions are partitioned parquet like the BM25
+    * stats store; each fold shuffles one micro-batch's deltas plus the
+    * store's pair table (combiner-heavy sum on both sides).
+    */
+  def stagedFrequentPairsRoundtrip(spark: SparkSession, items: DataFrame,
+      basketCol: String, itemCol: String, minSupport: Long,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("bk"), col("it"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val src = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+    val mid = src.agg(avg(col("bk"))).collect()(0).getDouble(0)
+    stage(src.where(col("bk") < mid)) // basket-complete split
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("bk", LongType),
+        StructField("it", LongType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bi = batch.select(col("bk"), col("it")).distinct()
+        val pairDelta = bi.select(col("bk"), col("it").as("a"))
+          .join(bi.select(col("bk"), col("it").as("b")), "bk")
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        val itemDelta = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
+        val nDelta = bi.agg(
+          count_distinct(col("bk")).as("nb"))
+        val (pNext, iNext, nNext) = latest match {
+          case None => (pairDelta, itemDelta, nDelta)
+          case Some(prev) =>
+            (spark.read.parquet(s"$prev/pairs").unionByName(pairDelta)
+              .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
+              spark.read.parquet(s"$prev/items").unionByName(itemDelta)
+                .groupBy(col("it")).agg(sum(col("c")).as("c")),
+              spark.read.parquet(s"$prev/n").unionByName(nDelta)
+                .agg(sum(col("nb")).as("nb")))
+        }
+        val out = s"$storeBase/v$id"
+        pNext.write.mode("overwrite").parquet(s"$out/pairs")
+        iNext.write.mode("overwrite").parquet(s"$out/items")
+        nNext.write.mode("overwrite").parquet(s"$out/n")
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the count store
+      stage(src.where(col("bk") >= mid))
+      q.processAllAvailable() // batch 1+: incremental folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedFrequentPairsRoundtrip: no batch ran"))
+    val nb = spark.read.parquet(s"$fin/n").collect()(0).getLong(0)
+    val ic = spark.read.parquet(s"$fin/items")
+    spark.read.parquet(s"$fin/pairs")
+      .where(col("w") >= minSupport)
+      .join(broadcast(ic.select(col("it").as("a"), col("c").as("ca_"))), "a")
+      .join(broadcast(ic.select(col("it").as("b"), col("c").as("cb_"))), "b")
+      .select(col("a"), col("b"), col("w"),
+        (col("w").cast("double") / lit(nb)).as("support"),
+        (col("w").cast("double") / col("ca_")).as("confidence"),
+        ((col("w").cast("double") * lit(nb)) / (col("ca_") * col("cb_")))
+          .as("lift"))
+  }
 }
