@@ -47,6 +47,12 @@ object SetSimJoin {
         else TextFunctions.shinglesFromTokens(col("toks_"), termK)).as("terms"))
       .withColumn("sz", size(col("terms")))
       .where(col("sz") > 0)
+      // verification intersects 64-bit hashes, not strings: the two
+      // reattach joins shuffle ~2.5× fewer bytes per doc and the
+      // per-candidate intersect compares longs (a within-doc collision
+      // needs 2⁻⁶⁴; the jaccard would shift by 1 count — same exposure
+      // ngramJaccardPairs already accepts for its hashed join key)
+      .withColumn("hterms", transform(col("terms"), t => xxhash64(t)))
       .persist() // postings build + both verification reattach sides
     val post = sets.select(col("id"), col("sz"), explode(col("terms")).as("term"))
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df_"))
@@ -61,9 +67,9 @@ object SetSimJoin {
       .select(col("a"), col("b"))
       .distinct()
     cand
-      .join(sets.select(col("id").as("a"), col("terms").as("ta_"),
+      .join(sets.select(col("id").as("a"), col("hterms").as("ta_"),
         col("sz").as("sa_")), "a")
-      .join(sets.select(col("id").as("b"), col("terms").as("tb_"),
+      .join(sets.select(col("id").as("b"), col("hterms").as("tb_"),
         col("sz").as("sb_")), "b")
       .withColumn("inter_", size(array_intersect(col("ta_"), col("tb_"))))
       .withColumn("jaccard", round(col("inter_").cast("double") /
