@@ -399,7 +399,8 @@ object SparkEntry {
           ROUND(cosine_sim(array(CAST(value AS DOUBLE), 1.0d),
             array(1.0d, 1.0d)), 6) AS cs,
           ROUND(dot_product(array(CAST(value AS DOUBLE), 2.0d),
-            array(3.0d, 1.0d)), 6) AS dp
+            array(3.0d, 1.0d)), 6) AS dp,
+          ROUND(jaro_winkler(event_type, 'page_view'), 6) AS jws
         FROM events_sqlfn ORDER BY event_id LIMIT 100""")
     }),
 
@@ -2898,7 +2899,8 @@ object SparkEntry {
          |  ROUND(list_cosine_similarity([CAST(value AS DOUBLE), 1.0],
          |    [1.0, 1.0]), 6) AS cs,
          |  ROUND(list_dot_product([CAST(value AS DOUBLE), 2.0],
-         |    [3.0, 1.0]), 6) AS dp
+         |    [3.0, 1.0]), 6) AS dp,
+         |  ROUND(jaro_winkler_similarity(event_type, 'page_view'), 6) AS jws
          |FROM events WHERE value IS NOT NULL
          |ORDER BY event_id LIMIT 100""".stripMargin,
 

@@ -254,4 +254,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "InMemoryTableScan") >= 2, p.take(2000))
     assert(count(p, "CartesianProduct") == 0, p.take(2000))
   }
+
+  test("dedup_ssjoin_prefix: cached sets feed postings + both verification sides, no cartesian") {
+    val p = plan("dedup_ssjoin_prefix")
+    assert(count(p, "InMemoryTableScan") >= 3, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("graph_link_predict: adjacency anti join present, degrees broadcast, no cartesian") {
+    val p = plan("graph_link_predict")
+    assert(count(p, "LeftAnti") == 1, p.take(2000))
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("mine_frequent_pairs: metric attach joins are broadcast, pair join is the only data-scale join") {
+    val p = plan("mine_frequent_pairs")
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(2000))
+    assert(count(p, "SortMergeJoin") <= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("er_scored_pairs: jaro_winkler evaluates inside whole-stage codegen on the block join") {
+    val p = plan("er_scored_pairs")
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    assert(p.contains("jaro_winkler"), p.take(2000))
+  }
 }
