@@ -2278,6 +2278,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted-without-replacement draw (Efraimidis-Spirakis), 50 per
+    // language, weight = document length: longer docs proportionally
+    // likelier, the draw deterministic from the portable content hash.
+    "sample_weighted" -> ((s, d) => {
+      operators.Sampling.weightedSamplePerGroup(docs(s, d), "doc_id",
+        "n_chars", "lang", k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length-ordered curriculum phases: quantile thresholds from ONE
     // exact percentile aggregate (3 scalars to the driver), per-row
     // threshold compare — no global ntile sort. Quarter quantiles over
@@ -4559,6 +4569,22 @@ object SparkEntry {
          |      ORDER BY (($h % 1000000) + 1000000) % 1000000, doc_id) AS rk
          |  FROM documents)
          |SELECT doc_id, source FROM r WHERE rk <= 15
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same dyadic u = (h+1)/2^60 and the same single pow per row; rank
+    // ties break by id on both engines
+    "sample_weighted" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#wsample'")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    pow(($h + 1) / pow(2, 60), 1.0 / n_chars) AS es_key
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY es_key DESC, doc_id) AS rk
+         |  FROM keyed)
+         |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 50
          |ORDER BY doc_id""".stripMargin
     },
 

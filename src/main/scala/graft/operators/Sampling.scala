@@ -66,6 +66,38 @@ object Sampling {
       .drop("rank_")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis-Spirakis A-ES scheme made deterministic: each row's key
+    * is u^(1/w) with u a uniform in (0, 1] derived from the PORTABLE
+    * content hash of (id, salt) — so, like every sampler here, the drawn
+    * set is stable across runs, partitionings, and engines (no RNG
+    * state, no seed-plus-partition-id games that re-deal on retry). The
+    * k largest keys per group are exactly a weight-proportional draw
+    * without replacement (Efraimidis & Spirakis 2006).
+    *
+    * u is the exact dyadic (h + 1)/2⁶⁰ — a 60-bit hash value shifted in
+    * exponent only, so u itself carries no rounding; the single pow is
+    * the one libm call, and only a last-ulp coincidence at the rank-k
+    * boundary between two DIFFERENT keys could differ across engines
+    * (ties on equal keys break by id). One window shuffle partitioned by
+    * group; rank-k prunes below the sort via WindowGroupLimit — no
+    * global sort at any scale.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+      weightCol: String, groupCol: String, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1)
+    val u = (HashFunctions.hash64(concat(col(idCol).cast("string"),
+      lit("#" + salt))) + 1).cast("double") / lit(math.pow(2, 60))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("es_key_").desc, col(idCol))
+    df.withColumn("es_key_", pow(u, lit(1.0) / col(weightCol)))
+      .withColumn("rn_", row_number().over(w))
+      .where(col("rn_") <= k)
+      .drop("es_key_", "rn_")
+  }
+
   /** Deterministic sequence packing — the corpus-assembly step that
     * groups documents into fixed token-budget training sequences.
     *

@@ -138,4 +138,32 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Sort "), s"curriculum must not globally sort:\n$plan")
   }
+
+  test("weightedSamplePerGroup: exactly k per group, deterministic, weight-proportional") {
+    import spark.implicits._
+    // 1000 light rows (w=1) + 1000 heavy rows (w=50) in one group
+    val df = ((1L to 1000L).map(i => (i, 1L, "g")) ++
+      (1001L to 2000L).map(i => (i, 50L, "g"))).toDF("id", "w", "grp")
+    val draw = Sampling.weightedSamplePerGroup(df, "id", "w", "grp", k = 200)
+      .collect().map(_.getLong(0))
+    assert(draw.length == 200)
+    val heavy = draw.count(_ > 1000L)
+    // E[heavy] ≈ 196 of 200 (50:1 odds); far from any uniform draw
+    assert(heavy > 170, s"heavy rows drawn: $heavy of 200")
+    // same salt → same draw; different salt → (almost surely) different
+    val again = Sampling.weightedSamplePerGroup(df, "id", "w", "grp", k = 200)
+      .collect().map(_.getLong(0))
+    assert(draw.toSeq == again.toSeq)
+    val other = Sampling.weightedSamplePerGroup(df, "id", "w", "grp",
+      k = 200, salt = "other")
+      .collect().map(_.getLong(0))
+    assert(draw.toSet != other.toSet)
+    // two groups stay independent: k from each
+    val two = df.withColumn("grp",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val counts = Sampling.weightedSamplePerGroup(two, "id", "w", "grp", k = 10)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+  }
 }
