@@ -25,7 +25,13 @@ object Graph {
     * normalized away). Output: (triangles, wedges, clustering) where
     * clustering = 3·triangles / wedges (NULL on a wedge-free graph).
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame): DataFrame =
+    triangleStatsManaged(edges)._1
+
+  /** [[triangleStats]] plus a release handle for the two internal cache
+    * entries (normalized edges, oriented edges) — the
+    * cosinePairsManaged discipline for graph sweep drivers. */
+  def triangleStatsManaged(edges: DataFrame): (DataFrame, () => Unit) = {
     val e = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -65,7 +71,8 @@ object Graph {
     tri.crossJoin(wedgeCount)
       .select(col("triangles"), col("wedges"),
         when(col("wedges") > 0,
-          lit(3.0) * col("triangles") / col("wedges")).as("clustering"))
+          lit(3.0) * col("triangles") / col("wedges")).as("clustering")) ->
+      (() => { ed.unpersist(false); e.unpersist(false); () })
   }
 
   /** Link prediction by neighborhood overlap: for every NON-adjacent
@@ -81,7 +88,13 @@ object Graph {
     * is the triangle join's — bound a skewed graph the same way
     * (orientation or a hub cap upstream).
     */
-  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame =
+    linkPredictManaged(edges, minCommon)._1
+
+  /** [[linkPredict]] plus a release handle for the internal normalized-
+    * edge cache entry. */
+  def linkPredictManaged(edges: DataFrame,
+      minCommon: Long = 1L): (DataFrame, () => Unit) = {
     val e = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -102,6 +115,6 @@ object Graph {
       .join(broadcast(deg.select(col("v").as("b"), col("d").as("db_"))), "b")
       .select(col("a"), col("b"), col("cn"),
         (col("cn").cast("double") / (col("da_") + col("db_") - col("cn")))
-          .as("score"))
+          .as("score")) -> (() => { e.unpersist(false); () })
   }
 }

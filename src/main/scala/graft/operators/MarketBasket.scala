@@ -32,7 +32,14 @@ object MarketBasket {
     * (a, b, w, support, confidence, lift), one row per surviving pair.
     */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, basketMax: Long = Long.MaxValue): DataFrame = {
+      minSupport: Long, basketMax: Long = Long.MaxValue): DataFrame =
+    frequentPairsManaged(df, basketCol, itemCol, minSupport, basketMax)._1
+
+  /** [[frequentPairs]] plus a release handle for the internal
+    * (basket, item) cache entry — the cosinePairsManaged discipline for
+    * sweep drivers mining many basket tables in one session. */
+  def frequentPairsManaged(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, basketMax: Long = Long.MaxValue): (DataFrame, () => Unit) = {
     val bi0 = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
     val bi = (
@@ -58,6 +65,6 @@ object MarketBasket {
         (col("w").cast("double") / lit(nBaskets)).as("support"),
         (col("w").cast("double") / col("ca_")).as("confidence"),
         ((col("w").cast("double") * lit(nBaskets)) / (col("ca_") * col("cb_")))
-          .as("lift"))
+          .as("lift")) -> (() => { bi.unpersist(false); () })
   }
 }

@@ -37,7 +37,15 @@ object SetSimJoin {
     * Output: (a, b, jaccard) with jaccard rounded to 6dp.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      minSim: Double, termK: Int = 1): DataFrame = {
+      minSim: Double, termK: Int = 1): DataFrame =
+    jaccardPairsManaged(docs, textCol, idCol, minSim, termK)._1
+
+  /** [[jaccardPairs]] plus a release handle for the internal sets cache
+    * entry — the [[SparseSim.cosinePairsManaged]] discipline: sweep
+    * drivers iterating many corpora release each corpus's entry after
+    * consuming the result instead of clearCache()-ing the session. */
+  def jaccardPairsManaged(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double, termK: Int = 1): (DataFrame, () => Unit) = {
     require(minSim > 0.0 && minSim <= 1.0 && termK >= 1)
     val t = java.math.BigDecimal.valueOf(minSim)
     val sets = docs
@@ -75,7 +83,7 @@ object SetSimJoin {
       .withColumn("jaccard", round(col("inter_").cast("double") /
         (col("sa_") + col("sb_") - col("inter_")), 6))
       .where(col("jaccard") >= minSim)
-      .select(col("a"), col("b"), col("jaccard"))
+      .select(col("a"), col("b"), col("jaccard")) -> (() => { sets.unpersist(false); () })
   }
 
   /** Candidate-volume audit: (prefix-filtered candidates, full-index
