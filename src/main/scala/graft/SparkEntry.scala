@@ -4293,7 +4293,7 @@ object SparkEntry {
         |SELECT a, b,
         |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-        |WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
     // the stream of folds must reproduce the one-pass batch recompute —

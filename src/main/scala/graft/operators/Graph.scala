@@ -40,18 +40,18 @@ object Graph {
       .persist() // degrees + the three join legs read it
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient each edge (u → w) from the (degree, id)-smaller endpoint
+    // orient each edge (u → w) from the (degree, id)-smaller endpoint —
+    // the predicate is staged ONCE so the u and w selections cannot
+    // drift apart (a disagreement would double- or zero-count triangles)
     val ed = e
       .join(deg.select(col("v").as("a"), col("d").as("da_")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db_")), "b")
+      .withColumn("fwd_", col("da_") < col("db_") ||
+        (col("da_") === col("db_") && col("a") < col("b")))
       .select(
-        when(col("da_") < col("db_") ||
-          (col("da_") === col("db_") && col("a") < col("b")),
-          struct(col("a").as("id"), col("da_").as("d")))
+        when(col("fwd_"), struct(col("a").as("id"), col("da_").as("d")))
           .otherwise(struct(col("b").as("id"), col("db_").as("d"))).as("u"),
-        when(col("da_") < col("db_") ||
-          (col("da_") === col("db_") && col("a") < col("b")),
-          struct(col("b").as("id"), col("db_").as("d")))
+        when(col("fwd_"), struct(col("b").as("id"), col("db_").as("d")))
           .otherwise(struct(col("a").as("id"), col("da_").as("d"))).as("w"))
       .persist() // two wedge legs + the closing-edge leg
     // wedges at u: unordered out-neighbor pairs, ordered by (d, id) so the

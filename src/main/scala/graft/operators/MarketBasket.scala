@@ -40,7 +40,12 @@ object MarketBasket {
     * sweep drivers mining many basket tables in one session. */
   def frequentPairsManaged(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, basketMax: Long = Long.MaxValue): (DataFrame, () => Unit) = {
+    // null basket/item keys are dropped (a null basket can form no pairs
+    // in the equi-join anyway, and counting it in the support denominator
+    // would be a phantom basket — inner-join semantics, as in
+    // Sampling.temperatureSample's null-group rule)
     val bi0 = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .where(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
     val bi = (
       if (basketMax == Long.MaxValue) bi0
@@ -50,7 +55,10 @@ object MarketBasket {
         .where(col("bs_") <= basketMax)
         .drop("bs_")
       ).persist() // read by the pair join (twice), item counts, and n
-    val nBaskets = bi.select(col("bk")).distinct().count()
+    // basket total stays a LAZY one-row aggregate joined in by broadcast
+    // (the oracle's CROSS JOIN n shape) — an eager count() here would run
+    // a Spark job every time a caller merely CONSTRUCTS the plan
+    val nB = bi.agg(count_distinct(col("bk")).as("nb_"))
     val itemCnt = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = bi.select(col("bk"), col("it").as("a"))
       .join(bi.select(col("bk"), col("it").as("b")), "bk")
@@ -61,10 +69,11 @@ object MarketBasket {
     pairs
       .join(broadcast(itemCnt.select(col("it").as("a"), col("c").as("ca_"))), "a")
       .join(broadcast(itemCnt.select(col("it").as("b"), col("c").as("cb_"))), "b")
+      .crossJoin(broadcast(nB))
       .select(col("a"), col("b"), col("w"),
-        (col("w").cast("double") / lit(nBaskets)).as("support"),
+        (col("w").cast("double") / col("nb_")).as("support"),
         (col("w").cast("double") / col("ca_")).as("confidence"),
-        ((col("w").cast("double") * lit(nBaskets)) / (col("ca_") * col("cb_")))
+        ((col("w").cast("double") * col("nb_")) / (col("ca_") * col("cb_")))
           .as("lift")) -> (() => { bi.unpersist(false); () })
   }
 }

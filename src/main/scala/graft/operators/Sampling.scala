@@ -87,12 +87,16 @@ object Sampling {
       weightCol: String, groupCol: String, k: Int,
       salt: String = "wsample"): DataFrame = {
     require(k >= 1)
+    // A-ES is defined for w > 0 only: a negative weight would make
+    // 1/u >= 1 outrank every valid key and a zero weight is pow(u, Inf)
+    // — both are upstream data bugs, excluded rather than sampled
+    val df2 = df.where(col(weightCol) > 0)
     val u = (HashFunctions.hash64(concat(col(idCol).cast("string"),
       lit("#" + salt))) + 1).cast("double") / lit(math.pow(2, 60))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("es_key_").desc, col(idCol))
-    df.withColumn("es_key_", pow(u, lit(1.0) / col(weightCol)))
+    df2.withColumn("es_key_", pow(u, lit(1.0) / col(weightCol)))
       .withColumn("rn_", row_number().over(w))
       .where(col("rn_") <= k)
       .drop("es_key_", "rn_")

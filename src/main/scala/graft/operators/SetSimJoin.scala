@@ -40,12 +40,12 @@ object SetSimJoin {
       minSim: Double, termK: Int = 1): DataFrame =
     jaccardPairsManaged(docs, textCol, idCol, minSim, termK)._1
 
-  /** [[jaccardPairs]] plus a release handle for the internal sets cache
-    * entry — the [[SparseSim.cosinePairsManaged]] discipline: sweep
-    * drivers iterating many corpora release each corpus's entry after
-    * consuming the result instead of clearCache()-ing the session. */
-  def jaccardPairsManaged(docs: DataFrame, textCol: String, idCol: String,
-      minSim: Double, termK: Int = 1): (DataFrame, () => Unit) = {
+  /** Shared prefix-index pipeline: (cached sets, full postings, prefix
+    * postings) — ONE definition of the term order and the prefix-length
+    * formula, read by both the join and the candidate-volume audit (a
+    * formula fix must not be able to diverge between them). */
+  private def prefixIndex(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double, termK: Int): (DataFrame, DataFrame, DataFrame) = {
     require(minSim > 0.0 && minSim <= 1.0 && termK >= 1)
     val t = java.math.BigDecimal.valueOf(minSim)
     val sets = docs
@@ -60,7 +60,7 @@ object SetSimJoin {
       // per-candidate intersect compares longs (a within-doc collision
       // needs 2⁻⁶⁴; the jaccard would shift by 1 count — same exposure
       // ngramJaccardPairs already accepts for its hashed join key)
-      .withColumn("hterms", transform(col("terms"), t => xxhash64(t)))
+      .withColumn("hterms", transform(col("terms"), x => xxhash64(x)))
       .persist() // postings build + both verification reattach sides
     val post = sets.select(col("id"), col("sz"), explode(col("terms")).as("term"))
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df_"))
@@ -69,6 +69,16 @@ object SetSimJoin {
         Window.partitionBy(col("id")).orderBy(col("df_"), col("term"))))
       .where(col("rn_") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1))
       .select(col("term"), col("id"))
+    (sets, post.select(col("term"), col("id")), pref)
+  }
+
+  /** [[jaccardPairs]] plus a release handle for the internal sets cache
+    * entry — the [[SparseSim.cosinePairsManaged]] discipline: sweep
+    * drivers iterating many corpora release each corpus's entry after
+    * consuming the result instead of clearCache()-ing the session. */
+  def jaccardPairsManaged(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double, termK: Int = 1): (DataFrame, () => Unit) = {
+    val (sets, _, pref) = prefixIndex(docs, textCol, idCol, minSim, termK)
     val cand = pref.select(col("term"), col("id").as("a"))
       .join(pref.select(col("term"), col("id").as("b")), "term")
       .where(col("a") < col("b"))
@@ -80,10 +90,16 @@ object SetSimJoin {
       .join(sets.select(col("id").as("b"), col("hterms").as("tb_"),
         col("sz").as("sb_")), "b")
       .withColumn("inter_", size(array_intersect(col("ta_"), col("tb_"))))
-      .withColumn("jaccard", round(col("inter_").cast("double") /
-        (col("sa_") + col("sb_") - col("inter_")), 6))
-      .where(col("jaccard") >= minSim)
-      .select(col("a"), col("b"), col("jaccard")) -> (() => { sets.unpersist(false); () })
+      // threshold the UNROUNDED ratio — the prefix guarantee covers true
+      // jaccard >= t only; a round-then-compare would admit pairs just
+      // BELOW t whose candidates the filter legitimately never formed
+      // (the division of exact ints is one correctly-rounded IEEE op,
+      // identical on any engine). The emitted column rounds for display.
+      .withColumn("jac_", col("inter_").cast("double") /
+        (col("sa_") + col("sb_") - col("inter_")))
+      .where(col("jac_") >= minSim)
+      .select(col("a"), col("b"),
+        round(col("jac_"), 6).as("jaccard")) -> (() => { sets.unpersist(false); () })
   }
 
   /** Candidate-volume audit: (prefix-filtered candidates, full-index
@@ -93,27 +109,12 @@ object SetSimJoin {
     */
   def candidateCounts(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double, termK: Int = 1): (Long, Long) = {
-    val t = java.math.BigDecimal.valueOf(minSim)
-    val sets = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks_"))
-      .select(col("id"), array_distinct(
-        if (termK == 1) col("toks_")
-        else TextFunctions.shinglesFromTokens(col("toks_"), termK)).as("terms"))
-      .withColumn("sz", size(col("terms")))
-      .where(col("sz") > 0)
-      .persist()
-    val post = sets.select(col("id"), col("sz"), explode(col("terms")).as("term"))
-    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df_"))
-    val pref = post.join(dft, "term")
-      .withColumn("rn_", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df_"), col("term"))))
-      .where(col("rn_") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1))
-      .select(col("term"), col("id"))
+    val (sets, post, pref) = prefixIndex(docs, textCol, idCol, minSim, termK)
     def pairsOf(p: DataFrame): Long = p.select(col("term"), col("id").as("a"))
       .join(p.select(col("term"), col("id").as("b")), "term")
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct().count()
-    val res = (pairsOf(pref), pairsOf(post.select(col("term"), col("id"))))
+    val res = (pairsOf(pref), pairsOf(post))
     sets.unpersist(false)
     res
   }

@@ -746,6 +746,14 @@ object StreamingIngest {
   def stagedFrequentPairsRoundtrip(spark: SparkSession, items: DataFrame,
       basketCol: String, itemCol: String, minSupport: Long,
       workDir: String): DataFrame = {
+    // staged-harness contract: both keys must be LONG (the wire schema
+    // below parses them as such — a string item would silently null out)
+    // and the input non-empty (the split midpoint needs a mean). The
+    // general-schema form is MarketBasket.frequentPairs; this harness
+    // exists to prove the FOLD equals it.
+    require(Seq(basketCol, itemCol).forall(c =>
+      items.schema(c).dataType == org.apache.spark.sql.types.LongType),
+      s"stagedFrequentPairsRoundtrip: $basketCol/$itemCol must be LONG")
     import org.apache.hadoop.fs.Path
     val fs = new Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -758,8 +766,13 @@ object StreamingIngest {
       .coalesce(1)
       .write.mode("append").text(inDir)
 
+    // null keys dropped up front — mirrors the batch operator's
+    // inner-join semantics, so the fold and the recompute see one corpus
     val src = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-    val mid = src.agg(avg(col("bk"))).collect()(0).getDouble(0)
+      .where(col("bk").isNotNull && col("it").isNotNull)
+    val midRow = src.agg(avg(col("bk"))).collect()(0)
+    require(!midRow.isNullAt(0), "stagedFrequentPairsRoundtrip: empty input")
+    val mid = midRow.getDouble(0)
     stage(src.where(col("bk") < mid)) // basket-complete split
 
     val parsed = spark.readStream
