@@ -2278,6 +2278,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-proportion stratified 80/10/10: per-language rank cuts give
+    // count-exact splits (assignSplit's buckets only hold proportions in
+    // expectation); the boundary compare is all-integer.
+    "sample_split_stratified" -> ((s, d) => {
+      operators.Sampling.assignSplitStratified(docs(s, d), "doc_id", "lang",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted-without-replacement draw (Efraimidis-Spirakis), 50 per
     // language, weight = document length: longer docs proportionally
     // likelier, the draw deterministic from the portable content hash.
@@ -4570,6 +4580,22 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, source FROM r WHERE rk <= 15
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // same per-stratum rank and the same all-integer boundary compare
+    "sample_split_stratified" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#ssplit'")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (($h % 1000000) + 1000000) % 1000000, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, CASE
+         |  WHEN rn * 1000000 <= 800000 * n THEN 'train'
+         |  WHEN rn * 1000000 <= 900000 * n THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     // same dyadic u = (h+1)/2^60 and the same single pow per row; rank

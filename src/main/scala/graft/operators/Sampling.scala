@@ -48,6 +48,41 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** EXACT-proportion stratified split: within each stratum, rows rank
+    * by content hash (stable pseudo-random order) and integer rank
+    * thresholds cut the split boundaries — so every stratum lands
+    * ⌊/⌈ wᵢ·n ⌉⌋-exact counts, where [[assignSplit]]'s per-row buckets
+    * hold the proportions only in expectation (a 30-row stratum can
+    * easily draw 26/1/3 instead of 24/3/3). The boundary compare is
+    * all-integer (rn·10⁶ ≤ cumᵢ·n — both longs), so the assignment is
+    * bit-portable with no float cutoffs.
+    *
+    * One window shuffle partitioned by stratum (rank + per-stratum
+    * count share it); the cost profile of [[capPerGroup]].
+    */
+  def assignSplitStratified(df: DataFrame, idCol: String,
+      strataCol: String, splits: Seq[(String, Double)],
+      salt: String = "ssplit"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * Buckets)) // integer cumulative boundaries
+    val expr = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(col("rn_") * Buckets <= lit(hi) * col("n_"), lit(name))
+        .otherwise(rest)
+    }
+    df.withColumn("rn_", row_number().over(w))
+      .withColumn("n_", count(lit(1)).over(wAll))
+      .withColumn("split", expr)
+      .drop("rn_", "n_")
+  }
+
   /** Per-group cap — the "at most k documents per domain/source" rule of
     * corpus assembly, deterministic like every sampler here: rows rank
     * within their group by content hash (stable across runs/engines/

@@ -139,6 +139,27 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"curriculum must not globally sort:\n$plan")
   }
 
+  test("assignSplitStratified: count-exact per stratum, where assignSplit only holds in expectation") {
+    import spark.implicits._
+    // 30-row strata: exact cuts must give 24/3/3 in EVERY stratum
+    val df = (for (g <- Seq("a", "b", "c"); i <- 1 to 30)
+      yield (s"$g-$i", g)).toDF("id", "grp")
+    val out = Sampling.assignSplitStratified(df, "id", "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b", "c")) {
+      assert(counts((g, "train")) == 24L, counts.toString)
+      assert(counts((g, "val")) == 3L, counts.toString)
+      assert(counts((g, "test")) == 3L, counts.toString)
+    }
+    // deterministic across invocations
+    val again = Sampling.assignSplitStratified(df, "id", "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(again == out.collect().map(r => (r.getString(0), r.getString(2))).toSet)
+  }
+
   test("weightedSamplePerGroup: exactly k per group, deterministic, weight-proportional") {
     import spark.implicits._
     // 1000 light rows (w=1) + 1000 heavy rows (w=50) in one group
