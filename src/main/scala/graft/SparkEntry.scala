@@ -2050,6 +2050,30 @@ object SparkEntry {
         .orderBy(col("score").desc, col("a"), col("b"))
     }),
 
+    // Capped link prediction: wedge centers with deg > 8 excluded BEFORE
+    // the self-join (the Σ deg² fan-out never materializes). Deterministic
+    // semantics — cn counts only low-degree-mediated wedges, the Jaccard
+    // denominator keeps TRUE degrees — so the oracle mirrors it exactly.
+    // 8 sits at p99 of this graph's degrees (max 13 at sf0.01), so the
+    // cap genuinely binds; production picks Graph.hubMaxFor(E) ≈ √(2E).
+    "graph_link_predict_capped" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.linkPredict(edges, minCommon = 2, hubMax = 8L)
+        .orderBy(col("score").desc, col("a"), col("b"))
+    }),
+
+    // Degree-only census of what that cap drops: exact wedge mass kept vs
+    // dropped, NO wedge join — the pre-flight audit a 100 TB user runs
+    // before choosing hubMax (the SetSimJoin.candidateCounts pattern).
+    "graph_wedge_census" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.wedgeCensus(edges, hubMax = 8L)
+    }),
+
     // Exponentially-decayed rolling count per event type: α = 1/2 makes
     // every weight a dyadic rational, every term an EXACT double, and
     // the 24-hour window bounds the exponent spread under 52 bits — the
@@ -4270,6 +4294,51 @@ object SparkEntry {
         |  CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS score
         |FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v
         |ORDER BY score DESC, nc.a, nc.b""".stripMargin,
+
+    // same wedge enumeration but centers restricted to deg <= 8 before
+    // the self-join; scores keep TRUE degrees — mirrors the capped
+    // operator's declared semantics exactly
+    "graph_link_predict_capped" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |e AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS v, COUNT(*) AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT adj.a, adj.b FROM adj
+        |  JOIN deg ON adj.a = deg.v AND deg.d <= 8),
+        |cand AS (SELECT x.b AS a, y.b AS b, COUNT(*) AS cn
+        |  FROM ctr x JOIN ctr y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nc AS (SELECT cand.a, cand.b, cand.cn FROM cand
+        |  LEFT JOIN e ON cand.a = e.a AND cand.b = e.b WHERE e.a IS NULL)
+        |SELECT nc.a, nc.b, CAST(cn AS BIGINT) AS cn,
+        |  CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS score
+        |FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v
+        |ORDER BY score DESC, nc.a, nc.b""".stripMargin,
+
+    // degree-only wedge mass census; d·(d−1)/2 is always even·odd/2 so
+    // both engines' float division is exact, and the single final
+    // division of two exact integers is IEEE-identical
+    "graph_wedge_census" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |e AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS v, COUNT(*) AS d FROM adj GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS centers_total,
+        |  CAST(SUM(CASE WHEN d > 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS centers_dropped,
+        |  CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges_total,
+        |  CAST(SUM(CASE WHEN d > 8 THEN d * (d - 1) / 2 ELSE 0 END)
+        |    AS BIGINT) AS wedges_dropped,
+        |  CAST(SUM(CASE WHEN d > 8 THEN d * (d - 1) / 2 ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(d * (d - 1) / 2) AS DOUBLE)
+        |    AS dropped_frac
+        |FROM deg""".stripMargin,
 
     // identical dyadic-weight decayed sum: every term is an exact double,
     // so no rounding appears on either side

@@ -441,7 +441,12 @@ object Dedup {
       chunkTokens: Int = 20): DataFrame = {
     require(chunkTokens >= 1)
     val k = chunkTokens
-    val toks = TextFunctions.tokens(col(textCol))
+    // NULL text behaves as an EMPTY document (n_chunks = 0, n_kept = 0):
+    // without the coalesce, Spark's legacy size(null) = -1 makes
+    // ceil(-1/k) = 0 silently while a SQL oracle's len(NULL) is NULL —
+    // a latent cross-engine divergence on corpora with null documents.
+    val toks = coalesce(TextFunctions.tokens(col(textCol)),
+      array().cast("array<string>"))
     val chunkArr = when(size(col("toks_")) > 0,
       expr(s"transform(sequence(0, cast(ceil(size(toks_) / $k.0d) as int) - 1), " +
         s"i -> array_join(slice(toks_, i * $k + 1, $k), ' '))"))

@@ -84,17 +84,34 @@ object Graph {
     *
     * Shape at 100 TB: candidates are wedges grouped on their endpoint
     * pair (one shuffle), existing edges removed with an anti join BEFORE
-    * the degree attach; degrees broadcast (|V| rows). The wedge fan-out
-    * is the triangle join's — bound a skewed graph the same way
-    * (orientation or a hub cap upstream).
+    * the degree attach; the degree joins are left to AQE (a |V|-row
+    * table is NOT always broadcastable — forcing the hint contradicts
+    * the operator's own scale framing). The wedge self-join fans out
+    * Σ deg(z)² rows over its centers z, so a single celebrity node is a
+    * quadratic blow-up — `hubMax` drops wedge CENTERS with
+    * deg > hubMax before the self-join (the blockMax/basketMax
+    * discipline), bounding the fan-out at hubMax·Σdeg = 2·E·hubMax
+    * rows; with [[hubMaxFor]]'s √(2E) default that is the same O(E^1.5)
+    * the triangle orientation guarantees.
+    *
+    * Recall effect of the cap (deterministic, not sampled): a candidate
+    * pair is LOST only if every one of its common neighbors is a hub
+    * (deg > hubMax); a surviving pair's `cn` undercounts by exactly its
+    * hub-mediated wedges, so `score` is a lower bound. [[wedgeCensus]]
+    * reports the dropped wedge mass so the trade is measurable before
+    * running the join — at √(2E) the census typically shows <1% of
+    * centers dropped (the hubs) carrying the majority of wedge mass,
+    * which is precisely the mass that makes the uncapped join explode.
     */
-  def linkPredict(edges: DataFrame, minCommon: Long = 1L): DataFrame =
-    linkPredictManaged(edges, minCommon)._1
+  def linkPredict(edges: DataFrame, minCommon: Long = 1L,
+      hubMax: Long = Long.MaxValue): DataFrame =
+    linkPredictManaged(edges, minCommon, hubMax)._1
 
   /** [[linkPredict]] plus a release handle for the internal normalized-
     * edge cache entry. */
-  def linkPredictManaged(edges: DataFrame,
-      minCommon: Long = 1L): (DataFrame, () => Unit) = {
+  def linkPredictManaged(edges: DataFrame, minCommon: Long = 1L,
+      hubMax: Long = Long.MaxValue): (DataFrame, () => Unit) = {
+    require(hubMax >= 1L, s"hubMax must be >= 1, got $hubMax")
     val e = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -103,18 +120,74 @@ object Graph {
       .persist() // wedge legs + anti join + degree census
     val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
-    val cand = adj.select(col("a").as("z"), col("b").as("x"))
-      .join(adj.select(col("a").as("z"), col("b").as("y")), "z")
+    // wedge centers: every vertex when uncapped; deg-filtered otherwise.
+    // The cap is applied BEFORE the self-join — the whole point is that
+    // the quadratic rows are never produced, not filtered after the fact.
+    val ctr =
+      if (hubMax == Long.MaxValue) adj
+      else adj.join(deg.where(col("d") <= hubMax).select(col("v").as("a")),
+        Seq("a"), "left_semi")
+    val cand = ctr.select(col("a").as("z"), col("b").as("x"))
+      .join(ctr.select(col("a").as("z"), col("b").as("y")), "z")
       .where(col("x") < col("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("cn"))
       .where(col("cn") >= minCommon)
       .join(e, Seq("a", "b"), "left_anti")
+    // degrees in the Jaccard denominator are the TRUE degrees (the cap
+    // prunes candidate generation, not the graph itself)
     cand
-      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da_"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db_"))), "b")
+      .join(deg.select(col("v").as("a"), col("d").as("da_")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db_")), "b")
       .select(col("a"), col("b"), col("cn"),
         (col("cn").cast("double") / (col("da_") + col("db_") - col("cn")))
           .as("score")) -> (() => { e.unpersist(false); () })
+  }
+
+  /** Statistics-driven hub cap from the (normalized, undirected) edge
+    * count — the planesFor discipline: one cheap statistic picks the
+    * parameter. cap = ⌈slack·√(2E)⌉ (floored) bounds the wedge
+    * self-join at Σ min(deg,cap)·deg ≤ 2·E·cap = O(E^1.5) rows under
+    * ANY degree skew, the same exponent the triangle orientation gives.
+    * Computed in integer space (no libm sqrt at a boundary): the
+    * smallest c with c² ≥ 2E, scaled by `slack`.
+    */
+  def hubMaxFor(edgeCount: Long, slack: Double = 1.0,
+      floor: Long = 16L): Long = {
+    require(edgeCount >= 0L && slack > 0.0 && floor >= 1L)
+    var c = math.max(1L, math.sqrt(2.0 * edgeCount).toLong)
+    while (c * c < 2L * edgeCount) c += 1
+    while (c > 1L && (c - 1L) * (c - 1L) >= 2L * edgeCount) c -= 1
+    math.max(floor, math.ceil(c * slack).toLong)
+  }
+
+  /** Degree-only audit of what a `hubMax` cap would do — one groupBy
+    * over the edge list, NO wedge join, so it is safe to run on the
+    * full graph before deciding the cap. One row:
+    * (centers_total, centers_dropped, wedges_total, wedges_dropped,
+    * dropped_frac) where wedges at a center of degree d are d·(d−1)/2
+    * and dropped_frac = wedges_dropped / wedges_total. This is the
+    * candidateCounts pattern (SetSimJoin): quantify the pruning as an
+    * exact, oracle-checkable artifact.
+    */
+  def wedgeCensus(edges: DataFrame, hubMax: Long): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val hub = col("d") > hubMax
+    val w = (col("d") * (col("d") - 1)) / 2
+    deg.agg(
+      count(lit(1)).as("centers_total"),
+      sum(when(hub, 1L).otherwise(0L)).as("centers_dropped"),
+      sum(w).cast("long").as("wedges_total"),
+      sum(when(hub, w).otherwise(lit(0L))).cast("long").as("wedges_dropped"))
+      .select(col("centers_total"), col("centers_dropped"),
+        col("wedges_total"), col("wedges_dropped"),
+        (col("wedges_dropped").cast("double") / col("wedges_total"))
+          .as("dropped_frac"))
   }
 }

@@ -73,7 +73,12 @@ object MarketBasket {
       .select(col("a"), col("b"), col("w"),
         (col("w").cast("double") / col("nb_")).as("support"),
         (col("w").cast("double") / col("ca_")).as("confidence"),
-        ((col("w").cast("double") * col("nb_")) / (col("ca_") * col("cb_")))
+        // ca_·cb_ multiplied in DOUBLE, not BIGINT: two item counts can
+        // each exceed 3e9 at 100 TB and Spark wraps 64-bit overflow
+        // silently (a SQL engine would error) — the double product is
+        // exact below 2^53 and merely rounds above, never corrupts
+        ((col("w").cast("double") * col("nb_")) /
+          (col("ca_").cast("double") * col("cb_").cast("double")))
           .as("lift")) -> (() => { bi.unpersist(false); () })
   }
 }

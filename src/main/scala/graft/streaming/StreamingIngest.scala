@@ -827,7 +827,10 @@ object StreamingIngest {
       .select(col("a"), col("b"), col("w"),
         (col("w").cast("double") / lit(nb)).as("support"),
         (col("w").cast("double") / col("ca_")).as("confidence"),
-        ((col("w").cast("double") * lit(nb)) / (col("ca_") * col("cb_")))
+        // double product, not BIGINT — silent 64-bit wrap at scale
+        // (same fix as MarketBasket.frequentPairs' lift)
+        ((col("w").cast("double") * lit(nb)) /
+          (col("ca_").cast("double") * col("cb_").cast("double")))
           .as("lift"))
   }
 }

@@ -51,6 +51,53 @@ class GraphBasketSpec extends SparkSpec {
     assert(out == Set((1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
   }
 
+  test("linkPredict: hubMax drops hub-mediated wedges; true degrees in the score") {
+    // path 1-2-3 plus hub h=9 wired to {1,3,4,5,6}: deg(9)=5, all others ≤2
+    val g = Seq((1L, 2L), (2L, 3L), (9L, 1L), (9L, 3L), (9L, 4L),
+      (9L, 5L), (9L, 6L)).toDF("a", "b")
+    // uncapped: (1,3) has common neighbors {2, 9} → cn=2, score 2/(2+2-2)=1
+    val un = Graph.linkPredict(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(un((1L, 3L)) == (2L, 1.0))
+    assert(un.contains(4L -> 5L)) // hub-mediated pair exists uncapped
+    // capped at 4: hub 9 is no longer a wedge center — (1,3) survives via
+    // center 2 with cn=1 but TRUE degrees (2,2) → score 1/3; pure
+    // hub-mediated pairs like (4,5) disappear entirely
+    val cp = Graph.linkPredict(g, hubMax = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cp((1L, 3L)) == (1L, 1.0 / 3.0))
+    assert(!cp.contains(4L -> 5L))
+    // a cap at/above the max degree is a no-op: identical result set
+    val full = Graph.linkPredict(g, hubMax = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = Graph.linkPredict(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == ref)
+  }
+
+  test("hubMaxFor: integer-exact ceil(sqrt(2E)), slack and floor respected") {
+    assert(Graph.hubMaxFor(8L, floor = 1L) == 4L) // 2E=16, exact square
+    assert(Graph.hubMaxFor(9L, floor = 1L) == 5L) // 2E=18 → ceil 5
+    assert(Graph.hubMaxFor(0L, floor = 1L) == 1L)
+    assert(Graph.hubMaxFor(9L, slack = 2.0, floor = 1L) == 10L)
+    assert(Graph.hubMaxFor(9L) == 16L) // default floor dominates tiny graphs
+  }
+
+  test("wedgeCensus pins the capped candidate volume (candidateCounts pattern)") {
+    // star hub 0 → 1..10 plus closing edge (1,2): E=11
+    val star = ((1L to 10L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val r = Graph.wedgeCensus(star, hubMax = 5L).collect().head
+    assert(r.getLong(0) == 11L) // centers_total = |V|
+    assert(r.getLong(1) == 1L) // the hub
+    assert(r.getLong(2) == 47L) // C(10,2) + 1 + 1
+    assert(r.getLong(3) == 45L) // the hub's wedge mass
+    assert(r.getDouble(4) == 45.0 / 47.0)
+    // the surviving wedge mass respects the 2·E·hubMax fan-out bound
+    assert(r.getLong(2) - r.getLong(3) <= 2L * 11L * 5L)
+  }
+
   test("frequentPairs: counts, support, confidence, lift on a known basket set") {
     // baskets: {x,y,z}, {x,y}, {x,z}, {y} → pairs xy:2 xz:2 yz:1
     val bi = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
