@@ -42,6 +42,13 @@ object SparkEntry {
     MemoryModel.fromEvents(Tables.events(s, dir))
       .withColumn("memory_id_num", col("memory_id").cast("long"))
 
+  /** UNsessionized envelope — for top-k search gates that attach the
+    * window columns per-hit afterwards (MemoryModel.attachSequence)
+    * instead of shuffling the whole store through the ingest window. */
+  private def envelopeMem(s: SparkSession, dir: String): DataFrame =
+    MemoryModel.envelope(Tables.events(s, dir))
+      .withColumn("memory_id_num", col("memory_id").cast("long"))
+
   /** Surrogate-embedding search config: small dims keep the DuckDB oracle
     * SQL tractable; the engine path is dimension-agnostic. */
   private val SearchDims = 8
@@ -1465,11 +1472,18 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // Serving-path shape (round-7 #2): score + top-k over the UNwindowed
+    // envelope (no shuffle — TakeOrderedAndProject straight over the
+    // scan), then attach sequence_order for the ≤10 winners by
+    // re-sessionizing ONLY their sessions. At 100 TB the old shape
+    // shuffled the whole store through the ingest window to rank 10 rows.
     "mem_search_basic" -> ((s, d) => {
-      val mem = memories(s, d)
+      val env = envelopeMem(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
-      Search.basicByText(mem, "embedding", SearchQueryText, SearchDims,
-        limit = 10, scoreThreshold = 0.4, tieBreak = "memory_id_num")
+      val hits = Search.basicByText(env, "embedding", SearchQueryText,
+        SearchDims, limit = 10, scoreThreshold = 0.4,
+        tieBreak = "memory_id_num")
+      MemoryModel.attachSequence(env, hits)
         .select(col("memory_id"), col("tool"), col("title"),
           col("sequence_order"), col("score"))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
@@ -1603,23 +1617,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
+    // graph/full views need sequence_order + preceding_memory_id — the
+    // attach hook fills them in for the pruned hits (serving-path shape,
+    // see mem_search_basic).
     "mem_search_view_graph" -> ((s, d) => {
-      val mem = memories(s, d)
+      val env = envelopeMem(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
-      Search.searchMemory(mem, "embedding", SearchDims,
+      Search.searchMemory(env, "embedding", SearchDims,
         SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
           detail = "graph"),
-        tieBreak = "memory_id_num", now = to_timestamp(lit(ViewNow)))
+        tieBreak = "memory_id_num", now = to_timestamp(lit(ViewNow)),
+        attach = h => MemoryModel.attachSequence(env, h))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 
     "mem_search_view_full" -> ((s, d) => {
-      val mem = memories(s, d)
+      val env = envelopeMem(s, d)
         .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
-      Search.searchMemory(mem, "embedding", SearchDims,
+      Search.searchMemory(env, "embedding", SearchDims,
         SearchRequest(SearchQueryText, limit = 10, scoreThreshold = 0.4,
           detail = "full"),
-        tieBreak = "memory_id_num")
+        tieBreak = "memory_id_num",
+        attach = h => MemoryModel.attachSequence(env, h))
         .orderBy(col("score").desc, col("memory_id").cast("long"))
     }),
 

@@ -43,7 +43,25 @@ object MemoryModel {
     *   reference reads archetype.get("title")).
     */
   def fromEvents(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy("session_id")
+      .orderBy(col("timestamp"), col("memory_id").cast("long"))
+    envelope(events)
+      .withColumn("sequence_order", row_number().over(w))
+      .withColumn("preceding_memory_id", lag(col("memory_id"), 1).over(w))
+      .select("memory_id", "session_id", "tool", "timestamp", "title", "context",
+        "content", "sequence_order", "preceding_memory_id", "parameters",
+        "frames", "meta", "value", "props")
+  }
+
+  /** The payload envelope of [[fromEvents]] WITHOUT the sessionization
+    * window — a pure per-row projection, no shuffle. This is the input a
+    * pruning query (top-k search) should score over: the window columns
+    * are only needed for the handful of winning rows, and
+    * [[attachSequence]] fills them in afterwards over just the touched
+    * sessions. At 100 TB the difference is a full-store shuffle vs a
+    * per-query session lookup.
+    */
+  def envelope(events: DataFrame): DataFrame =
     events
       .withColumn("memory_id", col("event_id").cast("string"))
       .withColumn("session_id", col("user_id").cast("string"))
@@ -62,11 +80,51 @@ object MemoryModel {
         concat(upper(substring(col("event_type"), 1, 1)),
           expr("substring(event_type, 2)")).as("archetype_title"),
         lit("1.0.0").as("archetype_version")))
-      .withColumn("sequence_order", row_number().over(w))
-      .withColumn("preceding_memory_id", lag(col("event_id").cast("string"), 1).over(w))
       .select("memory_id", "session_id", "tool", "timestamp", "title", "context",
-        "content", "sequence_order", "preceding_memory_id", "parameters",
-        "frames", "meta", "value", "props")
+        "content", "parameters", "frames", "meta", "value", "props")
+
+  /** Scoped sessionization for a pruned hit set — the SERVING-path twin of
+    * [[fromEvents]]'s ingest window: recompute (sequence_order,
+    * preceding_memory_id) over ONLY the sessions that contain a hit and
+    * left-join them onto the hits by memory_id.
+    *
+    * Correctness: both window columns depend only on same-session rows,
+    * and the scoped pass keeps EVERY row of each touched session, so the
+    * numbers equal the global window's — bit-for-bit (same
+    * (timestamp, numeric-id) ordering as [[fromEvents]]).
+    *
+    * Physical shape at 100 TB: a top-k query's hits touch ≤k sessions, so
+    * the session list broadcasts, the envelope re-scan is a semi-join
+    * (column-pruned to id/session/timestamp; partition- or file-prunable
+    * when the store is laid out by session), and the window shuffles only
+    * those sessions' rows — versus shuffling the ENTIRE store through the
+    * ingest window to rank 10 rows. The sf0.1 gate keeps hash-parity with
+    * the global-window oracle precisely because the two forms are equal.
+    */
+  def attachSequence(envelope: DataFrame, hits: DataFrame): DataFrame =
+    attachSequenceManaged(envelope, hits)._1
+
+  /** [[attachSequence]] plus the release handle for the hit-set cache.
+    * `hits` feeds BOTH the session-scope broadcast and the final join —
+    * without the persist the expensive pruning subtree (full-scan score +
+    * top-k) would compute twice, once per branch. The cache is bounded by
+    * the caller's limit (≤k rows), so holding it is the cheap side of the
+    * trade at any scale. */
+  def attachSequenceManaged(envelope: DataFrame,
+      hits: DataFrame): (DataFrame, () => Unit) = {
+    val h = hits.persist()
+    val sess = h.select(col("session_id")).distinct()
+    val scoped = envelope.select("memory_id", "session_id", "timestamp")
+      .join(broadcast(sess), Seq("session_id"), "left_semi")
+    val w = Window.partitionBy("session_id")
+      .orderBy(col("timestamp"), col("memory_id").cast("long"))
+    val seq = scoped
+      .withColumn("sequence_order", row_number().over(w))
+      .withColumn("preceding_memory_id", lag(col("memory_id"), 1).over(w))
+      .select(col("memory_id").as("sq_id_"), col("sequence_order"),
+        col("preceding_memory_id"))
+    h.join(broadcast(seq), h("memory_id") === col("sq_id_"), "left")
+      .drop("sq_id_") -> (() => { h.unpersist(false); () })
   }
 
   /** Generic sessionization over canonical columns (memory_id, session_id,

@@ -100,7 +100,8 @@ object Search {
       req: SearchRequest,
       idCol: String = "memory_id",
       tieBreak: String = "memory_id",
-      now: Column = current_timestamp()): DataFrame = {
+      now: Column = current_timestamp(),
+      attach: DataFrame => DataFrame = identity): DataFrame = {
     req.validate
     val hits = req.searchType match {
       case "by_memory_id" =>
@@ -110,7 +111,11 @@ object Search {
           limit = req.limit, scoreThreshold = req.scoreThreshold,
           filters = req.filters, tieBreak = tieBreak)
     }
-    project(hits, req.detail, now)
+    // `attach` enriches the PRUNED hit set before the view projection —
+    // the hook scoped sessionization rides in on (a view needing
+    // sequence_order over an unsessionized store attaches it for ≤k rows
+    // instead of windowing the whole store; MemoryModel.attachSequence).
+    project(attach(hits), req.detail, now)
   }
 
   /** Reciprocal-rank fusion of a dense ranking and a keyword ranking

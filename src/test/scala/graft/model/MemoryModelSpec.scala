@@ -72,4 +72,37 @@ class MemoryModelSpec extends SparkSpec {
       "6" -> ((1, "6 <- 5")),     // extends to 5, then stops at 5's dangling edge
       "7" -> ((0, "7"))))
   }
+
+  test("envelope + attachSequence equals the global fromEvents window (serving-path shape)") {
+    val env = MemoryModel.envelope(events)
+    // envelope is fromEvents minus the two window columns, same rows
+    assert(env.columns.toSeq ==
+      MemoryModel.fromEvents(events).columns.toSeq
+        .filterNot(Set("sequence_order", "preceding_memory_id")))
+    // prune to a 1-row hit set (session 10's middle memory) and attach:
+    // sequence numbers must equal the GLOBAL window's, because the scoped
+    // pass keeps every row of the touched session
+    val hits = env.where(col("memory_id") === "2")
+    val (attached, release) = MemoryModel.attachSequenceManaged(env, hits)
+    val got = attached.select("memory_id", "sequence_order", "preceding_memory_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(("2", 2, Some("1"))))
+    release()
+  }
+
+  test("attachSequence scopes the window to the hit sessions only") {
+    val env = MemoryModel.envelope(events)
+    val hits = env.where(col("session_id") === "20")
+    val (attached, release) = MemoryModel.attachSequenceManaged(env, hits)
+    // the scoped pass must not touch session 10's rows: its physical plan
+    // semi-joins the envelope to the broadcast hit-session list before the
+    // window, so the only windowed rows are session 20's
+    val plan = attached.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast semi-join in:\n$plan")
+    val got = attached.select("memory_id", "sequence_order").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("3", 1)))
+    release()
+  }
 }
