@@ -363,6 +363,19 @@ object SparkEntry {
     Tables.embeddings(s, dir).where(col("vec_id") === vecId)
       .head().getSeq[Float](1)
 
+  /** Recall@k census shared by the ANN tier audits: both inputs are
+    * already-pruned id lists (≤k rows each), so every join/agg here is a
+    * few-row broadcast — the audit costs one exact scan + one tier
+    * probe, whatever the corpus size. */
+  private def annRecall(exact: DataFrame, tier: DataFrame): DataFrame = {
+    val found = exact.join(tier, Seq("vec_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(tier.agg(count(lit(1)).as("n_tier")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_exact"), 6))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- TPC-H-style relational core (scan/filter/agg/join/sort) ----
@@ -1829,6 +1842,51 @@ object SparkEntry {
       val enc = Similarity.sqEncode(e, "embedding", "vec_id", mins, maxs)
       Similarity.sqSearch(enc, "vec_id", mins, maxs, queryVec(s, d), k = 10)
         .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- ANN recall audits (round-7 #3): recall@k of each SERVING tier
+    // vs exact KNN, the dedup_lsh_recall pattern — exact set compare +
+    // one division, so the eval artifact a 100 TB deployment would gate
+    // on is itself oracle-checkable. One row: (n_exact, n_tier, n_found,
+    // recall). ----
+
+    "search_ivf_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val centroids = Similarity.pickCentroids(e, "embedding", "vec_id",
+        numCells = 16)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids)
+      val tier = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+        centroids, qv, k = 10, nprobe = 4).select(col("vec_id"))
+      annRecall(exact, tier)
+    }),
+
+    "search_pq_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val cb = Similarity.pqTrain(e, "embedding", "vec_id",
+        m = 4, codebookSize = 16, dims = 64, iters = 1)
+      val enc = Similarity.pqEncode(e, "embedding", "vec_id", cb, m = 4,
+        dims = 64)
+      val tier = Similarity.pqAdcSearch(enc, "vec_id", cb, qv, k = 10, m = 4)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
+    }),
+
+    "search_sq8_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val (mins, maxs) = Similarity.sqCalibrate(e, "embedding")
+      val enc = Similarity.sqEncode(e, "embedding", "vec_id", mins, maxs)
+      val tier = Similarity.sqSearch(enc, "vec_id", mins, maxs, qv, k = 10)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
     }),
 
     // ---- Dedup / text-analysis extensions ----
@@ -4112,6 +4170,85 @@ object SparkEntry {
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT a.vec_id, ROUND(list_cosine_similarity(a.vq, qv), 6) AS score
         |FROM arr a, q ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // recall@10 census: tier CTE chain replayed verbatim, exact KNN CTE,
+    // set intersection + one division (dedup_lsh_recall pattern)
+    "search_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |centroids AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN centroids c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell FROM centroids, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4),
+        |tier AS (
+        |  SELECT vec_id FROM a, q WHERE cell IN (SELECT cell FROM probe)
+        |  ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10),
+        |exact AS (
+        |  SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id LIMIT 10),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tier USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tier) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    "search_pq_recall" -> (pqCte +
+      """,
+        |qs AS (SELECT sub, sv AS qv FROM subs WHERE vec_id = 0),
+        |tab AS (
+        |  SELECT c1.sub, c1.code, list_cosine_similarity(c1.cv, qs.qv) AS sim
+        |  FROM c1 JOIN qs ON qs.sub = c1.sub),
+        |adc AS (
+        |  SELECT codes.vec_id, ROUND((t0.sim + t1.sim + t2.sim + t3.sim)/4, 6) AS score
+        |  FROM codes
+        |  JOIN tab t0 ON t0.sub = 0 AND t0.code = codes.code0
+        |  JOIN tab t1 ON t1.sub = 1 AND t1.code = codes.code1
+        |  JOIN tab t2 ON t2.sub = 2 AND t2.code = codes.code2
+        |  JOIN tab t3 ON t3.sub = 3 AND t3.code = codes.code3),
+        |tier AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id LIMIT 10),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |exact AS (
+        |  SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id LIMIT 10),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tier USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tier) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    "search_sq8_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |deq AS (
+        |  SELECT vec_id, x.pos,
+        |    CASE WHEN d.mx = d.mn THEN d.mn
+        |         ELSE d.mn + CAST(round((x.x - d.mn) / (d.mx - d.mn) * 255) AS INT)
+        |              * ((d.mx - d.mn) / 255.0) END AS xq
+        |  FROM x JOIN dims d USING (pos)),
+        |arr AS (SELECT vec_id, list(xq ORDER BY pos) AS vq FROM deq GROUP BY vec_id),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |tier AS (
+        |  SELECT a.vec_id FROM arr a, q
+        |  ORDER BY ROUND(list_cosine_similarity(a.vq, qv), 6) DESC, a.vec_id LIMIT 10),
+        |exact AS (
+        |  SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id LIMIT 10),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tier USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tier) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
