@@ -2721,6 +2721,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // OPTIMIZE roundtrip (round-7 #4): 4 append batches fragment every
+    // tool directory (the streaming-ingest small-files shape), compaction
+    // coalesces each needy directory to ONE sorted file via dynamic
+    // partition overwrite, and the read-back must hash-equal the plain
+    // source — compaction is pure physical maintenance, invisible to
+    // results. StoreLayoutSpec pins the physical side (file counts drop,
+    // untouched directories byte-identical).
+    "store_compact_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"), col("ts"))
+      val path = "/tmp/graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      for (b <- 0 until 4)
+        graft.sink.StoreLayout.writeOptimized(
+          src.where(pmod(col("event_id"), lit(4)) === b), path,
+          partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+          mode = "append")
+      graft.sink.StoreLayout.compactPartitions(s, path,
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"), maxFiles = 1)
+      graft.sink.StoreLayout.read(s, path)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Z-order layout roundtrip: events clustered by the Morton key of
     // (user_id, hour-of-day) — every output file a bounded 2-D rectangle,
     // so either-dimension range scans skip files via footer min/max
@@ -5406,6 +5433,11 @@ object SparkEntry {
       """SELECT event_id, event_type, user_id,
         |  CASE WHEN event_type = 'click' THEN ROUND(value * 2, 6)
         |    ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // compaction is physical-only: content equals the plain source
+    "store_compact_roundtrip" ->
+      """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
 
     // z-order also preserves content exactly; locality is spec-gated

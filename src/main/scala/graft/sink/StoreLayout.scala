@@ -185,6 +185,70 @@ object StoreLayout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Small-file compaction — the OPTIMIZE / segment-merge maintenance
+    * pass a continuously-appended store needs (the streaming ingest path
+    * appends one file set per micro-batch forever; the reference's
+    * vector store runs segment merges for the same reason). Rewrites
+    * ONLY the partition directories whose parquet file count exceeds
+    * `maxFiles`, coalescing each to `filesPerPartition` files re-sorted
+    * on `sortCols` (restoring the row-group min/max selectivity that
+    * interleaved appends destroy). Every other directory's files stay
+    * byte-identical: the rewrite goes through dynamic partition
+    * overwrite scoped to the needy directories ([[backfillPartitions]]'
+    * repair discipline).
+    *
+    * Physical shape at 100 TB: the driver-side listing is per-directory
+    * metadata only; the data pass reads JUST the needy partitions
+    * (partition-pruned scan — the predicate is on partition columns, so
+    * unaffected directories are never opened), one exchange clustered by
+    * partition dir, in-partition sort, dynamic overwrite of those
+    * directories. Compaction cost scales with the mess, not the store.
+    *
+    * Returns the compacted directory names (relative, `col=val` form) so
+    * an ops loop can log/alert on them; empty when nothing crossed the
+    * threshold (and then the store is untouched entirely).
+    *
+    * Limitations: single partition column per level with literal string
+    * values (the testdata layouts); escaped/url-encoded partition values
+    * would need decoding before the equality predicate.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxFiles: Int,
+      filesPerPartition: Int = 1): Seq[String] = {
+    require(partitionCols.nonEmpty, "compaction scopes by partition dirs")
+    require(maxFiles >= 1 && filesPerPartition >= 1)
+    val needy = fileCounts(spark, path).filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (needy.isEmpty) return Nil
+    // "tool=click/date=2024-01-01" → (tool=click AND date=2024-01-01); the
+    // per-directory conjunctions OR together into one pruned scan
+    val pred = needy.map { dir =>
+      dir.split("/").map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        col(k) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val subset = read(spark, path).where(pred)
+    val split =
+      if (filesPerPartition == 1) Nil
+      else if (sortCols.nonEmpty)
+        Seq(pmod(hash(col(sortCols.head)), lit(filesPerPartition)))
+      else Seq(pmod(spark_partition_id(), lit(filesPerPartition)))
+    val clustered = subset.repartition(partitionCols.map(col) ++ split: _*)
+    val sorted =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally spark.conf.set(key, prev)
+    needy
+  }
+
   /** (partitionDirectory → parquet file count) for layout assertions —
     * driver-side listing, test/ops use only.
     */

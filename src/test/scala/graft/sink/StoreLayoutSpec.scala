@@ -174,6 +174,56 @@ class StoreLayoutSpec extends SparkSpec {
       .equalsIgnoreCase("static"))
   }
 
+  test("compactPartitions: needy dirs coalesce to sorted files, others byte-identical") {
+    import spark.implicits._
+    val path = tempPath("compact")
+    // partition a: fragmented by 4 appends; partition b: one clean file
+    for (i <- 0 until 4)
+      StoreLayout.writeOptimized(
+        Seq((i.toLong * 2, "a", 100L - i), (i.toLong * 2 + 1, "a", 50L - i))
+          .toDF("id", "part", "sk"),
+        path, Seq("part"), Seq("sk"), mode = "append")
+    StoreLayout.writeOptimized(
+      Seq((100L, "b", 1L), (101L, "b", 2L)).toDF("id", "part", "sk"),
+      path, Seq("part"), Seq("sk"), mode = "append")
+    def files(dir: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/part=$dir")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, false)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.getName + ":" + f.getModificationTime
+      }
+      b.result()
+    }
+    assert(StoreLayout.fileCounts(spark, path)("part=a") == 4)
+    val bBefore = files("b")
+    val compacted = StoreLayout.compactPartitions(spark, path,
+      Seq("part"), Seq("sk"), maxFiles = 1)
+    // only the fragmented directory was rewritten, down to one file...
+    assert(compacted == Seq("part=a"))
+    val counts = StoreLayout.fileCounts(spark, path)
+    assert(counts("part=a") == 1, counts)
+    // ...b's file is byte-identical (same name, same mtime)...
+    assert(files("b") == bBefore)
+    // ...content is unchanged and the compacted file is sorted on sk
+    val back = StoreLayout.read(spark, path)
+    assert(back.count() == 10)
+    val aFile = new java.io.File(s"$path/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val sks = spark.read.parquet(aFile.getPath).select("sk")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sks == sks.sorted, s"not sorted: $sks")
+    // idempotence: a second pass finds nothing over threshold
+    assert(StoreLayout.compactPartitions(spark, path,
+      Seq("part"), Seq("sk"), maxFiles = 1).isEmpty)
+    // overwrite mode restored
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
