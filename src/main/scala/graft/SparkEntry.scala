@@ -2520,6 +2520,25 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // Perceptual near-dup over decoder features (round-7 #5): the
+    // PerceptualDecoder's signed byte-shingle sketch flows through the
+    // SAME RHP-bucketed join that serves embedding near-dup — image/audio
+    // dedup at 100 TB is this exact plan with a real pHash in the seam.
+    // 0.9 is the discriminating band on this corpus (shared vocabulary
+    // keeps unrelated docs' byte-shingle cosine ~0.5); the 4-plane bucket
+    // join trades recall for candidate volume exactly as the LSH tier
+    // does — the oracle reproduces the bucketing, so the trade is pinned,
+    // not hidden.
+    "multimodal_near_dup" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(docs(s, d))
+        .where(length(col("bytes")) >= 4)
+      val feats = Multimodal.extractFeatures(media, dims = 64,
+        decoder = Multimodal.PerceptualDecoder)
+      Dedup.embeddingNearDupPairs(feats, "features", "media_id",
+        minCosine = 0.9, planes = 4, seed = 7, dims = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- Streaming-shaped batch equivalents over events ----
 
     "events_hourly_rollup" -> ((s, d) => {
@@ -5241,6 +5260,36 @@ object SparkEntry {
          |  ${f(0)} AS f0,
          |  ${f(1)} AS f1
          |FROM m ORDER BY media_id""".stripMargin
+    },
+
+    // same signed byte-shingle features (md5-top-60-bit family over the
+    // payload hex), same 4-plane RHP buckets, same rounded-cosine filter
+    "multimodal_near_dup" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      val bucket = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product(v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS bb FROM documents),
+         |hx AS (SELECT media_id, lower(hex(bb)) AS h, octet_length(bb) AS n
+         |  FROM m WHERE octet_length(bb) >= 4),
+         |sh AS (SELECT media_id, substr(h, 2*i-1, 8) AS sg
+         |  FROM hx, unnest(generate_series(1, n-3)) AS t(i)),
+         |hv AS (SELECT media_id, ${sqlHash64("sg")} AS hv FROM sh),
+         |f AS (SELECT media_id, hv % 64 AS dim,
+         |    CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+         |  FROM hv GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT i.media_id, d.dim, COALESCE(f.w, 0.0) AS w
+         |  FROM (SELECT DISTINCT media_id FROM hx) i
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+         |  LEFT JOIN f ON f.media_id = i.media_id AND f.dim = d.dim),
+         |vec AS (SELECT media_id, list(w ORDER BY dim) AS v FROM dense GROUP BY media_id),
+         |bk AS (SELECT media_id, v, $bucket AS bucket FROM vec)
+         |SELECT l.media_id AS a, r.media_id AS b,
+         |  ROUND(list_cosine_similarity(l.v, r.v), 6) AS cosine
+         |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.media_id < r.media_id
+         |WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.9
+         |ORDER BY a, b""".stripMargin
     },
 
     "multimodal_frames" ->

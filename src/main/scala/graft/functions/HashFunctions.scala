@@ -56,12 +56,18 @@ object HashFunctions {
   def md5HexJvm(bytes: Array[Byte]): String = {
     val d = localMd5.get()
     d.reset()
-    val dig = d.digest(bytes)
-    val out = new Array[Char](dig.length * 2)
+    bytesToHex(d.digest(bytes))
+  }
+
+  /** Lowercase hex of a byte array — matches DuckDB `lower(hex(blob))`,
+    * so byte-level features (perceptual shingle sketches) are verifiable
+    * against an external SQL oracle. */
+  def bytesToHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
     var i = 0
-    while (i < dig.length) {
-      out(2 * i) = hexChars((dig(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(dig(i) & 0xf)
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
       i += 1
     }
     new String(out)

@@ -85,6 +85,43 @@ object Multimodal {
       }
   }
 
+  /** PERCEPTUAL STUB DECODE: the pHash analog through the same seam. A
+    * real perceptual hash is a content-derived sketch that is STABLE
+    * under small payload edits (DCT of a downscaled grayscale image,
+    * chroma fingerprints for audio); with no media codecs in this
+    * environment, the content-derived sketch here is a signed
+    * byte-shingle hash (SimHash-as-vector): every 4-byte shingle of the
+    * payload hashes to (dimension, ±1) and the signed counts accumulate
+    * into a `dims`-long vector. Payloads sharing most of their bytes
+    * share most shingles → high cosine; unrelated payloads decorrelate.
+    * Unlike [[DigestDecoder]] (whole-payload digest → features change
+    * completely on a 1-byte edit), this gives the near-duplicate
+    * geometry a perceptual feature needs, so the downstream RHP-bucketed
+    * near-dup join ([[graft.operators.Dedup.embeddingNearDupPairs]])
+    * exercises the exact plan a real pHash column would use.
+    *
+    * Engine-portable: shingles are hashed via the md5-top-60-bit family
+    * over the payload's lowercase hex, so an external SQL oracle
+    * reproduces the features bit-for-bit (integer-valued doubles — all
+    * sums exact).
+    */
+  object PerceptualDecoder extends Decoder {
+    override def decodeBatch(batch: Seq[MediaRow], dims: Int): Seq[DecodedRow] =
+      batch.map { m =>
+        val n = m.bytes.length
+        val hex = HashFunctions.bytesToHex(m.bytes)
+        val acc = new Array[Double](dims)
+        var i = 0
+        while (i + 4 <= n) {
+          val h = HashFunctions.hash64Jvm(hex.substring(2 * i, 2 * i + 8))
+          acc((h % dims).toInt) += (if ((h / dims) % 2 == 0) 1 else -1)
+          i += 1
+        }
+        DecodedRow(m.mediaId, m.kind, n, HashFunctions.md5HexJvm(m.bytes),
+          acc.toSeq)
+      }
+  }
+
   /** Batched feature extraction over the binary column via mapPartitions:
     * per-partition `decoder.setup()`, then rows flow in bounded
     * `batchSize` groups through `decoder.decodeBatch` — the shape a

@@ -76,6 +76,33 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.sum == 5)
   }
 
+  test("PerceptualDecoder: small edits keep high cosine, digest features don't") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.replace("lazy", "hazy") // 1-word edit in ~350 bytes
+    val other = "completely different payload with no shared shingles xyzzy " * 6
+    val m = Seq((0L, base), (1L, edited), (2L, other)).toDF("doc_id", "text")
+    def cos(decoder: Multimodal.Decoder): Map[(Long, Long), Double] = {
+      val f = Multimodal.extractFeatures(
+        Multimodal.fromDocuments(m), dims = 64, decoder = decoder)
+      val l = f.select(col("media_id").as("a"), col("features").as("va"))
+      val r = f.select(col("media_id").as("b"), col("features").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          graft.functions.VectorFunctions.cosine(col("va"), col("vb"), 64).as("c"))
+        .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    }
+    val p = cos(Multimodal.PerceptualDecoder)
+    // near-dup pair is geometrically close; the unrelated doc is not
+    assert(p((0L, 1L)) > 0.9, s"perceptual near-dup cosine: ${p((0L, 1L))}")
+    assert(p((0L, 2L)) < 0.5 && p((1L, 2L)) < 0.5, s"unrelated: $p")
+    // the whole-payload digest stub has no such geometry: one edit
+    // decorrelates completely (this is WHY near-dup needs the perceptual
+    // feature, not the digest feature)
+    val g = cos(Multimodal.DigestDecoder)
+    assert(g((0L, 1L)) < 0.5, s"digest features should decorrelate: ${g((0L, 1L))}")
+  }
+
   test("resizeStub updates geometry metadata and format, keeps bytes") {
     val m = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 64, 64)
     val row = m.where(col("media_id") === 1).head()
