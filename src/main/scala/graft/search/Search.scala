@@ -55,6 +55,16 @@ object Search {
     * vector, so the per-row work is just the cosine. The default
     * surrogate is bit-identical to the ingest Column form; a real model
     * drops in through `embedder` on both sides together.
+    *
+    * EMBEDDING-PARITY CAVEAT: rankings are only meaningful when the
+    * corpus vectors and the query vector come from the SAME embedder
+    * (model, weights, config). A real model (the reference's
+    * BAAI/bge-small-en) will rank differently than the surrogate — that
+    * is the documented semantic gap of the zero-egress default, not a
+    * defect of this operator. What IS pinned (SearchSpec): rankings are
+    * invariant to the seam's batch boundaries — a corpus embedded at
+    * batchSize=1 and at batchSize=N scores and ranks identically, so
+    * batching is pure physics, never semantics.
     */
   def basicByText(
       points: DataFrame,

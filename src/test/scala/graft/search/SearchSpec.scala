@@ -3,6 +3,19 @@ package graft.search
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Deterministic fake with DISTINCT per-text geometry (hash-spread
+  * components, not length-monotone) so rankings are non-trivial;
+  * top-level so the closure ships without dragging the spec instance.
+  */
+class HashFakeEmbedder extends graft.functions.TextEmbedder {
+  override def embedBatch(texts: Seq[String], dims: Int): Seq[Array[Double]] =
+    texts.map { t =>
+      Array.tabulate(dims) { d =>
+        (math.abs((t + "#" + d).hashCode) % 997).toDouble / 997.0 - 0.5
+      }
+    }
+}
+
 class SearchSpec extends SparkSpec {
 
   private def points = {
@@ -37,6 +50,30 @@ class SearchSpec extends SparkSpec {
       .select("memory_id", "score").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(got == Set(("m1", 1.0), ("m3", 1.0)))
+  }
+
+  test("basicByText rankings are invariant to the seam's batch boundaries (X102)") {
+    import spark.implicits._
+    val fake = new HashFakeEmbedder
+    val corpus = (1L to 37L).map(i => (s"m$i", s"memory text $i payload"))
+      .toDF("memory_id", "text").repartition(4)
+    // pathological batch boundaries: 1 (every row its own batch) vs >=N
+    // (one batch per partition) vs a stride that straddles partitions
+    def rank(bs: Int): Seq[(String, Double)] = {
+      val pts = graft.functions.TextEmbedder.embedText(
+        corpus, "text", "emb", dims = 8, batchSize = bs, embedder = fake)
+      Search.basicByText(pts, "emb", "memory text 19 payload", dims = 8,
+        limit = 10, scoreThreshold = -2.0, embedder = fake)
+        .select("memory_id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val r1 = rank(1)
+    val r3 = rank(3)
+    val rN = rank(1000)
+    assert(r1 == r3 && r3 == rN,
+      s"batch boundaries changed rankings:\n1: $r1\n3: $r3\nN: $rN")
+    // the query's own document ranks first at cosine 1.0
+    assert(r1.head._1 == "m19" && r1.head._2 == 1.0, r1.head)
   }
 
   test("rrfFuse combines dense and keyword ranks with k=60") {
