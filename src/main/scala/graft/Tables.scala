@@ -35,15 +35,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events ships with nanosecond parquet timestamps, which Spark refuses
-    * by default; read them as longs and convert. Values are micro-granular
-    * so `ts div 1000` is lossless (and matches the DuckDB oracle's view of
-    * the same file).
+  /** events' `ts` column has shipped under two physical encodings so far:
+    * nanosecond INT64 (which Spark only reads via `nanosAsLong`) and native
+    * `timestamp[us]`. The reference parses event times tolerantly
+    * (fegis strategies.py:192-194, formatters.py:113-121); this loader is
+    * equally tolerant of the physical encoding — dispatch on the loaded
+    * type instead of assuming one writer. Session TZ is UTC everywhere, so
+    * the NTZ→LTZ cast is value-preserving and matches the DuckDB oracle's
+    * naive view of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
