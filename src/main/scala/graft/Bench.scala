@@ -105,8 +105,13 @@ object Bench {
         "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Only queries with >=2 samples this run may flag: a single sample is a
+    // cold-run time, and cold-vs-warm ratios flagged 40+ phantom
+    // "regressions" in round 7 when the rerun deadline cut the second pass.
+    // Single-sample queries are counted (single_sample) so a truncated run
+    // is visibly weaker evidence, not silently complete.
     val regressions = results.toSeq
-      .collect { case (n, (cur, true)) =>
+      .collect { case (n, (cur, true)) if rerun.contains(n) =>
         prev.get(n).collect { case p if p > 0 && cur / p >= 1.4 =>
           (n, p, cur, cur / p)
         }
@@ -114,7 +119,8 @@ object Bench {
       .map { case (n, p, c, r) =>
         f"""{"query":"$n","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f}""" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regressions,"samples":$samples,"sf":"$sfDir"}"""
+    val singleSample = results.count { case (n, (_, ok)) => ok && !rerun.contains(n) }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regressions,"single_sample":$singleSample,"samples":$samples,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full map to a file: the driver keeps only a
     // truncated stdout tail, which has been losing the first ~15 query

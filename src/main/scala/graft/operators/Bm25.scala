@@ -38,9 +38,20 @@ object Bm25 {
   def queryTerms(query: String): Seq[String] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
-  /** One pass for (N, avgdl), one tiny aggregation for per-term df. */
+  /** One pass for (N, avgdl), one tiny aggregation for per-term df.
+    *
+    * The df collect below is bounded by `terms.size` rows (the aggregation
+    * is filtered to the QUERY's terms before grouping) — that bound is what
+    * makes it driver-safe. The same shape over a corpus-wide vocabulary
+    * would collect millions of rows; never drop the `isin` filter. The
+    * `require` pins the bound explicitly.
+    */
   def corpusStats(docs: DataFrame, textCol: String,
       terms: Seq[String]): Stats = {
+    require(terms.size <= 1024,
+      s"corpusStats collects one df row per query term; ${terms.size} terms " +
+        "exceeds the driver-safe bound (1024) — this API is for queries, " +
+        "not corpus vocabularies (use TextAnalysis.vocabulary for those)")
     val base = docs.select(toks(col(textCol)).as("toks_"))
     val g = base.agg(count(lit(1)), sum(size(col("toks_")))).collect()(0)
     val n = g.getLong(0)
