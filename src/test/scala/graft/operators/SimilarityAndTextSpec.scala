@@ -65,6 +65,37 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(top == Set(0L, 2L, 4L))
   }
 
+  test("refined PQ: unit-mean codebooks have unit-scale norms, rerank recovers exact top-k") {
+    import spark.implicits._
+    def v(base: Double, jitter: Double) =
+      Seq(base + jitter, base, 0.1, 0.1, 0.1, 0.1, base, base + jitter).map(_.toFloat)
+    val vecs = (0L to 5L).map { i =>
+      if (i % 2 == 0) (i, v(1.0, 0.01 * i)) else (i, v(-1.0, 0.01 * i))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainUnitMeans(vecs, "embedding", "vec_id",
+      m = 2, codebookSize = 2, dims = 8, iters = 1)
+    // mean centroids of unit-normalized members stay O(1)-normed — the
+    // property the dot/norm ADC depends on (sum-centroids would be ~3×)
+    cb.foreach { case (_, _, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      assert(n > 0.1 && n <= 1.01, s"centroid norm $n outside unit scale")
+    }
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 2, dims = 8)
+    val q = v(1.0, 0.0)
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    // shortlist = corpus here, so rerank MUST equal exact top-k
+    val got = Similarity.pqAdcRerank(enc, vecs, "embedding", "vec_id", cb,
+      q, k = 3, m = 2, shortlist = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+    // and a tight shortlist still ranks the query's cluster first
+    val tight = Similarity.pqAdcRerank(enc, vecs, "embedding", "vec_id", cb,
+      q, k = 3, m = 2, shortlist = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == Set(0L, 2L, 4L))
+  }
+
   test("langId picks the stopword-dominant language, und for no hits") {
     import spark.implicits._
     val df = Seq(
