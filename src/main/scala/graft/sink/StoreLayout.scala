@@ -208,9 +208,11 @@ object StoreLayout {
     * an ops loop can log/alert on them; empty when nothing crossed the
     * threshold (and then the store is untouched entirely).
     *
-    * Limitations: single partition column per level with literal string
-    * values (the testdata layouts); escaped/url-encoded partition values
-    * would need decoding before the equality predicate.
+    * Partition-value encoding: directory segments are unescaped with
+    * Hive's `%xx` convention before the equality predicate (Spark escapes
+    * `:`/`space`/etc. when writing `col=val` dirs — a date-hour partition
+    * like `hour=2024-01-01 10%3A00` must compare against the DECODED
+    * value), and `__HIVE_DEFAULT_PARTITION__` maps to IS NULL.
     */
   def compactPartitions(
       spark: SparkSession,
@@ -228,7 +230,8 @@ object StoreLayout {
     val pred = needy.map { dir =>
       dir.split("/").map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        col(k) === lit(v)
+        val dv = unescapePathValue(v)
+        if (dv == null) col(k).isNull else col(k) === lit(dv)
       }.reduce(_ && _)
     }.reduce(_ || _)
     val subset = read(spark, path).where(pred)
@@ -247,6 +250,28 @@ object StoreLayout {
     try sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     finally spark.conf.set(key, prev)
     needy
+  }
+
+  /** Hive-style `%xx` unescape for partition directory VALUES (the
+    * convention Spark writes `col=val` segments with — NOT URL encoding:
+    * `+` stays literal). Returns null for the null-partition sentinel.
+    */
+  private[sink] def unescapePathValue(v: String): String = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return null
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        // %xx with two hex digits → decoded char; malformed % stays literal
+        val hex = v.substring(i + 1, i + 3)
+        if (hex.forall(h => Character.digit(h, 16) >= 0)) {
+          sb.append(Integer.parseInt(hex, 16).toChar); i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** (partitionDirectory → parquet file count) for layout assertions —

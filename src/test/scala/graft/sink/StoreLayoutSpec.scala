@@ -224,6 +224,37 @@ class StoreLayoutSpec extends SparkSpec {
       .equalsIgnoreCase("static"))
   }
 
+  test("compactPartitions: escaped partition values decode before the prune predicate") {
+    import spark.implicits._
+    val path = tempPath("compact_esc")
+    // a value Spark must %-escape in the directory name (colon + space)
+    val hot = "2024-01-01 10:00"
+    for (i <- 0 until 3)
+      StoreLayout.writeOptimized(
+        Seq((i.toLong, hot, i), (100L + i, "clean", i)).toDF("id", "hour", "sk"),
+        path, Seq("hour"), Seq("sk"), mode = "append")
+    val dirs = StoreLayout.fileCounts(spark, path).keys.toSeq.sorted
+    assert(dirs.exists(_.contains("%3A")), s"expected an escaped dir, got $dirs")
+    val compacted = StoreLayout.compactPartitions(spark, path,
+      Seq("hour"), Seq("sk"), maxFiles = 2)
+    // both fragmented dirs rewrote — including the escaped one — and the
+    // decoded predicate matched its rows (nothing lost, nothing doubled)
+    assert(compacted.size == 2, compacted)
+    assert(StoreLayout.fileCounts(spark, path).values.forall(_ == 1))
+    val back = StoreLayout.read(spark, path)
+    assert(back.count() == 6)
+    assert(back.where(col("hour") === hot).count() == 3)
+  }
+
+  test("unescapePathValue: %xx decodes, malformed stays literal, sentinel is null") {
+    assert(StoreLayout.unescapePathValue("plain") == "plain")
+    assert(StoreLayout.unescapePathValue("10%3A00") == "10:00")
+    assert(StoreLayout.unescapePathValue("a%2Fb%25c") == "a/b%c")
+    assert(StoreLayout.unescapePathValue("50%") == "50%")
+    assert(StoreLayout.unescapePathValue("x%zz") == "x%zz")
+    assert(StoreLayout.unescapePathValue("__HIVE_DEFAULT_PARTITION__") == null)
+  }
+
   test("writeOptimized without partition columns still sorts; guards empty spec") {
     import spark.implicits._
     val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
