@@ -59,7 +59,10 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
-    val deadline = System.nanoTime() + 240L * 1000000000L
+    // 420s: the 240s budget left 90+ of the ~180 queries with a single
+    // (cold) sample in round 7, which both starves the min-of-two estimate
+    // and disables their regression flagging (warm-sample gate below)
+    val deadline = System.nanoTime() + 420L * 1000000000L
     // Re-measure EVERY successful query, slowest first: a 0.4 s query
     // stalled to 1.7 s by a noisy neighbor previously escaped the old
     // t > 2.0 re-run band and read as a 4x regression. Descending order
