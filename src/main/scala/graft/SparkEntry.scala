@@ -1956,6 +1956,51 @@ object SparkEntry {
 
     // ---- Dedup / text-analysis extensions ----
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // cluster the embedding space, then pairwise-compare ONLY within each
+    // cluster — the quadratic stage is bounded by the largest cell, never
+    // the corpus. Cells here are the supervised label centroids (the same
+    // ivfAssign reuse as search_centroid_assign; unsupervised kmeans cells
+    // drop in unchanged); components over the τ-threshold pair graph,
+    // keeper = smallest id per component (= the component label itself).
+    "dedup_semantic" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+      val l = assigned.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va_"))
+      val r = assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb_"))
+      val pairs = l.join(r, "cell").where(col("a") < col("b"))
+        .where(round(VectorFunctions.cosine(
+          col("va_"), col("vb_"), 64), 6) >= 0.3)
+        .select(col("a"), col("b"))
+      val comp = Components.connectedComponents(
+        e.select(col("vec_id").as("id")), pairs)
+      val sz = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sz, "component")
+        .select(col("id").as("vec_id"), col("component").as("canonical_id"),
+          col("cluster_size"), (col("id") === col("component")).as("is_keeper"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Cell-stratified diversity downsampling: cap each embedding-space
+    // cell at k (deterministic content-hash rank, the capPerGroup
+    // discipline) — keeps coverage of every region while cutting the
+    // dominant modes, the scale form of diversity/coreset selection (no
+    // pairwise distances anywhere; one window shuffle by cell).
+    "sample_diverse_cells" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+        .select(col("vec_id"), col("cell"))
+      operators.Sampling.capPerGroup(assigned, "vec_id", "cell", k = 20,
+        salt = "divcell")
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_exact" -> ((s, d) => {
       Dedup.exactClusters(docs(s, d), "text", "doc_id")
         .orderBy(col("fingerprint"))
@@ -4832,6 +4877,81 @@ object SparkEntry {
          |  COALESCE(re.text_dedup, '') AS text_dedup
          |FROM tok t LEFT JOIN re ON t.doc_id = re.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // SemDeDup oracle: the label-centroid cell CTE (as the assign gates),
+    // within-cell τ-threshold pairs, the dedup_components recursive
+    // closure, min-id canonical per component
+    "dedup_semantic" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+        |comp AS (
+        |  SELECT e.vec_id,
+        |    least(e.vec_id, coalesce(m.mn, e.vec_id)) AS canonical_id
+        |  FROM e LEFT JOIN mins m ON e.vec_id = m.src),
+        |sz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.vec_id, c.canonical_id, s.cluster_size,
+        |  (c.vec_id = c.canonical_id) AS is_keeper
+        |FROM comp c JOIN sz s USING (canonical_id)
+        |ORDER BY c.vec_id""".stripMargin,
+
+    // cell assignment as above + the sample_cap_per_group rank discipline
+    "sample_diverse_cells" -> {
+      val h = sqlHash64("CAST(vec_id AS VARCHAR) || '#divcell'")
+      s"""WITH x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+         |  FROM embeddings),
+         |cent0 AS (
+         |  SELECT label, pos,
+         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+         |  FROM x GROUP BY label, pos),
+         |cent AS (
+         |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+         |  FROM cent0 GROUP BY label),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |r AS (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY (($h % 1000000) + 1000000) % 1000000, vec_id) AS rk
+         |  FROM a)
+         |SELECT vec_id, cell FROM r WHERE rk <= 20
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // components CTE extended with the canonical pick: row_number per
     // component ordered (n_chars DESC, id) — same deterministic argmax
