@@ -2599,6 +2599,18 @@ object SparkEntry {
         .orderBy(col("rows_per_key"))
     }),
 
+    // Count-min heavy-hitter audit: estimate vs exact per key under the
+    // deterministic md5 hash family — the ORACLE-EXACT sketch (HLL++/
+    // t-digest internals are engine-defined, a CMS cell is just an
+    // integer sum under a pinned hash). width=64 against ~1.5k keys per
+    // 0.1 SF unit makes collision overcounts real and the calibration
+    // question (does width fit the cardinality?) non-trivial.
+    "profile_cms_audit" -> ((s, d) => {
+      operators.CountMin.audit(Tables.events(s, d), "user_id",
+        depth = 4, width = 64)
+        .orderBy(col("key"))
+    }),
+
     // Distribution drift between the first and second half-month of
     // events: shared bins from one union min/max agg, per-side counts in
     // one tagged aggregation, exact-integer share deltas (no PSI/KL — ln
@@ -5406,6 +5418,28 @@ object SparkEntry {
       """SELECT rows_per_key, COUNT(*) AS n_keys FROM (
         |  SELECT user_id, COUNT(*) AS rows_per_key FROM events GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same md5-derived hash family (seed-prefixed, the minhash-oracle
+    // pattern), same pmod bucketing, min-over-rows estimate
+    "profile_cms_audit" -> {
+      val h = sqlHash64("CAST(s.d AS VARCHAR) || ':' || k")
+      s"""WITH ds AS (SELECT unnest([0,1,2,3]) AS d),
+         |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |cells AS (
+         |  SELECT s.d, (($h % 64) + 64) % 64 AS bucket, COUNT(*) AS cnt
+         |  FROM src, ds s GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+         |kc AS (
+         |  SELECT keys.user_id, s.d, (($h % 64) + 64) % 64 AS bucket
+         |  FROM keys, ds s),
+         |est AS (
+         |  SELECT kc.user_id, MIN(c.cnt) AS est
+         |  FROM kc JOIN cells c USING (d, bucket) GROUP BY 1),
+         |exact AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1)
+         |SELECT e.user_id AS key, x.true_cnt, e.est,
+         |  e.est - x.true_cnt AS overcount
+         |FROM est e JOIN exact x USING (user_id) ORDER BY key""".stripMargin
+    },
 
     // identical shared bins over the union, tagged per-side counts,
     // rounded shares subtracted after rounding (as the engine does)
