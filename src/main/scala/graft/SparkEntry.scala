@@ -2204,6 +2204,17 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Streaming CMS fold: additive per-batch cell deltas must land the
+    // fold bit-identical to profile_cms_audit's one-pass batch sketch —
+    // the additivity that makes CMS the stream sketch (state = depth ×
+    // width cells forever, whatever the stream length).
+    "stream_cms_audit" -> ((s, d) => {
+      streaming.StreamingIngest.stagedCmsRoundtrip(s,
+        Tables.events(s, d), "user_id", depth = 4, width = 64,
+        "/tmp/graft_cmsstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("key"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -5418,6 +5429,28 @@ object SparkEntry {
       """SELECT rows_per_key, COUNT(*) AS n_keys FROM (
         |  SELECT user_id, COUNT(*) AS rows_per_key FROM events GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the fold must equal the one-pass batch sketch exactly, so the
+    // streaming gate shares profile_cms_audit's oracle verbatim
+    "stream_cms_audit" -> {
+      val h = sqlHash64("CAST(s.d AS VARCHAR) || ':' || k")
+      s"""WITH ds AS (SELECT unnest([0,1,2,3]) AS d),
+         |src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |cells AS (
+         |  SELECT s.d, (($h % 64) + 64) % 64 AS bucket, COUNT(*) AS cnt
+         |  FROM src, ds s GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+         |kc AS (
+         |  SELECT keys.user_id, s.d, (($h % 64) + 64) % 64 AS bucket
+         |  FROM keys, ds s),
+         |est AS (
+         |  SELECT kc.user_id, MIN(c.cnt) AS est
+         |  FROM kc JOIN cells c USING (d, bucket) GROUP BY 1),
+         |exact AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1)
+         |SELECT e.user_id AS key, x.true_cnt, e.est,
+         |  e.est - x.true_cnt AS overcount
+         |FROM est e JOIN exact x USING (user_id) ORDER BY key""".stripMargin
+    },
 
     // same md5-derived hash family (seed-prefixed, the minhash-oracle
     // pattern), same pmod bucketing, min-over-rows estimate

@@ -722,6 +722,84 @@ object StreamingIngest {
       .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
   }
 
+  /** Streaming count-min sketch fold — the sketch family's streaming
+    * member, and the reason CMS earns its place in a pipeline at all: the
+    * sketch is ADDITIVE (a cell is an integer sum under a pinned hash), so
+    * per-micro-batch cell deltas sum into a versioned depth×width store
+    * with NO re-read of history, and the fold is exactly equal to the
+    * one-pass batch sketch — bit-for-bit, not approximately (contrast
+    * HLL++ merges, whose register semantics are engine-defined).
+    *
+    * Physical shape at 100 TB: the store is depth×width cells (KBs), so
+    * each fold shuffles one micro-batch's deltas plus a broadcast-sized
+    * table; estimates at read time broadcast the final store. State never
+    * grows with the stream — the whole point of sketching a stream.
+    *
+    * Returns the final audit (key, true_cnt, est, overcount) over the full
+    * staged corpus; the gate's oracle recomputes the same audit in one
+    * batch pass, so fold == recompute is the roundtrip contract.
+    */
+  def stagedCmsRoundtrip(spark: SparkSession, items: DataFrame,
+      keyCol: String, depth: Int, width: Int, workDir: String): DataFrame = {
+    require(items.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"stagedCmsRoundtrip: $keyCol must be LONG (wire schema)")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("k"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    val src = items.select(col(keyCol).as("k")).where(col("k").isNotNull)
+    val midRow = src.agg(avg(col("k"))).collect()(0)
+    require(!midRow.isNullAt(0), "stagedCmsRoundtrip: empty input")
+    val mid = midRow.getDouble(0)
+    stage(src.where(col("k") < mid))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"),
+        StructType(Seq(StructField("k", LongType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = graft.operators.CountMin.build(batch, "k", depth, width)
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy(col("d"), col("bucket"))
+              .agg(sum(col("cnt")).as("cnt"))
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the cell store
+      stage(src.where(col("k") >= mid))
+      q.processAllAvailable() // batch 1+: additive folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedCmsRoundtrip: no batch ran"))
+    val sketch = spark.read.parquet(fin)
+    val exact = items.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    graft.operators.CountMin.estimate(sketch, items, keyCol, depth, width)
+      .join(exact, "key")
+      .select(col("key"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+  }
+
   /** Streaming market-basket fold: per-micro-batch (pair count, item
     * count, basket count) deltas summed into a versioned store; the
     * stream of folds must equal ONE full-corpus
