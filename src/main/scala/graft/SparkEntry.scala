@@ -2392,6 +2392,14 @@ object SparkEntry {
 
     // BPE first-merge-round pair counts: within-word adjacent character
     // pairs weighted by word occurrence.
+    // Full BPE training loop (3 merge rounds): count → corpus-wide argmax
+    // → rewrite, k passes with one argmax row to the driver per round.
+    // The merge table IS the tokenizer artifact.
+    "text_bpe_train" -> ((s, d) => {
+      TextAnalysis.bpeTrain(docs(s, d), "text", merges = 3)
+        .orderBy(col("step"))
+    }),
+
     "text_bpe_pairs" -> ((s, d) => {
       TextAnalysis.bpePairStats(docs(s, d), "text", topK = 50)
     }),
@@ -5371,6 +5379,31 @@ object SparkEntry {
 
     // identical pair build: positions 1..len-1, 2-char slices, per-word-
     // occurrence weighting
+    // three unrolled count→argmax→replace rounds; the merged pair is a
+    // scalar subquery, so the oracle derives each round's winner itself
+    "text_bpe_train" -> {
+      val rounds = (0 until 3).map { n =>
+        s"""s$n AS (SELECT string_split(trim(ws), ' ') AS s FROM w$n),
+           |i$n AS (SELECT s, unnest(range(1, len(s))) AS i FROM s$n WHERE len(s) >= 2),
+           |p$n AS (SELECT s[CAST(i AS INT)] AS l, s[CAST(i AS INT)+1] AS r FROM i$n),
+           |m$n AS (SELECT l, r, COUNT(*) AS n FROM p$n GROUP BY 1, 2
+           |  ORDER BY n DESC, l, r LIMIT 1),
+           |w${n + 1} AS (SELECT replace(ws,
+           |  ' ' || (SELECT l FROM m$n) || ' ' || (SELECT r FROM m$n) || ' ',
+           |  ' ' || (SELECT l FROM m$n) || (SELECT r FROM m$n) || ' ') AS ws FROM w$n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |wd AS (SELECT unnest(toks) AS w FROM tok),
+         |w0 AS (SELECT ' ' || array_to_string(
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS ws FROM wd),
+         |$rounds
+         |SELECT 0 AS step, l AS "left", r AS "right", n FROM m0
+         |UNION ALL SELECT 1, l, r, n FROM m1
+         |UNION ALL SELECT 2, l, r, n FROM m2
+         |ORDER BY step""".stripMargin
+    },
+
     "text_bpe_pairs" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
          |w AS (SELECT unnest(toks) AS w FROM tok),

@@ -348,6 +348,66 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE tokenizer TRAINING — `merges` rounds of the count-argmax-merge
+    * loop that [[bpePairStats]] only runs the counting pass of. Symbols
+    * start as single characters; each round counts every adjacent symbol
+    * pair across all word occurrences (frequency-weighted, as BPE
+    * requires), merges the most frequent pair corpus-wide (ties by
+    * (left, right) symbol order), and rewrites the words. Returns the
+    * merge table (step, left, right, n) — the trained artifact a
+    * tokenizer ships.
+    *
+    * Merge semantics: non-overlapping left-to-right with the boundary
+    * space consumed — a run "a b a b" merges alternately within a round
+    * (both engines' plain substring replace scan identically, so the
+    * result is cross-engine exact; several production BPE impls share
+    * this behavior on runs).
+    *
+    * Physical shape at 100 TB: each round is ONE combiner-heavy pair
+    * count (tiny key space — symbol²) plus ONE narrow per-row rewrite;
+    * only the single argmax row reaches the driver per round, so k
+    * merges are k passes, never k joins. The rewrite chain stays lazy:
+    * round r's scan replays r cheap narrow maps rather than persisting
+    * intermediate corpora.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .select(concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " "), lit(" ")).as("ws"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      val top = cur.select(split(trim(col("ws")), " ").as("syms"))
+        .select(explode(when(size(col("syms")) < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, n))
+        // literal (quoted) pattern + quoted replacement: corpus symbols
+        // may contain regex/replacement metacharacters
+        cur = cur.withColumn("ws", regexp_replace(col("ws"),
+          lit(java.util.regex.Pattern.quote(s" $l $r ")),
+          lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))))
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "left", "right", "n")
+  }
+
   /** Concordance (KWIC): every occurrence of `term` with up to `window`
     * words of context on each side — the corpus-exploration view behind
     * "show me how this token is used" (sense disambiguation, filter-rule

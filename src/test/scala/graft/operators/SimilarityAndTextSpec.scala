@@ -400,4 +400,25 @@ class SimilarityAndTextSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r == Map("ab" -> 3L, "bc" -> 1L))
   }
+
+  test("bpeTrain: merged symbols feed the next round; ties break by symbol order") {
+    import spark.implicits._
+    // "aaab" ×3: round 0 (a,a) n=6 (two positions per word); rewrite
+    // " a a a b " → " aa a b " (leftmost, boundary consumed). Round 1:
+    // (aa,a) and (a,b) tie at 3 → "a" < "aa" picks (a,b) → " aa ab ".
+    // Round 2 merges the two MERGED symbols (aa,ab) — feed-forward proof.
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .collect().map(r0 => (r0.getInt(0), r0.getString(1), r0.getString(2), r0.getLong(3))).toSeq
+    assert(got == Seq((0, "a", "a", 6L), (1, "a", "b", 3L), (2, "aa", "ab", 3L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 5)
+      .collect().map(r0 => (r0.getString(1), r0.getString(2))).toSeq
+    // round 0 merges (a,b); afterwards every word is one symbol → stop
+    assert(got == Seq(("a", "b")))
+  }
 }
