@@ -1985,6 +1985,78 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // The honest cost of SemDeDup's cell bounding: pairs crossing a cell
+    // boundary are never compared. This audit counts the τ-threshold pair
+    // graph both ways — exact all-pairs vs cell-bounded — and reports the
+    // edge recall (the X137-X139 discipline: measure the tier before
+    // trusting it; at 100 TB the exact side runs on a sample).
+    "dedup_semantic_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val tau = 0.3
+      val exact = e.select(col("vec_id").as("a"), col("embedding").as("va_"))
+        .crossJoin(broadcast(
+          e.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
+        .where(col("a") < col("b"))
+        .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
+        .select(col("a"), col("b"))
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+      val l = assigned.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va_"))
+      val r = assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb_"))
+      val cellPairs = l.join(r, "cell").where(col("a") < col("b"))
+        .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
+        .select(col("a"), col("b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cellPairs.agg(count(lit(1)).as("n_cell")))
+        .withColumn("recall",
+          round(col("n_cell").cast("double") / col("n_exact"), 6))
+    }),
+
+    // The mitigation knob for that miss rate: multi-probe assignment.
+    // Each vector lands in its top-2 cells, pairs meet if they share ANY
+    // cell (distinct de-dupes the doubly-found). Pair-stage cost rises
+    // ~4× per extra probe; the recall row quantifies what that buys —
+    // the same recall-vs-cost curve discipline as search_pq_rerank_recall.
+    "dedup_semantic_recall_multi" -> ((s, d) => {
+      val e = embs(s, d)
+      val tau = 0.3
+      val exact = e.select(col("vec_id").as("a"), col("embedding").as("va_"))
+        .crossJoin(broadcast(
+          e.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
+        .where(col("a") < col("b"))
+        .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
+        .select(col("a"), col("b"))
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val cdf = {
+        import s.implicits._
+        broadcast(cents.toDF("cell", "cvec"))
+      }
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(round(VectorFunctions.cosine(col("embedding"), col("cvec"), 64), 6).desc,
+          col("cell").desc)
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cdf)
+        .withColumn("rn_", row_number().over(byVec))
+        .where(col("rn_") <= 2)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val l = assigned.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va_"))
+      val r = assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb_"))
+      val cellPairs = l.join(r, "cell").where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("va_"), col("vb_")).distinct()
+        .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
+        .select(col("a"), col("b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cellPairs.agg(count(lit(1)).as("n_cell")))
+        .withColumn("recall",
+          round(col("n_cell").cast("double") / col("n_exact"), 6))
+    }),
+
     // Cell-stratified diversity downsampling: cap each embedding-space
     // cell at k (deterministic content-hash rank, the capPerGroup
     // discipline) — keeps coverage of every region while cutting the
@@ -4953,6 +5025,75 @@ object SparkEntry {
         |  (c.vec_id = c.canonical_id) AS is_keeper
         |FROM comp c JOIN sz s USING (canonical_id)
         |ORDER BY c.vec_id""".stripMargin,
+
+    // exact all-pairs τ-graph vs the cell-bounded graph, one edge-recall row
+    "dedup_semantic_recall" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |exact AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+        |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3),
+        |a AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |cellp AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3)
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM cellp) AS n_cell,
+        |  ROUND(CAST((SELECT COUNT(*) FROM cellp) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    // top-2 cells per vector (rounded-sim rank as the engine), shared-cell
+    // pairs de-duped before the τ filter
+    "dedup_semantic_recall_multi" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |exact AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+        |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3),
+        |a AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |          c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn <= 2),
+        |cellp AS (
+        |  SELECT a, b FROM (
+        |    SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+        |    FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id)
+        |  WHERE ROUND(list_cosine_similarity(va, vb), 6) >= 0.3)
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM cellp) AS n_cell,
+        |  ROUND(CAST((SELECT COUNT(*) FROM cellp) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
 
     // cell assignment as above + the sample_cap_per_group rank discipline
     "sample_diverse_cells" -> {
