@@ -1985,6 +1985,32 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Daily-ingest shape for the semantic family (dedup_incremental's
+    // twin): centroids are trained on the STORED corpus only — the model
+    // artifact a production store already has — and the new batch is
+    // assigned into those cells and compared cross-side only. New-vs-new
+    // and corpus-vs-corpus pairs never form; batch cost is |batch| ×
+    // (cell occupancy), independent of corpus history.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val e = embs(s, d)
+      val corpus = e.where(col("vec_id") % 2 === 0)
+      val batch = e.where(col("vec_id") % 2 === 1)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(corpus, "embedding", "label"))
+      val ac = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
+        .select(col("cell"), col("vec_id").as("corpus_id"),
+          col("embedding").as("vc_"))
+      val ab = Similarity.ivfAssign(batch, "embedding", "vec_id", cents)
+        .select(col("cell"), col("vec_id").as("new_id"),
+          col("embedding").as("vn_"))
+      ab.join(ac, "cell")
+        .withColumn("sim",
+          round(VectorFunctions.cosine(col("vn_"), col("vc_"), 64), 6))
+        .where(col("sim") >= 0.3)
+        .select(col("new_id"), col("corpus_id"), col("sim"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // The honest cost of SemDeDup's cell bounding: pairs crossing a cell
     // boundary are never compared. This audit counts the τ-threshold pair
     // graph both ways — exact all-pairs vs cell-bounded — and reports the
@@ -5025,6 +5051,33 @@ object SparkEntry {
         |  (c.vec_id = c.canonical_id) AS is_keeper
         |FROM comp c JOIN sz s USING (canonical_id)
         |ORDER BY c.vec_id""".stripMargin,
+
+    // corpus-trained centroids (even ids only), cross-side cell join
+    "dedup_semantic_incremental" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+        |  ROUND(list_cosine_similarity(n.v, c.v), 6) AS sim
+        |FROM a n JOIN a c ON n.cell = c.cell
+        |WHERE n.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+        |  AND ROUND(list_cosine_similarity(n.v, c.v), 6) >= 0.3
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     // exact all-pairs τ-graph vs the cell-bounded graph, one edge-recall row
     "dedup_semantic_recall" ->
