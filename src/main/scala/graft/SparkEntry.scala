@@ -97,6 +97,24 @@ object SparkEntry {
        |ORDER BY g.doc_id, bg.bench_id""".stripMargin
   }
 
+  /** Shared CTE chain for the substring-span dedup oracles: duplicated
+    * 8-gram positions merged into maximal spans (same k=8, minCount=2 as
+    * the gates). Ends with `sp(doc_id, p, span)`; `tok` stays visible. */
+  private lazy val substringSpanCte: String =
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p, toks
+       |  FROM tok WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, p,
+       |  ${sqlHash64("array_to_string(toks[p:p+7], ' ')")} AS h FROM sh),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+       |br AS (SELECT doc_id, p,
+       |  CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |sp AS (SELECT doc_id, p,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span FROM br)""".stripMargin
+
   /** Shared by `store_scd2` and `store_scd2_incremental` — the
     * incremental fold must equal the full rebuild row for row. */
   private lazy val scd2Sql: String =
@@ -2288,6 +2306,23 @@ object SparkEntry {
       operators.SetSimJoin.jaccardPairs(docs(s, d), "text", "doc_id",
         minSim = 0.5, termK = 3)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Exact substring-span dedup (Lee et al. 2021, arXiv:2107.06499):
+    // maximal token spans whose every k-token window repeats somewhere in
+    // the corpus — the suffix-array dedup re-expressed as two uniform-key
+    // shuffles (gram-hash count + doc-key interval merge).
+    "dedup_substring_spans" -> ((s, d) => {
+      Dedup.substringSpans(docs(s, d), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Corpus-level accounting for the span table: how many tokens a
+    // span-cutting clean pass would drop per document (0 for clean docs)
+    // — the measurement that decides whether substring dedup pays.
+    "dedup_substring_stats" -> ((s, d) => {
+      Dedup.substringDedupStats(docs(s, d), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // Streaming twin of mine_frequent_pairs: per-micro-batch count
@@ -4849,6 +4884,28 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // same dup-position derivation, same single-lag interval merge: all
+    // windows are length k, so "continues the span" is p - prev <= k
+    "dedup_substring_spans" ->
+      s"""$substringSpanCte
+         |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
+         |  MAX(p) + 7 - MIN(p) + 1 AS n_dup_tokens
+         |FROM sp GROUP BY doc_id, span
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // per-doc fold of the span table, outer-joined so clean docs report 0
+    "dedup_substring_stats" ->
+      s"""$substringSpanCte,
+         |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 7 AS e
+         |  FROM sp GROUP BY doc_id, span),
+         |agg AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup
+         |  FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(agg.dup, 0) AS n_dup_tokens,
+         |  CAST(len(t.toks) AS BIGINT) - COALESCE(agg.dup, 0) AS n_kept_tokens
+         |FROM tok t LEFT JOIN agg USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // the stream of folds must reproduce the one-pass batch recompute —
     // same oracle text as mine_frequent_pairs

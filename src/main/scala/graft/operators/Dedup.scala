@@ -539,4 +539,90 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** Duplicated k-gram POSITIONS per document: every token position whose
+    * k-token window occurs ≥ `minCount` times anywhere in the corpus
+    * (including elsewhere in the same document). The building block for
+    * exact substring-span dedup; positions are 1-based.
+    *
+    * Shape: in-row shingling (no shuffle) → ONE combiner-heavy count on
+    * the 60-bit gram hash (uniform keys, skew-free) → join positions back
+    * on the hash. The duplicated-hash side is usually a small fraction of
+    * the corpus, and the join key is the same hash the count grouped on,
+    * so AQE can pick a shuffle-or-broadcast join from the real size.
+    */
+  def dupShinglePositions(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minCount: Long = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2)
+    val pos = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks_"))
+      .select(col(idCol), posexplode(
+        TextFunctions.shinglesFromTokens(col("toks_"), k)).as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("p"),
+        HashFunctions.hash64(col("gram")).as("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minCount)
+      .select(col("h"))
+    pos.join(dup, "h").select(col(idCol), col("p"))
+  }
+
+  /** Exact substring-span dedup (the suffix-array dedup of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, re-expressed relationally): a token span is
+    * duplicated iff its k-token window occurs more than once in the
+    * corpus; overlapping/adjacent duplicated windows merge into maximal
+    * spans. Output: (idCol, span_start, span_end, n_dup_tokens), token
+    * positions 1-based inclusive — the span table a cleaning pass cuts
+    * out of each document.
+    *
+    * Where Lee et al. build a corpus-wide suffix array (pointer-chasing,
+    * single-machine), the relational form is two uniform-key shuffles:
+    * the gram-hash count and the doc-key window for interval merging —
+    * both combiner-heavy and skew-free, so the plan survives a 100 TB
+    * corpus (the suffix array does not). Granularity is the k-token
+    * window, the same granularity production substring dedup uses
+    * (50-token windows in the paper).
+    *
+    * Interval merge: all windows have length k and arrive sorted by
+    * start, so a window starting at p continues the current span iff
+    * p − prev_start ≤ k (overlap or exact adjacency); one lag() compare,
+    * no running-max machinery.
+    */
+  def substringSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    dupShinglePositions(docs, textCol, idCol, k, minCount)
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(wOrd).isNull ||
+          col("p") - lag(col("p"), 1).over(wOrd) > k, 1L).otherwise(0L))
+      .withColumn("span", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"))
+      .withColumn("n_dup_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_dup_tokens"))
+  }
+
+  /** Per-document dedup accounting for [[substringSpans]]: total tokens,
+    * tokens inside duplicated spans, tokens a span-cutting clean pass
+    * keeps. Documents with no duplicated span report n_dup_tokens = 0 —
+    * the corpus-level "how much of my data is duplicated text"
+    * measurement that decides whether substring dedup is worth a full
+    * pass. One extra combiner-heavy agg + an outer join on the doc key.
+    */
+  def substringDedupStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = substringSpans(docs, textCol, idCol, k, minCount)
+      .groupBy(col(idCol)).agg(sum(col("n_dup_tokens")).as("dup_"))
+    docs
+      .select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("n_dup_tokens", coalesce(col("dup_"), lit(0L)))
+      .withColumn("n_kept_tokens", col("n_tokens") - col("n_dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_dup_tokens"),
+        col("n_kept_tokens"))
+  }
 }
