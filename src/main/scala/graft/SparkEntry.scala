@@ -115,6 +115,29 @@ object SparkEntry {
        |sp AS (SELECT doc_id, p,
        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span FROM br)""".stripMargin
 
+  /** Shared CTE chain for the BPE oracles: corpus as space-joined symbol
+    * sequences (w0), three count→argmax→replace merge rounds (w1..w3,
+    * winners m0..m2 as scalar subqueries — the oracle derives each
+    * round's winner itself, so feed-forward is oracle-proven). */
+  private lazy val bpeRoundsCte: String = {
+    val rounds = (0 until 3).map { n =>
+      s"""s$n AS (SELECT string_split(trim(ws), ' ') AS s FROM w$n),
+         |i$n AS (SELECT s, unnest(range(1, len(s))) AS i FROM s$n WHERE len(s) >= 2),
+         |p$n AS (SELECT s[CAST(i AS INT)] AS l, s[CAST(i AS INT)+1] AS r FROM i$n),
+         |m$n AS (SELECT l, r, COUNT(*) AS n FROM p$n GROUP BY 1, 2
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |w${n + 1} AS (SELECT replace(ws,
+         |  ' ' || (SELECT l FROM m$n) || ' ' || (SELECT r FROM m$n) || ' ',
+         |  ' ' || (SELECT l FROM m$n) || (SELECT r FROM m$n) || ' ') AS ws FROM w$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+       |wd AS (SELECT unnest(toks) AS w FROM tok),
+       |w0 AS (SELECT ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS ws FROM wd),
+       |$rounds""".stripMargin
+  }
+
   /** Shared by `store_scd2` and `store_scd2_incremental` — the
     * incremental fold must equal the full rebuild row for row. */
   private lazy val scd2Sql: String =
@@ -2535,6 +2558,18 @@ object SparkEntry {
 
     "text_bpe_pairs" -> ((s, d) => {
       TextAnalysis.bpePairStats(docs(s, d), "text", topK = 50)
+    }),
+
+    // Tokenizer ENCODE: train the 3-round merge table, collect it (k
+    // rows — driver data by construction), apply the merges in training
+    // order, count the resulting corpus symbols. The oracle re-derives
+    // the merge winners itself, so a wrong training argmax ALSO fails
+    // this gate through the encode side.
+    "text_bpe_encode" -> ((s, d) => {
+      val table = TextAnalysis.bpeTrain(docs(s, d), "text", merges = 3)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), "text", table, topK = 50)
     }),
 
     // Language-ID confusion matrix: heuristic prediction vs stored lang
@@ -5632,28 +5667,20 @@ object SparkEntry {
     // occurrence weighting
     // three unrolled count→argmax→replace rounds; the merged pair is a
     // scalar subquery, so the oracle derives each round's winner itself
-    "text_bpe_train" -> {
-      val rounds = (0 until 3).map { n =>
-        s"""s$n AS (SELECT string_split(trim(ws), ' ') AS s FROM w$n),
-           |i$n AS (SELECT s, unnest(range(1, len(s))) AS i FROM s$n WHERE len(s) >= 2),
-           |p$n AS (SELECT s[CAST(i AS INT)] AS l, s[CAST(i AS INT)+1] AS r FROM i$n),
-           |m$n AS (SELECT l, r, COUNT(*) AS n FROM p$n GROUP BY 1, 2
-           |  ORDER BY n DESC, l, r LIMIT 1),
-           |w${n + 1} AS (SELECT replace(ws,
-           |  ' ' || (SELECT l FROM m$n) || ' ' || (SELECT r FROM m$n) || ' ',
-           |  ' ' || (SELECT l FROM m$n) || (SELECT r FROM m$n) || ' ') AS ws FROM w$n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
-         |wd AS (SELECT unnest(toks) AS w FROM tok),
-         |w0 AS (SELECT ' ' || array_to_string(
-         |    list_transform(range(1, length(w) + 1),
-         |      i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS ws FROM wd),
-         |$rounds
+    "text_bpe_train" ->
+      s"""$bpeRoundsCte
          |SELECT 0 AS step, l AS "left", r AS "right", n FROM m0
          |UNION ALL SELECT 1, l, r, n FROM m1
          |UNION ALL SELECT 2, l, r, n FROM m2
-         |ORDER BY step""".stripMargin
-    },
+         |ORDER BY step""".stripMargin,
+
+    // encode = the trained rewrite chain's terminal state w3; symbol
+    // counts over it are the tokenized-corpus vocabulary distribution
+    "text_bpe_encode" ->
+      s"""$bpeRoundsCte
+         |SELECT sym, COUNT(*) AS n FROM (
+         |  SELECT unnest(string_split(trim(ws), ' ')) AS sym FROM w3)
+         |GROUP BY 1 ORDER BY n DESC, sym LIMIT 50""".stripMargin,
 
     "text_bpe_pairs" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),

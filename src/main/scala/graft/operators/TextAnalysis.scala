@@ -408,6 +408,35 @@ object TextAnalysis {
     out.toSeq.toDF("step", "left", "right", "n")
   }
 
+  /** Apply a trained BPE merge table (the [[bpeTrain]] artifact) to the
+    * corpus and return the tokenized-corpus symbol distribution (top-K
+    * symbols by count). This is the ENCODE half of the tokenizer: the
+    * merge table is tiny (k rows — driver data by construction), the
+    * corpus pass is k narrow regexp rewrites with no shuffle until the
+    * final combiner-heavy symbol count. Merges must be applied in
+    * training order — a later merge can consume the product of an
+    * earlier one (feed-forward).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      mergeTable: Seq[(String, String)], topK: Int = 50): DataFrame = {
+    require(topK >= 1)
+    var cur = docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .select(concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " "), lit(" ")).as("ws"))
+    mergeTable.foreach { case (l, r) =>
+      // literal pattern/replacement quoting, same as the training rewrite
+      cur = cur.withColumn("ws", regexp_replace(col("ws"),
+        lit(java.util.regex.Pattern.quote(s" $l $r ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))))
+    }
+    cur.select(explode(split(trim(col("ws")), " ")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .limit(topK)
+  }
+
   /** Concordance (KWIC): every occurrence of `term` with up to `window`
     * words of context on each side — the corpus-exploration view behind
     * "show me how this token is used" (sense disambiguation, filter-rule
