@@ -1983,6 +1983,22 @@ object SparkEntry {
       annRecall(exact, tier)
     }),
 
+    // Binary-sign tier recall audit: 1 bit/dim codes, Hamming shortlist
+    // (xor+popcount per candidate), exact rerank of the 50 survivors —
+    // the cheapest serving tier's place on the same recall-vs-bytes
+    // curve as X138/X144/X139.
+    "search_hamming_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val enc = Similarity.binaryEncode(e, "embedding", "vec_id")
+      val tier = Similarity.hammingRerank(enc, e, "embedding", "vec_id",
+        Similarity.binaryEncodeJvm(qv), qv, k = 10, shortlist = 50)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
+    }),
+
     "search_sq8_recall" -> ((s, d) => {
       val e = embs(s, d)
       val qv = queryVec(s, d)
@@ -4613,6 +4629,32 @@ object SparkEntry {
         |  (SELECT n FROM f) AS n_found,
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    // same Horner bit weights (bit i = 2^i for dim i+1), same xor+popcount
+    // distance, same shortlist-then-exact-rerank chain
+    "search_hamming_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |enc AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 60),
+        |    i -> CASE WHEN v[CAST(i AS INT) + 1] > 0
+        |         THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS code
+        |  FROM e),
+        |qc AS (SELECT code AS qcode FROM enc WHERE vec_id = 0),
+        |short AS (SELECT vec_id FROM enc, qc
+        |  ORDER BY bit_count(xor(code, qcode)), vec_id LIMIT 50),
+        |rr AS (SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS s
+        |  FROM e JOIN short USING (vec_id), q),
+        |tier AS (SELECT vec_id FROM rr ORDER BY s DESC, vec_id LIMIT 10),
+        |exact AS (
+        |  SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id LIMIT 10),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tier USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tier) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
 
     "search_sq8_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -452,6 +452,68 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("score"))
 
+  /** Binary (sign) quantization encode: dimension i contributes bit i of
+    * a single 60-bit code (`bit = 1 iff x_i > 0`) — the 1-bit-per-dim
+    * compression tier (Faiss binary indexes, Qdrant binary quantization):
+    * 32× smaller than float32, distance = ONE xor + popcount per
+    * candidate. Encoding is a per-row fold (Horner: acc·2 + bit from the
+    * top bit down, so bit i carries weight 2^i) — shuffle-free, and the
+    * code stays < 2^60 so every engine's signed 64-bit integer holds it
+    * without overflow semantics entering the picture. `bits` ≤ 62 caps it
+    * (dims beyond `bits` are simply not coded — acceptable for a
+    * candidate tier that ALWAYS exact-reranks).
+    */
+  def binaryEncode(vecs: DataFrame, vecCol: String, idCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 62)
+    vecs.select(col(idCol),
+      aggregate(sequence(lit(bits - 1), lit(0), lit(-1)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(col(vecCol), i + 1).cast("double") > 0.0, 1L)
+            .otherwise(0L))
+        .as("bcode"))
+  }
+
+  /** JVM twin of [[binaryEncode]] for the query vector — same Horner
+    * order, same sign test, so the driver-side query code and the
+    * scan-side base codes live in one code space. */
+  def binaryEncodeJvm(v: Seq[Float], bits: Int = 60): Long = {
+    require(bits >= 1 && bits <= 62 && v.length >= bits)
+    var acc = 0L
+    var i = bits - 1
+    while (i >= 0) {
+      acc = acc * 2 + (if (v(i) > 0f) 1L else 0L)
+      i -= 1
+    }
+    acc
+  }
+
+  /** Hamming shortlist + exact rerank: scan the 8-byte codes computing
+    * `popcount(code XOR query_code)` (one codegen'd instruction pair per
+    * candidate — the cheapest first-pass score of any tier), keep the
+    * `shortlist` closest ids (TakeOrderedAndProject), then fetch just
+    * those raw vectors via a broadcast semi-join and rank them by exact
+    * cosine. Same two-pass shape as [[pqAdcRerank]]: at 100 TB the corpus
+    * is scanned at 8 bytes/vector and only `shortlist` raw vectors are
+    * ever read.
+    */
+  def hammingRerank(encoded: DataFrame, vecs: DataFrame, vecCol: String,
+      idCol: String, qCode: Long, query: Seq[Float], k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = encoded
+      .withColumn("ham", bit_count(col("bcode").bitwiseXOR(lit(qCode))))
+      .orderBy(col("ham").asc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    vecs.join(broadcast(short), idCol)
+      .withColumn("score", round(
+        VectorFunctions.cosine(col(vecCol), typedLit(query), query.length), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** IVF probe: assign the query to its `nprobe` nearest cells, scan only
     * those cells, exact cosine inside.
     */
