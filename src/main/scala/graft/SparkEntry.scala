@@ -2376,6 +2376,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Streaming semantic-dedup fold: batches accepted against the
+    // current store, sequentially — a batch-1 acceptance can reject a
+    // batch-2 near-dup. The oracle unrolls both folds.
+    "stream_semantic_dedup" -> ((s, d) => {
+      streaming.StreamingIngest.stagedSemanticDedupRoundtrip(s,
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        tau = 0.3, dims = 64,
+        "/tmp/graft_semstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }),
+
     // Streaming CMS fold: additive per-batch cell deltas must land the
     // fold bit-identical to profile_cms_audit's one-pass batch sketch —
     // the additivity that makes CMS the stream sketch (state = depth ×
@@ -5187,6 +5197,43 @@ object SparkEntry {
         |ORDER BY c.vec_id""".stripMargin,
 
     // corpus-trained centroids (even ids only), cross-side cell join
+    // unrolled two-fold replay: acc1 = corpus ∪ (batch1 minus dups-vs-
+    // corpus), acc2 adds batch2 minus dups-vs-acc1 — same fixed corpus
+    // centroids, same sim-DESC/cell-DESC assignment tie-break
+    "stream_semantic_dedup" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |acc0 AS (SELECT * FROM a WHERE vec_id % 3 = 0),
+        |b1 AS (SELECT * FROM a WHERE vec_id % 3 = 1),
+        |dup1 AS (SELECT DISTINCT n.vec_id FROM b1 n JOIN acc0 c ON n.cell = c.cell
+        |  WHERE ROUND(list_cosine_similarity(n.v, c.v), 6) >= 0.3),
+        |acc1 AS (SELECT * FROM acc0 UNION ALL
+        |  SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM dup1)),
+        |b2 AS (SELECT * FROM a WHERE vec_id % 3 = 2),
+        |dup2 AS (SELECT DISTINCT n.vec_id FROM b2 n JOIN acc1 c ON n.cell = c.cell
+        |  WHERE ROUND(list_cosine_similarity(n.v, c.v), 6) >= 0.3),
+        |acc2 AS (SELECT vec_id FROM acc1 UNION ALL
+        |  SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM dup2))
+        |SELECT e.vec_id, CAST(e.vec_id % 3 AS INT) AS batch,
+        |  (e.vec_id IN (SELECT vec_id FROM acc2)) AS accepted
+        |FROM e ORDER BY e.vec_id""".stripMargin,
+
     "dedup_semantic_incremental" ->
       """WITH x AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,

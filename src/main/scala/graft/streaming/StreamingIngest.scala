@@ -800,6 +800,102 @@ object StreamingIngest {
         (col("est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Streaming semantic-dedup fold (the streaming shape of
+    * dedup_semantic_incremental): embeddings arrive in micro-batches;
+    * each batch is assigned into FIXED cells (centroids trained on the
+    * pre-existing stored corpus — the model artifact a production store
+    * already has), compared cross-side against the CURRENT accepted
+    * store within its cell, and only vectors with no stored neighbor at
+    * cosine ≥ τ are appended. The fold is genuinely sequential: a vector
+    * accepted from batch 1 can reject a batch-2 near-duplicate, which is
+    * exactly what the unrolled two-fold oracle checks.
+    *
+    * Policy (documented contract): cross-side only — within-batch
+    * near-duplicates are BOTH accepted (the incremental-family
+    * convention; a within-batch pre-pass is the batch operator's job).
+    * Embeddings ride the JSONL wire as float arrays (shortest-repr JSON
+    * round-trips IEEE floats exactly); scores are rounded to 6 decimals
+    * before the threshold, so wire precision never decides acceptance.
+    *
+    * At 100 TB: the store is cell-partitioned parquet; each fold shuffles
+    * one micro-batch against only the cells that batch touches (cell
+    * pruning on the store read), and state = the accepted corpus itself —
+    * no separate streaming state store grows.
+    *
+    * Output: (vec_id, batch, accepted) for every input vector — stored
+    * corpus rows are batch 0 and always accepted.
+    */
+  def stagedSemanticDedupRoundtrip(spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, tau: Double,
+      dims: Int, workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    val src = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      col(labelCol).as("label"))
+    val corpus = src.where(col("vec_id") % 3 === 0)
+    val cents = graft.operators.Similarity.centroidsFromLong(
+      graft.operators.Similarity.labelCentroids(corpus, "embedding", "label"))
+
+    val store0 = s"$storeBase/v0"
+    graft.operators.Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(store0)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    stage(src.where(col("vec_id") % 3 === 1))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))).as("j"))
+      .select(col("j.*"))
+
+    var latest: String = store0
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val assigned = graft.operators.Similarity.ivfAssign(
+          batch, "embedding", "vec_id", cents)
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val stored = spark.read.parquet(latest)
+        val dupIds = assigned.alias("n")
+          .join(stored.alias("c"), col("n.cell") === col("c.cell"))
+          .where(round(graft.functions.VectorFunctions.cosine(
+            col("n.embedding"), col("c.embedding"), dims), 6) >= tau)
+          .select(col("n.vec_id")).distinct()
+        val next = stored.unionByName(
+          assigned.join(dupIds, Seq("vec_id"), "left_anti")
+            .select(col("cell"), col("vec_id"), col("embedding")))
+        val out = s"$storeBase/v${id + 1}"
+        next.write.mode("overwrite").parquet(out)
+        latest = out
+      }
+      .start()
+    try {
+      q.processAllAvailable() // fold batch 1 against the stored corpus
+      stage(src.where(col("vec_id") % 3 === 2))
+      q.processAllAvailable() // fold batch 2 against corpus ∪ accepted(1)
+    } finally q.stop()
+
+    val fin = spark.read.parquet(latest).select(col("vec_id"))
+    src.select(col("vec_id"), (col("vec_id") % 3).cast("int").as("batch"))
+      .join(fin.withColumn("acc_", lit(true)), Seq("vec_id"), "left")
+      .withColumn("accepted", coalesce(col("acc_"), lit(false)))
+      .select(col("vec_id"), col("batch"), col("accepted"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Streaming market-basket fold: per-micro-batch (pair count, item
     * count, basket count) deltas summed into a versioned store; the
     * stream of folds must equal ONE full-corpus

@@ -160,6 +160,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stagedSemanticDedupRoundtrip: folds are sequential — a batch-1 acceptance rejects a batch-2 near-dup") {
+    import spark.implicits._
+    // ids ≡0 mod 3 are the stored corpus, ≡1 batch 1, ≡2 batch 2; one
+    // label → one cell, so every pair is compared
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),     // stored corpus
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 0), // ≈ corpus v0 → rejected in batch 1
+      (4L, Seq(0f, 1f, 0f, 0f), 0),      // orthogonal → accepted in batch 1
+      (2L, Seq(0.1f, 0.99f, 0f, 0f), 0), // ≈ v4 ONLY → rejected in batch 2
+      (5L, Seq(0f, 0f, 1f, 0f), 0)       // fresh direction → accepted
+    ).toDF("vec_id", "embedding", "label")
+    val got = StreamingIngest.stagedSemanticDedupRoundtrip(spark, vecs,
+      "vec_id", "embedding", "label", tau = 0.5, dims = 4,
+      "/tmp/graft_spec_stream_semdedup")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      0L -> ((0, true)), 1L -> ((1, false)), 4L -> ((1, true)),
+      2L -> ((2, false)), 5L -> ((2, true))))
+  }
+
   test("hourlyRollup: watermarked tumbling window aggregates by event time") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
