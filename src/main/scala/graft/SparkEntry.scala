@@ -3106,6 +3106,18 @@ object SparkEntry {
     // (user_id, hour-of-day) — every output file a bounded 2-D rectangle,
     // so either-dimension range scans skip files via footer min/max
     // (locality asserted in StoreLayoutSpec; content equality here).
+    // Z-order file-skipping pre-flight: logical-bucket min/max pruning
+    // for two box predicates under zorder vs a plain user_id sort — the
+    // audit that justifies (or rejects) a 100 TB layout rewrite. The
+    // hour-band box hits every linear file but a fraction of z files.
+    "store_zorder_pruning" -> ((s, d) => {
+      graft.sink.StoreLayout.zOrderPruningAudit(
+        Tables.events(s, d).select(col("user_id"), hour(col("ts")).as("hr")),
+        "user_id", "hr", bits = 11, numBuckets = 64,
+        boxes = Seq(("hours_9_10", 0L, 100000L, 9L, 10L),
+          ("users_10_19", 10L, 19L, 0L, 23L)))
+    }),
+
     "store_zorder_roundtrip" -> ((s, d) => {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
@@ -6179,6 +6191,36 @@ object SparkEntry {
     "store_zorder_roundtrip" ->
       """SELECT event_id, user_id, CAST(hour(ts) AS INT) AS hr, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // same Morton interleave (bit i of a → 2i, of b → 2i+1; disjoint bits
+    // so + is |), same ntile bucketing, same min/max box intersection
+    "store_zorder_pruning" -> {
+      val z = (0 until 11).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def layer(name: String, from: String) =
+        s"""SELECT '$name' AS layout, bx.box,
+           |  CAST(64 AS BIGINT) AS n_buckets,
+           |  CAST(SUM(CASE WHEN maxa >= bx.lo_a AND mina <= bx.hi_a
+           |    AND maxb >= bx.lo_b AND minb <= bx.hi_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |FROM $from, boxes bx GROUP BY bx.box""".stripMargin
+      s"""WITH src AS (SELECT CAST(user_id AS BIGINT) AS a,
+         |    CAST(hour(ts) AS BIGINT) AS b FROM events),
+         |boxes(box, lo_a, hi_a, lo_b, hi_b) AS (VALUES
+         |  ('hours_9_10', 0, 100000, 9, 10),
+         |  ('users_10_19', 10, 19, 0, 23)),
+         |lin AS (SELECT ntile(64) OVER (ORDER BY a, b) AS bkt, a, b FROM src),
+         |linb AS (SELECT bkt, MIN(a) AS mina, MAX(a) AS maxa,
+         |  MIN(b) AS minb, MAX(b) AS maxb FROM lin GROUP BY bkt),
+         |zsrc AS (SELECT a, b, $z AS zv FROM src),
+         |zo AS (SELECT ntile(64) OVER (ORDER BY zv, a, b) AS bkt, a, b FROM zsrc),
+         |zb AS (SELECT bkt, MIN(a) AS mina, MAX(a) AS maxa,
+         |  MIN(b) AS minb, MAX(b) AS maxb FROM zo GROUP BY bkt)
+         |${layer("linear", "linb")}
+         |UNION ALL
+         |${layer("zorder", "zb")}
+         |ORDER BY layout, box""".stripMargin
+    },
 
     // the streamed store must equal ONE global sessionization of the
     // source subset (the stagings split by event time, so per-session

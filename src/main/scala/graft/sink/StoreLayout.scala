@@ -292,4 +292,54 @@ object StoreLayout {
     }
     counts.toMap
   }
+
+  /** File-skipping pre-flight for [[writeZOrdered]]: how many of
+    * `numBuckets` equal-size files would a box predicate
+    * `a ∈ [loA,hiA] AND b ∈ [loB,hiB]` have to READ (footer min/max
+    * intersection) under a z-order layout vs a plain sort on `colA`?
+    * Buckets are the LOGICAL files — ntile over the layout's sort order —
+    * so the answer is a pure function of the data, independent of any
+    * physical write (deterministic, oracle-checkable, and runnable as a
+    * cheap audit BEFORE rewriting a 100 TB store; at that scale run it on
+    * a sample — the bucket min/max geometry converges fast).
+    *
+    * Output: (layout, box, n_buckets, n_hit) per layout × box. The
+    * classic result this surfaces: a single-column sort prunes ITS column
+    * only (an orthogonal box hits every file), z-order makes every file a
+    * bounded rectangle so boxes on either dimension prune.
+    *
+    * Rows tying on (key, a, b) are interchangeable across a bucket
+    * boundary with identical min/max stats, so ntile's tie placement
+    * never changes the audit. The global ntile window is the audit's
+    * one exchange — fine for a pre-flight; the production write path is
+    * [[writeZOrdered]]'s range exchange.
+    */
+  def zOrderPruningAudit(df: DataFrame, colA: String, colB: String,
+      bits: Int, numBuckets: Int,
+      boxes: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
+    require(numBuckets >= 1 && boxes.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(colA).cast("long").as("a"),
+      col(colB).cast("long").as("b"))
+    val boxDf = broadcast(boxes.toDF("box", "lo_a", "hi_a", "lo_b", "hi_b"))
+    def layoutHits(layout: String, key: Column): DataFrame =
+      src
+        .withColumn("bkt", ntile(numBuckets).over(
+          Window.orderBy(key, col("a"), col("b"))))
+        .groupBy(col("bkt"))
+        .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+        .crossJoin(boxDf)
+        .groupBy(col("box"))
+        .agg(sum(when(col("max_a") >= col("lo_a") && col("min_a") <= col("hi_a") &&
+          col("max_b") >= col("lo_b") && col("min_b") <= col("hi_b"), 1L)
+          .otherwise(0L)).as("n_hit"))
+        .select(lit(layout).as("layout"), col("box"),
+          lit(numBuckets.toLong).as("n_buckets"), col("n_hit"))
+    layoutHits("linear", col("a"))
+      .unionByName(layoutHits("zorder", zOrder2(col("a"), col("b"), bits)))
+      .orderBy(col("layout"), col("box"))
+  }
 }
