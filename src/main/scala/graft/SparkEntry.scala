@@ -1983,6 +1983,17 @@ object SparkEntry {
       annRecall(exact, tier)
     }),
 
+    // ColBERT-style MaxSim: a 3-vector query scores each label group as
+    // Σ_q max_d cos(q,d) — late interaction over the group's vector set.
+    // Rounded maxima sum through DECIMAL so aggregation order can't leak.
+    "search_maxsim" -> ((s, d) => {
+      val qs = Tables.embeddings(s, d).where(col("vec_id") <= 2)
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      Similarity.maxSimScore(embs(s, d), "embedding", "label", qs, dims = 64)
+        .orderBy(col("label"))
+    }),
+
     // Binary-sign tier recall audit: 1 bit/dim codes, Hamming shortlist
     // (xor+popcount per candidate), exact rerank of the 50 survivors —
     // the cheapest serving tier's place on the same recall-vs-bytes
@@ -2563,6 +2574,15 @@ object SparkEntry {
     // TakeOrderedAndProject.
     "text_vocabulary" -> ((s, d) => {
       TextAnalysis.vocabulary(docs(s, d), "text", "doc_id", topK = 50)
+    }),
+
+    // c-TF-IDF distinctive terms per source group: exact-integer lift of
+    // in-group rate over corpus rate, one double division — the cluster/
+    // source labeling statistic.
+    "text_distinctive_terms" -> ((s, d) => {
+      TextAnalysis.distinctiveTerms(docs(s, d), "text", "source",
+        topK = 5, minCount = 5)
+        .orderBy(col("source"), col("rank"))
     }),
 
     // GloVe-style windowed co-occurrence counts: per-token offset
@@ -4652,6 +4672,18 @@ object SparkEntry {
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
 
+    // same broadcast-query cross join, same (group, query) MAX of rounded
+    // cosines, same exact DECIMAL sum
+    "search_maxsim" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id <= 2),
+        |s AS (SELECT e.label, q.q_id,
+        |    MAX(ROUND(list_cosine_similarity(e.v, q.qv), 6)) AS best
+        |  FROM e CROSS JOIN q GROUP BY 1, 2)
+        |SELECT label, ROUND(CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
     // same Horner bit weights (bit i = 2^i for dim i+1), same xor+popcount
     // distance, same shortlist-then-exact-rerank chain
     "search_hamming_recall" ->
@@ -5782,6 +5814,25 @@ object SparkEntry {
          |SELECT sym, COUNT(*) AS n FROM (
          |  SELECT unnest(string_split(trim(ws), ' ')) AS sym FROM w3)
          |GROUP BY 1 ORDER BY n DESC, sym LIMIT 50""".stripMargin,
+
+    // same one-pass (group, term) count; totals re-aggregated from it;
+    // double products (IEEE-exact) not BIGINT (overflow at corpus scale)
+    "text_distinctive_terms" ->
+      s"""WITH tok AS (SELECT source,
+         |  unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         |gt AS (SELECT source AS grp, term, COUNT(*) AS n_gt FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT grp, term, n_gt,
+         |  SUM(n_gt) OVER (PARTITION BY grp) AS t_g,
+         |  SUM(n_gt) OVER (PARTITION BY term) AS n_t,
+         |  SUM(n_gt) OVER () AS t FROM gt),
+         |r AS (SELECT grp, term, n_gt,
+         |  ROUND((CAST(n_gt AS DOUBLE) * CAST(t AS DOUBLE))
+         |      / (CAST(t_g AS DOUBLE) * CAST(n_t AS DOUBLE)), 6) AS lift
+         |  FROM tot WHERE n_gt >= 5),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+         |    ORDER BY lift DESC, term) AS rnk FROM r)
+         |SELECT grp AS source, CAST(rnk AS INT) AS rank, term, n_gt, lift
+         |FROM rk WHERE rnk <= 5 ORDER BY source, rank""".stripMargin,
 
     "text_bpe_pairs" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),

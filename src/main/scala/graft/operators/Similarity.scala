@@ -347,6 +347,37 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** ColBERT-style late-interaction scoring (MaxSim, Khattab & Zaharia
+    * 2020, arXiv:2004.12832): a multi-vector query scores a multi-vector
+    * document as `Σ_q max_d cos(q, d)` — each query vector independently
+    * finds its best match inside the document's vector set. Here
+    * "documents" are the `groupCol` partitions of the corpus.
+    *
+    * Shape: the query set is broadcast (queries × corpus rows, narrow),
+    * ONE combiner-heavy (group, query) MAX — the max distributes over
+    * partitions, so map-side partials do the work — then a per-group
+    * DECIMAL sum of the ≤|Q| rounded maxima (exact, order-independent;
+    * a double sum would expose aggregation order). At 100 TB this is a
+    * scan + two shrinking aggs; nothing quadratic, nothing collected.
+    */
+  def maxSimScore(vecs: DataFrame, vecCol: String, groupCol: String,
+      queries: Seq[(Long, Seq[Float])], dims: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty)
+    val qdf = broadcast(queries.toDF("q_id", "q_vec"))
+    vecs.select(col(groupCol).as("grp"), col(vecCol))
+      .crossJoin(qdf)
+      .withColumn("sim", round(
+        VectorFunctions.cosine(col(vecCol), col("q_vec"), dims), 6))
+      .groupBy(col("grp"), col("q_id"))
+      .agg(max(col("sim")).as("best"))
+      .groupBy(col("grp"))
+      .agg(round(sum(col("best").cast("decimal(18,6)")).cast("double"), 6)
+        .as("maxsim"))
+      .select(col("grp").as(groupCol), col("maxsim"))
+  }
+
   /** Per-label embedding centroids (long form: label, pos, c) — the class
     * prototypes used for centroid-based filtering and labeling (score a
     * candidate against the "good" class centroid, FineWeb-edu style) and

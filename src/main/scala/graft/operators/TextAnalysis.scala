@@ -171,6 +171,49 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Distinctive terms per group (c-TF-IDF, the BERTopic cluster-labeling
+    * statistic, in exact-integer form): for each (group, term), the lift
+    * of the term's in-group rate over its corpus rate,
+    * `(n_gt / T_g) / (n_t / T) = n_gt·T / (T_g·n_t)` — all four factors
+    * exact integer counts, products formed in BIGINT, ONE double division
+    * rounded to 6 (the log-idf variant inherits libm last-ulp freedom;
+    * ranking by lift is order-equivalent for a single corpus). `minCount`
+    * floors in-group noise; top-K per group by (lift desc, term).
+    *
+    * Shape: one explode → one combiner-heavy (group, term) count; group
+    * totals and corpus term counts are re-aggregations OF THAT TABLE
+    * (groups × terms rows, not corpus rows), so the expensive pass
+    * happens once. Per-group top-K via window rank on the small table.
+    */
+  def distinctiveTerms(docs: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 5, minCount: Long = 5): DataFrame = {
+    require(topK >= 1 && minCount >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val gt = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("n_gt"))
+    val withTotals = gt
+      .withColumn("t_g", sum(col("n_gt")).over(Window.partitionBy(col("grp"))))
+      .withColumn("n_t", sum(col("n_gt")).over(Window.partitionBy(col("term"))))
+      .withColumn("t", sum(col("n_gt")).over(Window.partitionBy()))
+    withTotals
+      .where(col("n_gt") >= minCount)
+      // products in DOUBLE, not BIGINT: at 100 TB n_gt·T overflows int64,
+      // while double×double and the division are IEEE-exact-rounded — the
+      // same bits on every engine
+      .withColumn("lift", round(
+        (col("n_gt").cast("double") * col("t").cast("double")) /
+          (col("t_g").cast("double") * col("n_t").cast("double")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("lift").desc, col("term"))))
+      .where(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("rank"), col("term"),
+        col("n_gt"), col("lift"))
+  }
+
   /** C4/Gopher-style composite corpus filter: every document gets a NAMED
     * verdict per quality rule plus the final `keep` flag — the audit
     * artifact corpus pipelines report ("why did this doc drop") rather
