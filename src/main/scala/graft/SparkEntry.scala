@@ -2226,6 +2226,28 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Train/test leakage audit: near-dup pairs (the exact Jaccard
+    // operator) classified by the splits their endpoints landed in — a
+    // cross-split near-dup IS eval contamination the split hash cannot
+    // see. The deploy-blocking number is the is_leak=true row count.
+    "pipeline_split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+        shingleK = 3, minJaccard = 0.5, maxDf = 5)
+      val splits = operators.Sampling.assignSplit(dd, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // Edit-distance verification on LSH candidates (never a global cross
     // join): two prunable equi-joins + one codegen'd levenshtein per pair.
     // The candidates repartition to full parallelism first (AQE coalesces
@@ -4832,6 +4854,40 @@ object SparkEntry {
          |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
          |FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    // the exact-Jaccard pair CTE verbatim + the sample_split hash CASE;
+    // pair orientation normalized by split name so the counts are stable
+    "pipeline_split_leakage" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |exh AS (SELECT doc_id, ${sqlHash64("shingle")} AS shk FROM ex0),
+         |capped AS (
+         |  SELECT doc_id, shk FROM (
+         |    SELECT doc_id, shk, COUNT(*) OVER (PARTITION BY shk) AS df
+         |    FROM exh) WHERE df <= 5),
+         |ex AS (
+         |  SELECT doc_id, shk, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM capped),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    ROUND(CAST(COUNT(*) AS DOUBLE) /
+         |      (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
+         |  FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING jaccard >= 0.5),
+         |sp AS (SELECT doc_id, CASE
+         |  WHEN $b % 1000000 < 800000 THEN 'train'
+         |  WHEN $b % 1000000 < 900000 THEN 'val'
+         |  ELSE 'test' END AS split FROM documents),
+         |cls AS (SELECT LEAST(sa.split, sb.split) AS split_a,
+         |    GREATEST(sa.split, sb.split) AS split_b
+         |  FROM pairs JOIN sp sa ON pairs.a = sa.doc_id
+         |  JOIN sp sb ON pairs.b = sb.doc_id)
+         |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+         |  split_a <> split_b AS is_leak
+         |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "dedup_levenshtein" -> {
       val mh = (0 until 4).map(i =>
