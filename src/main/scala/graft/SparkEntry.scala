@@ -2226,6 +2226,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // DSIR-style importance scores: hashed-bigram bucket distributions,
+    // add-one smoothing, per-doc mean likelihood lift vs the src0 target
+    // domain (linear-lift variant — log-free for bit-portability).
+    "sample_importance_dsir" -> ((s, d) => {
+      operators.Sampling.importanceWeights(
+        docs(s, d).withColumn("is_target", col("source") === "src0"),
+        "text", "doc_id", "is_target", buckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // Train/test leakage audit: near-dup pairs (the exact Jaccard
     // operator) classified by the splits their endpoints landed in — a
     // cross-split near-dup IS eval contamination the split hash cannot
@@ -4854,6 +4864,35 @@ object SparkEntry {
          |    (any_value(l.n_sh) + any_value(r.n_sh) - COUNT(*)), 6) AS jaccard
          |FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    // same bucket stats (one conditional count), same smoothed lift with
+    // IEEE double products, same DECIMAL accumulation and final division
+    "sample_importance_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+         |  ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, is_t,
+         |  unnest(CASE WHEN len(toks) < 2 THEN []
+         |    ELSE list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+         |    END) AS g
+         |  FROM tok),
+         |f AS (SELECT doc_id, is_t, ${sqlHash64("g")} % 64 AS b FROM bg),
+         |st AS (SELECT b, COUNT(*) AS n_b,
+         |  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_tb
+         |  FROM f GROUP BY b),
+         |tt AS (SELECT CAST(SUM(n_b) AS BIGINT) AS t_all,
+         |  CAST(SUM(n_tb) AS BIGINT) AS t_t FROM st),
+         |lf AS (SELECT f.doc_id,
+         |  ROUND((CAST(n_tb + 1 AS DOUBLE) * CAST(t_all + 64 AS DOUBLE)) /
+         |        (CAST(n_b + 1 AS DOUBLE) * CAST(t_t + 64 AS DOUBLE)), 6) AS lift
+         |  FROM f JOIN st USING (b), tt),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         |  SUM(CAST(lift AS DECIMAL(24,6))) AS ls FROM lf GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.n_features, 0) AS n_features,
+         |  CAST((CAST(agg.ls * 1000000 AS BIGINT) * 2 + agg.n_features)
+         |    // (agg.n_features * 2) AS DOUBLE) / 1000000.0 AS score
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the exact-Jaccard pair CTE verbatim + the sample_split hash CASE;
     // pair orientation normalized by split name so the counts are stable

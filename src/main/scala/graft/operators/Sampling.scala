@@ -274,4 +274,71 @@ object Sampling {
     // temperatureSample)
     df.where(col(scoreCol).isNotNull).withColumn("phase", phase)
   }
+
+  /** DSIR-style importance scores for target-domain data selection (Xie
+    * et al. 2023, arXiv:2302.03169): featurize every document as hashed
+    * word-bigram buckets, estimate the target-domain and whole-corpus
+    * bucket distributions with add-one smoothing, and score each document
+    * by its features' mean likelihood lift
+    * `r(b) = p_target(b)/p_corpus(b)
+    *       = (n_tb+1)·(T+B) / ((n_b+1)·(T_t+B))`.
+    *
+    * Portability deviation from the paper, stated plainly: DSIR sums LOG
+    * ratios (a product of likelihoods); ln() is the classic cross-engine
+    * last-ulp divergence, so this variant scores by the MEAN of per-bucket
+    * lifts — same inputs, same smoothing, monotone in each feature's
+    * ratio, but not the same ordering as the log-sum in general. Each
+    * lift is two IEEE-exact double products + one division, rounded to 6;
+    * per-doc accumulation is a DECIMAL sum (order-independent); one final
+    * division by the doc's feature count.
+    *
+    * Shape: one explode → ONE combiner-heavy bucket count with a
+    * conditional target-side sum (no second pass for the target
+    * distribution) → broadcast the B-row stats table back onto the
+    * per-doc feature stream → per-doc sum. Docs with no bigram (a single
+    * token) surface with n_features = 0, score NULL — visibly unscorable
+    * rather than silently average.
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+      isTargetCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2)
+    val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val feat = docs
+      .select(col(idCol), col(isTargetCol).as("is_t_"), toks.as("toks_"))
+      .select(col(idCol), col("is_t_"),
+        explode(when(size(col("toks_")) < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks_")) - 2),
+            i => struct(element_at(col("toks_"), i + 1).as("l"),
+              element_at(col("toks_"), i + 2).as("r"))))).as("bg"))
+      .select(col(idCol), col("is_t_"),
+        pmod(HashFunctions.hash64(concat_ws(" ", col("bg.l"), col("bg.r"))),
+          lit(buckets.toLong)).as("b"))
+    val stats = feat
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(when(col("is_t_"), 1L).otherwise(0L)).as("n_tb"))
+    val totals = stats.agg(sum(col("n_b")).as("t_all"), sum(col("n_tb")).as("t_t"))
+    val lifted = feat
+      .join(broadcast(stats), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", round(
+        ((col("n_tb") + 1).cast("double") * (col("t_all") + buckets).cast("double")) /
+          ((col("n_b") + 1).cast("double") * (col("t_t") + buckets).cast("double")), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("lift").cast("decimal(24,6)")).as("liftsum_"))
+    docs.select(col(idCol))
+      .join(lifted, Seq(idCol), "left")
+      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+      // mean in exact integer micro-units with explicit half-up division:
+      // round(double, 6) of the double mean can land on a representable
+      // half-ulp tie (observed: 1.0783004999999999) where engines round
+      // apart; (2s+n) div 2n never can
+      .withColumn("sm_", (col("liftsum_") * 1000000).cast("long"))
+      .withColumn("score",
+        expr("(sm_ * 2 + n_features) div (n_features * 2)").cast("double")
+          / 1000000.0)
+      .select(col(idCol), col("n_features"), col("score"))
+  }
 }
