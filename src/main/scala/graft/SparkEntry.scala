@@ -2419,6 +2419,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Streaming substring-dedup fold: additive gram counts + append-only
+    // position log; dup decided at read time, so cross-batch duplicates
+    // (count 1+1) are found exactly and the fold must equal the batch
+    // recompute — the oracle is dedup_substring_spans' SQL verbatim.
+    "stream_substring_spans" -> ((s, d) => {
+      streaming.StreamingIngest.stagedSubstringSpansRoundtrip(s,
+        docs(s, d), "text", "doc_id", k = 8,
+        "/tmp/graft_substream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }),
+
     // Streaming semantic-dedup fold: batches accepted against the
     // current store, sequentially — a batch-1 acceptance can reject a
     // batch-2 near-dup. The oracle unrolls both folds.
@@ -5114,6 +5124,15 @@ object SparkEntry {
     // same dup-position derivation, same single-lag interval merge: all
     // windows are length k, so "continues the span" is p - prev <= k
     "dedup_substring_spans" ->
+      s"""$substringSpanCte
+         |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
+         |  MAX(p) + 7 - MIN(p) + 1 AS n_dup_tokens
+         |FROM sp GROUP BY doc_id, span
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the stream of folds must reproduce the one-pass batch recompute —
+    // same oracle text as dedup_substring_spans
+    "stream_substring_spans" ->
       s"""$substringSpanCte
          |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
          |  MAX(p) + 7 - MIN(p) + 1 AS n_dup_tokens

@@ -556,15 +556,41 @@ object Dedup {
       k: Int, minCount: Long = 2): DataFrame = {
     require(k >= 2 && minCount >= 2)
     import org.apache.spark.sql.expressions.Window
+    shinglePositions(docs, textCol, idCol, k)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("occ") >= minCount)
+      .select(col(idCol), col("p"))
+  }
+
+  /** Hashed k-gram positions (idCol, p, h), 1-based — the raw stream both
+    * the batch window-count and the streaming additive-fold forms of
+    * substring dedup consume. In-row shingling, no shuffle. */
+  def shinglePositions(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks_"))
       .select(col(idCol), posexplode(
         TextFunctions.shinglesFromTokens(col("toks_"), k)).as(Seq("pos0", "gram")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("p"),
         HashFunctions.hash64(col("gram")).as("h"))
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("occ") >= minCount)
-      .select(col(idCol), col("p"))
+
+  /** Merge duplicated k-gram positions (idCol, p) into maximal spans —
+    * the islands step of [[substringSpans]], exposed so the streaming
+    * fold can share it verbatim. */
+  def spansFromDupPositions(dupPos: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    dupPos
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(wOrd).isNull ||
+          col("p") - lag(col("p"), 1).over(wOrd) > k, 1L).otherwise(0L))
+      .withColumn("span", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"))
+      .withColumn("n_dup_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_dup_tokens"))
   }
 
   /** Exact substring-span dedup (the suffix-array dedup of Lee et al.
@@ -590,21 +616,9 @@ object Dedup {
     * no running-max machinery.
     */
   def substringSpans(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    dupShinglePositions(docs, textCol, idCol, k, minCount)
-      .withColumn("brk",
-        when(lag(col("p"), 1).over(wOrd).isNull ||
-          col("p") - lag(col("p"), 1).over(wOrd) > k, 1L).otherwise(0L))
-      .withColumn("span", sum(col("brk")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("span"))
-      .agg(min(col("p")).as("span_start"),
-        (max(col("p")) + (k - 1)).as("span_end"))
-      .withColumn("n_dup_tokens", col("span_end") - col("span_start") + 1)
-      .select(col(idCol), col("span_start"), col("span_end"), col("n_dup_tokens"))
-  }
+      k: Int = 8, minCount: Long = 2): DataFrame =
+    spansFromDupPositions(
+      dupShinglePositions(docs, textCol, idCol, k, minCount), idCol, k)
 
   /** Per-document dedup accounting for [[substringSpans]]: total tokens,
     * tokens inside duplicated spans, tokens a span-cutting clean pass

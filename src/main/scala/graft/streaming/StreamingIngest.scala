@@ -800,6 +800,82 @@ object StreamingIngest {
         (col("est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Streaming substring-dedup fold: k-gram COUNTS are additive across
+    * micro-batches (the CMS property, exact rather than sketched), so the
+    * fold keeps a versioned (gram-hash, count) store summed per batch with
+    * NO history re-read, plus an append-only position log. Duplication is
+    * decided at READ time — a gram that needs two batches to reach count 2
+    * is found exactly (contrast the semantic fold, which is inherently
+    * order-dependent) — so the final spans must equal the one-pass batch
+    * [[graft.operators.Dedup.substringSpans]] verbatim, and the gate
+    * reuses the batch oracle SQL unchanged.
+    *
+    * Batches must be DOC-COMPLETE (a document's grams arrive together —
+    * what any document feed delivers); the staged driver splits on the
+    * doc id. At 100 TB the gram store is hash-partitioned parquet and
+    * each fold is one combiner-heavy sum of batch deltas + store.
+    */
+  def stagedSubstringSpansRoundtrip(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, k: Int, workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val posDir = s"$workDir/pos"
+    val gramBase = s"$workDir/grams"
+
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    stage(src.where(col("doc_id") % 2 === 0))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pos = graft.operators.Dedup
+          .shinglePositions(batch, "text", "doc_id", k)
+        pos.write.mode("append").parquet(posDir)
+        val delta = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+        }
+        val out = s"$gramBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      stage(src.where(col("doc_id") % 2 === 1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val grams = spark.read
+      .parquet(latest.getOrElse(sys.error("no batch ran")))
+    val dupPos = spark.read.parquet(posDir)
+      .join(grams.where(col("cnt") >= 2).select(col("h")), "h")
+      .select(col("doc_id"), col("p"))
+    graft.operators.Dedup.spansFromDupPositions(dupPos, "doc_id", k)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Streaming semantic-dedup fold (the streaming shape of
     * dedup_semantic_incremental): embeddings arrive in micro-batches;
     * each batch is assigned into FIXED cells (centroids trained on the

@@ -160,6 +160,28 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stagedSubstringSpansRoundtrip: a gram split across batches still reaches dup count") {
+    import spark.implicits._
+    // doc 0 streams in batch 1, doc 1 in batch 2 (id parity); their shared
+    // 4-gram only reaches count 2 AFTER the second fold — finding it
+    // proves duplication is decided at read time over the additive store
+    val docs = Seq(
+      (0L, "one two three four tail0"),
+      (1L, "head1 one two three four"),
+      (2L, "totally different words here"),
+      (3L, "unrelated content again now")
+    ).toDF("doc_id", "text")
+    val got = StreamingIngest.stagedSubstringSpansRoundtrip(spark, docs,
+      "text", "doc_id", k = 4, "/tmp/graft_spec_stream_substr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 1L, 4L, 4L), (1L, 2L, 5L, 4L)))
+    // and it equals the one-pass batch recompute
+    val batch = graft.operators.Dedup.substringSpans(docs, "text", "doc_id", k = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq === got.toSeq)
+  }
+
   test("stagedSemanticDedupRoundtrip: folds are sequential — a batch-1 acceptance rejects a batch-2 near-dup") {
     import spark.implicits._
     // ids ≡0 mod 3 are the stored corpus, ≡1 batch 1, ≡2 batch 2; one
