@@ -2869,6 +2869,16 @@ object SparkEntry {
 
     // Join-key skew report on the events fact key: feeds the
     // SkewJoin.bucketsFor / hotKeys sizing decisions.
+    // Embedding covariance/correlation matrix: the whitening/PCA
+    // pre-flight over all d(d+1)/2 dimension pairs — exact double
+    // products, DECIMAL sums, corr from the ROUNDED covs (sqrt is IEEE
+    // correctly-rounded, so corr is as portable as cov).
+    "profile_embedding_cov" -> ((s, d) => {
+      operators.Profiling.embeddingCovariance(embs(s, d), "embedding",
+        dims = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
     "profile_key_skew" -> ((s, d) => {
       operators.Profiling.keyFrequencyProfile(Tables.events(s, d), "user_id")
         .orderBy(col("rows_per_key"))
@@ -6006,6 +6016,29 @@ object SparkEntry {
       """SELECT rows_per_key, COUNT(*) AS n_keys FROM (
         |  SELECT user_id, COUNT(*) AS rows_per_key FROM events GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same exact-double products, DECIMAL sums, corr from rounded covs
+    "profile_embedding_cov" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |x AS (SELECT v, unnest(v) AS xi,
+        |  CAST(generate_subscripts(v, 1) - 1 AS INT) AS i FROM e),
+        |p AS (SELECT i, unnest(range(i, 64)) AS j0, xi, v FROM x),
+        |ps AS (SELECT i, CAST(j0 AS INT) AS j,
+        |  CAST(xi * v[CAST(j0 AS INT) + 1] AS DECIMAL(28,16)) AS prod,
+        |  CAST(xi AS DECIMAL(28,16)) AS xi_d FROM p),
+        |sij AS (SELECT i, j, SUM(prod) AS s_ij FROM ps GROUP BY i, j),
+        |si AS (SELECT i, SUM(xi_d) AS s_ FROM ps WHERE i = j GROUP BY i),
+        |cov AS (SELECT sij.i, sij.j,
+        |  ROUND((CAST(s_ij AS DOUBLE)
+        |    - CAST(a.s_ AS DOUBLE) * CAST(b.s_ AS DOUBLE) / n) / n, 6) AS cov
+        |  FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i, nn),
+        |diag AS (SELECT i AS d_, cov AS var_ FROM cov WHERE i = j)
+        |SELECT c.i, c.j, c.cov,
+        |  CASE WHEN di.var_ > 0 AND dj.var_ > 0
+        |    THEN ROUND(c.cov / sqrt(di.var_ * dj.var_), 6) END AS corr
+        |FROM cov c JOIN diag di ON c.i = di.d_ JOIN diag dj ON c.j = dj.d_
+        |ORDER BY c.i, c.j""".stripMargin,
 
     // the fold must equal the one-pass batch sketch exactly, so the
     // streaming gate shares profile_cms_audit's oracle verbatim

@@ -187,4 +187,57 @@ object Profiling {
           sum(col("n_after")).over(totals), 6))
       .withColumn("d_share", round(abs(col("p_after") - col("p_before")), 6))
   }
+
+  /** Embedding covariance/correlation matrix — the whitening / PCA
+    * pre-flight (are dimensions redundant? is the space isotropic enough
+    * for the RHP/IVF tiers?). For every dimension pair i ≤ j:
+    * `cov_ij = (Σ xᵢxⱼ − Σxᵢ·Σxⱼ/n)/n`, correlation from the ROUNDED
+    * covariances so both factors are engine-identical before the
+    * division; sqrt is IEEE correctly-rounded (unlike ln/exp), so corr
+    * is as portable as cov.
+    *
+    * Determinism: each xᵢxⱼ product is one exact double multiply, summed
+    * through DECIMAL (order-independent); the d(d+1)/2-term expansion is
+    * per-row (no shuffle) into ONE combiner-heavy (i, j) aggregation.
+    * Cost is n·d²/2 expanded rows — at 100 TB run it on a sample; the
+    * statistic converges long before the corpus ends.
+    */
+  def embeddingCovariance(vecs: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2)
+    val spark = vecs.sparkSession
+    val n = vecs.count()
+    require(n > 0, "embeddingCovariance: empty input")
+    val pairs = vecs
+      .select(explode(transform(sequence(lit(0), lit(dims - 1)),
+        i => struct(i.as("i"),
+          element_at(col(vecCol), i + 1).cast("double").as("xi")))).as("a"),
+        col(vecCol).as("v_"))
+      .select(col("a.i").as("i"), col("a.xi").as("xi"),
+        explode(transform(sequence(col("a.i"), lit(dims - 1)),
+          j => struct(j.as("j"),
+            element_at(col("v_"), j + 1).cast("double").as("xj")))).as("b"))
+      .select(col("i"), col("b.j").as("j"),
+        (col("xi") * col("b.xj")).cast("decimal(28,16)").as("prod"),
+        col("xi").cast("decimal(28,16)").as("xi_d"))
+    val sij = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("prod")).as("s_ij"))
+    // Σxᵢ from the diagonal stream (i == j rows carry xi once per row)
+    val si = pairs.where(col("i") === col("j"))
+      .groupBy(col("i")).agg(sum(col("xi_d")).as("s_"))
+    val cov = sij
+      .join(broadcast(si.select(col("i"), col("s_").as("s_i"))), "i")
+      .join(broadcast(si.select(col("i").as("j"), col("s_").as("s_j"))), "j")
+      .withColumn("cov", round(
+        (col("s_ij").cast("double") -
+          col("s_i").cast("double") * col("s_j").cast("double") / n) / n, 6))
+      .select(col("i"), col("j"), col("cov"))
+    val diag = cov.where(col("i") === col("j"))
+      .select(col("i").as("d_"), col("cov").as("var_"))
+    cov
+      .join(broadcast(diag.select(col("d_").as("i"), col("var_").as("var_i"))), "i")
+      .join(broadcast(diag.select(col("d_").as("j"), col("var_").as("var_j"))), "j")
+      .withColumn("corr", when(col("var_i") > 0 && col("var_j") > 0,
+        round(col("cov") / sqrt(col("var_i") * col("var_j")), 6)))
+      .select(col("i"), col("j"), col("cov"), col("corr"))
+  }
 }
