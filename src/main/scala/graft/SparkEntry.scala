@@ -2010,6 +2010,39 @@ object SparkEntry {
       annRecall(exact, tier)
     }),
 
+    // SQ8 tier MRR audit: per query (5 of them), the rank at which the
+    // tier surfaces the TRUE nearest neighbor (exact top-1, self
+    // excluded) inside its top-10 — reciprocal rank is exact rational
+    // (1/rank), no log-discounted gain (NDCG's log2 is the libm
+    // divergence). One windowed rank per side, no per-query loop.
+    "search_sq8_mrr" -> ((s, d) => {
+      val e = embs(s, d)
+      val (mins, maxs) = Similarity.sqCalibrate(e, "embedding")
+      val deq = Similarity.sqEncode(e, "embedding", "vec_id", mins, maxs)
+        .withColumn("vq", Similarity.sqDequantize(col("codes"), mins, maxs))
+      val q = broadcast(Tables.embeddings(s, d).where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv")))
+      def ranked(side: DataFrame, vecCol: String) = side
+        .join(q, col("vec_id") =!= col("qid"))
+        .withColumn("s", round(
+          VectorFunctions.cosine(col(vecCol), col("qv"), 64), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("s").desc, col("vec_id"))))
+      val rel = ranked(e.select(col("vec_id"), col("embedding")), "embedding")
+        .where(col("rn") === 1).select(col("qid"), col("vec_id"))
+      val hit = ranked(deq.select(col("vec_id"), col("vq")), "vq")
+        .where(col("rn") <= 10)
+        .join(rel, Seq("qid", "vec_id"))
+        .select(col("qid"), col("rn").cast("long").as("found_rank"))
+      q.select(col("qid"))
+        .join(hit, Seq("qid"), "left")
+        .withColumn("rr", coalesce(
+          round(lit(1.0) / col("found_rank"), 6), lit(0.0)))
+        .orderBy(col("qid"))
+    }),
+
     "search_sq8_recall" -> ((s, d) => {
       val e = embs(s, d)
       val qv = queryVec(s, d)
@@ -2388,6 +2421,13 @@ object SparkEntry {
       operators.SetSimJoin.jaccardPairs(docs(s, d), "text", "doc_id",
         minSim = 0.5, termK = 3)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Boilerplate census: WHAT text repeats (the span gates say where) —
+    // top duplicated 8-grams with occurrence and document frequency.
+    "text_boilerplate_grams" -> ((s, d) => {
+      TextAnalysis.boilerplateGrams(docs(s, d), "text", "doc_id",
+        k = 8, topK = 20)
     }),
 
     // Exact substring-span dedup (Lee et al. 2021, arXiv:2107.06499):
@@ -4762,6 +4802,37 @@ object SparkEntry {
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
 
+    // same exact-NN relevance, same dequantized tier ranking, same
+    // rational reciprocal rank
+    "search_sq8_mrr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |deq AS (
+        |  SELECT vec_id, x.pos,
+        |    CASE WHEN d.mx = d.mn THEN d.mn
+        |         ELSE d.mn + CAST(round((x.x - d.mn) / (d.mx - d.mn) * 255) AS INT)
+        |              * ((d.mx - d.mn) / 255.0) END AS xq
+        |  FROM x JOIN dims d USING (pos)),
+        |arr AS (SELECT vec_id, list(xq ORDER BY pos) AS vq FROM deq GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+        |ex AS (SELECT q.qid, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+        |        e.vec_id) AS rn
+        |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |rel AS (SELECT qid, vec_id FROM ex WHERE rn = 1),
+        |tier AS (SELECT q.qid, arr.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_cosine_similarity(arr.vq, q.qv), 6) DESC,
+        |        arr.vec_id) AS rn
+        |  FROM arr JOIN q ON arr.vec_id <> q.qid),
+        |hit AS (SELECT t.qid, t.rn AS found_rank
+        |  FROM tier t JOIN rel USING (qid, vec_id) WHERE t.rn <= 10)
+        |SELECT q.qid, hit.found_rank,
+        |  COALESCE(ROUND(1.0 / hit.found_rank, 6), 0.0) AS rr
+        |FROM q LEFT JOIN hit USING (qid) ORDER BY q.qid""".stripMargin,
+
     "search_sq8_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
@@ -5130,6 +5201,16 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // same gram build, same occ/df census, same (occ desc, gram) top-K
+    "text_boilerplate_grams" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
+         |  ELSE list_transform(generate_series(1, len(toks) - 7),
+         |    i -> array_to_string(toks[i:i+7], ' ')) END) AS gram FROM tok)
+         |SELECT gram, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS df
+         |FROM g GROUP BY gram HAVING COUNT(*) >= 2
+         |ORDER BY occ DESC, gram LIMIT 20""".stripMargin,
 
     // same dup-position derivation, same single-lag interval merge: all
     // windows are length k, so "continues the span" is p - prev <= k

@@ -451,6 +451,30 @@ object TextAnalysis {
     out.toSeq.toDF("step", "left", "right", "n")
   }
 
+  /** Boilerplate k-gram census: the most-repeated k-token windows in the
+    * corpus with occurrence and document frequency — the "what text is
+    * duplicated" companion to [[Dedup.substringSpans]] (which only says
+    * WHERE). High-occ/high-df grams are boilerplate (headers, licenses,
+    * navigation); high-occ/low-df grams are within-doc repetition spam.
+    * One combiner-heavy group on the gram (count + distinct-doc), top-K
+    * via TakeOrderedAndProject. At 100 TB group on the gram HASH and
+    * carry `any_value(gram)` for display; the string group is fine at
+    * audit scale.
+    */
+  def boilerplateGrams(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, topK: Int = 20): DataFrame = {
+    require(k >= 2 && topK >= 1)
+    docs
+      .select(col(idCol).as("_doc"), TextFunctions.tokens(col(textCol)).as("toks_"))
+      .select(col("_doc"),
+        explode(TextFunctions.shinglesFromTokens(col("toks_"), k)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("_doc")).as("df"))
+      .where(col("occ") >= 2)
+      .orderBy(col("occ").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Apply a trained BPE merge table (the [[bpeTrain]] artifact) to the
     * corpus and return the tokenized-corpus symbol distribution (top-K
     * symbols by count). This is the ENCODE half of the tokenizer: the
