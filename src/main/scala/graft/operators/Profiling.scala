@@ -205,9 +205,14 @@ object Profiling {
   def embeddingCovariance(vecs: DataFrame, vecCol: String, dims: Int): DataFrame = {
     require(dims >= 2)
     val spark = vecs.sparkSession
+    import spark.implicits._
     val n = vecs.count()
     require(n > 0, "embeddingCovariance: empty input")
-    val pairs = vecs
+    // ONE pass: d(d+1)/2 per-row pair expansion into a single
+    // combiner-heavy agg; Σxᵢ rides the diagonal rows of the SAME agg
+    // (sum(xi) over (i,i) rows = S_i), so the expensive expansion is
+    // never re-planned for the moment tables
+    val stats = vecs
       .select(explode(transform(sequence(lit(0), lit(dims - 1)),
         i => struct(i.as("i"),
           element_at(col(vecCol), i + 1).cast("double").as("xi")))).as("a"),
@@ -219,25 +224,25 @@ object Profiling {
       .select(col("i"), col("b.j").as("j"),
         (col("xi") * col("b.xj")).cast("decimal(28,16)").as("prod"),
         col("xi").cast("decimal(28,16)").as("xi_d"))
-    val sij = pairs.groupBy(col("i"), col("j"))
-      .agg(sum(col("prod")).as("s_ij"))
-    // Σxᵢ from the diagonal stream (i == j rows carry xi once per row)
-    val si = pairs.where(col("i") === col("j"))
-      .groupBy(col("i")).agg(sum(col("xi_d")).as("s_"))
-    val cov = sij
-      .join(broadcast(si.select(col("i"), col("s_").as("s_i"))), "i")
-      .join(broadcast(si.select(col("i").as("j"), col("s_").as("s_j"))), "j")
-      .withColumn("cov", round(
-        (col("s_ij").cast("double") -
-          col("s_i").cast("double") * col("s_j").cast("double") / n) / n, 6))
-      .select(col("i"), col("j"), col("cov"))
-    val diag = cov.where(col("i") === col("j"))
-      .select(col("i").as("d_"), col("cov").as("var_"))
-    cov
-      .join(broadcast(diag.select(col("d_").as("i"), col("var_").as("var_i"))), "i")
-      .join(broadcast(diag.select(col("d_").as("j"), col("var_").as("var_j"))), "j")
-      .withColumn("corr", when(col("var_i") > 0 && col("var_j") > 0,
-        round(col("cov") / sqrt(col("var_i") * col("var_j")), 6)))
-      .select(col("i"), col("j"), col("cov"), col("corr"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("prod")).as("s_ij"), sum(col("xi_d")).as("sxi"))
+      .collect() // d(d+1)/2 rows — model-size, the centroidsFromLong bound
+    // moments are exact decimals; the double chain below is the same IEEE
+    // ops as the SQL oracle, and round6 mirrors Spark's HALF_UP round
+    def r6(v: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sMap = stats.map(r => (r.getInt(0), r.getInt(1)) ->
+      ((r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))).toMap
+    val sI = (0 until dims).map(i => i -> sMap((i, i))._2).toMap
+    val cov = sMap.map { case ((i, j), (sij, _)) =>
+      (i, j) -> r6((sij - sI(i) * sI(j) / n) / n)
+    }
+    val rows = cov.toSeq.sortBy(_._1).map { case ((i, j), c) =>
+      val vi = cov((i, i)); val vj = cov((j, j))
+      val corr = if (vi > 0 && vj > 0) Some(r6(c / math.sqrt(vi * vj))) else None
+      (i, j, c, corr)
+    }
+    rows.toDF("i", "j", "cov", "corr")
   }
 }

@@ -280,4 +280,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p.take(2000))
     assert(p.contains("jaro_winkler"), p.take(2000))
   }
+
+  test("dedup_substring_spans: ONE corpus scan (window count, not count+join-back), no cartesian") {
+    val p = plan("dedup_substring_spans")
+    assert(count(p, "Scan parquet") == 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("search_hamming_recall: shortlist is TakeOrdered, rerank side broadcast") {
+    val p = plan("search_hamming_recall")
+    assert(count(p, "TakeOrderedAndProject") >= 2, p.take(2000)) // shortlist + final k
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("search_maxsim: query side broadcast, combiner-heavy max, no sort-merge join") {
+    val p = plan("search_maxsim")
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1,
+      p.take(2000))
+    assert(count(p, "SortMergeJoin") == 0, p.take(2000))
+    assert(count(p, "HashAggregate") >= 2, p.take(2000))
+  }
+
+  test("text_distinctive_terms: one explode-count pass feeds every total") {
+    val p = plan("text_distinctive_terms")
+    assert(count(p, "Scan parquet") == 1, p.take(2000))
+    assert(count(p, "Generate") == 1, p.take(2000))
+  }
+
+  test("sample_importance_dsir: bucket stats broadcast back onto the feature stream") {
+    val p = plan("sample_importance_dsir")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("profile_embedding_cov: moments reduced in one pass, result is a model-size local relation") {
+    val p = plan("profile_embedding_cov")
+    // the d(d+1)/2 moment table collects once (centroidsFromLong bound);
+    // the returned frame must be local — re-planned joins over the
+    // expensive expansion were the regression this pins against
+    assert(count(p, "LocalTableScan") == 1, p.take(2000))
+    assert(count(p, "Join") == 0, p.take(2000))
+  }
 }
