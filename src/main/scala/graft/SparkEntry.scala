@@ -2504,6 +2504,16 @@ object SparkEntry {
     // orientation bounds the wedge fan-out at O(E^1.5) regardless of
     // skew; the oracle re-counts with the naive id-ordered join (the
     // count is orientation-invariant).
+    // 3-round 3-core peel of the co-purchase graph: drop degree<3 nodes
+    // and re-peel — the density filter before community analysis. Fixed
+    // unrolled depth keeps the plan static and the oracle expressible.
+    "graph_kcore" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.kCorePeel(edges, k = 3, rounds = 3)
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
@@ -5281,6 +5291,26 @@ object SparkEntry {
 
     // naive id-ordered triangle join (count is orientation-invariant);
     // wedge denominator from the degree census
+    // same frequent-pair edges, three unrolled degree→filter rounds
+    "graph_kcore" -> {
+      val rounds = (0 until 3).map { r =>
+        s"""d$r AS (SELECT node, COUNT(*) AS deg FROM
+           |  (SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+           |k$r AS (SELECT node FROM d$r WHERE deg >= 3),
+           |e${r + 1} AS (SELECT e.a, e.b FROM e$r e
+           |  JOIN k$r ka ON e.a = ka.node JOIN k$r kb ON e.b = kb.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |e0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$rounds
+         |SELECT node, COUNT(*) AS deg FROM
+         |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
     "graph_triangles" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem),

@@ -190,4 +190,30 @@ object Graph {
         (col("wedges_dropped").cast("double") / col("wedges_total"))
           .as("dropped_frac"))
   }
+
+  /** R-round k-core peel: repeatedly drop nodes of degree < k and their
+    * incident edges — the density filter that strips noise/spam tendrils
+    * before community or influence analysis. Each round is one
+    * combiner-heavy degree count + two semi-joins; `rounds` is a FIXED
+    * unrolled depth (the plan is a static R-stage chain, no driver
+    * convergence loop), which equals the true k-core whenever peeling
+    * converges within R rounds and is the documented R-round
+    * approximation otherwise — the external-SQL-checkable form, exactly
+    * the BPE-rounds trade. Output: surviving (node, deg), the degree
+    * measured in the peeled graph.
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 8)
+    var e = edges.select(col("a"), col("b"))
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("a").as("node")).unionAll(g.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    (0 until rounds).foreach { _ =>
+      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+    }
+    degrees(e).orderBy(col("node"))
+  }
 }
