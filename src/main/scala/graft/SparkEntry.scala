@@ -1983,6 +1983,15 @@ object SparkEntry {
       annRecall(exact, tier)
     }),
 
+    // JL sign-projection distortion audit: 64→16 dims via a hash-derived
+    // ±1 matrix; exact vs projected cosine on 250 deterministic probe
+    // pairs — measure the tier's input space before trusting it.
+    "search_jl_distortion" -> ((s, d) => {
+      Similarity.jlDistortion(embs(s, d), "embedding", "vec_id",
+        outDims = 16, dims = 64)
+        .orderBy(col("a"))
+    }),
+
     // ColBERT-style MaxSim: a 3-vector query scores each label group as
     // Σ_q max_d cos(q,d) — late interaction over the group's vector set.
     // Rounded maxima sum through DECIMAL so aggregation order can't leak.
@@ -4773,6 +4782,41 @@ object SparkEntry {
         |  (SELECT n FROM f) AS n_found,
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    // same hash-derived sign matrix, same DECIMAL projection sums, same
+    // rounded-cosine compare
+    "search_jl_distortion" -> {
+      val sgn = sqlHash64("'jl:' || j || ':' || i")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT CAST(i AS INT) AS pos, CAST(j AS INT) AS jdim,
+         |  CASE WHEN $sgn % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM range(0, 64) t(i), range(0, 16) u(j)),
+         |x AS (SELECT vec_id, unnest(embedding) AS x,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, jdim,
+         |  CAST(SUM(CAST(FLOOR(CAST(x.x AS DOUBLE) * 1048576) AS BIGINT)
+         |    * s.sgn) AS BIGINT) AS p
+         |  FROM x JOIN s USING (pos) GROUP BY 1, 2),
+         |arr AS (SELECT vec_id,
+         |  list(CAST(CAST(CAST(p AS DOUBLE) / 1048576.0 AS FLOAT) AS DOUBLE)
+         |    ORDER BY jdim) AS proj
+         |  FROM p GROUP BY vec_id),
+         |cp AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |  -- float-VALUED double lists on both sides: products are exact
+         |  -- in double and list_cosine_similarity's sequential kernel
+         |  -- matches the engine loop (genuinely-double inputs diverge
+         |  -- ~1e-9 in the summation kernel — hence the float store)
+         |  list_cosine_similarity(l.proj, r.proj) AS raw_proj,
+         |  list_cosine_similarity(le.v, re.v) AS raw_full
+         |  FROM arr l JOIN arr r ON r.vec_id = l.vec_id + 1 AND l.vec_id % 2 = 0
+         |  JOIN e le ON le.vec_id = l.vec_id
+         |  JOIN e re ON re.vec_id = r.vec_id)
+         |SELECT a, b, ROUND(raw_full, 6) AS cos_full,
+         |  ROUND(raw_proj, 6) AS cos_proj,
+         |  ROUND(ABS(ROUND(raw_full, 6) - ROUND(raw_proj, 6)), 6) AS err
+         |FROM cp ORDER BY a""".stripMargin
+    },
 
     // same broadcast-query cross join, same (group, query) MAX of rounded
     // cosines, same exact DECIMAL sum

@@ -347,6 +347,76 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Johnson-Lindenstrauss sign projection: dims → outDims with a
+    * deterministic ±1 matrix derived from the portable hash family
+    * (`hash64("jl:<j>:<i>")` even → +1) — the dimensionality-reduction
+    * step before a cheaper ANN tier, with every engine able to rebuild
+    * the exact same matrix from the seed string alone. No 1/√d scaling:
+    * cosine is scale-invariant, and the audit below compares cosines.
+    *
+    * Shape: posexplode → broadcast-join the (dims × outDims) sign table →
+    * ONE combiner-heavy (id, out-dim) INTEGER sum → per-id sorted
+    * re-assembly. Elements are quantized to exact units of 2⁻²⁰ with
+    * floor BEFORE the sum: power-of-two scaling is exact in IEEE and
+    * floor is identical on every engine, where a float→DECIMAL cast is
+    * NOT (measured: Spark rounds the widened binary value, DuckDB the
+    * shortest decimal repr — ~1e-8 apart per element, enough to flip a
+    * rounded cosine). The quantization (≤2⁻²⁰ per element) is part of
+    * the operator's definition, not an implementation detail.
+    *
+    * Output: (idCol, proj array<float>) — float like every other
+    * embedding column, which also keeps downstream cosines bit-portable
+    * (float elements multiply exactly in double, so no engine's dot
+    * kernel rounding order can show through).
+    */
+  def jlProject(vecs: DataFrame, vecCol: String, idCol: String,
+      outDims: Int, seed: String = "jl"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(outDims >= 1)
+    val dims = vecs.select(size(col(vecCol))).head().getInt(0)
+    val signs = for (j <- 0 until outDims; i <- 0 until dims) yield
+      (i, j, if (graft.functions.HashFunctions.hash64Jvm(s"$seed:$j:$i") % 2 == 0) 1 else -1)
+    val sdf = broadcast(signs.toDF("pos", "jdim", "sgn"))
+    vecs
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .join(sdf, "pos")
+      .groupBy(col(idCol), col("jdim"))
+      .agg(sum(
+        floor(col("x").cast("double") * 1048576).cast("long") * col("sgn"))
+        .as("p"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("jdim"), col("p")))),
+        s => (s.getField("p").cast("double") / 1048576.0).cast("float"))
+        .as("proj"))
+  }
+
+  /** Distortion audit for [[jlProject]]: exact cosine vs projected cosine
+    * on deterministic probe pairs — the measure-before-trusting gate
+    * (X137-X139 discipline) run before swapping a serving tier onto the
+    * projected space. Probe pairs are (2m, 2m+1) id pairs; output one row
+    * per pair with both cosines and the absolute error.
+    */
+  def jlDistortion(vecs: DataFrame, vecCol: String, idCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    val proj = jlProject(vecs, vecCol, idCol, outDims)
+    val base = vecs.select(col(idCol), col(vecCol))
+      .join(proj, idCol)
+    val l = base.select((col(idCol) / 2).cast("long").as("pair"),
+      col(idCol).as("a"), col(vecCol).as("va"), col("proj").as("pa"))
+      .where(col("a") % 2 === 0)
+    val r = base.select((col(idCol) / 2).cast("long").as("pair"),
+      col(idCol).as("b"), col(vecCol).as("vb"), col("proj").as("pb"))
+      .where(col("b") % 2 === 1)
+    l.join(r, "pair")
+      .withColumn("cos_full",
+        round(VectorFunctions.cosine(col("va"), col("vb"), dims), 6))
+      .withColumn("cos_proj",
+        round(VectorFunctions.cosine(col("pa"), col("pb"), outDims), 6))
+      .withColumn("err", round(abs(col("cos_full") - col("cos_proj")), 6))
+      .select(col("a"), col("b"), col("cos_full"), col("cos_proj"), col("err"))
+  }
+
   /** ColBERT-style late-interaction scoring (MaxSim, Khattab & Zaharia
     * 2020, arXiv:2004.12832): a multi-vector query scores a multi-vector
     * document as `Σ_q max_d cos(q, d)` — each query vector independently
