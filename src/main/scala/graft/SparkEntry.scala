@@ -2735,6 +2735,13 @@ object SparkEntry {
       TextAnalysis.bigramLm(docs(s, d), "text", topK = 50)
     }),
 
+    // Nucleus (top-p=4/5) truncation of the bigram LM: minimal next-word
+    // prefix reaching 80% mass per context, all-integer boundary compare.
+    "text_lm_nucleus" -> ((s, d) => {
+      TextAnalysis.lmNucleus(docs(s, d), "text", pNum = 4, pDen = 5)
+        .orderBy(col("w1"), col("rank"))
+    }),
+
     // LM-based quality scoring (CCNet-style perplexity-filter proxy):
     // each doc's mean bigram probability under the corpus's own bigram
     // model — the vocab²-bounded LM broadcasts, probs round(6), the
@@ -5983,6 +5990,26 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) /
          |    CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS prob
          |FROM counts ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // same bigram counts, same (count desc, word) order, same all-integer
+    // 5·cum_prev < 4·total nucleus boundary
+    "text_lm_nucleus" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |ex AS (SELECT toks, CAST(generate_subscripts(toks, 1) AS INT) AS p FROM tok),
+         |pairs AS (SELECT toks[p] AS w1, toks[p + 1] AS w2
+         |  FROM ex WHERE p + 1 <= len(toks)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+         |t AS (SELECT w1, w2, n,
+         |  CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS total FROM counts),
+         |r AS (SELECT w1, w2, n, total,
+         |  ROW_NUMBER() OVER w AS rank,
+         |  CAST(COALESCE(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM t WHERE total >= 5
+         |  WINDOW w AS (PARTITION BY w1 ORDER BY n DESC, w2))
+         |SELECT w1, rank, w2, n, total FROM r
+         |WHERE cum_prev * 5 < total * 4
+         |ORDER BY w1, rank""".stripMargin,
 
     // identical positional 3-grams, hash64, window-4 frame minimum, the
     // short-doc global-min fallback, distinct

@@ -598,6 +598,42 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Nucleus (top-p) truncation of the bigram LM: per context word, the
+    * MINIMAL prefix of next-words (ordered by count desc, word asc) whose
+    * cumulative mass reaches p — the vocabulary-truncation table a
+    * sampling deployment precomputes (Holtzman et al. 2020 top-p,
+    * applied to the corpus LM). `p` is a rational pNum/pDen so the
+    * boundary compare `pDen·cum_prev < pNum·total` is ALL-INTEGER — no
+    * float cutoff can disagree across engines (the X136 stratified-split
+    * discipline). Contexts with total < minTotal are dropped (their
+    * nucleus is noise).
+    *
+    * One bigram count (combiner-heavy), one context-key window for
+    * cumulative mass + rank — the cost profile of the LM itself.
+    */
+  def lmNucleus(docs: DataFrame, textCol: String, pNum: Long, pDen: Long,
+      minTotal: Long = 5): DataFrame = {
+    require(pNum >= 1 && pNum < pDen)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .withColumn("n_", size(col("toks_")))
+    val counts = base
+      .select(col("toks_"), col("n_"), posexplode(col("toks_")).as(Seq("pos", "w1")))
+      .where(col("pos") + 1 < col("n_"))
+      .select(col("w1"), element_at(col("toks_"), col("pos") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val wCtx = Window.partitionBy(col("w1"))
+    val wOrd = wCtx.orderBy(col("n").desc, col("w2"))
+    counts
+      .withColumn("total", sum(col("n")).over(wCtx))
+      .where(col("total") >= minTotal)
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_prev", coalesce(sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("cum_prev") * pDen < col("total") * pNum)
+      .select(col("w1"), col("rank"), col("w2"), col("n"), col("total"))
+  }
+
   /** LM-based document quality scoring — the perplexity-filter proxy a
     * CCNet-style pipeline runs (score each document under a corpus
     * language model; outliers are boilerplate/gibberish candidates).
