@@ -2234,6 +2234,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH S-curve calibration: P(candidate) = 1-(1-j^r)^b for every
+    // banding of a 16-hash budget — the table read to pick (b, r) for a
+    // dedup threshold BEFORE a corpus pass. Pure math; powers unrolled so
+    // both engines run the identical IEEE product chain.
+    "dedup_lsh_calibration" -> ((s, d) => {
+      Dedup.lshCalibration(s, numHashes = 16,
+        jaccardGrid = (1 to 9).map(_ / 10.0))
+        .orderBy(col("jaccard"), col("bands"))
+    }),
+
     "dedup_minhash_pairs" -> ((s, d) => {
       val sig = Dedup.minhashSignature(docs(s, d), "text", "doc_id",
         numHashes = 4, shingleK = 3)
@@ -4931,6 +4941,23 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS DOUBLE)
         |    / COUNT(*), 6) AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same unrolled left-associated product chains, same 16-hash layouts
+    "dedup_lsh_calibration" -> {
+      val layouts = (1 to 16).filter(16 % _ == 0).map(r => (16 / r, r))
+      val rows = for {
+        j <- (1 to 9).map(n => s"0.$n")
+        (b, r) <- layouts
+      } yield {
+        val jr = Seq.fill(r)("j").mkString(" * ")
+        val miss = Seq.fill(b)(s"(1.0 - ($jr))").mkString(" * ")
+        s"""SELECT j AS jaccard, CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  ROUND(1.0 - ($miss), 6) AS p_candidate
+           |FROM (SELECT CAST('$j' AS DOUBLE) AS j)""".stripMargin
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY jaccard, bands")
+    },
 
     "dedup_minhash_sig" -> {
       val mh = (0 until 4).map(i =>

@@ -562,6 +562,34 @@ object Dedup {
       .select(col(idCol), col("p"))
   }
 
+  /** MinHash-LSH calibration table: candidate probability
+    * `P = 1 − (1 − j^r)^b` for every (bands b, rows-per-band r) layout of
+    * a signature budget over a grid of true Jaccard values — the S-curve
+    * a deployment reads to pick banding for its dedup threshold BEFORE
+    * burning a corpus pass (precision/recall knob of X2). Pure math, no
+    * data scan; powers are UNROLLED left-associated multiplications so
+    * every engine computes the identical IEEE product chain (pow() is
+    * libm, not correctly rounded).
+    */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int, jaccardGrid: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    require(numHashes >= 2)
+    val layouts = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    val rows = for {
+      j <- jaccardGrid
+      (b, r) <- layouts
+    } yield {
+      val jr = (1 until r).foldLeft(j)((acc, _) => acc * j)
+      val miss = (1 until b).foldLeft(1.0 - jr)((acc, _) => acc * (1.0 - jr))
+      (j, b.toLong, r.toLong,
+        BigDecimal(java.math.BigDecimal.valueOf(1.0 - miss))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("jaccard", "bands", "rows_per_band", "p_candidate")
+  }
+
   /** Hashed k-gram positions (idCol, p, h), 1-based — the raw stream both
     * the batch window-count and the streaming additive-fold forms of
     * substring dedup consume. In-row shingling, no shuffle. */
