@@ -1983,6 +1983,16 @@ object SparkEntry {
       annRecall(exact, tier)
     }),
 
+    // Long-document pipeline: chunk → embed each chunk (surrogate) →
+    // mean-pool → normalize (integer-exact: the 1000·n scale cancels in
+    // the normalized mean) → KNN over the pooled store.
+    "search_chunk_pooled" -> ((s, d) => {
+      val pv = Similarity.chunkPooledEmbed(docs(s, d), "text", "doc_id",
+        dims = 16, chunkTokens = 8)
+      val qv = pv.where(col("doc_id") === 0).head().getSeq[Float](1)
+      Similarity.bruteForceTopK(pv, "vec", "doc_id", qv, k = 10)
+    }),
+
     // JL sign-projection distortion audit: 64→16 dims via a hash-derived
     // ±1 matrix; exact vs projected cosine on 250 deterministic probe
     // pairs — measure the tier's input space before trusting it.
@@ -4799,6 +4809,34 @@ object SparkEntry {
         |  (SELECT n FROM f) AS n_found,
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    // same 8-token chunks, same surrogate component integers, same
+    // cancelled-scale normalization s_d/√(Σs_d²), same float store
+    "search_chunk_pooled" -> {
+      val comp = sqlHash64("chunk || '#' || d")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |idxs AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1)) AS idx
+         |  FROM tok WHERE len(toks) > 0),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    array_to_string(toks[(CAST(idx AS INT)*8+1):(CAST(idx AS INT)*8+8)], ' ') AS chunk
+         |  FROM idxs),
+         |cd AS (SELECT doc_id, chunk, CAST(unnest(range(0, 16)) AS INT) AS d
+         |  FROM chunks),
+         |r AS (SELECT doc_id, d, $comp % 2001 - 1000 AS r FROM cd),
+         |s AS (SELECT doc_id, d, CAST(SUM(r) AS BIGINT) AS s FROM r GROUP BY 1, 2),
+         |ss AS (SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS ss FROM s GROUP BY 1),
+         |vec AS (
+         |  SELECT s.doc_id,
+         |    list(CAST(CAST(CAST(s AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS FLOAT)
+         |      AS DOUBLE) ORDER BY d) AS v
+         |  FROM s JOIN ss USING (doc_id) WHERE ss > 0 GROUP BY s.doc_id),
+         |q AS (SELECT v AS qv FROM vec WHERE doc_id = 0)
+         |SELECT vec.doc_id, ROUND(list_cosine_similarity(v, qv), 6) AS score
+         |FROM vec, q ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // same hash-derived sign matrix, same DECIMAL projection sums, same
     // rounded-cosine compare

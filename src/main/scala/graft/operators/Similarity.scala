@@ -347,6 +347,55 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Chunk-pooled document embedding — the long-document pipeline shape:
+    * split each document into fixed-token chunks, embed every chunk with
+    * the surrogate hash embedder ([[graft.functions.Embedder]]'s
+    * component formula verbatim), mean-pool, L2-normalize. The algebra
+    * makes the whole chain integer-exact: each raw component is the
+    * integer `hash64(chunk#d) % 2001 − 1000`, and for the NORMALIZED
+    * mean the 1000·n scale cancels —
+    * `v_d = Σs_d / √(Σ_d (Σs_d)²)` — so the only non-integer steps are
+    * one correctly-rounded sqrt and one division per dimension, and the
+    * store is float (the X168 portability recipe). A one-chunk document
+    * pools to exactly its own chunk embedding.
+    *
+    * Shape: in-row chunking (no shuffle) → chunk×dims explode → ONE
+    * combiner-heavy (doc, dim) integer sum → per-doc assembly. Documents
+    * with no tokens (or an all-zero sum vector) are dropped — they have
+    * no direction to embed.
+    */
+  def chunkPooledEmbed(docs: DataFrame, textCol: String, idCol: String,
+      dims: Int, chunkTokens: Int): DataFrame = {
+    require(dims >= 2 && chunkTokens >= 1)
+    val toks = coalesce(graft.functions.TextFunctions.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val chunks = docs
+      .select(col(idCol), toks.as("toks_"))
+      .where(size(col("toks_")) > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks_) / $chunkTokens.0d) as int) - 1), " +
+          s"i -> array_join(slice(toks_, i * $chunkTokens + 1, $chunkTokens), ' '))"))
+        .as("chunk"))
+    val sums = chunks
+      .select(col(idCol), col("chunk"),
+        explode(sequence(lit(0), lit(dims - 1))).as("d"))
+      .select(col(idCol), col("d"),
+        (graft.functions.HashFunctions.hash64(
+          concat_ws("#", col("chunk"), col("d").cast("string"))) % 2001 - 1000)
+          .as("r"))
+      .groupBy(col(idCol), col("d"))
+      .agg(sum(col("r")).as("s"))
+    sums
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s")).as("sv"))
+      .withColumn("ss", aggregate(col("sv"), lit(0L), (acc, x) => acc + x * x))
+      .where(col("ss") > 0)
+      .withColumn("vec", transform(col("sv"),
+        x => (x.cast("double") / sqrt(col("ss").cast("double"))).cast("float")))
+      .select(col(idCol), col("vec"))
+  }
+
   /** Johnson-Lindenstrauss sign projection: dims → outDims with a
     * deterministic ±1 matrix derived from the portable hash family
     * (`hash64("jl:<j>:<i>")` even → +1) — the dimensionality-reduction
