@@ -205,7 +205,10 @@ object SparkEntry {
 
   /** Shared langId predictor CTEs (ends in `pred(doc_id, lang_pred)`) —
     * used by `text_langid` and the `text_langid_confusion` audit. */
-  private lazy val langidCtes: String = {
+  /** langId predictor CTE chain over any relation exposing
+    * (`idCol`, toks) — row-wise, so a per-chunk source keeps one
+    * prediction per chunk row. Ends in `pred(idCol, lang_pred)`. */
+  private def langidPredCtes(srcTok: String, idCol: String): String = {
     val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
     val hitCols = langs.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -214,15 +217,18 @@ object SparkEntry {
     val best = langs.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
     val pick = langs.map(_._1).sorted.reverse
       .map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n  ")
-    s"""tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
-       |h AS (SELECT doc_id, $hitCols FROM tok),
+    s"""h AS (SELECT $idCol, $hitCols FROM $srcTok),
        |g AS (SELECT *, $best AS best FROM h),
        |pred AS (
-       |  SELECT doc_id, CASE WHEN best IS NULL OR best = 0 THEN 'und'
+       |  SELECT $idCol, CASE WHEN best IS NULL OR best = 0 THEN 'und'
        |    $pick
        |    ELSE 'und' END AS lang_pred
        |  FROM g)""".stripMargin
   }
+
+  private lazy val langidCtes: String =
+    s"""tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+       |${langidPredCtes("tok", "doc_id")}""".stripMargin
 
   /** DuckDB twin of [[TextFunctions.wordShingles]] (k=3) + array_distinct. */
   private val sqlShingles3 =
@@ -2282,6 +2288,13 @@ object SparkEntry {
     // maxDf = 5 is the stop-shingle cap that kills the O(f²) hot-shingle
     // blowup — exercised for real here (the sf0.01 corpus has shingles
     // with df up to 7; sf0.1 up to 25).
+    // Exact Hamming-radius-1 simhash pairs: the flip-expansion form with
+    // a NO-miss guarantee at radius 1, vs banding's probabilistic recall.
+    "dedup_simhash_radius" -> ((s, d) => {
+      Dedup.simhashRadiusPairs(docs(s, d), "text", "doc_id", bits = 16)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
         shingleK = 3, minJaccard = 0.5, maxDf = 5)
@@ -2737,6 +2750,14 @@ object SparkEntry {
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs(s, d), "text", table, topK = 50)
+    }),
+
+    // Mixed-language (code-switching) flagging: per-chunk language votes
+    // — the signal a single doc-level label structurally cannot give.
+    "text_mixed_language" -> ((s, d) => {
+      TextAnalysis.mixedLanguage(docs(s, d), "text", "doc_id",
+        chunkTokens = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // Language-ID confusion matrix: heuristic prediction vs stored lang
@@ -5064,6 +5085,28 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin
     },
 
+    // same vote-built codes, same self+flip variant expansion, same
+    // original-code equi-join
+    "dedup_simhash_radius" -> {
+      val terms = (0 until 16).map(j =>
+        s"""(CASE WHEN COALESCE(list_sum(list_transform(hashed,
+           |    v -> CASE WHEN (v >> $j) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           |  THEN ${1L << j} ELSE 0 END)""".stripMargin)
+        .mkString(" +\n  ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(toks, t -> ${sqlHash64("t")}) AS hashed FROM tok),
+         |codes AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h),
+         |var AS (SELECT doc_id AS a, simhash AS ca,
+         |  unnest(list_prepend(simhash, list_transform(range(0, 16),
+         |    j -> xor(simhash, 1::BIGINT << CAST(j AS INT))))) AS v
+         |  FROM codes)
+         |SELECT DISTINCT l.a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.ca, r.simhash)) AS INT) AS hamming
+         |FROM var l JOIN codes r ON l.v = r.simhash AND l.a < r.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
+
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
@@ -5782,6 +5825,32 @@ object SparkEntry {
     "text_langid" ->
       s"""WITH $langidCtes
          |SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""".stripMargin,
+
+    // same 8-token chunks, same per-chunk predictor (the shared langid
+    // CTE builder over a chunk relation), same vote aggregation
+    "text_mixed_language" ->
+      s"""WITH dtok AS (SELECT doc_id, ${sqlTokens("text")} AS dtoks FROM documents),
+         |idxs AS (
+         |  SELECT doc_id, dtoks,
+         |    unnest(generate_series(0, CAST(ceil(len(dtoks)/8.0) AS INT) - 1)) AS idx
+         |  FROM dtok WHERE len(dtoks) > 0),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    array_to_string(dtoks[(CAST(idx AS INT)*8+1):(CAST(idx AS INT)*8+8)], ' ') AS chunk
+         |  FROM idxs),
+         |ctok AS (SELECT doc_id, ${sqlTokens("lower(chunk)")} AS toks FROM chunks),
+         |${langidPredCtes("ctok", "doc_id")},
+         |votes AS (SELECT doc_id, lang_pred, COUNT(*) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, lang_pred, n,
+         |  CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY n DESC, lang_pred) AS rn
+         |  FROM votes)
+         |SELECT doc_id, n_chunks, n_langs, lang_pred AS top_lang, n AS top_n
+         |FROM agg WHERE rn = 1 AND n_langs >= 2
+         |ORDER BY doc_id""".stripMargin,
 
     // same predictor CTEs joined back to the stored lang — the audit
     // matrix (where does the heuristic disagree with the metadata)

@@ -141,6 +141,33 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** EXACT Hamming-radius-1 SimHash pairing: every pair of documents
+    * whose codes differ in ≤1 bit, with NO misses — each doc's code
+    * explodes to bits+1 variants (itself + every 1-bit flip) and a
+    * variant hitting another doc's ORIGINAL code is a pair. Band
+    * collision (the [[simhashCandidatePairs]] shape) is probabilistic at
+    * any radius; the flip expansion is the exact-coverage form the
+    * radius-1 guarantee needs, at a fixed (bits+1)× row cost — the
+    * standard trade (Manku et al. 2007, detecting near-duplicates for
+    * web crawling). One equi-join on the code (uniform key), output
+    * deduped because a Hamming-1 pair is found from both sides' flips.
+    */
+  def simhashRadiusPairs(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 2 && bits <= 62)
+    val codes = simhash(docs, textCol, idCol, bits)
+      .select(col(idCol).as("id_"), col("simhash"))
+    val variants = array((col("simhash") +: (0 until bits).map(j =>
+      col("simhash").bitwiseXOR(lit(1L << j)))): _*)
+    val l = codes.select(col("id_").as("a"), col("simhash").as("ca"),
+      explode(variants).as("v"))
+    val r = codes.select(col("id_").as("b"), col("simhash").as("cb"))
+    l.join(r, col("v") === col("cb") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: explode distinct
     * shingles, self-join on shingle (shuffle on shingle hash — uniform),
     * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. `minJaccard` prunes the

@@ -36,6 +36,45 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Mixed-language (code-switching) detection: chunk each document,
+    * language-ID every chunk with [[langId]], and flag documents whose
+    * chunks vote for ≥2 languages — the cleaning signal a doc-level
+    * language ID structurally cannot produce (a 50/50 bilingual page
+    * gets ONE confident doc-level label). Output per flagged doc:
+    * chunk count, distinct predicted languages, and the majority
+    * language with its vote count (ties broken lang-ascending).
+    *
+    * Shape: in-row chunking → per-chunk Column-tree predictor (no UDF,
+    * no shuffle) → one combiner-heavy (doc, lang) vote count → doc-key
+    * window for the majority pick.
+    */
+  def mixedLanguage(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = coalesce(TextFunctions.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val votes = docs
+      .select(col(idCol), toks.as("toks_"))
+      .where(size(col("toks_")) > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks_) / $chunkTokens.0d) as int) - 1), " +
+          s"i -> array_join(slice(toks_, i * $chunkTokens + 1, $chunkTokens), ' '))"))
+        .as("chunk"))
+      .select(col(idCol), langId(col("chunk")).as("lang_pred"))
+      .groupBy(col(idCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy(col(idCol))
+    votes
+      .withColumn("n_chunks", sum(col("n")).over(wDoc))
+      .withColumn("n_langs", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("n").desc, col("lang_pred"))))
+      .where(col("rn") === 1 && col("n_langs") >= 2)
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("lang_pred").as("top_lang"), col("n").as("top_n"))
+  }
+
   /** Quality scoring features (length / punctuation / stopword ratios) and a
     * composite [0,1] score — the cheap heuristics used to pre-filter
     * web-scale corpora.
