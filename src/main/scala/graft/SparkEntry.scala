@@ -3027,6 +3027,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Frame-pooled video embedding: sample frames, surrogate-feature
+    // each (digest ⊕ ts ⊕ dim keying — a real vision model drops in),
+    // mean-pool with the cancelled-scale integer algebra. Long-form out.
+    "multimodal_frame_pooled" -> ((s, d) => {
+      Multimodal.framePooledEmbed(
+        Multimodal.fromDocuments(docs(s, d)), dims = 16, stepMs = 400)
+        .orderBy(col("media_id"), col("d"))
+    }),
+
     "multimodal_frames" -> ((s, d) => {
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(docs(s, d)), stepMs = 400)
@@ -6502,6 +6511,29 @@ object SparkEntry {
          |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.media_id < r.media_id
          |WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.9
          |ORDER BY a, b""".stripMargin
+    },
+
+    // same frame grid, same digest⊕ts⊕dim surrogate integers, same
+    // cancelled-scale normalization
+    "multimodal_frame_pooled" -> {
+      val comp = sqlHash64("digest || '#' || ts || '#' || d")
+      s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS digest,
+         |  (doc_id % 10 + 1) * 1000 AS duration_ms
+         |  FROM documents WHERE (doc_id % 3) = 2),
+         |f AS (SELECT media_id, digest,
+         |  unnest(generate_series(0, duration_ms, 400)) AS ts FROM m),
+         |cd AS (SELECT media_id, digest, ts,
+         |  CAST(unnest(range(0, 16)) AS INT) AS d FROM f),
+         |r AS (SELECT media_id, d, $comp % 2001 - 1000 AS r FROM cd),
+         |s AS (SELECT media_id, d, CAST(SUM(r) AS BIGINT) AS s,
+         |  COUNT(*) AS n_frames FROM r GROUP BY 1, 2),
+         |ss AS (SELECT media_id, CAST(SUM(s * s) AS BIGINT) AS ss
+         |  FROM s GROUP BY 1)
+         |SELECT s.media_id, s.n_frames, s.d,
+         |  CAST(CAST(CAST(s AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS FLOAT)
+         |    AS DOUBLE) AS v
+         |FROM s JOIN ss USING (media_id) WHERE ss > 0
+         |ORDER BY s.media_id, s.d""".stripMargin
     },
 
     "multimodal_frames" ->

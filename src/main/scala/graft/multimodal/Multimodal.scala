@@ -169,4 +169,43 @@ object Multimodal {
         explode(F.sequence(lit(0L), col("meta.duration_ms"), lit(stepMs.toLong)))
           .as("frame_ts_ms"))
       .withColumn("frame_no", (col("frame_ts_ms") / stepMs).cast("int"))
+
+  /** Frame-pooled video embedding — the video twin of
+    * [[graft.operators.Similarity.chunkPooledEmbed]]: sample frames,
+    * feature each frame with the deterministic surrogate (integer
+    * components keyed on content digest ⊕ frame timestamp ⊕ dim; a real
+    * per-frame vision model drops into the same (digest, ts) keying),
+    * mean-pool, normalize. Same cancelled-scale algebra: pooled
+    * `v_d = Σs_d/√(Σ(Σs_d)²)` over pure integer sums, one sqrt + one
+    * division per dim, float components. Output long-form
+    * (media_id, n_frames, d, v) — scalar rows, engine-comparable.
+    *
+    * Shape: frame explosion (in-row) → frame×dims explode → ONE
+    * combiner-heavy (media, dim) integer sum; the digest is computed
+    * once per media row before the explosion.
+    */
+  def framePooledEmbed(media: DataFrame, dims: Int, stepMs: Int): DataFrame = {
+    require(dims >= 2 && stepMs >= 1)
+    val frames = media
+      .where(col("kind") === "video")
+      .select(col("media_id"), F.md5(col("bytes")).as("digest"),
+        explode(F.sequence(lit(0L), col("meta.duration_ms"), lit(stepMs.toLong)))
+          .as("ts"))
+    val sums = frames
+      .select(col("media_id"), col("digest"), col("ts"),
+        explode(F.sequence(lit(0), lit(dims - 1))).as("d"))
+      .select(col("media_id"), col("d"),
+        (graft.functions.HashFunctions.hash64(F.concat_ws("#",
+          col("digest"), col("ts").cast("string"), col("d").cast("string")))
+          % 2001 - 1000).as("r"))
+      .groupBy(col("media_id"), col("d"))
+      .agg(F.sum(col("r")).as("s"), F.count(lit(1)).as("n_frames"))
+    val ss = sums.groupBy(col("media_id"))
+      .agg(F.sum(col("s") * col("s")).as("ss"))
+    sums.join(ss, "media_id")
+      .where(col("ss") > 0)
+      .select(col("media_id"), col("n_frames"), col("d"),
+        (col("s").cast("double") / F.sqrt(col("ss").cast("double")))
+          .cast("float").cast("double").as("v"))
+  }
 }
