@@ -81,6 +81,42 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
 
+  /** Shared by `profile_hll_audit` and `stream_hll_audit` (register
+    * max-merge is exact, so the fold's oracle IS the batch oracle).
+    * Mirrors [[operators.HyperLogLog]]: p=6, m=64, width=54,
+    * 2^54 = 18014398509481984, 2^55 = 36028797018963968.
+    */
+  private lazy val hllAuditSql: String = {
+    val h = sqlHash64("CAST(event_id AS VARCHAR)")
+    s"""WITH hv AS (SELECT event_type, $h AS hv FROM events),
+       |parts AS (SELECT event_type,
+       |    hv // 18014398509481984 AS bucket,
+       |    hv % 18014398509481984 AS w
+       |  FROM hv),
+       |rho AS (SELECT event_type, bucket,
+       |    55 - len(list_filter(range(0, 54),
+       |      i -> w >= (CAST(1 AS BIGINT) << i))) AS rho
+       |  FROM parts),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS reg
+       |  FROM rho GROUP BY 1, 2),
+       |s AS (SELECT event_type,
+       |    SUM(CAST(1 AS BIGINT) << (55 - reg)) AS s_present,
+       |    COUNT(*) AS n_present
+       |  FROM regs GROUP BY 1),
+       |est AS (SELECT event_type,
+       |    ROUND(CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968 /
+       |      CAST(s_present + (64 - n_present) * 36028797018963968 AS DOUBLE),
+       |      4) AS est,
+       |    CAST(64 - n_present AS BIGINT) AS v_empty
+       |  FROM s),
+       |exact AS (SELECT event_type, COUNT(DISTINCT event_id) AS true_ndv
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, x.true_ndv, e.est, e.v_empty,
+       |  ROUND((e.est - x.true_ndv) / x.true_ndv, 4) AS rel_err
+       |FROM est e JOIN exact x USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   /** Shared by `dedup_decontaminate` and its bloom-prefiltered twin —
     * the bloom stage only prunes stage-2 input, never changes output. */
   private lazy val decontaminateSql: String = {
@@ -2532,6 +2568,17 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // Streaming HLL fold: per-batch register deltas max-merge into the
+    // versioned store — idempotent as well as additive, so replays can't
+    // corrupt it (the property CMS lacks). Fold == one-pass batch audit
+    // bit-for-bit; shares profile_hll_audit's oracle verbatim.
+    "stream_hll_audit" -> ((s, d) => {
+      streaming.StreamingIngest.stagedHllRoundtrip(s,
+        Tables.events(s, d), "event_id", "event_type",
+        "/tmp/graft_hllstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("event_type"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -3001,6 +3048,20 @@ object SparkEntry {
       operators.CountMin.audit(Tables.events(s, d), "user_id",
         depth = 4, width = 64)
         .orderBy(col("key"))
+    }),
+
+    // HyperLogLog NDV audit: estimate vs exact distinct event_ids per
+    // event_type under the same pinned md5 family — the ORACLE-EXACT NDV
+    // sketch (engine HLL++ register semantics are implementation-defined;
+    // these registers are integer max-of-rho under integer bit math).
+    // event_id NDV (~2k/type at sf0.01) against m=64 registers sits in
+    // the raw-HLL regime (n/m ≈ 30), where the libm-free estimate is the
+    // textbook one and the skipped linear-counting correction wouldn't
+    // fire; v_empty rides along so a consumer can correct off-engine.
+    "profile_hll_audit" -> ((s, d) => {
+      operators.HyperLogLog.audit(Tables.events(s, d), "event_id",
+        "event_type")
+        .orderBy(col("event_type"))
     }),
 
     // Distribution drift between the first and second half-month of
@@ -6386,6 +6447,16 @@ object SparkEntry {
          |  e.est - x.true_cnt AS overcount
          |FROM est e JOIN exact x USING (user_id) ORDER BY key""".stripMargin
     },
+
+    // HLL oracle: same 60-bit md5 hash, top-6-bit bucket via integer
+    // div, rho from a comparison-count bitlen (no log2), max-register,
+    // integer harmonic sum scaled by 2^55, ONE double division. The
+    // alpha·m²·2^55 numerator is built by exact power-of-two scaling of
+    // the 0.709 literal on both sides, so association can't matter.
+    "profile_hll_audit" -> hllAuditSql,
+
+    // max-merge is exact, so the streaming fold shares the batch oracle
+    "stream_hll_audit" -> hllAuditSql,
 
     // same md5-derived hash family (seed-prefixed, the minhash-oracle
     // pattern), same pmod bucketing, min-over-rows estimate

@@ -1094,4 +1094,82 @@ object StreamingIngest {
           (col("ca_").cast("double") * col("cb_").cast("double")))
           .as("lift"))
   }
+
+  /** Streaming HyperLogLog fold — the NDV sketch's streaming member.
+    * Registers merge by MAX, which is idempotent as well as commutative
+    * and associative, so the fold is REPLAY-IDEMPOTENT: a re-delivered
+    * micro-batch cannot change the store (strictly stronger than the CMS
+    * fold, whose additive cells lean on foreachBatch's exactly-once batch
+    * ids). The versioned store holds (group, bucket, reg) — m longs per
+    * group — and each fold is one combiner-heavy max of batch deltas
+    * against it; no history re-read, state never grows with the stream.
+    *
+    * Returns the final audit (group, true_ndv, est, v_empty, rel_err)
+    * over the full staged corpus; the fold must equal the one-pass batch
+    * [[graft.operators.HyperLogLog.audit]] bit-for-bit (max-merge is
+    * exact, not approximate), so the gate shares the batch oracle SQL
+    * verbatim.
+    */
+  def stagedHllRoundtrip(spark: SparkSession, items: DataFrame,
+      keyCol: String, groupCol: String, workDir: String): DataFrame = {
+    require(items.schema(keyCol).dataType == LongType,
+      s"stagedHllRoundtrip: $keyCol must be LONG (wire schema)")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("k"), col("g"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    val src = items.select(col(keyCol).as("k"), col(groupCol).as("g"))
+      .where(col("k").isNotNull)
+    val midRow = src.agg(avg(col("k"))).collect()(0)
+    require(!midRow.isNullAt(0), "stagedHllRoundtrip: empty input")
+    val mid = midRow.getDouble(0)
+    stage(src.where(col("k") < mid))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("k", LongType), StructField("g", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = graft.operators.HyperLogLog.build(batch, "k", Seq("g"))
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy(col("g"), col("bucket"))
+              .agg(max(col("reg")).as("reg"))
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the register store
+      stage(src.where(col("k") >= mid))
+      q.processAllAvailable() // batch 1+: idempotent max folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedHllRoundtrip: no batch ran"))
+    val est = graft.operators.HyperLogLog
+      .estimate(spark.read.parquet(fin), Seq("g"))
+    val exact = items.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(keyCol)).as("true_ndv"))
+    est.join(exact, "g")
+      .select(col("g").as(groupCol), col("true_ndv"), col("est"),
+        col("v_empty"),
+        round((col("est") - col("true_ndv")) / col("true_ndv"), 4)
+          .as("rel_err"))
+  }
 }
