@@ -2646,6 +2646,29 @@ object SparkEntry {
       operators.Graph.wedgeCensus(edges, hubMax = 8L)
     }),
 
+    // PageRank in integer fixed-point over the co-purchase graph: rank
+    // carried in 10^12 units, share = r div deg, damping applied as
+    // (85·inflow) div 100 — every step integer, so the 3-round unrolled
+    // power iteration hash-matches DuckDB where float PageRank diverges
+    // in the last ulp. The host-ranking quality signal of web-corpus
+    // curation, engine-exact.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.pageRank(edges, rounds = 3)
+    }),
+
+    // Label-propagation communities, determinized: synchronous updates +
+    // min-label tie-break remove LPA's run-order dependence; 3 unrolled
+    // rounds. Density communities vs components' reachability classes.
+    "graph_label_communities" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.labelCommunities(edges, rounds = 3)
+    }),
+
     // Exponentially-decayed rolling count per event type: α = 1/2 makes
     // every weight a dyadic rational, every term an EXACT double, and
     // the 24-hour window bounds the exponent spread under 52 bits — the
@@ -5538,6 +5561,50 @@ object SparkEntry {
          |SELECT node, COUNT(*) AS deg FROM
          |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
          |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // integer fixed-point power iteration unrolled: // is DuckDB's
+    // integer floor div == Spark's `div` on the non-negative ranks
+    "graph_pagerank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""s$k AS (SELECT e.b AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+           |  FROM e JOIN r${k - 1} p ON e.a = p.node
+           |  JOIN deg d ON e.a = d.node GROUP BY 1),
+           |r$k AS (SELECT d.node,
+           |    150000000000 + (85 * COALESCE(s.inflow, 0)) // 100 AS r
+           |  FROM deg d LEFT JOIN s$k s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |p0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT node, r AS rank_units FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // synchronous majority vote with min-label ties, unrolled
+    "graph_label_communities" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""v$k AS (SELECT e.b AS node, l.label, COUNT(*) AS cnt
+           |  FROM e JOIN l${k - 1} l ON e.a = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, label FROM (
+           |  SELECT node, label, ROW_NUMBER() OVER (
+           |    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           |  FROM v$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |p0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+         |$rounds
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
     },
 
     "graph_triangles" ->

@@ -223,4 +223,102 @@ object Graph {
     }
     degrees(e).orderBy(col("node"))
   }
+
+  /** PageRank in INTEGER FIXED-POINT — the graph-level centrality the
+    * corpus-quality pipelines rank source domains with (Common Crawl
+    * publishes exactly this kind of host-level ranking), made
+    * engine-exact: rank is carried in integer `scale` units, each round
+    * is share = r div deg (floor division), inflow = Σ share, and
+    * r' = teleport + (dampNum·inflow) div dampDen — every step integer,
+    * so two engines agree bit-for-bit where float PageRank diverges in
+    * the last ulp of every Σ PR(j)/deg(j). Floor division leaks ≤1 unit
+    * per edge per round of mass — bounded, deterministic, and irrelevant
+    * at scale = 10^12.
+    *
+    * Semantics: the original Brin–Page unnormalized form
+    * PR(v) = (1−d)·scale + d·Σ_u→v PR(u)/deg(u) over the UNDIRECTED
+    * graph (each input pair contributes both directions, so every node
+    * has deg ≥ 1 — no dangling-mass branch). `rounds` is a fixed
+    * unrolled depth (static plan, external-SQL-checkable), the k-core /
+    * BPE rounds trade.
+    *
+    * Physical shape at 100 TB: each round is one equi-join of the edge
+    * list against the m-row rank relation + one combiner-heavy sum,
+    * shuffled on the node key; edges and per-round ranks are
+    * materialized (localCheckpoint here; reliable persist on a cluster)
+    * so the R-round lineage stays R stages, not 2^R. Overflow bound:
+    * dampNum · N · scale must stay under 2^63 — pick
+    * scale ≈ 2^62/(dampNum·N) for an N-node graph (10^12 covers N ≤ 10^5;
+    * a 10^9-node web graph takes scale = 10^8, still 8 significant
+    * digits of rank).
+    */
+  def pageRank(edges: DataFrame, rounds: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(rounds >= 1 && rounds <= 8 && dampBounds(dampNum, dampDen))
+    val e = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    var r = deg.select(col("node"), lit(scale).as("r"))
+    (0 until rounds).foreach { _ =>
+      val inflow = e
+        .join(r.withColumnRenamed("node", "a"), "a")
+        .join(deg.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), expr("r div deg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("inflow"))
+      r = deg.select(col("node"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("r").as("rank_units")).orderBy(col("node"))
+  }
+
+  private def dampBounds(n: Long, d: Long): Boolean = n >= 1 && n < d
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * made DETERMINISTIC: every node simultaneously adopts the majority
+    * label among its neighbors, ties broken by MIN label — the two spots
+    * where textbook LPA is run-order-dependent (async updates, random
+    * tie-breaks) both pinned, so the result is partitioning- and
+    * engine-independent and the oracle can unroll it. Labels start as own
+    * node ids; `rounds` is a fixed unrolled depth (static plan — the
+    * k-core / PageRank rounds trade). Complements
+    * [[graft.operators.Components.connectedComponents]]: components find
+    * REACHABILITY classes, LPA finds DENSITY communities inside them —
+    * the dedup-cluster vs topic-cluster distinction.
+    *
+    * Physical shape at 100 TB: each round is one edge⋈label equi-join +
+    * one combiner-heavy (node, label) vote count + one node-key window —
+    * all shuffled on the node key; per-round labels are materialized so
+    * R rounds cost R stages. Output: (node, community).
+    */
+  def labelCommunities(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8)
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("node")).distinct().localCheckpoint()
+    var l = nodes.select(col("node"), col("node").as("label"))
+    (0 until rounds).foreach { _ =>
+      val votes = e
+        .join(l.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      l = votes
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    l.select(col("node"), col("label").as("community")).orderBy(col("node"))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the integer fixed-point PageRank algebra and the determinized
+  * label-propagation rules against hand-computed fixed points, plus the
+  * partitioning-independence that the integer carrier buys.
+  */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+  private val T = 150000000000L // (100-85)·S/100
+
+  test("pageRank round 1 on a path graph matches hand arithmetic") {
+    // 1-2-3: deg 1,2,1. shares: 1→2:S, 2→{1,3}:S/2, 3→2:S.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.pageRank(edges, rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == T + 85L * (S / 2) / 100)
+    assert(r(2L) == T + 85L * (2 * S) / 100)
+    assert(r(3L) == r(1L))
+  }
+
+  test("pageRank conserves mass within the floor-leak bound and is partition-stable") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val a = Graph.pageRank(edges, rounds = 3)
+    val b = Graph.pageRank(edges.repartition(7, col("b")), rounds = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // total mass stays within [N·teleport, N·scale]; floor leaks only down
+    val total = a.agg(sum("rank_units")).collect()(0).getLong(0)
+    assert(total <= 4 * S && total > 4 * T)
+  }
+
+  test("labelCommunities: pendant joins the triangle by round 3; ties go to min label") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val r1 = Graph.labelCommunities(edges, rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: node 1 sees labels {2,3,4} all once → min 2; others see 1
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val r3 = Graph.labelCommunities(edges, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3.values.toSet == Set(1L))
+  }
+}
