@@ -1793,6 +1793,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Exact phrase search: positional postings ⋈broadcast the k-row
+    // phrase table, then ONE (doc, anchor) aggregation — a phrase starts
+    // at anchor iff all k distinct offsets land there. The positional
+    // primitive BM25's bag-of-terms scoring cannot express; only the
+    // phrase terms' postings survive the broadcast join.
+    "search_phrase" -> ((s, d) => {
+      operators.PhraseSearch.phraseMatches(docs(s, d), "text", "doc_id",
+        Seq("stream", "table", "hash"))
+        .select(col("doc").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sparse (bag-of-bigrams) cosine pairs via inverted-index self-join.
     // The df cap is statistics-driven: terms in > 6% of the corpus are
     // stop-terms at every scale (literal caps stop working once the
@@ -3085,6 +3097,19 @@ object SparkEntry {
       operators.HyperLogLog.audit(Tables.events(s, d), "event_id",
         "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity audit on (lang, source, length-bucket) quasi-identifier
+    // classes: classes under k=5 re-identify members by metadata alone —
+    // the privacy pre-flight before a corpus release, dual of the PII
+    // redaction pass (that one strips direct identifiers, this measures
+    // the indirect ones). One combiner-heavy groupBy; class counts, not
+    // rows, leave the executors.
+    "profile_k_anonymity" -> ((s, d) => {
+      operators.Profiling.kAnonymityAudit(
+        docs(s, d).withColumn("len_bucket", expr("n_chars div 100")),
+        Seq("lang", "source", "len_bucket"), k = 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
     }),
 
     // Distribution drift between the first and second half-month of
@@ -6514,6 +6539,29 @@ object SparkEntry {
          |  e.est - x.true_cnt AS overcount
          |FROM est e JOIN exact x USING (user_id) ORDER BY key""".stripMargin
     },
+
+    // positional postings from the shared tokenizer; anchor = pos − idx,
+    // a match is a (doc, anchor) group holding all 3 distinct offsets
+    "search_phrase" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks))) AS i FROM tok),
+         |p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM ix),
+         |ph AS (SELECT * FROM (VALUES (0, 'stream'), (1, 'table'),
+         |    (2, 'hash')) AS t(idx, term)),
+         |m AS (SELECT p.doc_id, p.pos - ph.idx AS anchor, ph.idx AS idx
+         |  FROM p JOIN ph ON p.term = ph.term),
+         |g AS (SELECT doc_id, anchor FROM m GROUP BY 1, 2
+         |  HAVING COUNT(DISTINCT idx) = 3)
+         |SELECT doc_id, COUNT(*) AS n_matches, MIN(anchor) AS first_pos
+         |FROM g GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // plain class-size census with the at-risk flag computed identically
+    "profile_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     // HLL oracle: same 60-bit md5 hash, top-6-bit bucket via integer
     // div, rho from a comparison-count bitlen (no log2), max-register,

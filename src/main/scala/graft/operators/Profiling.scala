@@ -245,4 +245,28 @@ object Profiling {
     }
     rows.toDF("i", "j", "cov", "corr")
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple (Sweeney 2002): an
+    * equivalence class smaller than k re-identifies its members by the
+    * quasi-identifiers alone — the privacy pre-flight a corpus release
+    * runs BEFORE publishing, and the dual of the PII redaction pass
+    * (X76 removes direct identifiers; this measures the indirect ones).
+    * Output: one row per equivalence class (quasiCols..., class_size,
+    * at_risk), so the caller can both count exposure and target
+    * suppression/generalization at the violating classes.
+    *
+    * Physical shape at 100 TB: ONE combiner-heavy groupBy on the quasi
+    * tuple — class counts, not rows, leave the executors. Skewed quasi
+    * tuples (the giant "en/web" class) are absorbed map-side; the at-risk
+    * tail is by definition the SMALL classes, so the interesting output
+    * is never the hot keys.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
+    df.groupBy(quasiCols.map(qc): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .select(quasiCols.map(qc) :+ col("class_size") :+
+        (col("class_size") < k).as("at_risk"): _*)
+  }
 }
