@@ -2671,6 +2671,33 @@ object SparkEntry {
       operators.Graph.pageRank(edges, rounds = 3)
     }),
 
+    // TrustRank: teleport mass returns only to the vetted seed set
+    // (every 50th node — a deterministic stand-in for a quality
+    // whitelist), so trust decays with graph distance from the seeds —
+    // the seed-and-propagate shape of web-corpus source scoring. Same
+    // integer fixed-point carrier as graph_pagerank; unreachable nodes
+    // hold exactly 0.
+    "graph_trustrank" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      val nodes = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node"))).distinct()
+      operators.Graph.trustRank(edges,
+        nodes.where(col("node") % 50 === 0), rounds = 3)
+    }),
+
+    // Degree assortativity in exact integer moments (one O(E) pass, one
+    // final division): does this graph attach hubs to hubs (r>0) or
+    // hubs to leaves (r<0)? The pre-flight that predicts whether the
+    // X142 hub cap bites wedges or whole communities.
+    "graph_assortativity" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.assortativity(edges)
+    }),
+
     // Label-propagation communities, determinized: synchronous updates +
     // min-label tie-break remove LPA's run-order dependence; 3 unrolled
     // rounds. Density communities vs components' reachability classes.
@@ -5610,6 +5637,50 @@ object SparkEntry {
          |$rounds
          |SELECT node, r AS rank_units FROM r3 ORDER BY node""".stripMargin
     },
+
+    // seed-conditional teleport + zero init; otherwise graph_pagerank's
+    // integer iteration verbatim
+    "graph_trustrank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""s$k AS (SELECT e.b AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+           |  FROM e JOIN r${k - 1} p ON e.a = p.node
+           |  JOIN deg d ON e.a = d.node GROUP BY 1),
+           |r$k AS (SELECT d.node,
+           |    (CASE WHEN d.node % 50 = 0 THEN 150000000000 ELSE 0 END)
+           |      + (85 * COALESCE(s.inflow, 0)) // 100 AS r
+           |  FROM deg d LEFT JOIN s$k s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |p0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CASE WHEN node % 50 = 0
+         |    THEN CAST(1000000000000 AS BIGINT) ELSE 0 END AS r FROM deg),
+         |$rounds
+         |SELECT node, r AS trust_units FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // integer moment sums over directed stubs, ONE final division
+    "graph_assortativity" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |p0 AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        |mo AS (SELECT COUNT(*) AS m,
+        |    CAST(SUM(da.deg) AS BIGINT) AS s_x,
+        |    CAST(SUM(da.deg * da.deg) AS BIGINT) AS s_xx,
+        |    CAST(SUM(da.deg * db.deg) AS BIGINT) AS s_xy
+        |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node)
+        |SELECT m, s_x, s_xx, s_xy,
+        |  ROUND(CAST(m * s_xy - s_x * s_x AS DOUBLE) /
+        |    CAST(m * s_xx - s_x * s_x AS DOUBLE), 6) AS assortativity
+        |FROM mo""".stripMargin,
 
     // synchronous majority vote with min-label ties, unrolled
     "graph_label_communities" -> {

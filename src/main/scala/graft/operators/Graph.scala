@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-shape analytics over an edge list — the structural metrics a
@@ -256,27 +256,101 @@ object Graph {
       scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(rounds >= 1 && rounds <= 8 && dampBounds(dampNum, dampDen))
+    val (e, deg) = undirect(edges)
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    val init = deg.select(col("node"), lit(scale).as("r"))
+    iterate(e, deg, init, lit(teleport), rounds, dampNum, dampDen)
+      .select(col("node"), col("r").as("rank_units")).orderBy(col("node"))
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): the biased
+    * PageRank whose teleport mass returns ONLY to a vetted seed set, so
+    * trust decays with distance from the seeds — the standard
+    * seed-whitelist → propagate shape of web-corpus source-quality
+    * scoring. Same integer fixed-point carrier as [[pageRank]] (same
+    * overflow bound, same engine-exactness); non-seeds start at 0 and
+    * earn rank only through in-links. Output: (node, trust_units),
+    * nodes unreachable from the seeds hold exactly 0.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(rounds >= 1 && rounds <= 8 && dampBounds(dampNum, dampDen))
+    val (e, deg) = undirect(edges)
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    val flagged = deg
+      .join(broadcast(seeds.select(col("node"), lit(true).as("is_seed"))),
+        Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val init = flagged.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    iterate(e, flagged, init,
+      when(col("is_seed"), lit(teleport)).otherwise(lit(0L)),
+      rounds, dampNum, dampDen)
+      .select(col("node"), col("r").as("trust_units")).orderBy(col("node"))
+  }
+
+  /** Undirected expansion + degree relation, both materialized for the
+    * iteration loop (each round reads them once per branch). */
+  private def undirect(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val teleport = (dampDen - dampNum) * scale / dampDen
-    var r = deg.select(col("node"), lit(scale).as("r"))
+    (e, deg)
+  }
+
+  /** The shared integer power-iteration loop: share = r div deg,
+    * r' = teleport(node) + (dampNum·inflow) div dampDen. `deg` may carry
+    * extra flag columns (TrustRank's is_seed) that `teleportExpr` reads.
+    */
+  private def iterate(e: DataFrame, deg: DataFrame, init: DataFrame,
+      teleportExpr: Column, rounds: Int,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    var r = init
     (0 until rounds).foreach { _ =>
       val inflow = e
         .join(r.withColumnRenamed("node", "a"), "a")
-        .join(deg.withColumnRenamed("node", "a"), "a")
+        .join(deg.select(col("node").as("a"), col("deg")), "a")
         .select(col("b").as("node"), expr("r div deg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("inflow"))
-      r = deg.select(col("node"))
+      r = deg
         .join(inflow, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (teleportExpr +
             expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("r"))
         .localCheckpoint()
     }
-    r.select(col("node"), col("r").as("rank_units")).orderBy(col("node"))
+    r
+  }
+
+  /** Degree assortativity (Newman 2002) in exact integer moments: the
+    * Pearson correlation of endpoint degrees over directed edge stubs,
+    * r = (M·Sxy − Sx²) / (M·Sxx − Sx²) for the symmetric undirected
+    * census (Sx = Sy, Sxx = Syy). Every moment is an integer sum — the
+    * only float op is the final division — so the number is
+    * engine-exact. The O(E) pre-flight that says whether a graph is
+    * hub-attracts-hub (r > 0) or hub-attracts-leaf (r < 0), i.e.
+    * whether X142's hub cap will bite wedges or whole communities.
+    * int64 bound: M·Sxy ≤ 2E·(2E·degmax²); a 10^12-edge web graph needs
+    * DECIMAL(38) sums — same knob as everywhere, the shape is unchanged.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val (e, deg) = undirect(edges)
+    e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da")).as("s_x"),
+        sum(col("da") * col("da")).as("s_xx"),
+        sum(col("da") * col("db")).as("s_xy"))
+      .select(col("m"), col("s_x"), col("s_xx"), col("s_xy"),
+        round((col("m") * col("s_xy") - col("s_x") * col("s_x"))
+          .cast("double") /
+          (col("m") * col("s_xx") - col("s_x") * col("s_x"))
+            .cast("double"), 6).as("assortativity"))
   }
 
   private def dampBounds(n: Long, d: Long): Boolean = n >= 1 && n < d

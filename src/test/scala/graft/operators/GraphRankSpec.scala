@@ -33,6 +33,26 @@ class GraphRankSpec extends SparkSpec {
     assert(total <= 4 * S && total > 4 * T)
   }
 
+  test("trustRank: trust decays with distance from the seed, unreachable stays 0") {
+    // 1-2-3 path seeded at 1; 10-11 disconnected from the seed.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = Graph.trustRank(edges, seeds, rounds = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand-rolled: r1 = (T, 85S/100, 0); r2 below
+    assert(r2(1L) == T + 85L * (85L * S / 100 / 2) / 100)
+    assert(r2(2L) == 85L * T / 100)
+    assert(r2(3L) == 85L * (85L * S / 100 / 2) / 100)
+    assert(r2(10L) == 0L && r2(11L) == 0L)
+  }
+
+  test("assortativity of a perfect star is -1") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.assortativity(star).collect()(0)
+    assert(r.getAs[Long]("m") == 6L && r.getAs[Long]("s_x") == 12L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
   test("labelCommunities: pendant joins the triangle by round 3; ties go to min label") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
     val r1 = Graph.labelCommunities(edges, rounds = 1).collect()
