@@ -2315,6 +2315,33 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Split-leakage audit: minhash candidate pairs that STRADDLE the
+    // hash train/val/test split — the contamination a random split
+    // guarantees when near-dups aren't clustered first. Eval on a leaky
+    // split measures memorization; this composition (candidate pairs ⋈
+    // assignment ×2, cross-split filter) is the pre-training catch.
+    "sample_split_leakage" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(docs(s, d), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      val sp = operators.Sampling.assignSplit(docs(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      operators.Sampling.splitLeakage(pairs, sp, "doc_id")
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Token-budget mixture solver: the all-integer feasibility pass that
+    // answers "how big a corpus can I build at weights (1/2, 1/4, 1/4),
+    // and which source caps it" — T = min ⌊avail·den/num⌋, per-source
+    // take = ⌊T·num/den⌋, binding flags the scarce source.
+    "sample_token_budget" -> ((s, d) => {
+      operators.Sampling.tokenBudgetMixture(docs(s, d), "text", "source",
+        Seq(("src0", 2L, 4L), ("src1", 1L, 4L), ("src2", 1L, 4L)))
+        .orderBy(col("source"))
+    }),
+
     // Daily-ingest shape: new batch (odd ids) deduped AGAINST the stored
     // corpus (even ids) — corpus signatures computed once, cross-side
     // candidates only.
@@ -5193,6 +5220,53 @@ object SparkEntry {
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
     },
+
+    // the minhash-bands CTE verbatim + the sample_split hash CASE,
+    // joined twice and filtered to cross-split pairs
+    "sample_split_leakage" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |cp AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |sp AS (SELECT doc_id, CASE
+         |  WHEN $b % 1000000 < 800000 THEN 'train'
+         |  WHEN $b % 1000000 < 900000 THEN 'val'
+         |  ELSE 'test' END AS split FROM documents)
+         |SELECT cp.a, cp.b, sa.split AS split_a, sb.split AS split_b
+         |FROM cp JOIN sp sa ON cp.a = sa.doc_id
+         |JOIN sp sb ON cp.b = sb.doc_id
+         |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin
+    },
+
+    // all-integer: rational weights, floor division, scalar min
+    "sample_token_budget" ->
+      s"""WITH tok AS (SELECT source, ${sqlTokens("text")} AS toks FROM documents),
+         |av AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS avail_tokens
+         |  FROM tok GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('src0', 2, 4), ('src1', 1, 4),
+         |  ('src2', 1, 4)) AS t(source, w_num, w_den)),
+         |j AS (SELECT av.source, avail_tokens,
+         |    CAST(w_num AS BIGINT) AS w_num, CAST(w_den AS BIGINT) AS w_den
+         |  FROM av JOIN w USING (source)),
+         |t AS (SELECT MIN((avail_tokens * w_den) // w_num) AS t_max FROM j)
+         |SELECT j.source, j.avail_tokens, j.w_num, j.w_den,
+         |  (t.t_max * j.w_num) // j.w_den AS take_tokens,
+         |  (j.avail_tokens * j.w_den) // j.w_num = t.t_max AS binding
+         |FROM j, t ORDER BY source""".stripMargin,
 
     // incremental: odd ids are the new batch, even ids the stored corpus;
     // only cross-side band collisions are candidates

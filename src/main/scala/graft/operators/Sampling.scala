@@ -341,4 +341,63 @@ object Sampling {
           / 1000000.0)
       .select(col(idCol), col("n_features"), col("score"))
   }
+
+  /** Split-leakage audit: candidate near-dup pairs that STRADDLE a
+    * train/val/test assignment — the contamination a random split
+    * guarantees in a deduplicated-but-not-clustered corpus (near-dups
+    * are assigned independently, so a duplicate pair crosses the split
+    * with probability 2·p·(1−p)). Eval numbers on a leaky split measure
+    * memorization; this is the pre-training audit that catches it.
+    *
+    * `pairs` is any candidate pair relation (a, b) — minhash bands,
+    * embedding buckets, simhash radius; `assigned` is (idCol, split).
+    * Two slim equi-joins against the assignment relation (broadcast when
+    * the assignment is a projection of a dimension; shuffled hash
+    * otherwise), then the cross-split filter. Output:
+    * (a, b, split_a, split_b), cross-split rows only.
+    */
+  def splitLeakage(pairs: DataFrame, assigned: DataFrame,
+      idCol: String): DataFrame =
+    pairs
+      .join(assigned.select(col(idCol).as("a"), col("split").as("split_a")), "a")
+      .join(assigned.select(col(idCol).as("b"), col("split").as("split_b")), "b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"))
+
+  /** Token-budget mixture solver — the feasibility arithmetic run BEFORE
+    * a mixture sample: given per-source available token mass and target
+    * mixture weights w_s = num_s/den_s, the largest total budget T with
+    * T·w_s ≤ avail_s for every weighted source is
+    * T = min_s ⌊avail_s·den_s / num_s⌋, and each source contributes
+    * take_s = ⌊T·num_s / den_s⌋. ALL-INTEGER (weights are rationals, no
+    * float mixture math), so the plan is engine-exact; the `binding`
+    * flag marks the scarce source(s) that cap the corpus — the answer to
+    * "what do I need more of to hit my mixture at budget X".
+    *
+    * One combiner-heavy per-source token count + a broadcast weight
+    * table + a scalar min — nothing scales with rows but the first
+    * aggregation. Sources absent from `weights` are excluded (weight 0).
+    * Output: (source, avail_tokens, w_num, w_den, take_tokens, binding).
+    */
+  def tokenBudgetMixture(docs: DataFrame, textCol: String,
+      sourceCol: String, weights: Seq[(String, Long, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall { case (_, n, d) => n >= 1 && d >= n })
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(sourceCol, "w_num", "w_den")
+    val avail = docs
+      .select(col(sourceCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).as("n_"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("n_").cast("long")).as("avail_tokens"))
+      .join(broadcast(w), sourceCol)
+    val tmax = avail
+      .select(expr("(avail_tokens * w_den) div w_num").as("cap"))
+      .agg(min(col("cap")).as("t_max"))
+    avail.crossJoin(broadcast(tmax))
+      .select(col(sourceCol), col("avail_tokens"), col("w_num"), col("w_den"),
+        expr("(t_max * w_num) div w_den").as("take_tokens"),
+        (expr("(avail_tokens * w_den) div w_num") === col("t_max"))
+          .as("binding"))
+  }
 }
