@@ -3426,6 +3426,30 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Right-to-be-forgotten roundtrip: delete every row of a key set
+    // (user_id ending in 3) from a partitioned store, rewriting ONLY the
+    // directories that contain those keys — the takedown shape at 100 TB
+    // (a legal request is broadcast-sized; the store rewrite is pruned).
+    // Read-back must equal the source minus the keys; the
+    // full-partition-deletion edge (dynamic overwrite can't write an
+    // empty partition) is spec-pinned with constructed data.
+    "store_delete_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val path = "/tmp/graft_delete_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sink.StoreLayout.writeOptimized(src, path,
+        partitionCols = Seq("event_type"), sortCols = Seq("event_id"))
+      graft.sink.StoreLayout.deleteKeys(s, path, Seq("event_type"),
+        "user_id", src.where(col("user_id") % 10 === 3).select(col("user_id")))
+      graft.sink.StoreLayout.read(s, path)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // OPTIMIZE roundtrip (round-7 #4): 4 append batches fragment every
     // tool directory (the streaming-ingest small-files shape), compaction
     // coalesces each needy directory to ONE sorted file via dynamic
@@ -7058,6 +7082,11 @@ object SparkEntry {
         |  CASE WHEN event_type = 'click' THEN ROUND(value * 2, 6)
         |    ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // deletion is exact: content equals the source minus the key set
+    "store_delete_roundtrip" ->
+      """SELECT event_id, event_type, user_id, value
+        |FROM events WHERE user_id % 10 <> 3 ORDER BY event_id""".stripMargin,
 
     // compaction is physical-only: content equals the plain source
     "store_compact_roundtrip" ->

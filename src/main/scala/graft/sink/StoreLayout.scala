@@ -252,6 +252,67 @@ object StoreLayout {
     needy
   }
 
+  /** Targeted key deletion — the right-to-be-forgotten / takedown shape:
+    * remove every row whose `keyCol` appears in `keys`, rewriting ONLY
+    * the partition directories that actually contain those keys. At
+    * 100 TB this is the difference between rewriting a handful of
+    * directories and rewriting the store; the deletion list is
+    * broadcast-sized by nature (a legal request, not a corpus), so the
+    * anti-join never shuffles the store side beyond the pruned subset.
+    *
+    * Mechanics: (1) semi-join finds the affected partition-value tuples
+    * (collected — bounded by the partition count, same bound as
+    * [[fileCounts]]); (2) an OR-of-conjunctions predicate prunes the
+    * re-read to those directories; (3) survivors (anti-join) overwrite
+    * just those partitions in dynamic mode. A partition whose EVERY row
+    * is deleted cannot be expressed by dynamic overwrite (there is
+    * nothing to write), so those directories are removed explicitly —
+    * the edge every takedown tool must handle, spec-pinned.
+    *
+    * Returns (rewritten partition dirs, removed partition dirs).
+    */
+  def deleteKeys(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String,
+      keys: DataFrame): (Seq[String], Seq[String]) = {
+    require(partitionCols.nonEmpty, "targeted delete scopes by partition dirs")
+    val keyList = keys.select(col(keyCol)).distinct()
+    val store = read(spark, path)
+    def values(df: DataFrame): Seq[Seq[String]] = df
+      .select(partitionCols.map(col): _*).distinct().collect().toSeq
+      .map(r => partitionCols.indices
+        .map(i => if (r.isNullAt(i)) null else r.get(i).toString))
+    val affected = values(store.join(keyList, Seq(keyCol), "left_semi"))
+    if (affected.isEmpty) return (Nil, Nil)
+    // dir name ↔ partition values via the directory listing itself — no
+    // escape round-trip to get wrong
+    val dirByValues: Map[Seq[String], String] =
+      fileCounts(spark, path).keys.map { dir =>
+        dir.split("/").toSeq.map(seg =>
+          unescapePathValue(seg.split("=", 2)(1))) -> dir
+      }.toMap
+    val pred = affected.map { vs =>
+      partitionCols.zip(vs).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val subset = store.where(pred)
+    val survivors = subset.join(broadcast(keyList), Seq(keyCol), "left_anti")
+    val kept = values(survivors).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try survivors.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(path)
+    finally spark.conf.set(key, prev)
+    val emptied = affected.filterNot(kept)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removed = emptied.flatMap(dirByValues.get)
+    removed.foreach(dir => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/$dir"), true))
+    (affected.filter(kept).flatMap(dirByValues.get).sorted, removed.sorted)
+  }
+
   /** Hive-style `%xx` unescape for partition directory VALUES (the
     * convention Spark writes `col=val` segments with — NOT URL encoding:
     * `+` stays literal). Returns null for the null-partition sentinel.
