@@ -2332,6 +2332,19 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Padding-waste audit: same hash order, two batch layouts —
+    // length-blind vs length-bucketed — and the all-integer padding bill
+    // Σ(B·max − Σlen) for each; the pre-flight that justifies the
+    // bucketing shuffle before a tokenization run.
+    "sample_padding_audit" -> ((s, d) => {
+      val withLen = docs(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      operators.Sampling.paddingAudit(withLen, "doc_id", "n_tokens",
+        bucketWidth = 8, batchSize = 16)
+        .orderBy(col("layout"))
+    }),
+
     // Token-budget mixture solver: the all-integer feasibility pass that
     // answers "how big a corpus can I build at weights (1/2, 1/4, 1/4),
     // and which source caps it" — T = min ⌊avail·den/num⌋, per-source
@@ -5274,6 +5287,37 @@ object SparkEntry {
          |FROM cp JOIN sp sa ON cp.a = sa.doc_id
          |JOIN sp sb ON cp.b = sb.doc_id
          |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin
+    },
+
+    // same hash order, same ⌊/16⌋ batch cuts, integer padding sums
+    "sample_padding_audit" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#batch'")
+      s"""WITH tok AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS len_ FROM documents),
+         |b AS (SELECT doc_id, len_, $h % 1000000 AS h_ FROM tok),
+         |hb AS (SELECT len_,
+         |    (ROW_NUMBER() OVER (ORDER BY h_, doc_id) - 1) // 16 AS batch_
+         |  FROM b),
+         |bb AS (SELECT len_,
+         |    CAST(len_ // 8 AS VARCHAR) || ':' ||
+         |      CAST((ROW_NUMBER() OVER (PARTITION BY len_ // 8
+         |        ORDER BY h_, doc_id) - 1) // 16 AS VARCHAR) AS batch_
+         |  FROM b),
+         |hc AS (SELECT batch_, COUNT(*) AS n_, MAX(len_) AS mx_,
+         |    CAST(SUM(len_) AS BIGINT) AS sm_ FROM hb GROUP BY 1),
+         |bc AS (SELECT batch_, COUNT(*) AS n_, MAX(len_) AS mx_,
+         |    CAST(SUM(len_) AS BIGINT) AS sm_ FROM bb GROUP BY 1),
+         |ha AS (SELECT 'hash' AS layout, COUNT(*) AS n_batches,
+         |    CAST(SUM(sm_) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(n_ * mx_ - sm_) AS BIGINT) AS total_padding FROM hc),
+         |ba AS (SELECT 'bucketed', COUNT(*),
+         |    CAST(SUM(sm_) AS BIGINT), CAST(SUM(n_ * mx_ - sm_) AS BIGINT)
+         |  FROM bc),
+         |u AS (SELECT * FROM ha UNION ALL SELECT * FROM ba)
+         |SELECT layout, n_batches, total_tokens, total_padding,
+         |  ROUND(CAST(total_padding AS DOUBLE) /
+         |    CAST(total_tokens + total_padding AS DOUBLE), 6) AS padding_share
+         |FROM u ORDER BY layout""".stripMargin
     },
 
     // all-integer: rational weights, floor division, scalar min

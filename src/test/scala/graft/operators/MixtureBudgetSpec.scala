@@ -20,6 +20,21 @@ class MixtureBudgetSpec extends SparkSpec {
     assert(out == Map("a" -> ((10L, 3L, false)), "b" -> ((3L, 3L, true))))
   }
 
+  test("paddingAudit: bucketed layout never pads a uniform-length band") {
+    // lengths 1 and 100, bucketWidth 8 separates them; batchSize 2
+    val df = Seq((1L, 1L), (2L, 100L), (3L, 1L), (4L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.paddingAudit(df, "doc_id", "n_tokens",
+      bucketWidth = 8, batchSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bucketed: bands {1,1} and {100,100} → zero padding
+    assert(out("bucketed") == ((2L, 202L, 0L)))
+    // hash layout: total tokens identical; padding depends on the draw
+    // but can never beat the separated bands here
+    assert(out("hash")._2 == 202L && out("hash")._3 >= 0L)
+  }
+
   test("splitLeakage keeps only cross-split pairs") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
     val assigned = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"))
