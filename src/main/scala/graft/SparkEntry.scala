@@ -3179,6 +3179,20 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     }),
 
+    // Bloom false-positive census: membership filter built on click
+    // event_ids, probed with the (disjoint) view event_ids — the
+    // decontamination prefilter (X58/X100) made standalone and
+    // MEASURED: observed fp_rate vs the (1−e^(−kn/m))^k design point,
+    // oracle-exact because membership under the pinned md5 family is a
+    // pure function of the key set.
+    "profile_bloom_audit" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      operators.BloomFilter.fpAudit(
+        e.where(col("event_type") === "click").select(col("event_id")),
+        e.where(col("event_type") === "view").select(col("event_id")),
+        "event_id", depth = 3, width = 16384L)
+    }),
+
     // Distribution drift between the first and second half-month of
     // events: shared bins from one union min/max agg, per-side counts in
     // one tagged aggregation, exact-integer share deltas (no PSI/KL — ln
@@ -6775,6 +6789,39 @@ object SparkEntry {
         |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
         |FROM documents GROUP BY 1, 2, 3
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // bloom oracle: same seed-prefixed md5 positions, distinct set bits,
+    // claimed iff all 3 positions hit
+    "profile_bloom_audit" -> {
+      val h = sqlHash64("CAST(s.d AS VARCHAR) || ':' || k")
+      s"""WITH ds AS (SELECT unnest([0,1,2]) AS d),
+         |mem AS (SELECT DISTINCT event_id,
+         |    CAST(event_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'click'),
+         |prq AS (SELECT DISTINCT event_id,
+         |    CAST(event_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'view'),
+         |tn AS (SELECT * FROM prq WHERE event_id NOT IN
+         |  (SELECT event_id FROM mem)),
+         |bits AS (SELECT DISTINCT s.d,
+         |    (($h % 16384) + 16384) % 16384 AS pos FROM mem, ds s),
+         |pv AS (SELECT tn.event_id, s.d,
+         |    (($h % 16384) + 16384) % 16384 AS pos FROM tn, ds s),
+         |vc AS (SELECT pv.event_id, COUNT(b.pos) AS hits
+         |  FROM pv LEFT JOIN bits b USING (d, pos) GROUP BY 1),
+         |agg AS (SELECT
+         |    (SELECT COUNT(*) FROM mem) AS n_members,
+         |    (SELECT COUNT(*) FROM bits) AS n_bits_set,
+         |    COUNT(*) AS n_probes,
+         |    CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_false_pos
+         |  FROM vc)
+         |SELECT CAST(16384 AS BIGINT) AS width, 3 AS depth, n_members,
+         |  n_bits_set, n_probes, n_false_pos,
+         |  ROUND(CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE), 6)
+         |    AS fp_rate
+         |FROM agg""".stripMargin
+    },
 
     // HLL oracle: same 60-bit md5 hash, top-6-bit bucket via integer
     // div, rho from a comparison-count bitlen (no log2), max-register,
