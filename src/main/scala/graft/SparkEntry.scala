@@ -3179,6 +3179,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     }),
 
+    // Join-cardinality pre-flight: |events ⋈ orders| per user/customer
+    // key from the two COUNT relations alone — the "does this join
+    // explode, and on which keys" answer computed WITHOUT the join,
+    // ranked by contribution (the keys salting would target).
+    "profile_join_cardinality" -> ((s, d) => {
+      operators.Profiling.joinCardinality(
+        Tables.events(s, d).select(col("user_id")), "user_id",
+        Tables.orders(s, d).select(col("o_custkey")), "o_custkey", k = 10)
+    }),
+
     // Bloom false-positive census: membership filter built on click
     // event_ids, probed with the (disjoint) view event_ids — the
     // decontamination prefilter (X58/X100) made standalone and
@@ -6789,6 +6799,20 @@ object SparkEntry {
         |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
         |FROM documents GROUP BY 1, 2, 3
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // count-relation product, decimal-safe total, one share division
+    "profile_join_cardinality" ->
+      """WITH ca AS (SELECT user_id AS key, COUNT(*) AS n_left
+        |  FROM events GROUP BY 1),
+        |cb AS (SELECT o_custkey AS key, COUNT(*) AS n_right
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT key, n_left, n_right, n_left * n_right AS pairs
+        |  FROM ca JOIN cb USING (key)),
+        |t AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs FROM c)
+        |SELECT key, n_left, n_right, pairs, total_pairs,
+        |  ROUND(CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE), 6)
+        |    AS share
+        |FROM c, t ORDER BY pairs DESC, key LIMIT 10""".stripMargin,
 
     // bloom oracle: same seed-prefixed md5 positions, distinct set bits,
     // claimed iff all 3 positions hit

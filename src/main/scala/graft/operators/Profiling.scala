@@ -261,6 +261,44 @@ object Profiling {
     * tail is by definition the SMALL classes, so the interesting output
     * is never the hot keys.
     */
+  /** Exact equi-join cardinality pre-flight — |A ⋈ B| = Σ_k cA(k)·cB(k)
+    * computed from the two per-key COUNT relations, never the join
+    * itself: two combiner-heavy aggregations + one key-count join whose
+    * input is distinct keys, not rows. The answer a planner needs before
+    * committing a 100 TB shuffle ("does this join explode, and on which
+    * keys"), with the top contributors ranked — the keys
+    * [[graft.operators.SkewJoin]]'s salting would target.
+    *
+    * All-integer until the one share division. Per-key products stay in
+    * int64 to a 10^9×10^9 hot key; the TOTAL is summed through
+    * DECIMAL(38,0) and emitted as long (the gate scale never overflows;
+    * at web scale read the decimal before the cast).
+    *
+    * Output: top `k` keys by (key, n_left, n_right, pairs, total_pairs,
+    * share), ties broken by key.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val ca = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cb = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = ca.join(cb, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("pairs"))
+    val total = contrib
+      .agg(sum(col("pairs").cast("decimal(38,0)")).cast("long")
+        .as("total_pairs"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("key"), col("n_left"), col("n_right"), col("pairs"),
+        col("total_pairs"),
+        round(col("pairs").cast("double") /
+          col("total_pairs").cast("double"), 6).as("share"))
+      .orderBy(col("pairs").desc, col("key"))
+      .limit(k)
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2)
     def qc(c: String) = col("`" + c.replace("`", "``") + "`")
