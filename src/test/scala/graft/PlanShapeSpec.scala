@@ -322,4 +322,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "LocalTableScan") == 1, p.take(2000))
     assert(count(p, "Join") == 0, p.take(2000))
   }
+
+  test("search_phrase: phrase table broadcast, postings never cartesian") {
+    val p = plan("search_phrase")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    assert(count(p, "SortMergeJoin") == 0, p.take(2000))
+  }
+
+  test("profile_hll_audit: registers reduce combiner-heavy, single events scan pair") {
+    val p = plan("profile_hll_audit")
+    // build + exact NDV each scan once; no join strategy surprises
+    assert(count(p, "Scan parquet") == 2, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("profile_bloom_audit: set-bit relation broadcasts to the probe side") {
+    val p = plan("profile_bloom_audit")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("graph_pagerank: checkpointed rounds keep the plan flat (no 2^R blowup)") {
+    val p = plan("graph_pagerank")
+    // the final round's plan reads the round-2 checkpoint, not the whole
+    // lineage: exactly one checkpointed scan on each join branch
+    assert(count(p, "Scan ExistingRDD") >= 1, p.take(2000))
+    assert(count(p, "Scan parquet") == 0, p.take(2000))
+  }
+
+  test("profile_join_cardinality: counts join, rows never do") {
+    val p = plan("profile_join_cardinality")
+    // both inputs reduce to per-key counts BEFORE any join: the partial
+    // aggregates sit under the join, and the total broadcasts back
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(2000))
+  }
 }
