@@ -2345,10 +2345,24 @@ object SparkEntry {
         .orderBy(col("layout"))
     }),
 
+    // The FIX for sample_split_leakage: near-dup clusters assigned to
+    // splits atomically (hash of the component canonical id), so no
+    // candidate pair can straddle a boundary — zero leakage by
+    // construction, spec-asserted via the audit itself.
+    "sample_cluster_split" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      operators.Sampling.clusterSplit(dd.select(col("doc_id")), "doc_id",
+        pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget mixture solver: the all-integer feasibility pass that
     // answers "how big a corpus can I build at weights (1/2, 1/4, 1/4),
-    // and which source caps it" — T = min ⌊avail·den/num⌋, per-source
-    // take = ⌊T·num/den⌋, binding flags the scarce source.
+    // and which source caps it" — T = min ⌊avail·den/num⌋, binding flags
+    // the scarce source.
     "sample_token_budget" -> ((s, d) => {
       operators.Sampling.tokenBudgetMixture(docs(s, d), "text", "source",
         Seq(("src0", 2L, 4L), ("src1", 1L, 4L), ("src2", 1L, 4L)))
@@ -5342,6 +5356,46 @@ object SparkEntry {
          |  ROUND(CAST(total_padding AS DOUBLE) /
          |    CAST(total_tokens + total_padding AS DOUBLE), 6) AS padding_share
          |FROM u ORDER BY layout""".stripMargin
+    },
+
+    // the dedup_components recursive closure + the assignSplit hash CASE
+    // keyed on the component canonical id
+    "sample_cluster_split" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      val b = sqlHash64("CAST(component AS VARCHAR) || '#split'")
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+         |comp AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.src)
+         |SELECT doc_id, component, CASE
+         |  WHEN $b % 1000000 < 800000 THEN 'train'
+         |  WHEN $b % 1000000 < 900000 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin
     },
 
     // all-integer: rational weights, floor division, scalar min

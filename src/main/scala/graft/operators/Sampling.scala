@@ -364,6 +364,30 @@ object Sampling {
       .where(col("split_a") =!= col("split_b"))
       .select(col("a"), col("b"), col("split_a"), col("split_b"))
 
+  /** Cluster-aware split assignment — the FIX for what [[splitLeakage]]
+    * measures: every near-dup CLUSTER (connected component of the pair
+    * graph) is assigned to one split atomically, keyed by the hash of
+    * the component's canonical id, so no candidate pair can straddle a
+    * boundary — leakage is zero by construction, not by luck
+    * (spec-asserted via the audit itself). Singleton documents keep
+    * their own id as component and split independently, preserving
+    * [[assignSplit]]'s proportions in expectation over the cluster-mass
+    * distribution.
+    *
+    * Cost = the component closure (size-adaptive
+    * [[Components.connectedComponents]]) + one per-row hash — the
+    * closure is already computed by any dedup pass that keeps one doc
+    * per cluster, so in a real pipeline this split is free.
+    * Output: (idCol, component, split).
+    */
+  def clusterSplit(items: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val comp = Components.connectedComponents(
+      items.select(col(idCol).as("id")), pairs)
+    assignSplit(comp, "component", splits, salt)
+      .select(col("id").as(idCol), col("component"), col("split"))
+  }
+
   /** Token-budget mixture solver — the feasibility arithmetic run BEFORE
     * a mixture sample: given per-source available token mass and target
     * mixture weights w_s = num_s/den_s, the largest total budget T with

@@ -35,6 +35,26 @@ class MixtureBudgetSpec extends SparkSpec {
     assert(out("hash")._2 == 202L && out("hash")._3 >= 0L)
   }
 
+  test("clusterSplit: the leakage audit finds ZERO cross-split pairs on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val dd = graft.Tables.documents(spark, dir)
+    val sig = Dedup.minhashSignature(dd, "text", "doc_id", numHashes = 4)
+    val pairs = Dedup.minhashCandidatePairs(sig, "doc_id",
+      numHashes = 4, rowsPerBand = 2)
+    val assigned = Sampling.clusterSplit(
+      dd.select(org.apache.spark.sql.functions.col("doc_id")), "doc_id",
+      pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(pairs.count() > 0) // the audit must have something to check
+    assert(Sampling.splitLeakage(pairs,
+      assigned.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("split")), "doc_id").isEmpty)
+    // clusters are atomic: one split per component
+    val multi = assigned.groupBy("component")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("ns"))
+      .where(org.apache.spark.sql.functions.col("ns") > 1)
+    assert(multi.isEmpty)
+  }
+
   test("splitLeakage keeps only cross-split pairs") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
     val assigned = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"))
