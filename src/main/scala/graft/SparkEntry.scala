@@ -2634,6 +2634,16 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // Watermark-sizing pre-flight: exact drop counts a watermarked job
+    // WOULD incur at three candidate horizons, from the batch history —
+    // the drop side of the state-vs-loss curve before committing to one.
+    "stream_lateness_audit" -> ((s, d) => {
+      streaming.StreamingIngest.latenessAudit(Tables.events(s, d),
+        "ts", "event_id",
+        Seq(("5m", 300000L), ("1h", 3600000L), ("6h", 21600000L)))
+        .orderBy(col("horizon_ms"))
+    }),
+
     // Streaming HLL fold: per-batch register deltas max-merge into the
     // versioned store — idempotent as well as additive, so replays can't
     // corrupt it (the property CMS lacks). Fold == one-pass batch audit
@@ -2791,6 +2801,16 @@ object SparkEntry {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
         minSim = 0.97)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Blocking-quality audit: reduction ratio from COUNT relations only
+    // (no pair materialized) + pair completeness on a deterministic
+    // record sample whose all-pairs JW truth is computable — the RR↑ vs
+    // PC↓ instrument that places a blocking scheme in its design space.
+    "er_blocking_audit" -> ((s, d) => {
+      operators.EntityResolution.blockingAudit(Tables.customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        minSim = 0.97, sampleMod = 4)
     }),
 
     // The full linkage: same blocked pair graph closed to entity ids via
@@ -5953,6 +5973,34 @@ object SparkEntry {
         |WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97
         |ORDER BY a, b""".stripMargin,
 
+    // count-only RR; sample all-pairs JW truth with block-equality flag
+    "er_blocking_audit" ->
+      """WITH n AS (SELECT COUNT(*) AS n_records FROM customer),
+        |cand AS (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT), 0)
+        |    AS n_candidates
+        |  FROM (SELECT COUNT(*) AS c FROM customer
+        |    GROUP BY c_nationkey, c_mktsegment)),
+        |s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 4 = 0),
+        |sn AS (SELECT COUNT(*) AS sample_n FROM s),
+        |tr AS (SELECT COUNT(*) AS n_true,
+        |    CAST(SUM(CASE WHEN a.c_nationkey = b.c_nationkey
+        |      AND a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_captured
+        |  FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+        |  WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97)
+        |SELECT n_records, n_records * (n_records - 1) // 2 AS total_pairs,
+        |  n_candidates,
+        |  ROUND(1.0 - CAST(n_candidates AS DOUBLE) /
+        |    CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 6)
+        |    AS reduction_ratio,
+        |  sample_n, COALESCE(n_true, 0) AS n_true,
+        |  COALESCE(n_captured, 0) AS n_captured,
+        |  CASE WHEN COALESCE(n_true, 0) > 0 THEN
+        |    ROUND(CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+        |  END AS pair_completeness
+        |FROM n, cand, sn, tr""".stripMargin,
+
     // same pair graph closed with the recursive-reach min-label pattern
     // (dedup_components' oracle shape)
     "er_entities" ->
@@ -6900,6 +6948,22 @@ object SparkEntry {
          |    AS fp_rate
          |FROM agg""".stripMargin
     },
+
+    // same arrival-ordered running max, integer microsecond compares
+    "stream_lateness_audit" ->
+      """WITH b AS (SELECT epoch_us(ts) AS ts_us, event_id FROM events),
+        |r AS (SELECT ts_us, MAX(ts_us) OVER (ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS hw_us FROM b),
+        |w(watermark, horizon_ms) AS (VALUES
+        |  ('5m', 300000), ('1h', 3600000), ('6h', 21600000))
+        |SELECT watermark, CAST(horizon_ms AS BIGINT) AS horizon_ms,
+        |  CAST(SUM(CASE WHEN hw_us - ts_us > horizon_ms * CAST(1000 AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  COUNT(*) AS n_total,
+        |  ROUND(CAST(SUM(CASE WHEN hw_us - ts_us > horizon_ms * CAST(1000 AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS late_share
+        |FROM r, w GROUP BY 1, 2 ORDER BY horizon_ms""".stripMargin,
 
     // HLL oracle: same 60-bit md5 hash, top-6-bit bucket via integer
     // div, rho from a comparison-count bitlen (no log2), max-register,

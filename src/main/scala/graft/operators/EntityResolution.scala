@@ -76,4 +76,58 @@ object EntityResolution {
       .select(col("a"), col("b"))
     Components.connectedComponents(df.select(col(idCol).as("id")), pairs)
   }
+
+  /** Blocking-quality audit — the two numbers every linkage textbook
+    * demands before trusting a blocking scheme (Christen 2012):
+    *
+    *  - reduction ratio RR = 1 − candidates/total: how much comparison
+    *    work the blocks save, from COUNT relations only — Σ c(c−1)/2
+    *    per block over n(n−1)/2 — no pair is ever materialized;
+    *  - pair completeness PC = captured/true: what fraction of true
+    *    matches the blocks keep, estimated on a deterministic
+    *    `sampleMod` record sample whose all-pairs JW ≥ minSim truth IS
+    *    computable (truth needs all pairs by definition; the sample
+    *    bounds that to a broadcast-sized cross join, the standard
+    *    labeled-subset methodology made deterministic).
+    *
+    * The tension RR ↑ vs PC ↓ is the whole design space of blocking;
+    * this audit is the instrument that places a scheme in it. Output:
+    * one row (n_records, total_pairs, n_candidates, reduction_ratio,
+    * sample_n, n_true, n_captured, pair_completeness).
+    */
+  def blockingAudit(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], minSim: Double, sampleMod: Long): DataFrame = {
+    require(blockCols.nonEmpty && sampleMod >= 1)
+    val n = df.agg(count(lit(1)).as("n_records"))
+    val cand = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("c_"))
+      .agg(coalesce(sum(expr("c_ * (c_ - 1) div 2")), lit(0L))
+        .as("n_candidates"))
+    val s = df.where(col(idCol) % sampleMod === 0)
+      .select((col(idCol).as("sid_") +: col(nameCol).as("sname_") +:
+        blockCols.map(col)): _*)
+    val truth = s.select(col("sid_").as("a_"), col("sname_").as("na_"),
+        struct(blockCols.map(col): _*).as("ba_"))
+      .join(broadcast(s.select(col("sid_").as("b_"),
+        col("sname_").as("nb_"), struct(blockCols.map(col): _*).as("bb_"))),
+        col("a_") < col("b_"))
+      .where(round(JaroWinkler.sim(col("na_"), col("nb_")), 6) >= minSim)
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("ba_") === col("bb_"), 1L).otherwise(0L))
+          .as("n_captured"))
+    val sn = s.agg(count(lit(1)).as("sample_n"))
+    n.crossJoin(cand).crossJoin(sn).crossJoin(truth)
+      .select(col("n_records"),
+        expr("n_records * (n_records - 1) div 2").as("total_pairs"),
+        col("n_candidates"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          expr("n_records * (n_records - 1) div 2").cast("double"), 6)
+          .as("reduction_ratio"),
+        col("sample_n"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_captured"), lit(0L)).as("n_captured"),
+        when(coalesce(col("n_true"), lit(0L)) > 0,
+          round(col("n_captured").cast("double") /
+            col("n_true").cast("double"), 6)).as("pair_completeness"))
+  }
 }

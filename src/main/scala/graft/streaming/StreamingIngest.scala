@@ -1095,6 +1095,47 @@ object StreamingIngest {
           .as("lift"))
   }
 
+  /** Watermark-lateness pre-flight: for each candidate watermark
+    * horizon, how many events a watermarked streaming job WOULD drop —
+    * computed from the batch history before committing to a horizon.
+    * An event is late under horizon W iff the high-water mark among
+    * earlier ARRIVALS exceeds its event time by more than W; with
+    * arrival order pinned to a stored column (ingest offset in
+    * production; event_id in the gate) the answer is a deterministic
+    * running max, not a property of any particular run.
+    *
+    * The audit is the watermark-sizing instrument: too short and the
+    * drop share is the data you silently lose, too long and state
+    * grows — this emits the drop side of that curve exactly.
+    *
+    * Physical shape: ONE ordered running-max window (single-partition —
+    * acceptable for a pre-flight; at 100 TB run it per ingest shard,
+    * where arrival order is actually defined, and sum the shards) + a
+    * broadcast horizon table. All-integer microsecond arithmetic.
+    * Output: (watermark, horizon_ms, n_late, n_total, late_share).
+    */
+  def latenessAudit(events: DataFrame, tsCol: String, arrivalCol: String,
+      watermarks: Seq[(String, Long)]): DataFrame = {
+    require(watermarks.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("arr_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .select(unix_micros(col(tsCol)).as("ts_us"), col(arrivalCol).as("arr_"))
+      .withColumn("hw_us", max(col("ts_us")).over(w))
+    val wm = watermarks.toDF("watermark", "horizon_ms")
+    base.crossJoin(broadcast(wm))
+      .groupBy(col("watermark"), col("horizon_ms"))
+      .agg(sum(when(col("hw_us") - col("ts_us") > col("horizon_ms") * 1000L,
+          1L).otherwise(0L)).as("n_late"),
+        count(lit(1)).as("n_total"))
+      .select(col("watermark"), col("horizon_ms"), col("n_late"),
+        col("n_total"),
+        round(col("n_late").cast("double") / col("n_total").cast("double"), 6)
+          .as("late_share"))
+  }
+
   /** Streaming HyperLogLog fold — the NDV sketch's streaming member.
     * Registers merge by MAX, which is idempotent as well as commutative
     * and associative, so the fold is REPLAY-IDEMPOTENT: a re-delivered
