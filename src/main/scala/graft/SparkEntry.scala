@@ -81,6 +81,13 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
 
+  /** Shared by the CSV and ORC roundtrip gates — a lossless format
+    * roundtrip must equal the plain source projection. */
+  private lazy val sourceRoundtripSql: String =
+    """SELECT event_id, event_type, user_id, ROUND(value, 6) AS value_r,
+      |  props, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Shared by `profile_hll_audit` and `stream_hll_audit` (register
     * max-merge is exact, so the fold's oracle IS the batch oracle).
     * Mirrors [[operators.HyperLogLog]]: p=6, m=64, width=54,
@@ -3518,6 +3525,54 @@ object SparkEntry {
         "user_id", src.where(col("user_id") % 10 === 3).select(col("user_id")))
       graft.sink.StoreLayout.read(s, path)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // CDC apply — the MERGE primitive: events replayed as an I/U/D
+    // changelog keyed by user (error = delete), highest (ts, event_id)
+    // wins, winning deletes drop the key. The batch-replay form of
+    // MERGE INTO, engine-exact.
+    "store_cdc_apply" -> ((s, d) => {
+      val log = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      operators.Scd.cdcApply(log, "user_id", Seq("ts", "event_id"), "op")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          round(col("value"), 6).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CSV source roundtrip: schema'd read-back of a write that must
+    // quote-escape the embedded-JSON props column (commas, quotes,
+    // braces) and format microsecond timestamps — the interchange
+    // format's fidelity gate.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"), col("props"), col("ts"))
+      val path = "/tmp/graft_csv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      src.write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+      s.read.schema(src.schema).option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value"), 6).as("value_r"), col("props"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ORC source roundtrip: the columnar alternative ships in Spark;
+    // same typed projection must come back bit-equal.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"), col("props"), col("ts"))
+      val path = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      src.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value"), 6).as("value_r"), col("props"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
         .orderBy(col("event_id"))
     }),
 
@@ -7315,6 +7370,21 @@ object SparkEntry {
         |  CASE WHEN event_type = 'click' THEN ROUND(value * 2, 6)
         |    ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // last (ts, event_id) per user wins; winning error = delete
+    "store_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_id, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  ROUND(value, 6) AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // format roundtrips are lossless: content equals the plain source
+    "source_csv_roundtrip" -> sourceRoundtripSql,
+    "source_orc_roundtrip" -> sourceRoundtripSql,
 
     // deletion is exact: content equals the source minus the key set
     "store_delete_roundtrip" ->

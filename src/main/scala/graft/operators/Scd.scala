@@ -110,6 +110,32 @@ object Scd {
     * shuffle, AQE-skew-splittable), per-row status expression, filter.
     * At 100 TB both sides prune to key+compared columns at the scan.
     */
+  /** CDC apply — the MERGE primitive: fold an insert/update/delete
+    * changelog into final state. Per key, the HIGHEST-sequence row wins
+    * (one key-partitioned window, the same shuffle as any last-per-key);
+    * a winning delete removes the key entirely. This is the
+    * batch-replay form of what Delta/Iceberg MERGE INTO executes — at
+    * 100 TB the changelog partition-prunes against the base exactly as
+    * [[graft.sink.StoreLayout.deleteKeys]] does for the delete-only
+    * case; here the semantics are pinned engine-exactly for the full
+    * I/U/D alphabet.
+    *
+    * `seqCols` break ties in order (e.g. ts, then event id — a total
+    * order makes the fold deterministic under any partitioning).
+    * Output: the non-deleted winning rows, original payload columns.
+    */
+  def cdcApply(changelog: DataFrame, keyCol: String, seqCols: Seq[String],
+      opCol: String): DataFrame = {
+    require(seqCols.nonEmpty, "a total sequence order is the determinism contract")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    changelog
+      .withColumn("rn_", row_number().over(w))
+      .where(col("rn_") === 1 && col(opCol) =!= "D")
+      .drop("rn_")
+  }
+
   def diffSnapshots(before: DataFrame, after: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty)

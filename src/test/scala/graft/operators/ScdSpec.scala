@@ -90,4 +90,19 @@ class ScdSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
   }
+
+  test("cdcApply: highest sequence wins, winning delete removes the key, ties break on the second seq col") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 10L, "U", "a"),  // superseded
+      (1L, 2L, 11L, "U", "b"),  // winner for key 1
+      (2L, 1L, 20L, "U", "c"),
+      (2L, 3L, 21L, "D", "d"),  // delete wins → key 2 gone
+      (3L, 5L, 30L, "D", "e"),  // deleted...
+      (3L, 5L, 31L, "U", "f")   // ...same seq1, higher seq2 U wins → kept
+    ).toDF("k", "seq1", "seq2", "op", "payload")
+    val out = Scd.cdcApply(log, "k", Seq("seq1", "seq2"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(1L -> "b", 3L -> "f"))
+  }
 }
