@@ -2817,7 +2817,7 @@ object SparkEntry {
     "er_blocking_audit" -> ((s, d) => {
       operators.EntityResolution.blockingAudit(Tables.customer(s, d),
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-        minSim = 0.97, sampleMod = 4)
+        minSim = 0.97, sampleMod = 10)
     }),
 
     // The full linkage: same blocked pair graph closed to entity ids via
@@ -6036,7 +6036,7 @@ object SparkEntry {
         |  FROM (SELECT COUNT(*) AS c FROM customer
         |    GROUP BY c_nationkey, c_mktsegment)),
         |s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
-        |  FROM customer WHERE c_custkey % 4 = 0),
+        |  FROM customer WHERE c_custkey % 10 = 0),
         |sn AS (SELECT COUNT(*) AS sample_n FROM s),
         |tr AS (SELECT COUNT(*) AS n_true,
         |    CAST(SUM(CASE WHEN a.c_nationkey = b.c_nationkey
