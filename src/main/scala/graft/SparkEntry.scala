@@ -3314,6 +3314,20 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Hopping (sliding) rollup: 1-hour windows every 30 minutes — each
+    // event lands in exactly two windows; the smoothing variant of the
+    // tumbling rollup, via the built-in window() generator.
+    "events_hopping_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     "events_session_windows" -> ((s, d) => {
       // 30-min-inactivity sessionization: the batch shape of
       // flatMapGroupsWithState session windows.
@@ -3502,6 +3516,36 @@ object SparkEntry {
       graft.sink.StoreLayout.read(s, path)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // HRW (rendezvous) resharding audit: per-key shard at N=8 and N=9 —
+    // the minimal-movement contract of consistent hashing with no ring
+    // state: ~1/9 of keys move, every one TO the new shard (spec-pinned).
+    "store_shard_rebalance" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"))
+        .select(col("doc_id"),
+          graft.sink.StoreLayout.hrwShard(col("doc_id"), 8).as("shard8"),
+          graft.sink.StoreLayout.hrwShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Equi-depth range boundaries for repartitionByRange planning: ntile
+    // over a TOTAL order (price, tiebreak key) → per-range counts
+    // balanced to ±1 and the min/max boundary values — the range-exchange
+    // planner's input, engine-exact because ntile over a total order
+    // leaves no tie freedom.
+    "store_range_boundaries" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("range_id", ntile(8).over(w).cast("long"))
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi"))
+        .orderBy(col("range_id"))
     }),
 
     // Right-to-be-forgotten roundtrip: delete every row of a key set
@@ -7193,6 +7237,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // every event lands in exactly two 1h/30m windows: the 30-min floor
+    // and the one before it (Spark's window() aligns starts to epoch 0)
+    "events_hopping_rollup" ->
+      """WITH w AS (SELECT event_type, value,
+        |    strftime(make_timestamp(
+        |      (epoch_us(ts) // 1800000000) * 1800000000 - off),
+        |      '%Y-%m-%d %H:%M:%S') AS w_start
+        |  FROM events, (SELECT unnest([0, 1800000000]) AS off) o)
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // same exact-integer-sums construction: the z expression is the
     // identical IEEE double op sequence on both engines
     "events_anomaly" ->
@@ -7370,6 +7426,33 @@ object SparkEntry {
         |  CASE WHEN event_type = 'click' THEN ROUND(value * 2, 6)
         |    ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // same seed-prefixed md5 argmax, ties to higher shard id
+    "store_shard_rebalance" -> {
+      val h = sqlHash64("CAST(sh.s AS VARCHAR) || ':' || k.k")
+      def assign(n: Int, name: String) =
+        s"""$name AS (SELECT doc_id, CAST(s AS INTEGER) AS $name FROM (
+           |  SELECT k.doc_id, sh.s, ROW_NUMBER() OVER (
+           |    PARTITION BY k.doc_id ORDER BY $h DESC, sh.s DESC) AS rn
+           |  FROM k, (SELECT unnest(generate_series(0, ${n - 1})) AS s) sh)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |${assign(8, "shard8")},
+         |${assign(9, "shard9")}
+         |SELECT k.doc_id, shard8.shard8, shard9.shard9,
+         |  shard8.shard8 <> shard9.shard9 AS moved
+         |FROM k JOIN shard8 USING (doc_id) JOIN shard9 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical total order → identical ntile cut points
+    "store_range_boundaries" ->
+      """WITH t AS (SELECT o_totalprice, o_orderkey,
+        |    NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS range_id
+        |  FROM orders)
+        |SELECT range_id, COUNT(*) AS n_rows,
+        |  ROUND(MIN(o_totalprice), 6) AS lo, ROUND(MAX(o_totalprice), 6) AS hi
+        |FROM t GROUP BY 1 ORDER BY range_id""".stripMargin,
 
     // last (ts, event_id) per user wins; winning error = delete
     "store_cdc_apply" ->

@@ -313,6 +313,26 @@ object StoreLayout {
     (affected.filter(kept).flatMap(dirByValues.get).sorted, removed.sorted)
   }
 
+  /** Highest-random-weight (rendezvous) shard assignment — Thaler &
+    * Ravishankar 1998: a key lands on argmax_s hash(s, key), which gives
+    * consistent hashing's minimal-movement property with NO ring state:
+    * growing N → N+1 shards moves ONLY the keys whose new-shard hash
+    * wins, an expected 1/(N+1) of them, and every moved key moves TO the
+    * new shard (spec-pinned — the property that makes resharding a
+    * targeted copy instead of a full rewrite). Pure per-row Column tree
+    * under the pinned md5 family: shuffle-free, engine-exact,
+    * partitioning-independent. Ties (equal 60-bit hashes) break to the
+    * higher shard id via the struct compare; at 2^-60 per pair they are
+    * cosmetic.
+    */
+  def hrwShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 1024)
+    import graft.functions.HashFunctions
+    array_max(array((0 until shards).map(s =>
+      struct(HashFunctions.hash64(key.cast("string"), seed = s).as("h"),
+        lit(s).as("s"))): _*)).getField("s")
+  }
+
   /** Hive-style `%xx` unescape for partition directory VALUES (the
     * convention Spark writes `col=val` segments with — NOT URL encoding:
     * `+` stays literal). Returns null for the null-partition sentinel.

@@ -48,4 +48,21 @@ class DeleteKeysSpec extends SparkSpec {
       Seq("p"), "k", Seq(99L).toDF("k"))
     assert(r2.isEmpty && d2.isEmpty && fileSet(path) == after)
   }
+
+  test("hrwShard: adding a shard moves ~1/N of keys, all TO the new shard") {
+    val keys = spark.range(0, 2000).toDF("k")
+    val assigned = keys.select(col("k"),
+      StoreLayout.hrwShard(col("k"), 8).as("s8"),
+      StoreLayout.hrwShard(col("k"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val moved = assigned.filter { case (_, a, b) => a != b }
+    // every moved key lands on the NEW shard — the rendezvous invariant
+    assert(moved.forall(_._3 == 8), moved.take(5).mkString(","))
+    // expected movement 1/9 ≈ 222 of 2000; allow a generous band
+    assert(moved.length > 120 && moved.length < 350, s"moved ${moved.length}")
+    // shards cover the full range and are reasonably balanced
+    val byShard = assigned.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.keys.toSet == (0 until 8).toSet)
+    assert(byShard.values.forall(c => c > 150 && c < 350), byShard.toMap.toString)
+  }
 }
