@@ -2820,6 +2820,32 @@ object SparkEntry {
         minSim = 0.97, sampleMod = 10)
     }),
 
+    // Sorted-neighborhood blocking: rank by name, compare each record to
+    // its next 4 neighbors — catches the cross-block near-matches hash
+    // blocking misses, at a fixed n·(w−1) candidate budget.
+    "er_sorted_neighborhood" -> ((s, d) => {
+      operators.EntityResolution.sortedNeighborhoodPairs(
+        Tables.customer(s, d), "c_custkey", "c_name",
+        windowSize = 5, minSim = 0.97)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Anti-entropy digest diff: two replicas compared by per-partition
+    // Σ hash64(row) mod 2^61−1 — order-independent, so replicas agree
+    // iff content agrees whatever the layout; only the corrupted
+    // partition (clicks, user_id skewed) reads divergent, and only
+    // digests ever cross the network.
+    "store_digest_diff" -> ((s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val b = a.withColumn("user_id",
+        when(col("event_type") === "click", col("user_id") + 1)
+          .otherwise(col("user_id")))
+      graft.sink.StoreLayout.digestDiff(a, b, Seq("event_type"),
+        Seq("event_id", "user_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // The full linkage: same blocked pair graph closed to entity ids via
     // the size-adaptive component resolver (min-id labels; singletons
     // label themselves).
@@ -6071,6 +6097,40 @@ object SparkEntry {
         |  AND a.c_custkey < b.c_custkey
         |WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97
         |ORDER BY a, b""".stripMargin,
+
+    // same total-order ranks, same offset join, same rounded JW gate
+    "er_sorted_neighborhood" ->
+      """WITH rk AS (SELECT c_custkey, c_name,
+        |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+        |  FROM customer),
+        |cand AS (SELECT l.c_custkey AS a, l.c_name AS na,
+        |    r.c_custkey AS b, r.c_name AS nb
+        |  FROM rk l CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS off) o
+        |  JOIN rk r ON r.rk = l.rk + o.off)
+        |SELECT a, b, ROUND(jaro_winkler_similarity(na, nb), 6) AS sim
+        |FROM cand
+        |WHERE ROUND(jaro_winkler_similarity(na, nb), 6) >= 0.97
+        |ORDER BY a, b""".stripMargin,
+
+    // order-independent modular hash sums per partition; HUGEINT carries
+    // the sum exactly, the mod returns to int64
+    "store_digest_diff" -> {
+      val ha = sqlHash64("CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR)")
+      val hb = sqlHash64("CAST(event_id AS VARCHAR) || chr(1) || CAST(u2 AS VARCHAR)")
+      s"""WITH da AS (SELECT event_type, COUNT(*) AS n_a,
+         |    CAST(CAST(SUM($ha) AS HUGEINT) % 2305843009213693951 AS BIGINT)
+         |      AS dig_a
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT event_type, event_id,
+         |    CASE WHEN event_type = 'click' THEN user_id + 1 ELSE user_id END
+         |      AS u2 FROM events),
+         |db AS (SELECT event_type, COUNT(*) AS n_b,
+         |    CAST(CAST(SUM($hb) AS HUGEINT) % 2305843009213693951 AS BIGINT)
+         |      AS dig_b
+         |  FROM b GROUP BY 1)
+         |SELECT da.event_type, n_a, n_b, dig_a = dig_b AS digest_match
+         |FROM da JOIN db USING (event_type) ORDER BY event_type""".stripMargin
+    },
 
     // count-only RR; sample all-pairs JW truth with block-equality flag
     "er_blocking_audit" ->

@@ -77,6 +77,37 @@ object EntityResolution {
     Components.connectedComponents(df.select(col(idCol).as("id")), pairs)
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
+    * classical blocking family: rank records by a sort key and compare
+    * each to its next `windowSize−1` neighbors. Catches near-matches
+    * that hash blocking splits across blocks (adjacent names in
+    * different nations) at a FIXED candidate budget n·(w−1) — the
+    * RR/PC trade [[blockingAudit]] measures, from the other end.
+    *
+    * One total-order window (rank ties broken by id — deterministic),
+    * an in-row offset explode, one uniform-key equi-join on rank.
+    * At 100 TB the global sort is a range exchange, the same cost
+    * class as any repartitionByRange write. Output: (a, b, sim) with
+    * rounded JW ≥ minSim, `a` the lower-ranked record.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      nameCol: String, windowSize: Int, minSim: Double): DataFrame = {
+    require(windowSize >= 2 && windowSize <= 64)
+    val w = Window.orderBy(col("rname_"), col("rid_"))
+    val ranked = df
+      .select(col(idCol).as("rid_"), col(nameCol).as("rname_"))
+      .withColumn("rk_", row_number().over(w))
+    ranked
+      .select(col("rid_").as("a"), col("rname_").as("na_"), col("rk_"),
+        explode(array((1 until windowSize).map(lit(_)): _*)).as("off_"))
+      .withColumn("rk2_", col("rk_") + col("off_"))
+      .join(ranked.select(col("rid_").as("b"), col("rname_").as("nb_"),
+        col("rk_").as("rk2_")), "rk2_")
+      .withColumn("sim", round(JaroWinkler.sim(col("na_"), col("nb_")), 6))
+      .where(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Blocking-quality audit — the two numbers every linkage textbook
     * demands before trusting a blocking scheme (Christen 2012):
     *

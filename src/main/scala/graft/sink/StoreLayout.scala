@@ -333,6 +333,57 @@ object StoreLayout {
         lit(s).as("s"))): _*)).getField("s")
   }
 
+  /** Per-partition content digest for anti-entropy repair: digest =
+    * Σ hash64(row) mod (2^61−1) — a SUM of pinned row hashes is
+    * ORDER-INDEPENDENT, so two replicas agree iff their partition
+    * content agrees (up to 2^-61 collisions), whatever their physical
+    * layout, row order, or engine. The sum runs through DECIMAL(38)
+    * (Σ of 60-bit hashes overflows int64 at ~8 rows; 10^9-row
+    * partitions stay 11 digits under the decimal ceiling) and the mod
+    * brings it back to an int64 — exact on both engines.
+    *
+    * Row serialization is `concat_ws` over `cols` with a 
+    * separator (unambiguous unless a value embeds the control char —
+    * escape first if one can). Digest INTEGER/STRING columns only:
+    * float → string formatting is NOT engine-identical; route doubles
+    * through a fixed-scale decimal cast if they must participate. One
+    * combiner-heavy
+    * aggregation; digests, not rows, cross the network — the Merkle
+    * principle flattened to one level, which is what a partitioned
+    * store actually needs (the partition IS the repair unit).
+    */
+  def contentDigest(df: DataFrame, partitionCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty && cols.nonEmpty)
+    import graft.functions.HashFunctions
+    val row = HashFunctions.hash64(
+      concat_ws("", cols.map(c => col(c).cast("string")): _*))
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(row.cast("decimal(38,0)")),
+          lit(2305843009213693951L).cast("decimal(38,0)"))
+          .cast("long").as("digest"))
+  }
+
+  /** Anti-entropy diff of two replicas from their digests alone:
+    * (partitionCols..., n_a, n_b, digest_match). A full-outer join of
+    * two digest relations — partition-count rows, never data rows; the
+    * divergent partitions are the repair set
+    * ([[backfillPartitions]] / [[deleteKeys]] then fix exactly those).
+    */
+  def digestDiff(a: DataFrame, b: DataFrame, partitionCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val da = contentDigest(a, partitionCols, cols)
+      .withColumnsRenamed(Map("n_rows" -> "n_a", "digest" -> "dig_a"))
+    val db = contentDigest(b, partitionCols, cols)
+      .withColumnsRenamed(Map("n_rows" -> "n_b", "digest" -> "dig_b"))
+    da.join(db, partitionCols, "full_outer")
+      .select(partitionCols.map(col) :+
+        coalesce(col("n_a"), lit(0L)).as("n_a") :+
+        coalesce(col("n_b"), lit(0L)).as("n_b") :+
+        (col("dig_a") <=> col("dig_b")).as("digest_match"): _*)
+  }
+
   /** Hive-style `%xx` unescape for partition directory VALUES (the
     * convention Spark writes `col=val` segments with — NOT URL encoding:
     * `+` stays literal). Returns null for the null-partition sentinel.
