@@ -81,6 +81,18 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
 
+  /** Shared by `store_cdc_apply` and `stream_cdc_apply` (the winner
+    * fold is associative, so fold == one-pass batch MERGE). */
+  private lazy val cdcApplySql: String =
+    """WITH r AS (SELECT user_id, event_id, value, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id,
+      |  ROUND(value, 6) AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** Shared by the CSV and ORC roundtrip gates — a lossless format
     * roundtrip must equal the plain source projection. */
   private lazy val sourceRoundtripSql: String =
@@ -2649,6 +2661,15 @@ object SparkEntry {
         "ts", "event_id",
         Seq(("5m", 300000L), ("1h", 3600000L), ("6h", 21600000L)))
         .orderBy(col("horizon_ms"))
+    }),
+
+    // Streaming CDC fold: winner-per-key store folded per micro-batch
+    // with tombstones retained; argmax-by-sequence is associative, so
+    // the fold == the one-pass batch MERGE and shares its oracle.
+    "stream_cdc_apply" -> ((s, d) => {
+      streaming.StreamingIngest.stagedCdcRoundtrip(s, Tables.events(s, d),
+        "/tmp/graft_cdcstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("user_id"))
     }),
 
     // Streaming HLL fold: per-batch register deltas max-merge into the
@@ -7515,15 +7536,11 @@ object SparkEntry {
         |FROM t GROUP BY 1 ORDER BY range_id""".stripMargin,
 
     // last (ts, event_id) per user wins; winning error = delete
-    "store_cdc_apply" ->
-      """WITH r AS (SELECT user_id, event_id, value, event_type,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_id AS last_event_id,
-        |  ROUND(value, 6) AS last_value
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin,
+    "store_cdc_apply" -> cdcApplySql,
+
+    // the fold is associative (argmax winners), so the streaming gate
+    // shares the batch MERGE oracle verbatim
+    "stream_cdc_apply" -> cdcApplySql,
 
     // format roundtrips are lossless: content equals the plain source
     "source_csv_roundtrip" -> sourceRoundtripSql,

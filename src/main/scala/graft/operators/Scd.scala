@@ -125,14 +125,27 @@ object Scd {
     * Output: the non-deleted winning rows, original payload columns.
     */
   def cdcApply(changelog: DataFrame, keyCol: String, seqCols: Seq[String],
-      opCol: String): DataFrame = {
+      opCol: String): DataFrame =
+    cdcWinners(changelog, keyCol, seqCols)
+      .where(col(opCol) =!= "D")
+
+  /** The fold kernel under [[cdcApply]]: highest-sequence row per key,
+    * DELETES RETAINED as tombstones. Argmax over a total order is
+    * associative — winners(winners(A) ∪ winners(B)) = winners(A ∪ B) —
+    * which is exactly what lets a streaming fold keep only winner rows
+    * per key as its whole state; and tombstones are WHY the state must
+    * keep deletes: drop them and a late lower-sequence update wrongly
+    * resurrects the key. Read time applies the `op ≠ D` filter.
+    */
+  def cdcWinners(changelog: DataFrame, keyCol: String,
+      seqCols: Seq[String]): DataFrame = {
     require(seqCols.nonEmpty, "a total sequence order is the determinism contract")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(seqCols.map(c => col(c).desc): _*)
     changelog
       .withColumn("rn_", row_number().over(w))
-      .where(col("rn_") === 1 && col(opCol) =!= "D")
+      .where(col("rn_") === 1)
       .drop("rn_")
   }
 

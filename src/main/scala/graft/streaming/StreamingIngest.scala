@@ -1136,6 +1136,74 @@ object StreamingIngest {
           .as("late_share"))
   }
 
+  /** Streaming CDC fold — MERGE as a stream: per micro-batch, the store
+    * keeps ONLY the winning row per key (argmax by the total sequence
+    * order, which is ASSOCIATIVE: winners(winners(A) ∪ winners(B)) =
+    * winners(A ∪ B), so the fold equals the one-pass batch
+    * [[graft.operators.Scd.cdcApply]] verbatim and the gate shares its
+    * oracle). Tombstones are retained in the store — drop them and a
+    * late lower-sequence update resurrects a deleted key; the `op ≠ D`
+    * filter applies at read time only. State = one row per key ever
+    * seen, the minimum any correct CDC consumer can hold.
+    */
+  def stagedCdcRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    val src = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("value"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"))
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("user_id"), col("ts_us"), col("event_id"),
+        col("value"), col("op"))).as("value"))
+      .write.mode("append").text(inDir)
+    val mid = src.agg(avg(col("event_id"))).collect()(0).getDouble(0)
+    stage(src.where(col("event_id") < mid))
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("op", StringType)))
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bw = graft.operators.Scd.cdcWinners(batch, "user_id",
+          Seq("ts_us", "event_id"))
+        val next = latest match {
+          case None => bw
+          case Some(prev) => graft.operators.Scd.cdcWinners(
+            spark.read.parquet(prev).unionByName(bw), "user_id",
+            Seq("ts_us", "event_id"))
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the winner store
+      stage(src.where(col("event_id") >= mid))
+      q.processAllAvailable() // batch 1+: associative winner folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedCdcRoundtrip: no batch ran"))
+    spark.read.parquet(fin)
+      .where(col("op") =!= "D")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        round(col("value"), 6).as("last_value"))
+  }
+
   /** Streaming HyperLogLog fold — the NDV sketch's streaming member.
     * Registers merge by MAX, which is idempotent as well as commutative
     * and associative, so the fold is REPLAY-IDEMPOTENT: a re-delivered

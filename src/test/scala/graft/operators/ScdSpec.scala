@@ -105,4 +105,24 @@ class ScdSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(out == Map(1L -> "b", 3L -> "f"))
   }
+
+  test("cdcWinners fold: tombstones block late lower-sequence resurrection") {
+    import spark.implicits._
+    // batch 1 deletes key 1 at seq 10; batch 2 delivers a LATE update at
+    // seq 5 — the tombstone must win the fold, so the key stays deleted
+    val b1 = Seq((1L, 10L, "D", "x"), (2L, 1L, "U", "keep"))
+      .toDF("k", "seq", "op", "p")
+    val b2 = Seq((1L, 5L, "U", "resurrect?")).toDF("k", "seq", "op", "p")
+    val fold = Scd.cdcWinners(
+      Scd.cdcWinners(b1, "k", Seq("seq"))
+        .unionByName(Scd.cdcWinners(b2, "k", Seq("seq"))),
+      "k", Seq("seq"))
+    val live = fold.where(org.apache.spark.sql.functions.col("op") =!= "D")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(live == Map(2L -> "keep"))
+    // and the fold equals the one-pass batch apply
+    val onePass = Scd.cdcApply(b1.unionByName(b2), "k", Seq("seq"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(live == onePass)
+  }
 }
