@@ -2763,6 +2763,16 @@ object SparkEntry {
       operators.Graph.pageRank(edges, rounds = 3)
     }),
 
+    // k-truss peel: edges in < k−2 triangles dropped, 3 unrolled rounds
+    // — the edge-support twin of graph_kcore that survives star spam
+    // (a triangle-free hub is deg-huge but truss-empty).
+    "graph_ktruss" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.kTrussPeel(edges, k = 3, rounds = 3)
+    }),
+
     // TrustRank: teleport mass returns only to the vetted seed set
     // (every 50th node — a deterministic stand-in for a quality
     // whitelist), so trust decays with graph distance from the seeds —
@@ -6022,6 +6032,31 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
          |$rounds
          |SELECT node, r AS rank_units FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // unrolled support-count rounds; k=3 keeps edges with >= 1 triangle
+    "graph_ktruss" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""adj${k - 1} AS (SELECT a AS s, b AS d FROM e${k - 1}
+           |  UNION ALL SELECT b, a FROM e${k - 1}),
+           |s$k AS (SELECT e.a, e.b, COUNT(*) AS sup
+           |  FROM e${k - 1} e JOIN adj${k - 1} x ON x.s = e.a
+           |  JOIN adj${k - 1} y ON y.s = e.b AND y.d = x.d
+           |  GROUP BY 1, 2),
+           |e$k AS (SELECT a, b FROM s$k WHERE sup >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |e0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$rounds,
+         |adjf AS (SELECT a AS s, b AS d FROM e3
+         |  UNION ALL SELECT b, a FROM e3)
+         |SELECT e.a, e.b, COUNT(*) AS support
+         |FROM e3 e JOIN adjf x ON x.s = e.a
+         |JOIN adjf y ON y.s = e.b AND y.d = x.d
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
     },
 
     // seed-conditional teleport + zero init; otherwise graph_pagerank's

@@ -224,6 +224,42 @@ object Graph {
     degrees(e).orderBy(col("node"))
   }
 
+  /** k-truss peel (Cohen 2008) — the EDGE-support twin of [[kCorePeel]]:
+    * drop every edge in fewer than k−2 triangles and re-peel, `rounds`
+    * unrolled. Where k-core keeps well-connected NODES, k-truss keeps
+    * cohesively EMBEDDED edges — the community-backbone filter that
+    * survives star spam (a hub with a million leaves is deg-million but
+    * triangle-free, so the truss drops it entirely).
+    *
+    * Each round: one adjacency expansion + the two-hop support join
+    * e(a,b) ⋈ adj(a,w) ⋈ adj(b,w) (cost Σ_edges min-deg — the standard
+    * truss bound; [[hubMaxFor]]-style caps apply verbatim if a hub ever
+    * dominates) + a combiner-heavy count. Per-round materialization
+    * keeps R rounds R stages (the kCore lesson). Equals the true
+    * k-truss whenever peeling converges within R. Output: surviving
+    * (a, b, support), support measured in the final subgraph.
+    */
+  def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 8)
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    def support(g: DataFrame): DataFrame = {
+      val adj = g.select(col("a").as("s_"), col("b").as("d_"))
+        .unionAll(g.select(col("b").as("s_"), col("a").as("d_")))
+      g.join(adj.select(col("s_").as("a"), col("d_").as("w_")), "a")
+        .join(adj.select(col("s_").as("b"), col("d_").as("w_")), Seq("b", "w_"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    (0 until rounds).foreach { _ =>
+      e = support(e).where(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    support(e).orderBy(col("a"), col("b"))
+  }
+
   /** PageRank in INTEGER FIXED-POINT — the graph-level centrality the
     * corpus-quality pipelines rank source domains with (Common Crawl
     * publishes exactly this kind of host-level ranking), made

@@ -46,6 +46,17 @@ class GraphRankSpec extends SparkSpec {
     assert(r2(10L) == 0L && r2(11L) == 0L)
   }
 
+  test("kTrussPeel: triangle survives, tendrils and star spam do not") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val t = Graph.kTrussPeel(g, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L))
+    // a pure star is triangle-free: deg-huge hub, empty truss
+    val star = (2L to 20L).map(i => (1L, i)).toDF("a", "b")
+    assert(Graph.kTrussPeel(star, k = 3, rounds = 1).isEmpty)
+  }
+
   test("assortativity of a perfect star is -1") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val r = Graph.assortativity(star).collect()(0)
