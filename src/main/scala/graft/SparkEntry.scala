@@ -2334,6 +2334,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Minhash-estimator audit: signature-agreement Jaccard vs EXACT
+    // shingle Jaccard per candidate pair — with 4 hashes the estimate is
+    // a coarse {0,¼,½,¾,1} grid, which is exactly what this exposes; the
+    // X137 discipline pointed at the minhash tier itself.
+    "dedup_minhash_estimator" -> ((s, d) => {
+      Dedup.minhashEstimatorAudit(docs(s, d), "text", "doc_id",
+        numHashes = 4, shingleK = 3, rowsPerBand = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Split-leakage audit: minhash candidate pairs that STRADDLE the
     // hash train/val/test split — the contamination a random split
     // guarantees when near-dups aren't clustered first. Eval on a leaky
@@ -5470,6 +5480,49 @@ object SparkEntry {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
+    },
+
+    // bands CTE for candidates; agreement from the sig relation, exact
+    // Jaccard from the shingle-hash inverted join, identical ROUND trees
+    "dedup_minhash_estimator" -> {
+      val mh = (0 until 4).map(i =>
+        s"list_min(list_transform(shingles, s -> ${sqlHash64(s"'$i:' || s")})) AS mh$i")
+        .mkString(",\n  ")
+      val agree = (0 until 4).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |shs AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |sig AS (SELECT doc_id, $mh FROM shs),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR)) AS bucket
+         |  FROM sig WHERE mh0 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1,
+         |    md5(CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR))
+         |  FROM sig WHERE mh0 IS NOT NULL),
+         |cp AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |ex AS (SELECT doc_id AS id, ${sqlHash64("s")} AS shk
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shs)),
+         |cnts AS (SELECT doc_id AS id, len(shingles) AS n_sh FROM shs),
+         |itr AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS inter
+         |  FROM ex l JOIN ex r ON l.shk = r.shk AND l.id < r.id GROUP BY 1, 2),
+         |j AS (SELECT cp.a, cp.b, $agree AS n_agree,
+         |    ca.n_sh AS na, cb.n_sh AS nb, COALESCE(itr.inter, 0) AS inter
+         |  FROM cp JOIN sig sa ON cp.a = sa.doc_id
+         |  JOIN sig sb ON cp.b = sb.doc_id
+         |  JOIN cnts ca ON cp.a = ca.id JOIN cnts cb ON cp.b = cb.id
+         |  LEFT JOIN itr ON cp.a = itr.a AND cp.b = itr.b)
+         |SELECT a, b, n_agree,
+         |  ROUND(CAST(n_agree AS DOUBLE) / 4, 6) AS est_j,
+         |  ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
+         |    AS true_j,
+         |  ROUND(ABS(CAST(n_agree AS DOUBLE) / 4 -
+         |    CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)), 6)
+         |    AS abs_err
+         |FROM j ORDER BY a, b""".stripMargin
     },
 
     // the minhash-bands CTE verbatim + the sample_split hash CASE,

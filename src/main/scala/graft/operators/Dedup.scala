@@ -225,6 +225,61 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Minhash-estimator quality audit — the X137 measure-before-trusting
+    * discipline pointed at the minhash tier ITSELF: for every candidate
+    * pair the banding emits, compare the signature-agreement Jaccard
+    * estimate (n_agree/numHashes — with 4 hashes a coarse {0,¼,½,¾,1}
+    * grid, which is exactly what the audit exposes) against the EXACT
+    * shingle Jaccard, and report the per-pair absolute error. The number
+    * that tells a deployment whether its signature budget is estimating
+    * or guessing before it spends a corpus pass trusting it.
+    *
+    * Cost: the banding join (already paid by any LSH pass) + one
+    * inverted-index intersection restricted to candidate pairs — never
+    * all pairs. Output: (a, b, n_agree, est_j, true_j, abs_err).
+    */
+  def minhashEstimatorAudit(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleK: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(docs, textCol, idCol, numHashes, shingleK)
+    val pairs = minhashCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    val sa = sig.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"ah$i")): _*)
+    val sb = sig.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"bh$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sh = docs
+      .withColumn("toks_", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks_"), shingleK))
+          .as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), col("n_sh"), HashFunctions.hash64(col("shingle")).as("shk"))
+    val inter = sh.select(col("shk"), col("id").as("a"))
+      .join(sh.select(col("shk"), col("id").as("b")), "shk")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    val counts = sh.groupBy(col("id")).agg(first(col("n_sh")).as("n_sh"))
+    pairs
+      .join(sa, "a").join(sb, "b")
+      .withColumn("n_agree", agree)
+      .join(counts.select(col("id").as("a"), col("n_sh").as("na")), "a")
+      .join(counts.select(col("id").as("b"), col("n_sh").as("nb")), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n_agree"),
+        round(col("n_agree").cast("double") / numHashes, 6).as("est_j"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
+            .cast("double"), 6).as("true_j"),
+        round(abs(col("n_agree").cast("double") / numHashes -
+          coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
+              .cast("double")), 6).as("abs_err"))
+  }
+
   /** Edit-distance verification of candidate pairs: join the texts back to
     * an (a, b) pair list (LSH/minhash output) and compute Levenshtein
     * distance — the exact-but-quadratic-per-pair check that is only
