@@ -3287,6 +3287,19 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     }),
 
+    // Partition-layout advisor: dir-count / balance / skew verdicts for
+    // four candidate partition expressions — the "which column do I
+    // partitionBy" question measured before the first write bakes a bad
+    // layout into 100 TB of directories.
+    "store_partition_advisor" -> ((s, d) => {
+      operators.Profiling.partitionAdvisor(Tables.events(s, d), Seq(
+        ("event_type", col("event_type")),
+        ("event_date", to_date(col("ts"))),
+        ("user_id", col("user_id")),
+        ("user_mod_7", pmod(col("user_id"), lit(7)))))
+        .orderBy(col("candidate"))
+    }),
+
     // Join-cardinality pre-flight: |events ⋈ orders| per user/customer
     // key from the two COUNT relations alone — the "does this join
     // explode, and on which keys" answer computed WITHOUT the join,
@@ -7169,6 +7182,32 @@ object SparkEntry {
         |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
         |FROM documents GROUP BY 1, 2, 3
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // per-candidate count relations; FLOOR before the int cast (duck's
+    // double→int cast rounds, Spark's truncates); integer skew compare
+    "store_partition_advisor" -> {
+      val cands = Seq(
+        ("event_type", "event_type"),
+        ("event_date", "CAST(ts AS DATE)"),
+        ("user_id", "user_id"),
+        ("user_mod_7", "user_id % 7"))
+      val ctes = cands.zipWithIndex.map { case ((name, ex), i) =>
+        s"""g$i AS (SELECT $ex AS pv, COUNT(*) AS c FROM events GROUP BY 1),
+           |a$i AS (SELECT '$name' AS candidate, COUNT(*) AS n_partitions,
+           |  CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_rows,
+           |  CAST(FLOOR(quantile_cont(c, 0.5)) AS BIGINT) AS median_rows
+           |  FROM g$i)""".stripMargin
+      }.mkString(",\n")
+      val unions = cands.indices.map(i => s"SELECT * FROM a$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+         |u AS ($unions)
+         |SELECT candidate, n_partitions, n_rows, max_rows, median_rows,
+         |  (max_rows * 1000) // GREATEST(median_rows, 1) AS skew_x1000,
+         |  n_partitions > 10000 AS too_many,
+         |  (max_rows * 1000) // GREATEST(median_rows, 1) > 10000 AS skewed
+         |FROM u ORDER BY candidate""".stripMargin
+    },
 
     // count-relation product, decimal-safe total, one share division
     "profile_join_cardinality" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,6 +244,46 @@ object Profiling {
       (i, j, c, corr)
     }
     rows.toDF("i", "j", "cov", "corr")
+  }
+
+  /** Partition-layout advisor: for each CANDIDATE partition expression,
+    * the directory-count / balance / skew numbers that decide a store
+    * layout — n_partitions (too many → small-files + metadata pressure),
+    * rows in the biggest vs the median partition (the skew a hot
+    * partition inflicts on every writer and compaction), and verdict
+    * flags evaluated with the thresholds spelled out in the output
+    * rather than buried in code. ONE combiner-heavy count per candidate
+    * over the same scan; candidates are expressions, so `date(ts)` and
+    * bucketing transforms audit exactly like raw columns.
+    *
+    * The advisor answers the question [[graft.sink.StoreLayout]] takes
+    * as GIVEN (which columns to `partitionBy`) — measured on the data,
+    * before the first write bakes a bad layout into 100 TB of
+    * directories. Output per candidate: (candidate, n_partitions,
+    * n_rows, max_rows, median_rows, skew_x1000, too_many, skewed).
+    */
+  def partitionAdvisor(df: DataFrame, candidates: Seq[(String, Column)],
+      maxPartitions: Long = 10000L, skewMax: Double = 10.0): DataFrame = {
+    require(candidates.nonEmpty)
+    candidates.map { case (name, expr0) =>
+      val per = df.select(expr0.as("pv_"))
+        .groupBy(col("pv_")).agg(count(lit(1)).as("c_"))
+      per.agg(count(lit(1)).as("n_partitions"),
+          sum(col("c_")).as("n_rows"),
+          max(col("c_")).as("max_rows"),
+          expr("percentile(c_, 0.5)").as("med_"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("n_rows"), col("max_rows"),
+          // floor BEFORE the int cast: Spark's double→bigint cast
+          // truncates but DuckDB's ROUNDS — floor() agrees everywhere
+          expr("CAST(floor(med_) AS BIGINT)").as("median_rows"),
+          // integer fixed-point skew (×1000) keeps the compare exact
+          expr("(max_rows * 1000) div greatest(CAST(floor(med_) AS BIGINT), 1L)")
+            .as("skew_x1000"),
+          (col("n_partitions") > maxPartitions).as("too_many"),
+          (expr("(max_rows * 1000) div greatest(CAST(floor(med_) AS BIGINT), 1L)")
+            > (skewMax * 1000).toLong).as("skewed"))
+    }.reduce(_ unionByName _)
   }
 
   /** k-anonymity audit over a quasi-identifier tuple (Sweeney 2002): an
