@@ -3287,6 +3287,27 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     }),
 
+    // Per-node local clustering coefficient: exact triangle credit per
+    // corner + one rounded division — the node-grained spam signal (a
+    // deg-huge, lcc-0 node is the bot shape) over the co-purchase graph.
+    "graph_local_clustering" -> ((s, d) => {
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b"))
+      operators.Graph.localClustering(edges)
+    }),
+
+    // FD discovery (TANE-lite): violation mass per candidate X → Y —
+    // the key/denormalization pre-flight on an undocumented dump;
+    // event_id→user_id holds (key), the two behavioral pairs do not.
+    "profile_fd_discovery" -> ((s, d) => {
+      operators.Profiling.fdViolations(Tables.events(s, d), Seq(
+        ("event_id", "user_id"),
+        ("user_id", "event_type"),
+        ("event_type", "user_id")))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
     // Partition-layout advisor: dir-count / balance / skew verdicts for
     // four candidate partition expressions — the "which column do I
     // partitionBy" question measured before the first write bakes a bad
@@ -7182,6 +7203,49 @@ object SparkEntry {
         |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
         |FROM documents GROUP BY 1, 2, 3
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // id-ordered triangle enumeration, corner explode, one division
+    "graph_local_clustering" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |e AS (SELECT l.it AS a, r.it AS b
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tr AS (SELECT e1.a, e1.b AS x, e2.b AS y
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (SELECT node, COUNT(*) AS triangles FROM (
+        |  SELECT a AS node FROM tr UNION ALL SELECT x FROM tr
+        |  UNION ALL SELECT y FROM tr) GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(tc.triangles, 0) AS triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    ROUND(2 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE) /
+        |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY d.node""".stripMargin,
+
+    // one (x,y) distinct + count per pair; zero violations == FD holds
+    "profile_fd_discovery" ->
+      """WITH p1 AS (SELECT 'event_id' AS determinant, 'user_id' AS dependent,
+        |    COUNT(*) AS n_groups,
+        |    CAST(SUM(ndv - 1) AS BIGINT) AS n_violations
+        |  FROM (SELECT event_id, COUNT(DISTINCT user_id) AS ndv
+        |    FROM events GROUP BY 1)),
+        |p2 AS (SELECT 'user_id', 'event_type', COUNT(*),
+        |    CAST(SUM(ndv - 1) AS BIGINT)
+        |  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS ndv
+        |    FROM events GROUP BY 1)),
+        |p3 AS (SELECT 'event_type', 'user_id', COUNT(*),
+        |    CAST(SUM(ndv - 1) AS BIGINT)
+        |  FROM (SELECT event_type, COUNT(DISTINCT user_id) AS ndv
+        |    FROM events GROUP BY 1)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3)
+        |SELECT determinant, dependent, n_groups, n_violations,
+        |  n_violations = 0 AS holds
+        |FROM u ORDER BY determinant, dependent""".stripMargin,
 
     // per-candidate count relations; FLOOR before the int cast (duck's
     // double→int cast rounds, Spark's truncates); integer skew compare

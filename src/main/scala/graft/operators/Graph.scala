@@ -224,6 +224,45 @@ object Graph {
     degrees(e).orderBy(col("node"))
   }
 
+  /** Per-node local clustering coefficient — Watts & Strogatz 1998:
+    * lcc(v) = 2·t(v) / (d(v)·(d(v)−1)), the fraction of v's neighbor
+    * pairs that are themselves connected. [[triangleStats]] answers the
+    * GLOBAL cohesion question; this is the per-node signal quality
+    * pipelines threshold on (a high-degree, zero-lcc account is the
+    * classic spam/bot shape — same diagnosis as X200's truss, node-
+    * rather than edge-grained). Exact integers + ONE rounded division.
+    *
+    * Triangles enumerate via the id-ordered a<b<c join and explode to
+    * their three corners for the per-node credit; production graphs
+    * with hub skew swap in the degree-ordered orientation (X130) —
+    * same counts, bounded fan-out. Nodes with d < 2 have no wedge and
+    * are emitted with null lcc. Output: (node, deg, triangles, lcc).
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // degrees + three triangle legs read it
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = e.select(col("a"), col("b").as("x"))
+      .join(e.select(col("a"), col("b").as("y")), "a")
+      .where(col("x") < col("y"))
+      .join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"),
+        "left_semi")
+      .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(lit(2) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6)).as("lcc"))
+      .orderBy(col("node"))
+  }
+
   /** k-truss peel (Cohen 2008) — the EDGE-support twin of [[kCorePeel]]:
     * drop every edge in fewer than k−2 triangles and re-peel, `rounds`
     * unrolled. Where k-core keeps well-connected NODES, k-truss keeps

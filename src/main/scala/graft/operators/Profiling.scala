@@ -246,6 +246,29 @@ object Profiling {
     rows.toDF("i", "j", "cov", "corr")
   }
 
+  /** Functional-dependency discovery (TANE-lite): for each candidate
+    * pair X → Y, the violation mass Σ_x (distinct-Y-per-x − 1) — zero
+    * iff the FD holds exactly — plus group counts, from ONE
+    * combiner-heavy (x, y) distinct + count per pair. The
+    * schema-inference pre-flight that finds the real keys and
+    * denormalization opportunities in an undocumented 100 TB dump
+    * before anyone trusts a join on them. All-integer.
+    * Output per pair: (determinant, dependent, n_groups, n_violations,
+    * holds).
+    */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (x, y) =>
+      df.select(col(x).as("x_"), col(y).as("y_")).distinct()
+        .groupBy(col("x_")).agg(count(lit(1)).as("ndv_"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("ndv_") - 1).as("n_violations"))
+        .select(lit(x).as("determinant"), lit(y).as("dependent"),
+          col("n_groups"), col("n_violations"),
+          (col("n_violations") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Partition-layout advisor: for each CANDIDATE partition expression,
     * the directory-count / balance / skew numbers that decide a store
     * layout — n_partitions (too many → small-files + metadata pressure),

@@ -46,6 +46,18 @@ class GraphRankSpec extends SparkSpec {
     assert(r2(10L) == 0L && r2(11L) == 0L)
   }
 
+  test("localClustering: closed triangle is 1.0, pendant nodes are null") {
+    // triangle {1,2,3} plus pendant 4 on node 1
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.localClustering(g).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), Option(x.get(3))))).toMap
+    assert(r(1L) == ((3L, 1L, Some(0.333333)))) // 1 of 3 neighbor pairs closed
+    assert(r(2L) == ((2L, 1L, Some(1.0))))
+    assert(r(3L) == ((2L, 1L, Some(1.0))))
+    assert(r(4L) == ((1L, 0L, None))) // no wedge at a pendant
+  }
+
   test("kTrussPeel: triangle survives, tendrils and star spam do not") {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b")

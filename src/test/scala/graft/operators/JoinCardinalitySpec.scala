@@ -18,4 +18,14 @@ class JoinCardinalitySpec extends SparkSpec {
     assert(out.head.getAs[Double]("share") == 0.6)
     assert(out.forall(_.getAs[Long]("total_pairs") == trueSize))
   }
+
+  test("fdViolations: keys hold, behavioral pairs count their violation mass") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (3L, "b"), (3L, "b"))
+      .toDF("k", "v")
+    val out = Profiling.fdViolations(df, Seq(("k", "v"), ("v", "k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("k", "v")) == ((3L, 0L, true)))  // each k maps to one v
+    assert(out(("v", "k")) == ((2L, 1L, false))) // 'a' maps to {1,2}
+  }
 }
