@@ -3308,6 +3308,22 @@ object SparkEntry {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // IND discovery — the foreign-key finder pairing with FD's key
+    // finder: three real FK edges hold, the reversed direction counts
+    // its missing mass (how many customers never emitted an event).
+    "profile_ind_discovery" -> ((s, d) => {
+      operators.Profiling.indViolations(Seq(
+        ("events.user_id<customer.c_custkey",
+          Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey"),
+        ("lineitem.l_orderkey<orders.o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        ("orders.o_custkey<customer.c_custkey",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+        ("customer.c_custkey<events.user_id",
+          Tables.customer(s, d), "c_custkey", Tables.events(s, d), "user_id")))
+        .orderBy(col("candidate"))
+    }),
+
     // Partition-layout advisor: dir-count / balance / skew verdicts for
     // four candidate partition expressions — the "which column do I
     // partitionBy" question measured before the first write bakes a bad
@@ -7225,6 +7241,34 @@ object SparkEntry {
         |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
         |ORDER BY d.node""".stripMargin,
+
+    // one distinct + one anti-join per candidate
+    "profile_ind_discovery" -> {
+      val cands = Seq(
+        ("events.user_id<customer.c_custkey", "user_id", "events",
+          "c_custkey", "customer"),
+        ("lineitem.l_orderkey<orders.o_orderkey", "l_orderkey", "lineitem",
+          "o_orderkey", "orders"),
+        ("orders.o_custkey<customer.c_custkey", "o_custkey", "orders",
+          "c_custkey", "customer"),
+        ("customer.c_custkey<events.user_id", "c_custkey", "customer",
+          "user_id", "events"))
+      val ctes = cands.zipWithIndex.map { case ((label, lc, lt, rc, rt), i) =>
+        s"""a$i AS (SELECT '$label' AS candidate,
+           |  (SELECT COUNT(*) FROM (SELECT DISTINCT $lc FROM $lt
+           |     WHERE $lc IS NOT NULL)) AS n_left_distinct,
+           |  (SELECT COUNT(*) FROM (SELECT DISTINCT $lc AS v FROM $lt
+           |     WHERE $lc IS NOT NULL) lv
+           |   WHERE v NOT IN (SELECT $rc FROM $rt WHERE $rc IS NOT NULL))
+           |    AS n_missing)""".stripMargin
+      }.mkString(",\n")
+      val unions = cands.indices.map(i => s"SELECT * FROM a$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+         |u AS ($unions)
+         |SELECT candidate, n_left_distinct, n_missing, n_missing = 0 AS holds
+         |FROM u ORDER BY candidate""".stripMargin
+    },
 
     // one (x,y) distinct + count per pair; zero violations == FD holds
     "profile_fd_discovery" ->

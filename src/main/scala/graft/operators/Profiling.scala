@@ -269,6 +269,30 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Inclusion-dependency discovery — the FOREIGN-KEY finder that pairs
+    * with [[fdViolations]]'s key finder: A ⊆ B holds iff no distinct
+    * A-value is missing from B (one distinct + one anti-join per
+    * candidate, never row-scale joins). A holding IND is a joinable
+    * edge in an undocumented schema; the violation count says how
+    * dirty a almost-FK is before anyone writes the join that silently
+    * drops those rows. Output per candidate: (candidate,
+    * n_left_distinct, n_missing, holds).
+    */
+  def indViolations(
+      cands: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(cands.nonEmpty)
+    cands.map { case (label, lf, lc, rf, rc) =>
+      val lv = lf.select(col(lc).as("v_")).where(col("v_").isNotNull).distinct()
+      val rv = rf.select(col(rc).as("v_")).where(col("v_").isNotNull).distinct()
+      val missing = lv.join(rv, Seq("v_"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      lv.agg(count(lit(1)).as("n_left_distinct"))
+        .crossJoin(missing)
+        .select(lit(label).as("candidate"), col("n_left_distinct"),
+          col("n_missing"), (col("n_missing") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Partition-layout advisor: for each CANDIDATE partition expression,
     * the directory-count / balance / skew numbers that decide a store
     * layout — n_partitions (too many → small-files + metadata pressure),
