@@ -3308,6 +3308,25 @@ object SparkEntry {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // UCC discovery — candidate keys: distinct == rows; the almost-key
+    // duplicate mass is the number that explains every "my join
+    // doubled the rows" incident.
+    "profile_key_discovery" -> ((s, d) => {
+      operators.Profiling.keyDiscovery(Tables.lineitem(s, d), Seq(
+        Seq("l_orderkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")))
+        .orderBy(col("candidate"))
+    }),
+
+    // Benford first-digit audit on order totals: observed shares vs the
+    // hardcoded log10(1+1/d) literals — engine-exact forensics (no
+    // runtime libm; first digit via the INTEGER part's string).
+    "profile_benford" -> ((s, d) => {
+      operators.Profiling.benfordAudit(Tables.orders(s, d), "o_totalprice")
+        .orderBy(col("digit"))
+    }),
+
     // IND discovery — the foreign-key finder pairing with FD's key
     // finder: three real FK edges hold, the reversed direction counts
     // its missing mass (how many customers never emitted an event).
@@ -7241,6 +7260,42 @@ object SparkEntry {
         |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
         |ORDER BY d.node""".stripMargin,
+
+    // distinct-vs-rows per combo
+    "profile_key_discovery" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+        |c1 AS (SELECT 'l_orderkey' AS candidate, n_rows,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+        |    AS n_distinct FROM n),
+        |c2 AS (SELECT 'l_orderkey,l_linenumber', n_rows,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |    FROM lineitem)) FROM n),
+        |c3 AS (SELECT 'l_orderkey,l_partkey,l_suppkey', n_rows,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_partkey,
+        |    l_suppkey FROM lineitem)) FROM n),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3)
+        |SELECT candidate, n_rows, n_distinct,
+        |  n_rows = n_distinct AS is_key
+        |FROM u ORDER BY candidate""".stripMargin,
+
+    // same integer-part first digit, same literal expectations
+    "profile_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice))
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE ABS(o_totalprice) >= 1),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+        |e(digit, expected) AS (VALUES (1, 0.30103), (2, 0.176091),
+        |  (3, 0.124939), (4, 0.09691), (5, 0.079181), (6, 0.066947),
+        |  (7, 0.057992), (8, 0.051153), (9, 0.045757))
+        |SELECT g.digit, g.n,
+        |  ROUND(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
+        |  CAST(e.expected AS DOUBLE) AS expected,
+        |  ROUND(ABS(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+        |    - CAST(e.expected AS DOUBLE)), 6) AS deviation
+        |FROM g CROSS JOIN t JOIN e ON g.digit = e.digit
+        |ORDER BY g.digit""".stripMargin,
 
     // one distinct + one anti-join per candidate
     "profile_ind_discovery" -> {

@@ -293,6 +293,60 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Unique-column-combination discovery — the KEY finder completing
+    * the dependency-profiling trio ([[fdViolations]] FDs,
+    * [[indViolations]] FKs, this one candidate keys): a combo is a key
+    * iff its distinct count equals the row count; `n_rows − n_distinct`
+    * is the duplicate mass an almost-key carries. One distinct+count
+    * pass per candidate combo. Output: (candidate, n_rows, n_distinct,
+    * is_key).
+    */
+  def keyDiscovery(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty))
+    combos.map { cols =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(df.select(cols.map(col): _*).distinct()
+          .agg(count(lit(1)).as("n_distinct")))
+        .select(lit(cols.mkString(",")).as("candidate"), col("n_rows"),
+          col("n_distinct"), (col("n_rows") === col("n_distinct")).as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938): organic
+    * multi-scale magnitudes put digit d first with probability
+    * log10(1+1/d) — fabricated or truncated numbers don't. The nine
+    * expected shares are HARDCODED LITERALS (log10 at fixed arguments —
+    * constants, not runtime libm), so the audit stays engine-exact:
+    * observed integer counts, one share division, literal expectation,
+    * rounded deviation. The forensic pre-flight for any money/metric
+    * column. Output per digit: (digit, n, share, expected, deviation).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9, to 6 dp
+    val expected = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    // first digit via the INTEGER part's string — double→string
+    // formatting is engine-specific (scientific notation thresholds),
+    // int64→string is not
+    val digit = substring(floor(abs(col(valueCol))).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val expectedExpr = expected.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (e, i)) =>
+        when(col("digit") === (i + 1), lit(e)).otherwise(acc)
+      }
+    df.where(abs(col(valueCol)) >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total_", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total_").cast("double"), 6)
+          .as("share"),
+        expectedExpr.as("expected"),
+        round(abs(col("n").cast("double") / col("total_").cast("double") -
+          expectedExpr), 6).as("deviation"))
+  }
+
   /** Partition-layout advisor: for each CANDIDATE partition expression,
     * the directory-count / balance / skew numbers that decide a store
     * layout — n_partitions (too many → small-files + metadata pressure),
