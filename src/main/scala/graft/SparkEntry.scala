@@ -3308,6 +3308,25 @@ object SparkEntry {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // Monotonicity audit: descent counts in arrival (event_id) order —
+    // "is this feed already time-sorted" measured, the free-sortedness
+    // check merge/as-of strategies and min/max pruning depend on.
+    "profile_monotonicity" -> ((s, d) => {
+      operators.Profiling.monotonicityAudit(Tables.events(s, d),
+        "event_id", Seq("ts", "user_id"))
+        .orderBy(col("value_col"))
+    }),
+
+    // RLE advisor: run counts per column under a shipdate sort — the
+    // "sort by X before writing" columnar-encoding pre-flight; flag
+    // columns RLE well under a date sort, the key column doesn't.
+    "store_rle_advisor" -> ((s, d) => {
+      operators.Profiling.runLengthAudit(Tables.lineitem(s, d),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey"))
+        .orderBy(col("value_col"))
+    }),
+
     // UCC discovery — candidate keys: distinct == rows; the almost-key
     // duplicate mass is the number that explains every "my join
     // doubled the rows" incident.
@@ -7260,6 +7279,40 @@ object SparkEntry {
         |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
         |ORDER BY d.node""".stripMargin,
+
+    // same lag windows, integer descent counts
+    "profile_monotonicity" ->
+      """WITH w1 AS (SELECT ts AS v, LAG(ts) OVER (ORDER BY event_id) AS p
+        |  FROM events),
+        |a1 AS (SELECT 'ts' AS value_col, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN p > v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_descents FROM w1),
+        |w2 AS (SELECT user_id AS v, LAG(user_id) OVER (ORDER BY event_id) AS p
+        |  FROM events),
+        |a2 AS (SELECT 'user_id', COUNT(*),
+        |  CAST(SUM(CASE WHEN p > v THEN 1 ELSE 0 END) AS BIGINT) FROM w2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT value_col, n_rows, n_descents, n_descents = 0 AS sorted
+        |FROM u ORDER BY value_col""".stripMargin,
+
+    // null-safe run boundaries under the identical total order
+    "store_rle_advisor" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+      val ctes = cols.zipWithIndex.map { case (c, i) =>
+        s"""w$i AS (SELECT CASE WHEN $c IS NOT DISTINCT FROM LAG($c)
+           |    OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+           |    THEN 0 ELSE 1 END AS chg FROM lineitem),
+           |a$i AS (SELECT '$c' AS value_col, COUNT(*) AS n_rows,
+           |  CAST(SUM(chg) AS BIGINT) AS n_runs FROM w$i)""".stripMargin
+      }.mkString(",\n")
+      val unions = cols.indices.map(i => s"SELECT * FROM a$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+         |u AS ($unions)
+         |SELECT value_col, n_rows, n_runs,
+         |  (n_rows * 1000) // GREATEST(n_runs, 1) AS avg_run_x1000
+         |FROM u ORDER BY value_col""".stripMargin
+    },
 
     // distinct-vs-rows per combo
     "profile_key_discovery" ->

@@ -293,6 +293,53 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Monotonicity audit: for each value column, the count of adjacent
+    * DESCENTS when rows are read in `orderCol` order — zero means the
+    * column is already sorted in that order (merge/as-of strategies and
+    * parquet min/max pruning get it for free), and the descent count
+    * says how far from sorted it is. One total-order window per value
+    * column; integers throughout. Output: (value_col, n_rows,
+    * n_descents, sorted).
+    */
+  def monotonicityAudit(df: DataFrame, orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+    valueCols.map { v =>
+      df.select(col(orderCol), col(v).as("v_"))
+        .withColumn("prev_", lag(col("v_"), 1).over(w))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("prev_") > col("v_"), 1L).otherwise(0L))
+            .as("n_descents"))
+        .select(lit(v).as("value_col"), col("n_rows"), col("n_descents"),
+          (col("n_descents") === 0).as("sorted"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Run-length (RLE) advisor: how well each column would RLE-compress
+    * under a given sort order — n_runs = 1 + Σ (value ≠ previous), and
+    * the average run length in integer fixed-point (×1000). The
+    * columnar-encoding pre-flight behind "sort by X before writing":
+    * a 1000-row column with 5 runs RLEs ~200×, the same column in hash
+    * order doesn't. Null-safe change detection (a null→value edge is a
+    * run boundary). Output: (value_col, n_rows, n_runs, avg_run_x1000).
+    */
+  def runLengthAudit(df: DataFrame, orderCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty && valueCols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+    valueCols.map { v =>
+      df.select(orderCols.map(col) :+ col(v).as("v_"): _*)
+        .withColumn("chg_",
+          when(col("v_") <=> lag(col("v_"), 1).over(w), 0L).otherwise(1L))
+        .agg(count(lit(1)).as("n_rows"), sum(col("chg_")).as("n_runs"))
+        .select(lit(v).as("value_col"), col("n_rows"), col("n_runs"),
+          expr("(n_rows * 1000) div greatest(n_runs, 1L)").as("avg_run_x1000"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Unique-column-combination discovery — the KEY finder completing
     * the dependency-profiling trio ([[fdViolations]] FDs,
     * [[indViolations]] FKs, this one candidate keys): a combo is a key
