@@ -2790,9 +2790,11 @@ object SparkEntry {
     // integer fixed-point carrier as graph_pagerank; unreachable nodes
     // hold exactly 0.
     "graph_trustrank" -> ((s, d) => {
+      // same one-checkpoint rule as graph_bfs_distances: edges feed four
+      // lazy branches, so cut the frequent-pairs lineage once up front
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint()
       val nodes = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node"))).distinct()
       operators.Graph.trustRank(edges,
@@ -2818,6 +2820,38 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minSupport = 2)
         .select(col("a"), col("b"))
       operators.Graph.labelCommunities(edges, rounds = 3)
+    }),
+
+    // Multi-source BFS: exact hop distance to the nearest seed (the same
+    // every-50th whitelist as graph_trustrank), 3 frontier-delta rounds —
+    // the distance TrustRank's decay is measuring, audited directly.
+    // All-integer, so the unrolled oracle hash-matches.
+    "graph_bfs_distances" -> ((s, d) => {
+      // checkpoint the derived edge relation ONCE: it feeds four lazy
+      // branches (both union directions + the seed derivation), and the
+      // frequent-pairs self-join is the dominant cost — re-evaluating it
+      // per branch quadruples the gate (measured 18s → 2s at sf0.1)
+      val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      val nodes = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node"))).distinct()
+      operators.Graph.bfsDistances(edges,
+        nodes.where(col("node") % 50 === 0), rounds = 3)
+    }),
+
+    // HITS hubs/authorities over the DIRECTED buys-from bipartite graph
+    // (customer → supplier via orders⋈lineitem): hub = a customer who
+    // buys from authoritative suppliers, authority = a supplier bought
+    // by hubby customers. Integer max-normalization (top node holds
+    // exactly 10^6 units) replaces the float L2 norm, so the 2-round
+    // power iteration is engine-exact.
+    "graph_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      operators.Graph.hits(e, rounds = 2)
     }),
 
     // Exponentially-decayed rolling count per event type: α = 1/2 makes
@@ -6263,6 +6297,52 @@ object SparkEntry {
          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
          |$rounds
          |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+    },
+
+    // frontier-delta BFS unrolled: candidates from the previous frontier
+    // only, anti-joined against the known set — all-integer hop counts
+    "graph_bfs_distances" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS (SELECT DISTINCT e.b AS node
+           |  FROM e JOIN n${k - 1} f ON e.a = f.node),
+           |n$k AS (SELECT c.node, CAST($k AS BIGINT) AS dist FROM c$k c
+           |  WHERE c.node NOT IN (SELECT node FROM k${k - 1})),
+           |k$k AS (SELECT * FROM k${k - 1} UNION ALL SELECT * FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |p0 AS (SELECT l.it AS a, r.it AS b
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+         |k0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM e WHERE a % 50 = 0),
+         |n0 AS (SELECT node FROM k0),
+         |$rounds
+         |SELECT node, dist FROM k3 ORDER BY node""".stripMargin
+    },
+
+    // integer max-normalized HITS unrolled: s' = (s_raw * 10^6) // max;
+    // sums cast back to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+    "graph_hits" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""a${k}r AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a_raw
+           |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+           |a$k AS (SELECT node, (a_raw * 1000000)
+           |    // (SELECT MAX(a_raw) FROM a${k}r) AS a FROM a${k}r),
+           |h${k}r AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h_raw
+           |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+           |h$k AS (SELECT node, (h_raw * 1000000)
+           |    // (SELECT MAX(h_raw) FROM h${k}r) AS h FROM h${k}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h
+         |  FROM e),
+         |$rounds
+         |SELECT node, 'authority' AS side, a AS units FROM a2
+         |UNION ALL SELECT node, 'hub' AS side, h AS units FROM h2
+         |ORDER BY side, node""".stripMargin
     },
 
     "graph_triangles" ->

@@ -470,4 +470,89 @@ object Graph {
     }
     l.select(col("node"), col("label").as("community")).orderBy(col("node"))
   }
+
+  /** Multi-source BFS distances, frontier-delta form: every node's hop
+    * distance to the NEAREST seed, up to `rounds` hops. Round r joins the
+    * edge list against ONLY the previous round's frontier (the nodes first
+    * reached at r−1) and anti-joins the known set — so per-round cost is
+    * the frontier's edge neighborhood, not the whole reached set, and the
+    * known relation grows monotonically (expanding from all known nodes
+    * would produce the same distances; the delta form is the scale
+    * optimization). This is the "how far is everything from the vetted
+    * core" audit behind [[trustRank]]'s decay — distance is the quantity
+    * trust decays WITH, here measured exactly.
+    *
+    * All-integer (hop counts), so engine-exact; `rounds` is a fixed
+    * unrolled depth (static plan, external-SQL-checkable — the k-core /
+    * PageRank rounds trade). Nodes not reached within `rounds` hops are
+    * absent from the output (their true distance is unknown, not ∞).
+    *
+    * Physical shape at 100 TB: each round is one frontier⋈edges equi-join
+    * + one distinct + one anti-join, all shuffled on the node key;
+    * per-round frontiers are materialized so R rounds cost R stages.
+    * Output: (node, dist), seeds at 0.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8)
+    val e = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var known = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = known
+    (1 to rounds).foreach { r =>
+      val next = e
+        .join(frontier.withColumnRenamed("node", "a").drop("dist"), "a")
+        .select(col("b").as("node")).distinct()
+        .join(known, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint()
+      known = known.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    known.orderBy(col("node"))
+  }
+
+  /** HITS (Kleinberg 1999) over a DIRECTED edge list in integer
+    * fixed-point: hubs point at good authorities, authorities are pointed
+    * at by good hubs — the bipartite dual of [[pageRank]]'s single score,
+    * natural on buys-from / links-to relations where the two sides play
+    * different roles. Each half-round is one edge⋈score equi-join + one
+    * combiner-heavy sum; the power iteration's normalization (textbook
+    * HITS divides by the L2 norm — float, engine-divergent) is replaced
+    * by integer max-normalization: s' = (s_raw · scale) div max(s_raw),
+    * so the top node holds exactly `scale` and every step stays integer —
+    * two engines agree bit-for-bit. The max is a single-row aggregate
+    * broadcast back (never a row-scale collect).
+    *
+    * Overflow bound: max_in_degree · scale² < 2^63, so the default
+    * scale = 10^6 covers in-degrees to ~9·10^6; a denser graph trades a
+    * digit of score for headroom (same knob as [[pageRank]]'s).
+    * Output: (node, side, units) with side ∈ {authority, hub} — nodes can
+    * appear on both sides if they both point and are pointed at.
+    */
+  def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 8)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("h")).localCheckpoint()
+    var auth: DataFrame = null
+    (0 until rounds).foreach { _ =>
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw"))
+      auth = aRaw
+        .crossJoin(broadcast(aRaw.agg(max(col("a_raw")).as("a_max"))))
+        .select(col("node"), expr(s"(a_raw * ${scale}L) div a_max").as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw"))
+      hub = hRaw
+        .crossJoin(broadcast(hRaw.agg(max(col("h_raw")).as("h_max"))))
+        .select(col("node"), expr(s"(h_raw * ${scale}L) div h_max").as("h"))
+        .localCheckpoint()
+    }
+    auth.select(col("node"), lit("authority").as("side"), col("a").as("units"))
+      .unionAll(hub.select(col("node"), lit("hub").as("side"),
+        col("h").as("units")))
+      .orderBy(col("side"), col("node"))
+  }
 }

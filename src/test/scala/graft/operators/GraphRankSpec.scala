@@ -86,4 +86,39 @@ class GraphRankSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r3.values.toSet == Set(1L))
   }
+
+  test("bfsDistances: hop counts from the seed, min over multiple seeds, horizon cuts") {
+    // path 1-2-3-4-5 plus disconnected 10-11; seeds {1, 5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val d = Graph.bfsDistances(edges, seeds, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 3 is 2 hops from both seeds; 10/11 unreachable → absent
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // horizon 1: only the seeds' direct neighborhood is known
+    val d1 = Graph.bfsDistances(edges, seeds, rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L))
+    // partition-stability: integer hops can't drift with layout
+    val d7 = Graph.bfsDistances(edges.repartition(7, col("b")), seeds, 3)
+    assert(Graph.bfsDistances(edges, seeds, 3).exceptAll(d7).isEmpty)
+  }
+
+  test("hits: round-1 hand arithmetic on a directed bipartite graph; max holds scale") {
+    // hubs {1,2} → authorities {10,11,12}: 1→{10,11}, 2→{10,12}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)).toDF("src", "dst")
+    val S = 1000000L
+    val r = Graph.hits(e, rounds = 1).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    // a_raw: 10→2S, 11→S, 12→S; max-normalized: 10→S, 11/12→S/2
+    assert(r((10L, "authority")) == S)
+    assert(r((11L, "authority")) == S / 2 && r((12L, "authority")) == S / 2)
+    // h_raw: 1→S+S/2, 2→S+S/2 → both normalize to exactly S
+    assert(r((1L, "hub")) == S && r((2L, "hub")) == S)
+    // the argmax side always holds exactly `scale` units
+    val r2 = Graph.hits(e, rounds = 2)
+    assert(r2.groupBy(col("side")).agg(max("units")).collect()
+      .forall(_.getLong(1) == S))
+  }
 }
