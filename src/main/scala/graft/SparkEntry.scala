@@ -3380,6 +3380,25 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // Pairwise Pearson over lineitem's numeric columns in exact integer
+    // moments (money quantized ×100 — its true resolution), one scan,
+    // one rounded double chain per pair: quantity↔extendedprice carries
+    // the real signal (price = qty·unit), the tax/discount pairs read ~0.
+    "profile_numeric_corr" -> ((s, d) => {
+      operators.Profiling.numericCorr(Tables.lineitem(s, d), Seq(
+        "l_quantity" -> 1L, "l_extendedprice" -> 100L,
+        "l_discount" -> 100L, "l_tax" -> 100L))
+    }),
+
+    // Hampel outlier audit per event type: EXACT lower-median and MAD
+    // via rank selection (no interpolated quantiles — engine-exact),
+    // outlier = |x − med| > 3·MAD. The robust fence mean/stddev can't
+    // give you: the tail being hunted drags the mean fence, not this one.
+    "profile_mad_outliers" -> ((s, d) => {
+      operators.Profiling.madOutliers(Tables.events(s, d),
+        "event_type", "value", "event_id", k = 3)
+    }),
+
     // IND discovery — the foreign-key finder pairing with FD's key
     // finder: three real FK edges hold, the reversed direction counts
     // its missing mass (how many customers never emitted an event).
@@ -7429,6 +7448,48 @@ object SparkEntry {
         |    - CAST(e.expected AS DOUBLE)), 6) AS deviation
         |FROM g CROSS JOIN t JOIN e ON g.digit = e.digit
         |ORDER BY g.digit""".stripMargin,
+
+    // exact HUGEINT moments from one scan, same double chain per pair
+    "profile_numeric_corr" -> {
+      val cs = Seq("l_quantity" -> 1L, "l_extendedprice" -> 100L,
+        "l_discount" -> 100L, "l_tax" -> 100L)
+      def sc(i: Int) =
+        s"CAST(ROUND(${cs(i)._1} * ${cs(i)._2}) AS HUGEINT)"
+      val moments =
+        cs.indices.map(i => s"SUM(${sc(i)}) AS s_$i") ++
+        (for { i <- cs.indices; j <- i until cs.size } yield
+          s"SUM(${sc(i)} * ${sc(j)}) AS p_${i}_$j")
+      def cm(i: Int, j: Int) = s"CAST(n * p_${i}_$j - s_$i * s_$j AS DOUBLE)"
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.size } yield
+        s"""SELECT '${cs(i)._1}' AS col_x, '${cs(j)._1}' AS col_y, n,
+           |  ROUND(${cm(i, j)} /
+           |    (SQRT(${cm(i, i)}) * SQRT(${cm(j, j)})), 6) AS corr FROM m"""
+          .stripMargin
+      s"""WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(",\n  ")}
+         |  FROM lineitem)
+         |${pairs.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    // exact rank-selected median and MAD, Hampel fence at 3 MAD
+    "profile_mad_outliers" ->
+      """WITH r AS (SELECT event_type AS g, value AS v, event_id AS id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT r.g, r.v, r.id, r.n, m.med,
+        |    ABS(r.v - m.med) AS dev FROM r JOIN med m USING (g)),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY dev, id) AS rn2 FROM d),
+        |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2)
+        |SELECT r2.g AS group_key, MAX(r2.n) AS n, MAX(r2.med) AS median,
+        |  MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN r2.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM r2 JOIN mad USING (g)
+        |GROUP BY 1 ORDER BY group_key""".stripMargin,
 
     // one distinct + one anti-join per candidate
     "profile_ind_discovery" -> {

@@ -495,4 +495,90 @@ object Profiling {
       .select(quasiCols.map(qc) :+ col("class_size") :+
         (col("class_size") < k).as("at_risk"): _*)
   }
+
+  /** Pairwise Pearson correlation over a table's numeric columns in
+    * EXACT integer moments — the feature-redundancy / leakage pre-flight
+    * ("is this column just a rescaling of that one") run before any
+    * model sees the table. Each column is quantized to integers by its
+    * declared fixed-point multiplier (money ×100, counts ×1 — the
+    * columns' true resolutions, so quantization is lossless), every
+    * moment (Σx, Σxy, Σx²) is a DECIMAL(38) sum of exact products in
+    * ONE combiner-heavy pass over the table, and corr is one final
+    * double chain per pair — identical IEEE ops to the oracle, so the
+    * rounded value is engine-exact. corr is scale-invariant, so the
+    * multipliers cancel and never appear in the output.
+    *
+    * Physical shape at 100 TB: a single full-scan aggregate producing
+    * k + k(k+1)/2 moment cells (column-count-sized, never row-sized);
+    * the per-pair fan-out reads that one-row relation k(k−1)/2 times.
+    * int128/DECIMAL(38) bound: n · max|x·scale|² must stay under 10^38
+    * — 10^12 rows of 10^12-unit values fit with room.
+    * Output: (col_x, col_y, n, corr) for each unordered pair.
+    */
+  def numericCorr(df: DataFrame, cols: Seq[(String, Long)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8, "2..8 columns")
+    def scaled(c: String, m: Long): Column =
+      expr(s"CAST(ROUND(`${c.replace("`", "``")}` * $m) AS DECIMAL(38,0))")
+    val aggs: Seq[Column] =
+      cols.map { case (c, m) => sum(scaled(c, m)).as(s"s_$c") } ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum(scaled(cols(i)._1, cols(i)._2) * scaled(cols(j)._1, cols(j)._2))
+          .as(s"p_${i}_$j")) :+
+      count(lit(1)).cast("decimal(38,0)").as("n_d") :+
+      count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def cm(i: Int, j: Int) =
+      (col("n_d") * col(s"p_${i}_$j") -
+        col(s"s_${cols(i)._1}") * col(s"s_${cols(j)._1}")).cast("double")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield
+      m.select(lit(cols(i)._1).as("col_x"), lit(cols(j)._1).as("col_y"),
+        col("n"),
+        round(cm(i, j) / (sqrt(cm(i, i)) * sqrt(cm(j, j))), 6).as("corr"))
+    pairs.reduce(_ unionAll _).orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** Robust per-group outlier audit on the median/MAD scale — the
+    * anomaly pre-flight that survives the outliers it is hunting (mean/
+    * stddev fences get dragged by the very tail they should flag). Both
+    * statistics are EXACT order statistics, not interpolated quantiles:
+    * the lower median is the element at rank ⌊(n+1)/2⌋ under the total
+    * order (value, id) — engine-exact where interpolating medians split
+    * on float arithmetic — and the MAD repeats the same rank trick on
+    * |x − median| (an IEEE-exact-rounded subtraction both engines agree
+    * on). A row is an outlier when |x − median| > k·MAD, the Hampel
+    * identifier with integer k.
+    *
+    * Physical shape at 100 TB: two node-key windows + one small join
+    * back — all shuffled on the group key (same skew caveat as every
+    * per-group window: a dominant group serializes its partition; salt
+    * or pre-filter it). Output per group:
+    * (group_key, n, median, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val byG = Window.partitionBy(col("g"))
+    val ranked = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        col(idCol).as("id"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(byG))
+    val meds = ranked.where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("v").as("med"))
+    val byDev = Window.partitionBy(col("g")).orderBy(col("dev"), col("id"))
+    val devs = ranked.join(meds, "g")
+      .withColumn("dev", abs(col("v") - col("med")))
+      .withColumn("rn2", row_number().over(byDev))
+    val mads = devs.where(col("rn2") === expr("(n + 1) div 2"))
+      .select(col("g"), col("dev").as("mad"))
+    devs.join(mads, "g")
+      .groupBy(col("g").as("group_key"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("group_key"))
+  }
 }

@@ -103,4 +103,39 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
     assert(const == Seq((0, 2L)))
   }
+
+  test("numericCorr: perfect linear rescaling reads 1, sign flip reads -1") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1 through the ×100 quantization), z = -x
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val r = Profiling.numericCorr(df,
+      Seq("x" -> 100L, "y" -> 100L, "z" -> 100L))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(("x", "y")) == ((4L, 1.0)))
+    assert(r(("x", "z")) == ((4L, -1.0)))
+    assert(r(("y", "z")) == ((4L, -1.0)))
+    // partitioning independence: decimal moment sums don't drift
+    val r7 = Profiling.numericCorr(df.repartition(7),
+      Seq("x" -> 100L, "y" -> 100L, "z" -> 100L))
+    assert(Profiling.numericCorr(df,
+      Seq("x" -> 100L, "y" -> 100L, "z" -> 100L)).exceptAll(r7).isEmpty)
+  }
+
+  test("madOutliers: exact lower median/MAD, Hampel fence flags only the spike") {
+    import spark.implicits._
+    // group a: values 1..5 plus a 100 spike; n=6 → rank (6+1) div 2 = 3
+    // sorted (1,2,3,4,5,100): median = 3; devs (2,1,0,1,2,97) sorted
+    // (0,1,1,2,2,97) → MAD = 1; fence 3·1 → only 100 (dev 97) flagged
+    val df = Seq(("a", 1.0, "i1"), ("a", 2.0, "i2"), ("a", 3.0, "i3"),
+      ("a", 4.0, "i4"), ("a", 5.0, "i5"), ("a", 100.0, "i6"),
+      ("b", 7.0, "j1")).toDF("g", "v", "id")
+    val r = Profiling.madOutliers(df, "g", "v", "id", k = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))).toMap
+    assert(r("a") == ((6L, 3.0, 1.0, 1L)))
+    // the singleton group is its own median, MAD 0, no outliers
+    assert(r("b") == ((1L, 7.0, 0.0, 0L)))
+  }
 }
