@@ -4085,6 +4085,28 @@ object SparkEntry {
         .orderBy(col("tick_id").cast("long"))
     }),
 
+    // Stream-STREAM interval join gate: views and clicks both arrive as
+    // real file-staged streams (≥2 micro-batches, watermarked state on
+    // BOTH sides), clicks attributed to same-user views within 30 min.
+    // The event-time split makes arrival order = event-time order, so
+    // the appended matches must equal the batch interval join — a plain
+    // SQL oracle. Cross-boundary pairs (batch-2 click, batch-1 view
+    // still in join state) are exactly what batch 2 must emit.
+    "stream_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("id"))
+      val work = "/tmp/graft_stream_ivj_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedIntervalJoinRoundtrip(
+        s, side("view"), side("click"), work)
+        .select(col("key").as("user_id"), col("l_id").as("view_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+          col("r_id").as("click_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -8141,5 +8163,18 @@ object SparkEntry {
         |  CAST(epoch_ms(u.ts) AS BIGINT) AS matched_ts_ms,
         |  u.value AS matched_value
         |FROM t ASOF LEFT JOIN u ON t.key = u.key AND u.ts <= t.ts
-        |ORDER BY CAST(t.tick_id AS BIGINT)""".stripMargin)
+        |ORDER BY CAST(t.tick_id AS BIGINT)""".stripMargin,
+
+    // the streamed two-sided join must equal the batch interval join
+    // (event-time split ⇒ arrival order = event-time order)
+    "stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin)
 }

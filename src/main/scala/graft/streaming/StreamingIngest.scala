@@ -1281,4 +1281,110 @@ object StreamingIngest {
         round((col("est") - col("true_ndv")) / col("true_ndv"), 4)
           .as("rel_err"))
   }
+
+  /** Stream-stream inner INTERVAL join — the one first-class Structured
+    * Streaming surface the engine had not yet exercised: BOTH sides are
+    * unbounded, both carry watermarks, and Spark keys state on each side,
+    * matching left rows against right rows within
+    * [l.ts, l.ts + horizon] per key as either side arrives. This is the
+    * attribution shape (impression→click, request→response, order→ship):
+    * neither side is a static dimension, so [[asofEnrichStream]]'s
+    * keyed-state enrich doesn't apply — the engine must hold BOTH
+    * in-flight windows.
+    *
+    * State is bounded by the watermark: a left row is droppable once the
+    * right watermark passes l.ts + horizon (no future right row can
+    * match), a right row once the left watermark passes r.ts — Spark
+    * derives both bounds from the join condition, so state scales with
+    * the in-flight horizon, not the stream. `delay` must be ≥ the
+    * out-of-orderness the source really has; matches are never wrong,
+    * only (with a too-small delay) dropped — the drop side is exactly
+    * what [[latenessAudit]] measures.
+    *
+    * Inputs need (key, ts, id); output one row per qualifying pair.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      horizon: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame = {
+    val l = left.select(col("key"), col("ts"), col("id"))
+      .withWatermark("ts", delay).alias("l")
+    val r = right.select(col("key"), col("ts"), col("id"))
+      .withWatermark("ts", delay).alias("r")
+    l.join(r, expr(
+      s"""l.key = r.key AND r.ts >= l.ts
+         |AND r.ts <= l.ts + interval $horizon""".stripMargin))
+      .select(col("l.key").as("key"),
+        col("l.id").as("l_id"), col("l.ts").as("l_ts"),
+        col("r.id").as("r_id"), col("r.ts").as("r_ts"))
+  }
+
+  /** Drive [[intervalJoinStream]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for the stream-stream join, mirroring
+    * [[stagedAsofRoundtrip]]: both streams staged in two halves split at
+    * the midpoint EVENT time with `processAllAvailable` between, so
+    * cross-boundary pairs (a batch-2 right row matching a batch-1 left
+    * row still held in join state) are exactly what the second batch must
+    * produce. Because the split is by event time, arrival order equals
+    * event-time order, every batch-1 row precedes the watermark horizon
+    * when its partner arrives, and the final output must equal the BATCH
+    * interval join of the same inputs — a plain SQL oracle.
+    *
+    * Both inputs need (key, ts, id); `workDir` is wiped first.
+    */
+  def stagedIntervalJoinRoundtrip(spark: SparkSession, left: DataFrame,
+      right: DataFrame, workDir: String,
+      horizon: String = "30 minutes"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val lDir = s"$workDir/left"
+    val rDir = s"$workDir/right"
+    val table = "ivj_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(df: DataFrame, dir: String): Unit = df
+      .select(to_json(struct(col("key"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("id"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(dir)
+
+    val bounds = left.select(col("ts")).union(right.select(col("ts")))
+      .agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(left.where(col("ts") < lit(mid)), lDir)
+    stage(right.where(col("ts") < lit(mid)), rDir)
+
+    def readJsonl(dir: String): DataFrame = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("key", LongType), StructField("ts", TimestampType),
+        StructField("id", LongType)))).as("j"))
+      .select(col("j.*"))
+
+    // A stream-stream join commits FOUR state stores per shuffle
+    // partition per micro-batch (two sides × two join-state stores); at
+    // gate scale that fixed commit overhead dominates, so the stream
+    // captures a small state partitioning at start. Production sizing
+    // keeps the session default — state partition count is a per-query
+    // knob, fixed for the life of the checkpoint.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try intervalJoinStream(readJsonl(lDir), readJsonl(rDir), horizon)
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      q.processAllAvailable() // micro-batch 1: within-half pairs
+      stage(left.where(col("ts") >= lit(mid)), lDir)
+      stage(right.where(col("ts") >= lit(mid)), rDir)
+      q.processAllAvailable() // micro-batch 2+: cross-boundary pairs
+    } finally q.stop()
+    spark.table(table)
+  }
 }

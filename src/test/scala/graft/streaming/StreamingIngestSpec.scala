@@ -286,4 +286,42 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rows("t5") == ((None, None))) // update 00:00:10 was evicted by the cap
     } finally q.stop()
   }
+
+  test("intervalJoinStream: cross-batch pair matches from both-side state; horizon excludes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[KeyedEvent]
+    val rIn = MemoryStream[KeyedEvent]
+    val out = intervalJoinStream(lIn.toDF(), rIn.toDF(),
+      horizon = "30 minutes", delay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: one left row per key; key 1 already has an in-batch match
+      lIn.addData(
+        KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L),
+        KeyedEvent(2L, ts("2024-01-01 10:05:00"), 200L))
+      rIn.addData(KeyedEvent(1L, ts("2024-01-01 10:10:00"), 500L))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 1)
+      // batch 2: a right row matching batch-1 LEFT state (key 2, +20min),
+      // one outside the horizon (+31min for key 1), one key-mismatch,
+      // and a LEFT row matching batch-2 right state within the batch
+      rIn.addData(
+        KeyedEvent(2L, ts("2024-01-01 10:25:00"), 600L),
+        KeyedEvent(1L, ts("2024-01-01 10:31:00"), 700L),
+        KeyedEvent(9L, ts("2024-01-01 10:06:00"), 800L))
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(got == Set((100L, 500L), (200L, 600L)))
+      // the r.ts >= l.ts bound: a click BEFORE its view never matches
+      rIn.addData(KeyedEvent(2L, ts("2024-01-01 10:04:00"), 900L))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 2)
+    } finally q.stop()
+  }
 }
+
+/** (key, ts, id) wire row for the stream-stream interval-join spec. */
+final case class KeyedEvent(key: Long, ts: Timestamp, id: Long)
