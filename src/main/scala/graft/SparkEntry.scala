@@ -4107,6 +4107,26 @@ object SparkEntry {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // LEFT-OUTER twin of stream_interval_join: unattributed views MUST
+    // surface (the "which impressions never converted" half of
+    // attribution), and in a stream they can only surface once the
+    // watermark proves no future click can match — sentinel stagings
+    // flush that expiry. Oracle = the batch LEFT interval join.
+    "stream_interval_join_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("id"))
+      val work = "/tmp/graft_stream_ivjo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedIntervalJoinRoundtrip(
+        s, side("view"), side("click"), work, joinType = "left_outer")
+        .select(col("key").as("user_id"), col("l_id").as("view_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+          col("r_id").as("click_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -8176,5 +8196,18 @@ object SparkEntry {
         |  ON v.user_id = c.user_id
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    // unmatched views surface with NULL click columns; the click-side
+    // type filter rides the ON clause (a WHERE would drop the nulls)
+    "stream_interval_join_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM events v LEFT JOIN events c
+        |  ON v.user_id = c.user_id AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view'
         |ORDER BY view_id, click_id""".stripMargin)
 }

@@ -1305,14 +1305,16 @@ object StreamingIngest {
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       horizon: String = "30 minutes",
-      delay: String = "2 hours"): DataFrame = {
+      delay: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer")
     val l = left.select(col("key"), col("ts"), col("id"))
       .withWatermark("ts", delay).alias("l")
     val r = right.select(col("key"), col("ts"), col("id"))
       .withWatermark("ts", delay).alias("r")
     l.join(r, expr(
       s"""l.key = r.key AND r.ts >= l.ts
-         |AND r.ts <= l.ts + interval $horizon""".stripMargin))
+         |AND r.ts <= l.ts + interval $horizon""".stripMargin), joinType)
       .select(col("l.key").as("key"),
         col("l.id").as("l_id"), col("l.ts").as("l_ts"),
         col("r.id").as("r_id"), col("r.ts").as("r_ts"))
@@ -1333,14 +1335,16 @@ object StreamingIngest {
     */
   def stagedIntervalJoinRoundtrip(spark: SparkSession, left: DataFrame,
       right: DataFrame, workDir: String,
-      horizon: String = "30 minutes"): DataFrame = {
+      horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(workDir), true)
     val lDir = s"$workDir/left"
     val rDir = s"$workDir/right"
-    val table = "ivj_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+    val table = "ivj_gate_" + java.lang.Integer.toHexString(
+      (workDir + joinType).hashCode)
 
     def stage(df: DataFrame, dir: String): Unit = df
       .select(to_json(struct(col("key"),
@@ -1371,20 +1375,43 @@ object StreamingIngest {
     // keeps the session default — state partition count is a per-query
     // knob, fixed for the life of the checkpoint.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try intervalJoinStream(readJsonl(lDir), readJsonl(rDir), horizon)
+      try intervalJoinStream(readJsonl(lDir), readJsonl(rDir), horizon,
+        joinType = joinType)
         .writeStream.format("memory").queryName(table)
         .option("checkpointLocation", s"$workDir/ckpt")
         .outputMode(OutputMode.Append)
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Outer results (unmatched left rows + nulls) emit only once the
+    // watermark proves no future right row can match. Two sentinels on
+    // BOTH sides (key −1, far past max + delay + horizon) flush them:
+    // Spark advances the watermark at the END of a batch, so the batch
+    // after the first sentinel is the one that emits and the second
+    // sentinel forces it to run — the stagedSessionRoundtrip flush
+    // discipline. Sentinel 1 rides the second-half staging (one fewer
+    // micro-batch: watermarks act on LATER batches, so it can't make its
+    // own batch's rows late); sentinels filter out of the returned table
+    // and their own pair (same key, same instant) never leaves here.
+    val maxTs = bounds.getTimestamp(1).getTime
+    def sentinel(offsetMs: Long): Unit = {
+      val sdf = spark.createDataFrame(Seq((-1L,
+        new java.sql.Timestamp(maxTs + offsetMs), -1L)))
+        .toDF("key", "ts", "id")
+      stage(sdf, lDir); stage(sdf, rDir)
+    }
     try {
       q.processAllAvailable() // micro-batch 1: within-half pairs
       stage(left.where(col("ts") >= lit(mid)), lDir)
       stage(right.where(col("ts") >= lit(mid)), rDir)
+      if (joinType == "left_outer") sentinel(3L * 3600 * 1000)
       q.processAllAvailable() // micro-batch 2+: cross-boundary pairs
+      if (joinType == "left_outer") {
+        sentinel(4L * 3600 * 1000)
+        q.processAllAvailable() // emits the expired outer rows
+      }
     } finally q.stop()
-    spark.table(table)
+    spark.table(table).where(col("key") >= 0)
   }
 }

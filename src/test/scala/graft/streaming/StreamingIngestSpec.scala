@@ -321,6 +321,38 @@ class StreamingIngestSpec extends SparkSpec {
       assert(spark.table("ivj").count() == 2)
     } finally q.stop()
   }
+
+  test("intervalJoinStream left_outer: unmatched left emits with nulls only after expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[KeyedEvent]
+    val rIn = MemoryStream[KeyedEvent]
+    val out = intervalJoinStream(lIn.toDF(), rIn.toDF(),
+      horizon = "30 minutes", delay = "1 hour", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ivjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one matched and one unmatched left row
+      lIn.addData(
+        KeyedEvent(1L, ts("2024-01-01 10:00:00"), 100L),
+        KeyedEvent(2L, ts("2024-01-01 10:00:00"), 200L))
+      rIn.addData(KeyedEvent(1L, ts("2024-01-01 10:10:00"), 500L))
+      q.processAllAvailable()
+      // the match emits immediately; the unmatched row is NOT yet final
+      assert(spark.table("ivjo").count() == 1)
+      // push the watermark past 10:30 + 1h on both sides, twice (the
+      // watermark advances at batch END, so the second push triggers
+      // the batch that actually emits the expired outer row)
+      for (h <- Seq("14:00:00", "15:00:00")) {
+        lIn.addData(KeyedEvent(9L, ts(s"2024-01-01 $h"), 900L))
+        rIn.addData(KeyedEvent(9L, ts(s"2024-01-01 $h"), 901L))
+        q.processAllAvailable()
+      }
+      val got = spark.table("ivjo").where(col("key") < 9)
+        .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+      assert(got == Set((100L, Some(500L)), (200L, None)))
+    } finally q.stop()
+  }
 }
 
 /** (key, ts, id) wire row for the stream-stream interval-join spec. */
