@@ -2979,6 +2979,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading ease with the deterministic vowel-run syllable
+    // proxy — the readability cut a curation pipeline layers on top of
+    // text_quality's structural score; map-only Column trees.
+    "text_readability" -> ((s, d) => {
+      TextAnalysis.readability(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule repetition signals: top-2-gram share + duplicate-5-gram
     // share per document.
     "text_repetition" -> ((s, d) => {
@@ -3579,6 +3587,32 @@ object SparkEntry {
         .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), round(col("z"), 6).as("z"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // CUSUM change-point detection on the daily event series, ALL
+    // INTEGER: with n days and total T, the statistic S_d = Σ_{i≤d}
+    // (n·c_i − T) is the textbook CUSUM scaled by n — no float mean, no
+    // order-dependent summation — and the change point is argmax |S_d|
+    // (Page 1954 / Taylor's bootstrap form, minus the resampling). One
+    // day-grain rollup is the only pass over raw events; the ordered
+    // cumsum window runs over the day series, which is bounded tiny
+    // (decades fit in 10^4 rows), so its single-partition sort is free.
+    "events_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("t"),
+        count(lit(1)).as("n_days"))
+      val wc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.crossJoin(broadcast(tot))
+        .withColumn("s", sum(col("n_days") * col("n") - col("t")).over(wc))
+      cum.crossJoin(broadcast(
+          cum.agg(max(abs(col("s"))).as("s_max"))))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("s").as("cusum_n"),
+          (abs(col("s")) === col("s_max")).as("is_changepoint"))
+        .orderBy(col("day"))
     }),
 
     // Time-series gap filling: dense (user × hour) spine with zero-fill —
@@ -7058,6 +7092,25 @@ object SparkEntry {
         |    + (CASE WHEN stops > 0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    // vowel-run syllables via marker collapse ('V' can't occur in
+    // lowercased text); same fixed-order double chain, round 4
+    "text_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(1, len(string_split_regex(text, '[.!?]+')) - 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(length(regexp_replace(regexp_replace(lower(text),
+        |      '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    4) AS flesch
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
@@ -7877,6 +7930,23 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // all-integer CUSUM: S_d = cumsum(n_days·c − T), argmax |S| flagged
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+        |  COUNT(*) AS n_days FROM daily),
+        |cum AS (
+        |  SELECT day, n,
+        |    CAST(SUM(n_days * n - t) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_n
+        |  FROM daily CROSS JOIN tot)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, cusum_n,
+        |  abs(cusum_n) = (SELECT MAX(abs(cusum_n)) FROM cum)
+        |    AS is_changepoint
+        |FROM cum ORDER BY day""".stripMargin,
 
     "events_session_windows" ->
       """WITH flagged AS (

@@ -721,4 +721,42 @@ object TextAnalysis {
         (sum(col("prob").cast("decimal(18,6)")).cast("double")
           / count(lit(1))).as("lm_score"))
   }
+
+  /** Flesch reading-ease per document with a DETERMINISTIC syllable
+    * proxy: a syllable is a maximal vowel-group run ([aeiouy]+) in the
+    * lowercased text — the standard heuristic's core, chosen over
+    * dictionary syllabification precisely because two engines (and two
+    * runs) agree on it exactly. Group counting works on the whole text
+    * (a run can't span a non-vowel, so per-word and per-text counts are
+    * equal — no word explode needed): vowel runs collapse to a marker
+    * char that can't occur in lowercased text, everything else drops,
+    * and the length IS the count. Words are whitespace runs, sentences
+    * are [.!?]+ runs (min 1 so empty/unpunctuated docs stay defined).
+    * The score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is three exact
+    * integer-ratio divisions in a fixed order — engine-identical IEEE —
+    * rounded to 4.
+    *
+    * Per-row Column trees only (three regex passes over the text, no
+    * shuffle, no UDF) — the corpus-filter shape: at 100 TB this is a
+    * map-only pass that pushes the projection to the scan.
+    * Output: (id, n_words, n_sentences, n_syllables, flesch).
+    */
+  def readability(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(split(t, "\\s+"))
+    val sentences = greatest(lit(1),
+      size(split(t, "[.!?]+")) - 1)
+    val syllables = length(
+      regexp_replace(regexp_replace(lower(t), "[aeiouy]+", "V"), "[^V]", ""))
+    docs.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")), 4))
+  }
 }

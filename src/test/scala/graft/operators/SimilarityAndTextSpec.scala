@@ -421,4 +421,19 @@ class SimilarityAndTextSpec extends SparkSpec {
     // round 0 merges (a,b); afterwards every word is one symbol → stop
     assert(got == Seq(("a", "b")))
   }
+
+  test("readability: hand-counted words/sentences/vowel-run syllables and Flesch") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello world. This is a test!"),
+      (2L, "nopunctuation")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // 6 ws-tokens, 2 [.!?]+ runs, vowel groups: e,o|o|i|i|a|e = 7
+    // 206.835 − 1.015·(6/2) − 84.6·(7/6) = 105.09
+    assert(r(1L) == ((6L, 2L, 7L, 105.09)))
+    // unpunctuated doc: sentence floor of 1; o,u,ua,io = 4 vowel runs
+    assert(r(2L)._1 == 1L && r(2L)._2 == 1L && r(2L)._3 == 4L)
+  }
 }
