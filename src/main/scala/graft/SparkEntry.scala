@@ -320,6 +320,60 @@ object SparkEntry {
     VectorFunctions.hyperplaneSigns(planes, dims, seed)
       .map(_.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
 
+  /** Oracle CTE chain for the NSW graph-ANN tier: rebuilds the exact
+    * neighbor graph (multi-table RHP candidates seeds 7/21, symmetric
+    * top-`m` per node) and unrolls the `nRounds`-round beam-`beam`
+    * greedy search from entry node 1 — the DuckDB twin of
+    * [[graft.operators.Similarity.nswGraph]] + `nswSearch`. Ends with
+    * `tier` = the search's top-10 (id, s). */
+  private def nswOracleCte(m: Int = 8, beam: Int = 8,
+      nRounds: Int = 3): String = {
+    def bucketExpr(seed: Int) = sqlSigns(planes = 6, dims = 64, seed = seed)
+      .zipWithIndex.map { case (sg, p) =>
+        s"(CASE WHEN list_dot_product(v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+    val rounds = (1 to nRounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT g.dst AS id
+         |  FROM bm${r - 1} b JOIN g ON g.src = b.id
+         |  WHERE g.dst NOT IN (SELECT id FROM v${r - 1})),
+         |ns$r AS (SELECT e.vec_id AS id,
+         |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS s
+         |  FROM e JOIN nb$r ON e.vec_id = nb$r.id, q),
+         |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM ns$r),
+         |bm$r AS (SELECT id, s FROM (SELECT id, s,
+         |    ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn FROM v$r)
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e),
+       |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e),
+       |cand AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  UNION
+       |  SELECT l.vec_id, r.vec_id
+       |  FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |sc AS (SELECT c.a, c.b,
+       |    ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS s
+       |  FROM cand c JOIN e ea ON c.a = ea.vec_id
+       |  JOIN e eb ON c.b = eb.vec_id),
+       |sym AS (SELECT a AS src, b AS dst, s FROM sc
+       |  UNION ALL SELECT b, a, s FROM sc),
+       |g AS (SELECT src, dst FROM (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+       |  FROM sym) WHERE rn <= $m),
+       |v0 AS (SELECT e.vec_id AS id,
+       |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS s
+       |  FROM e, q WHERE e.vec_id = 1),
+       |bm0 AS (SELECT id, s FROM v0),
+       |$rounds,
+       |tier AS (SELECT id, s FROM (SELECT id, s,
+       |    ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn FROM v$nRounds)
+       |  WHERE rn <= 10)""".stripMargin
+  }
+
   /** Oracle CTE for the PQ family: 4×16-dim subspaces over the embeddings,
     * init codebooks from vec_id < 16, one decimal-summed Lloyd round, and
     * the per-(vector, subspace) code assignment — the DuckDB twin of
@@ -2098,6 +2152,53 @@ object SparkEntry {
       val enc = Similarity.binaryEncode(e, "embedding", "vec_id")
       val tier = Similarity.hammingRerank(enc, e, "embedding", "vec_id",
         Similarity.binaryEncodeJvm(qv), qv, k = 10, shortlist = 50)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
+    }),
+
+    // Graph-ANN tier (NSW family, single-layer): bucketed kNN-graph
+    // build (multi-table RHP candidates — never all-pairs) + 3-round
+    // beam-8 greedy traversal from FIXED entry node 1 (not the query's
+    // own row — that would pre-seed the answer). The traversal's top-10
+    // itself, hash-checked against the fully-unrolled SQL twin.
+    "search_nsw" -> ((s, d) => {
+      val e = embs(s, d)
+      val g = Similarity.nswGraph(e, "embedding", "vec_id", m = 8)
+      Similarity.nswSearch(g, e, "embedding", "vec_id", queryVec(s, d),
+        k = 10, beam = 8, rounds = 3, entryId = 1L)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // The measure-before-trusting audit for the graph tier: recall@10
+    // vs exact brute force — rounds·beam·m score evaluations however
+    // big the corpus is the claim, this number is whether it holds.
+    // 0.2 at (m=8, beam=8, r=3): near-random embeddings navigate badly
+    // — the honest base point of the curve, exactly like X138's PQ 0.2.
+    "search_nsw_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val g = Similarity.nswGraph(e, "embedding", "vec_id", m = 8)
+      val tier = Similarity.nswSearch(g, e, "embedding", "vec_id", qv,
+        k = 10, beam = 8, rounds = 3, entryId = 1L)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
+    }),
+
+    // The mitigation point of the same curve (the X151 discipline):
+    // beam width is the lever on weakly-clustered data — (m=24,
+    // beam=48, r=6) reads 0.9 where the base config reads 0.2, at
+    // rounds·beam·m ≈ 7k score evaluations vs the base's 192. Probe
+    // sweep in tools/ProbeNsw.scala.
+    "search_nsw_recall_wide" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val g = Similarity.nswGraph(e, "embedding", "vec_id", m = 24)
+      val tier = Similarity.nswSearch(g, e, "embedding", "vec_id", qv,
+        k = 10, beam = 48, rounds = 6, entryId = 1L)
         .select(col("vec_id"))
       annRecall(exact, tier)
     }),
@@ -5581,6 +5682,36 @@ object SparkEntry {
         |  (SELECT n FROM f) AS n_found,
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    // full unrolled twin: RHP candidate graph + 3-round beam-8 greedy
+    "search_nsw" -> (nswOracleCte() +
+      "\nSELECT id AS vec_id, s AS score FROM tier ORDER BY s DESC, id"),
+
+    "search_nsw_recall" -> (nswOracleCte() + """,
+        |exact AS (SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id
+        |  LIMIT 10),
+        |tids AS (SELECT id AS vec_id FROM tier),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tids USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tids) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    // same census over the wide (m=24, beam=48, r=6) traversal
+    "search_nsw_recall_wide" -> (nswOracleCte(m = 24, beam = 48,
+      nRounds = 6) + """,
+        |exact AS (SELECT e.vec_id FROM e, q
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id
+        |  LIMIT 10),
+        |tids AS (SELECT id AS vec_id FROM tier),
+        |f AS (SELECT COUNT(*) AS n FROM exact JOIN tids USING (vec_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM tids) AS n_tier,
+        |  (SELECT n FROM f) AS n_found,
+        |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
 
     // same exact-NN relevance, same dequantized tier ranking, same
     // rational reciprocal rank

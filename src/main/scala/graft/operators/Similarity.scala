@@ -843,4 +843,94 @@ object Similarity {
         round(sum(col("sil").cast("decimal(28,12)")).cast("double") /
           count(lit(1)), 6).as("silhouette"))
   }
+
+  /** k-NN neighbor graph for graph-traversal ANN (the NSW/HNSW family,
+    * Malkov & Yashunin 2016, flattened to its single-layer core): each
+    * node keeps its top-`m` candidates by rounded cosine, candidates
+    * generated by MULTI-TABLE RHP bucket joins — the same
+    * never-all-pairs discipline as the near-dup family, so the build is
+    * bucketed candidate generation + one per-node window, not an O(n²)
+    * compare. Determinized end-to-end (pinned md5 hyperplanes, rounded
+    * scores, id tie-breaks), so an external engine can rebuild the exact
+    * graph. Output: (src, dst, s) with ≤ m rows per src, symmetric
+    * candidates (both directions of every candidate pair compete for
+    * both endpoints' m slots).
+    *
+    * Physical shape at 100 TB: per-table self-joins shuffled on the
+    * bucket key, a distinct on the candidate pair, two broadcast joins
+    * to fetch vectors, one window shuffled on src. The graph is the
+    * serving artifact — built once, stored partitioned by src.
+    */
+  def nswGraph(vecs: DataFrame, vecCol: String, idCol: String,
+      m: Int, planes: Int = 6, seeds: Seq[Int] = Seq(7, 21),
+      dims: Int = 64): DataFrame = {
+    require(m >= 1 && seeds.nonEmpty)
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v_"))
+      .localCheckpoint()
+    val pairs = seeds.map { sd =>
+      val b = v.select(col("id"),
+        VectorFunctions.rhpBucket(col("v_"), planes, sd, dims).as("bucket"))
+      b.select(col("id").as("a"), col("bucket"))
+        .join(b.select(col("id").as("b"), col("bucket")), "bucket")
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionAll _).distinct()
+    val scored = pairs
+      .join(broadcast(v.select(col("id").as("a"), col("v_").as("va"))), "a")
+      .join(broadcast(v.select(col("id").as("b"), col("v_").as("vb"))), "b")
+      .withColumn("s", round(
+        VectorFunctions.cosine(col("va"), col("vb"), dims), 6))
+      .select(col("a"), col("b"), col("s"))
+    val sym = scored
+      .select(col("a").as("src"), col("b").as("dst"), col("s"))
+      .unionAll(scored.select(col("b").as("src"), col("a").as("dst"),
+        col("s")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("s").desc, col("dst"))
+    sym.withColumn("rn", row_number().over(w)).where(col("rn") <= m)
+      .select(col("src"), col("dst"), col("s"))
+  }
+
+  /** Greedy beam search over [[nswGraph]], unrolled to `rounds` hops —
+    * the serving traversal of graph ANN re-expressed relationally: each
+    * round expands ONLY the current beam's neighbor lists (one keyed
+    * join against the graph), scores only never-visited candidates (one
+    * anti-join + one point-lookup join against the vector store — never
+    * a scan), and re-beams to the global top-`beam` of everything scored
+    * (monotone: a node dropped from the beam can never re-enter better,
+    * so beam-of-visited equals beam-of-beam∪new). Fixed `rounds` keeps
+    * the plan static and external-SQL-checkable — the k-core / PageRank
+    * rounds trade. Entry is a FIXED node id, not the query's own row —
+    * the honest audit (an entry at the query would pre-seed the answer).
+    *
+    * Work per query is rounds · beam · m score evaluations however big
+    * the corpus — the whole point of the graph tier; recall is measured,
+    * not assumed (`search_nsw_recall`), the X137-X139 discipline.
+    */
+  def nswSearch(graph: DataFrame, vecs: DataFrame, vecCol: String,
+      idCol: String, query: Seq[Float], k: Int, beam: Int, rounds: Int,
+      entryId: Long): DataFrame = {
+    require(k >= 1 && beam >= 1 && rounds >= 1 && rounds <= 8)
+    val dims = query.length
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v_"))
+    val g = graph.select(col("src"), col("dst")).localCheckpoint()
+    def score(ids: DataFrame): DataFrame = ids
+      .join(v, "id")
+      .select(col("id"), round(
+        VectorFunctions.cosine(col("v_"), typedLit(query), dims), 6).as("s"))
+    var visited = score(v.select(col("id")).where(col("id") === entryId))
+      .localCheckpoint()
+    var beamDf = visited
+    (1 to rounds).foreach { _ =>
+      val fresh = beamDf.select(col("id").as("src"))
+        .join(g, "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+      visited = visited.unionAll(score(fresh)).localCheckpoint()
+      beamDf = visited.orderBy(col("s").desc, col("id")).limit(beam)
+        .localCheckpoint()
+    }
+    visited.orderBy(col("s").desc, col("id")).limit(k)
+      .select(col("id").as(idCol), col("s").as("score"))
+  }
 }
