@@ -2533,6 +2533,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Asymmetric containment: the doc-inside-doc detector Jaccard
+    // misses (a quote inside an article has J≈0 but containment 1);
+    // the SMALL side is the redundant one. Both directions from ONE
+    // intersection count.
+    "dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(docs(s, d), "text", "doc_id",
+        shingleK = 3, minContainment = 0.8)
+        .orderBy(col("inner_id"), col("outer_id"))
+    }),
+
     // DSIR-style importance scores: hashed-bigram bucket distributions,
     // add-one smoothing, per-doc mean likelihood lift vs the src0 target
     // domain (linear-lift variant — log-free for bit-portability).
@@ -3714,6 +3724,32 @@ object SparkEntry {
           col("n"), col("s").as("cusum_n"),
           (abs(col("s")) === col("s_max")).as("is_changepoint"))
         .orderBy(col("day"))
+    }),
+
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    // — the canonical streak analytic, via the rank-difference trick
+    // (day − dense day-rank is constant within an island, integer-exact,
+    // no iteration). One distinct (user, day) rollup is the only pass
+    // over raw events; both windows run on the day-grain relation,
+    // partitioned by user.
+    "events_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"),
+          max(col("day")).as("end"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("start"))
+      islands
+        .withColumn("rn", row_number().over(best))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("len").as("longest_streak"),
+          date_format(col("start"), "yyyy-MM-dd").as("streak_start"),
+          date_format(col("end"), "yyyy-MM-dd").as("streak_end"))
+        .orderBy(col("user_id"))
     }),
 
     // Time-series gap filling: dense (user × hour) spine with zero-fill —
@@ -6067,6 +6103,26 @@ object SparkEntry {
          |FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
 
+    // same shingle-hash join, both directions from one intersection
+    "dedup_containment" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ex AS (SELECT doc_id, ${sqlHash64("shingle")} AS shk,
+         |  COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM ex0),
+         |j AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |    any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb,
+         |    COUNT(*) AS inter
+         |  FROM ex l JOIN ex r ON l.shk = r.shk AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |u AS (SELECT a AS inner_id, b AS outer_id,
+         |    ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6)
+         |      AS containment FROM j
+         |  UNION ALL SELECT b, a,
+         |    ROUND(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) FROM j)
+         |SELECT inner_id, outer_id, containment FROM u
+         |WHERE containment >= 0.8 ORDER BY inner_id, outer_id""".stripMargin,
+
     // same bucket stats (one conditional count), same smoothed lift with
     // IEEE double products, same DECIMAL accumulation and final division
     "sample_importance_dsir" ->
@@ -8061,6 +8117,26 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // rank-difference islands; longest per user, earliest-start ties
+    "events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp, day
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len,
+        |    MIN(day) AS start, MAX(day) AS fin
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, len AS longest_streak,
+        |  strftime(start, '%Y-%m-%d') AS streak_start,
+        |  strftime(fin, '%Y-%m-%d') AS streak_end
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start) AS rn FROM runs)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // all-integer CUSUM: S_d = cumsum(n_days·c − T), argmax |S| flagged
     "events_cusum" ->

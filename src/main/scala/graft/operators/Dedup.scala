@@ -225,6 +225,45 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric near-CONTAINMENT pairs: c(a→b) = |A∩B| / |A| over the
+    * k-gram shingle sets — the doc-inside-doc detector Jaccard
+    * structurally misses (a 100-shingle quote fully inside a
+    * 10,000-shingle article has J ≈ 0.01 but containment 1.0): the
+    * quote-mining / boilerplate-wrapper / version-superset shape of
+    * corpus dedup, where the SMALL side is the redundant one. Same
+    * shared-shingle-hash join discipline as [[ngramJaccardPairs]] (one
+    * explode, one hash-key equi-join, one combiner-heavy count — never
+    * all-pairs; same phantom-collision determinism note), with BOTH
+    * directions emitted from the one intersection count since only the
+    * denominator differs. Output: (inner_id, outer_id, containment) —
+    * inner is (near-)contained in outer, exact rational rounded 6.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    val sh = docs
+      .withColumn("toks_", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks_"), shingleK))
+          .as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val ex = sh
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), col("n_sh"), HashFunctions.hash64(col("shingle")).as("shk"))
+    val inter = ex.select(col("shk"), col("id").as("a"), col("n_sh").as("na"))
+      .join(ex.select(col("shk"), col("id").as("b"), col("n_sh").as("nb")), "shk")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("a").as("inner_id"), col("b").as("outer_id"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
+      .unionAll(inter.select(col("b").as("inner_id"), col("a").as("outer_id"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6)
+          .as("containment")))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Minhash-estimator quality audit — the X137 measure-before-trusting
     * discipline pointed at the minhash tier ITSELF: for every candidate
     * pair the banding emits, compare the signature-agreement Jaccard

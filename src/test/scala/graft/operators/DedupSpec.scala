@@ -216,4 +216,22 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, "")))
     assert(got(3L) == ((2L, 0L, "")))       // both chunks first seen in doc 1
   }
+
+  test("containmentPairs: quote inside article reads 1.0 one way, low Jaccard the other") {
+    import spark.implicits._
+    // doc 2 is a verbatim slice of doc 1 (every 3-shingle of 2 appears
+    // in 1); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "gamma delta epsilon zeta"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "text", "doc_id",
+      shingleK = 3, minContainment = 0.2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // inner=2 (8 shingles in doc 1, 2 has 2 shingles, both present)
+    assert(r((2L, 1L)) == 1.0)
+    // the reverse direction is the Jaccard-ish weak signal: 2/8
+    assert(r((1L, 2L)) == 0.25)
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
