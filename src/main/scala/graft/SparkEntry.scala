@@ -3509,6 +3509,18 @@ object SparkEntry {
         "l_discount" -> 100L, "l_tax" -> 100L))
     }),
 
+    // Exact two-sample KS drift on event values, first half-month vs
+    // rest: |i·m − j·n| per distinct value (integer cross-multiplied
+    // ECDF gap — no binning choice, no float subtraction), one final
+    // division. The exact-continuous upgrade of profile_drift's
+    // histogram TV distance.
+    "profile_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      operators.Profiling.ksDrift(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut), "value")
+    }),
+
     // Hampel outlier audit per event type: EXACT lower-median and MAD
     // via rank selection (no interpolated quantiles — engine-exact),
     // outlier = |x − med| > 3·MAD. The robust fence mean/stddev can't
@@ -3877,6 +3889,29 @@ object SparkEntry {
       graft.sink.StoreLayout.read(s, path)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Schema-evolution roundtrip: v1 files lack a column that later v2
+    // files carry (the additive-column migration every long-lived store
+    // goes through); `mergeSchema` must union the parquet footers and
+    // null-fill the old files — no rewrite of v1 data. The read-side
+    // contract of schema evolution, checked against a plain UNION
+    // oracle. At 100 TB the same read works because merging happens on
+    // FOOTERS (file-count-sized), never data.
+    "store_schema_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = "/tmp/graft_schemamerge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(path)
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Backfill roundtrip: write the store partitioned by event_type,
@@ -7753,6 +7788,29 @@ object SparkEntry {
          |ORDER BY col_x, col_y""".stripMargin
     },
 
+    // integer cross-multiplied ECDF gap per distinct value, one division
+    "profile_ks_drift" ->
+      """WITH t AS (SELECT value AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT v, CAST(SUM(b) AS BIGINT) AS cb,
+        |    CAST(SUM(1 - b) AS BIGINT) AS ca
+        |  FROM t GROUP BY v),
+        |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n,
+        |  CAST(SUM(ca) AS BIGINT) AS m FROM per),
+        |cum AS (SELECT v,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS i,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS j
+        |  FROM per WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |dd AS (SELECT v, abs(i * m - j * n) AS d FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(d) AS d_scaled FROM dd)
+        |SELECT tot.n AS n_before, tot.m AS n_after,
+        |  CAST(mx.d_scaled AS BIGINT) AS d_scaled,
+        |  ROUND(CAST(mx.d_scaled AS DOUBLE)
+        |    / CAST(tot.n * tot.m AS DOUBLE), 6) AS ks,
+        |  (SELECT MIN(v) FROM dd WHERE dd.d = mx.d_scaled) AS at_value
+        |FROM tot CROSS JOIN mx""".stripMargin,
+
     // exact rank-selected median and MAD, Hampel fence at 3 MAD
     "profile_mad_outliers" ->
       """WITH r AS (SELECT event_type AS g, value AS v, event_id AS id,
@@ -8303,6 +8361,16 @@ object SparkEntry {
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // old files surface the evolved column as NULL, new files carry it
+    "store_schema_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     // post-backfill content: clicks corrected, everything else verbatim
     "store_backfill_roundtrip" ->

@@ -496,6 +496,53 @@ object Profiling {
         (col("class_size") < k).as("at_risk"): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance in EXACT integers — the
+    * distribution-drift statistic with NO binning choice (the histogram
+    * drift audit's resolution is its bin width; KS has none): at every
+    * distinct value v, the scaled ECDF gap is |i·m − j·n| (i, j =
+    * at-or-below counts per sample — integer cross-multiplication
+    * instead of the float i/n − j/m), D = max over v, divided once at
+    * the end. Tie-proof by construction: the gap is evaluated per
+    * DISTINCT value after both samples' ties are fully counted, so no
+    * within-value order exists to disagree on.
+    *
+    * One (value)-grouped conditional count is the only row-scale pass;
+    * the ordered cumsum runs over the distinct-VALUE series (its
+    * single-partition sort is the distinct-value cardinality, not the
+    * row count — for genuinely high-cardinality columns, range-partition
+    * the sort and prefix-offset the partial cumsums, same contract).
+    * Output one row: (n_before, n_after, d_scaled, ks, at_value) with
+    * at_value = the smallest value attaining D.
+    */
+  def ksDrift(before: DataFrame, after: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = before
+      .select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("b"), lit(0L).as("a"))
+      .unionAll(after
+        .select(col(valueCol).as("v")).where(col("v").isNotNull)
+        .select(col("v"), lit(0L).as("b"), lit(1L).as("a")))
+    val per = tagged.groupBy(col("v"))
+      .agg(sum(col("b")).as("cb"), sum(col("a")).as("ca"))
+    val tot = per.agg(sum(col("cb")).as("n"), sum(col("ca")).as("m"))
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("i", sum(col("cb")).over(wc))
+      .withColumn("j", sum(col("ca")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("i") * col("m") - col("j") * col("n")))
+    cum.crossJoin(broadcast(cum.agg(max(col("d")).as("d_scaled"))))
+      .where(col("d") === col("d_scaled"))
+      .orderBy(col("v")).limit(1)
+      .select(col("n").as("n_before"), col("m").as("n_after"),
+        col("d_scaled"),
+        round(col("d_scaled").cast("double") /
+          (col("n") * col("m")).cast("double"), 6).as("ks"),
+        col("v").as("at_value"))
+  }
+
   /** Pairwise Pearson correlation over a table's numeric columns in
     * EXACT integer moments — the feature-redundancy / leakage pre-flight
     * ("is this column just a rescaling of that one") run before any

@@ -123,6 +123,19 @@ class ProfilingSpec extends SparkSpec {
       Seq("x" -> 100L, "y" -> 100L, "z" -> 100L)).exceptAll(r7).isEmpty)
   }
 
+  test("ksDrift: hand ECDF gap, smallest argmax value, zero on identical samples") {
+    import spark.implicits._
+    val b = Seq(1.0, 2.0, 3.0).toDF("x")
+    val a = Seq(3.0, 4.0, 5.0).toDF("x")
+    val r = Profiling.ksDrift(b, a, "x").collect()(0)
+    // gaps |i·m − j·n|: v=1→3, v=2→6, v=3→6, v=4→3, v=5→0; max 6
+    // attained first at v=2; ks = 6/9
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 6L)))
+    assert(r.getDouble(3) == 0.666667 && r.getDouble(4) == 2.0)
+    val same = Profiling.ksDrift(b, b, "x").collect()(0)
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+  }
+
   test("madOutliers: exact lower median/MAD, Hampel fence flags only the spike") {
     import spark.implicits._
     // group a: values 1..5 plus a 100 spike; n=6 → rank (6+1) div 2 = 3
