@@ -3509,6 +3509,31 @@ object SparkEntry {
         "l_discount" -> 100L, "l_tax" -> 100L))
     }),
 
+    // Sample-estimate audit: the sketch-family measure-before-trusting
+    // discipline pointed at hash sampling itself — scale-up estimates
+    // (8 × a deterministic 1-in-8 md5 sample) vs exact group counts,
+    // with the per-group relative error the decision rests on. The
+    // "can I profile the 100 TB table from a 12 TB sample" pre-flight,
+    // answered with the measured error instead of a CLT hand-wave.
+    "sample_estimate_audit" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("id_",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      val samp = operators.Sampling.hashSample(l, "id_", 0.125, salt = "est")
+      val est = samp.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("true_rows"))
+        .join(est, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("true_rows"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          (coalesce(col("n_sampled"), lit(0L)) * 8).as("est_rows"),
+          round((coalesce(col("n_sampled"), lit(0L)) * 8 - col("true_rows"))
+            .cast("double") / col("true_rows").cast("double"), 6)
+            .as("rel_err"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact two-sample KS drift on event values, first half-month vs
     // rest: |i·m − j·n| per distinct value (integer cross-multiplied
     // ECDF gap — no binning choice, no float subtraction), one final
@@ -3736,6 +3761,34 @@ object SparkEntry {
           col("n"), col("s").as("cusum_n"),
           (abs(col("s")) === col("s_max")).as("is_changepoint"))
         .orderBy(col("day"))
+    }),
+
+    // Time-weighted average (TWAP) per user: each reading holds until
+    // the next one, so the mean is Σ value·Δt / ΣΔt — the telemetry/
+    // pricing aggregate a plain AVG silently mis-states under uneven
+    // sampling. Engine-exact: Δt in integer µs, value quantized by
+    // floor(v·2^20) (power-of-two scaling is IEEE-exact, floor is
+    // engine-identical — the house float-sum discipline), the weighted
+    // sum carried in DECIMAL(38), ONE double division chain at the end.
+    // One per-user lead window + one combiner-heavy agg.
+    "events_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .withColumn("dt", unix_micros(col("nxt")) - unix_micros(col("ts")))
+        .withColumn("q",
+          floor(col("value") * lit(1048576.0)).cast("decimal(38,0)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          sum(col("q") * col("dt").cast("decimal(38,0)")).as("num_"))
+        .select(col("user_id"), col("n_intervals"), col("span_us"),
+          round(col("num_").cast("double") / col("span_us").cast("double")
+            / lit(1048576.0), 6).as("twap"))
+        .orderBy(col("user_id"))
     }),
 
     // Gaps-and-islands: longest run of CONSECUTIVE active days per user
@@ -7788,6 +7841,25 @@ object SparkEntry {
          |ORDER BY col_x, col_y""".stripMargin
     },
 
+    // same md5 bucket, same 1-in-8 cut, scale-up vs exact counts
+    "sample_estimate_audit" -> {
+      val b = sqlHash64(
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)" +
+          " || '#est'")
+      s"""WITH l AS (SELECT l_returnflag, $b % 1000000 AS bk FROM lineitem),
+         |ex AS (SELECT l_returnflag, COUNT(*) AS true_rows FROM l
+         |  GROUP BY 1),
+         |sm AS (SELECT l_returnflag, COUNT(*) AS n_sampled FROM l
+         |  WHERE bk < 125000 GROUP BY 1)
+         |SELECT ex.l_returnflag, ex.true_rows,
+         |  COALESCE(sm.n_sampled, 0) AS n_sampled,
+         |  COALESCE(sm.n_sampled, 0) * 8 AS est_rows,
+         |  ROUND(CAST(COALESCE(sm.n_sampled, 0) * 8 - ex.true_rows
+         |    AS DOUBLE) / CAST(ex.true_rows AS DOUBLE), 6) AS rel_err
+         |FROM ex LEFT JOIN sm USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
     // integer cross-multiplied ECDF gap per distinct value, one division
     "profile_ks_drift" ->
       """WITH t AS (SELECT value AS v,
@@ -8175,6 +8247,22 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // integer µs intervals, floor(v·2^20) quantized weights, one division
+    "events_twap" ->
+      """WITH iv AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id,
+        |    CAST(FLOOR(value * 1048576.0) AS HUGEINT) AS q, dt
+        |  FROM iv WHERE dt IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS span_us,
+        |  ROUND(CAST(SUM(q * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+        |    / 1048576.0, 6) AS twap
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // rank-difference islands; longest per user, earliest-start ties
     "events_streaks" ->
