@@ -4262,6 +4262,28 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // Spark 4 transformWithState gate: the SAME per-session sequencing
+    // contract as stream_ingest_sequenced, run through the NEW
+    // arbitrary-state API (named ValueState + RocksDB provider) instead
+    // of foreachBatch store folds — state must carry (nextSeq, lastId)
+    // across the event-time-split micro-batch boundary. Same window
+    // oracle shape over a different event slice.
+    "stream_tws_sequenced" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .where(col("event_id") % 7 === 0)
+        .select(col("event_id").cast("string").as("memoryId"),
+          col("user_id").cast("string").as("sessionId"),
+          col("event_type").as("tool"),
+          col("ts"), col("value"))
+      val work = "/tmp/graft_stream_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedTwsSequencedRoundtrip(s, src, work)
+        .select(col("memoryId").as("memory_id"),
+          col("sessionId").as("session_id"), col("tool"),
+          col("sequenceOrder").as("sequence_order"),
+          col("precedingMemoryId").as("preceding_memory_id"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
     // The reference's operational loop CLOSED: stream-ingest into the
     // store (2 micro-batches + a replayed delivery), then run the KNN
     // text search OVER THE STREAMED STORE — result must equal the batch
@@ -8559,6 +8581,20 @@ object SparkEntry {
         |    CAST(user_id AS VARCHAR) AS session_id,
         |    event_type AS tool, ts
         |  FROM events WHERE event_id % 5 = 0)
+        |SELECT memory_id, session_id, tool,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
+        |  LAG(memory_id) OVER w AS preceding_memory_id
+        |FROM src
+        |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
+        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
+
+    // same gapless-sequence window contract, the TWS slice (id % 7)
+    "stream_tws_sequenced" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |    CAST(user_id AS VARCHAR) AS session_id,
+        |    event_type AS tool, ts
+        |  FROM events WHERE event_id % 7 = 0)
         |SELECT memory_id, session_id, tool,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS sequence_order,
         |  LAG(memory_id) OVER w AS preceding_memory_id

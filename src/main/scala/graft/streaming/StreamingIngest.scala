@@ -43,6 +43,115 @@ object StreamingIngest {
 
   final case class SeqState(nextSeq: Int, lastId: Option[String])
 
+  /** [[sequenced]] re-expressed on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`:
+    * typed, NAMED state variables with per-variable encoders and TTL
+    * (vs one opaque state blob), timers as first-class citizens, and a
+    * RocksDB-backed store (the harness pins the provider — TWS requires
+    * it). Same semantics as [[sequenced]] — per-session gapless
+    * sequence, arrival order normalized to (ts, memoryId) — so the same
+    * oracle checks both; what's exercised is the NEW engine surface:
+    * init-time state registration via `getHandle.getValueState`,
+    * `exists()/get()/update()` row handling, and state carried across
+    * micro-batches by the TWS operator.
+    */
+  class TwsSequencer extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, ToolCall, SequencedCall] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SeqState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeqState]("seq",
+        org.apache.spark.sql.Encoders.product[SeqState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ToolCall],
+        tv: TimerValues): Iterator[SequencedCall] = {
+      var s = if (st.exists()) st.get() else SeqState(1, None)
+      // µs-precision sort key (getTime is ms-truncated; the staged wire
+      // format carries micros), ties by id — matches the oracle's
+      // ORDER BY ts, memory_id exactly
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val out = rows.toSeq.sortBy(c => (us(c.ts), c.memoryId)).map { c =>
+        val r = SequencedCall(c.memoryId, key, c.tool, c.ts, c.value,
+          s.nextSeq, s.lastId)
+        s = SeqState(s.nextSeq + 1, Some(c.memoryId))
+        r
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def sequencedTws(calls: Dataset[ToolCall]): Dataset[SequencedCall] = {
+    import calls.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    calls.groupByKey(_.sessionId)
+      .transformWithState(new TwsSequencer, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Drive [[sequencedTws]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for the transformWithState path, mirroring
+    * [[stagedIngestRoundtrip]]'s two event-time-split stagings so the
+    * named ValueState must carry (nextSeq, lastId) across the micro-batch
+    * boundary. TWS requires the RocksDB state store provider; the
+    * harness pins it for the stream's lifetime and restores the session
+    * default after (provider choice is captured at query start).
+    */
+  def stagedTwsSequencedRoundtrip(spark: SparkSession, src: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "tws_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("memoryId"), col("sessionId"), col("tool"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = src.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(src.where(col("ts") < lit(mid)))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("memoryId", StringType),
+        StructField("sessionId", StringType),
+        StructField("tool", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*")).as[ToolCall]
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try sequencedTws(parsed)
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    try {
+      q.processAllAvailable() // micro-batch 1: sequences start at 1
+      stage(src.where(col("ts") >= lit(mid)))
+      q.processAllAvailable() // micro-batch 2: ValueState continues them
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** Per-session sequence assignment with keyed state — the streaming twin
     * of [[MemoryModel.sessionize]]. State per session is two fields; the
     * state store scales with live sessions, not history.

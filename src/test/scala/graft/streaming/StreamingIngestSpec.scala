@@ -36,6 +36,41 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequencedTws: transformWithState ValueState continues across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ToolCall]
+      val q = sequencedTws(input.toDS())
+        .writeStream.format("memory").queryName("seqtws")
+        .option("checkpointLocation",
+          Files.createTempDirectory("twsckpt").toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(
+          ToolCall("m1", "s1", "click", ts("2024-01-01 00:00:01"), 1.0),
+          ToolCall("m2", "s1", "view", ts("2024-01-01 00:00:02"), 2.0),
+          ToolCall("m9", "s2", "click", ts("2024-01-01 00:00:03"), 3.0))
+        q.processAllAvailable()
+        input.addData(
+          ToolCall("m3", "s1", "purchase", ts("2024-01-01 00:10:00"), 4.0))
+        q.processAllAvailable()
+        val rows = spark.table("seqtws").as[SequencedCall].collect()
+          .map(r => (r.memoryId, r.sequenceOrder, r.precedingMemoryId)).toSet
+        assert(rows == Set(
+          ("m1", 1, None), ("m2", 2, Some("m1")), ("m9", 1, None),
+          ("m3", 3, Some("m2")))) // same contract as `sequenced`
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("ingestBatch: store-backed sequence continuation and provenance chaining") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft-store").toString + "/mem"
