@@ -4262,6 +4262,26 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // TWS EVENT-TIME TIMERS gate: the same inactivity-session contract
+    // as stream_session_windows (same slice, same oracle SQL), but the
+    // final open sessions can ONLY emit through registerTimer(end+gap)
+    // expiry — the timer half of the transformWithState surface, with
+    // sessions closed by later events emitting inline. Two engines, two
+    // APIs (built-in session_window vs hand-rolled timer state), one
+    // verbatim contract.
+    "stream_tws_sessions" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .where(col("event_id") % 3 === 0)
+        .select(col("user_id").as("userId"), col("ts"), col("value"))
+      val work = "/tmp/graft_stream_twssess_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedTwsSessionRoundtrip(s, src, work)
+        .select(col("userId").as("user_id"),
+          date_format(col("sessionStart"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("nEvents").as("n_events"), col("sumValue").as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Spark 4 transformWithState gate: the SAME per-session sequencing
     // contract as stream_ingest_sequenced, run through the NEW
     // arbitrary-state API (named ValueState + RocksDB provider) instead
@@ -8587,6 +8607,26 @@ object SparkEntry {
         |FROM src
         |WINDOW w AS (PARTITION BY session_id ORDER BY ts, memory_id)
         |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
+
+    // the stream_session_windows contract verbatim — same slice, same
+    // gap rule, same decimal(18,2) sums; only the engine API differs
+    "stream_tws_sessions" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM flagged)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sno
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // same gapless-sequence window contract, the TWS slice (id % 7)
     "stream_tws_sequenced" ->

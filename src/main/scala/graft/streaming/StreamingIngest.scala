@@ -130,19 +130,28 @@ object StreamingIngest {
         StructField("value", DoubleType)))).as("j"))
       .select(col("j.*")).as[ToolCall]
 
+    // RocksDB provider (TWS requires it) + gate-scale state partitioning
+    // (each partition opens its own RocksDB instance per micro-batch —
+    // the interval-join harness's fixed-overhead observation, only
+    // heavier here); both captured at query start, session restored after
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try sequencedTws(parsed)
         .writeStream.format("memory").queryName(table)
         .option("checkpointLocation", s"$workDir/ckpt")
         .outputMode(OutputMode.Append)
         .start()
-      finally prev match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prev match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
       }
     try {
       q.processAllAvailable() // micro-batch 1: sequences start at 1
@@ -150,6 +159,182 @@ object StreamingIngest {
       q.processAllAvailable() // micro-batch 2: ValueState continues them
     } finally q.stop()
     spark.table(table)
+  }
+
+  /** Wire row / state row / output row for the timer-driven TWS
+    * sessionizer. Session sums are carried as exact CENTS (the
+    * decimal(18,2) quantization the session oracles already use), so the
+    * fold is integer and the one double conversion happens at emit. */
+  final case class UserEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  final case class TwsSessionState(startUs: Long, endUs: Long, n: Long, cents: Long)
+  final case class SessionOut(userId: Long, sessionStart: java.sql.Timestamp,
+      nEvents: Long, sumValue: Double)
+
+  /** Inactivity sessionization on `transformWithState` EVENT-TIME TIMERS
+    * — the half of the TWS surface [[TwsSequencer]] doesn't touch: a
+    * session closed by a LATER event emits inline, but the LAST open
+    * session per key can only close when the watermark proves no more
+    * events can join it — that is exactly a `registerTimer(end + gap)`
+    * whose expiry callback emits and clears. Each batch re-arms the
+    * timer (delete stale, register at the new horizon), the
+    * `handleExpiredTimer` path is the only place the final sessions can
+    * come from, and the built-in `session_window` gate's oracle checks
+    * this implementation verbatim — two engines, two APIs, one
+    * contract. Gap is CLOSED at the boundary (Δ ≤ gap continues — the
+    * session_window semantic).
+    */
+  class TwsSessionizer(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsSessionState] = _
+    @transient private var tmr: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[TwsSessionState]("sess",
+        org.apache.spark.sql.Encoders.product[TwsSessionState], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // Spark's double→decimal(18,2) cast: shortest-repr BigDecimal,
+    // HALF_UP at scale 2 — replicated so the integer cents fold equals
+    // the engine cast the oracle mirrors
+    private def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact
+    private def emit(key: Long, s: TwsSessionState): SessionOut = {
+      val secs = Math.floorDiv(s.startUs, 1000000L)
+      val t = new java.sql.Timestamp(secs * 1000L)
+      t.setNanos((Math.floorMod(s.startUs, 1000000L) * 1000L).toInt)
+      SessionOut(key, t, s.n,
+        java.math.BigDecimal.valueOf(s.cents, 2).doubleValue)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      var cur = if (st.exists()) Option(st.get()) else None
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          case Some(s) if t - s.endUs <= gapUs =>
+            cur = Some(TwsSessionState(s.startUs, Math.max(s.endUs, t),
+              s.n + 1, s.cents + cents(e.value)))
+          case Some(s) =>
+            closed += emit(key, s)
+            cur = Some(TwsSessionState(t, t, 1L, cents(e.value)))
+          case None =>
+            cur = Some(TwsSessionState(t, t, 1L, cents(e.value)))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val fireMs = (s.endUs + gapUs) / 1000L + 1L // strictly past end+gap
+        getHandle.registerTimer(fireMs)
+        tmr.update(fireMs)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear(); tmr.clear()
+        Iterator.single(emit(key, s))
+      } else Iterator.empty
+  }
+
+  def sessionsTws(events: Dataset[UserEvent],
+      gapUs: Long = 1800L * 1000000L,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.toDF()
+      .withWatermark("ts", watermark).as[UserEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new TwsSessionizer(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Drive [[sessionsTws]] end-to-end over staged JSONL — the
+    * CORRECTNESS-gate harness for TWS event-time timers, mirroring
+    * [[stagedSessionRoundtrip]] exactly: midpoint event-time split (a
+    * micro-batch boundary through live sessions), then TWO sentinel
+    * stagings (user −1, far past max + watermark + gap) because the
+    * watermark advances at batch END — the batch after the first
+    * sentinel is the one whose expired timers emit, the second forces
+    * it to run. Sentinels filter out of the returned table.
+    */
+  def stagedTwsSessionRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "twssess_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("userId"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("value"))).as("value"))
+      .coalesce(1)
+      .write.mode("append").text(inDir)
+
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stage(events.where(col("ts") < lit(mid)))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("userId", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType)))).as("j"))
+      .select(col("j.*")).as[UserEvent]
+
+    // same provider + gate-scale state partitioning discipline as
+    // stagedTwsSequencedRoundtrip (4 micro-batches here — the sentinel
+    // flushes double the per-partition RocksDB open/commit bill)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try sessionsTws(parsed)
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prev match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    val maxTs = bounds.getTimestamp(1).getTime
+    def flush(offsetMs: Long): Unit = {
+      stage(spark.createDataFrame(Seq((-1L,
+        new java.sql.Timestamp(maxTs + offsetMs), 0.0)))
+        .toDF("userId", "ts", "value"))
+      q.processAllAvailable()
+    }
+    try {
+      q.processAllAvailable() // micro-batch 1: first half
+      stage(events.where(col("ts") >= lit(mid)))
+      q.processAllAvailable() // micro-batch 2: live sessions span boundary
+      flush(3L * 3600 * 1000) // watermark past every end+gap …
+      flush(4L * 3600 * 1000) // … and the batch whose timers fire
+    } finally q.stop()
+    spark.table(table).where(col("userId") >= 0)
   }
 
   /** Per-session sequence assignment with keyed state — the streaming twin

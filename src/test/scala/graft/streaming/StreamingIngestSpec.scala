@@ -71,6 +71,50 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("sessionsTws: later-event close emits inline, open session emits via timer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val q = sessionsTws(input.toDS(), watermark = "10 minutes")
+        .writeStream.format("memory").queryName("twssess")
+        .option("checkpointLocation",
+          Files.createTempDirectory("twssess").toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // session A: two events 10 min apart (one session, sum 1.5+2.25)
+        input.addData(
+          UserEvent(1L, ts("2024-01-01 10:00:00"), 1.5),
+          UserEvent(1L, ts("2024-01-01 10:10:00"), 2.25))
+        q.processAllAvailable()
+        assert(spark.table("twssess").isEmpty) // still open, nothing emits
+        // an event PAST the gap closes session A inline and opens B
+        input.addData(UserEvent(1L, ts("2024-01-01 12:00:00"), 4.0))
+        q.processAllAvailable()
+        val inline = spark.table("twssess").as[SessionOut].collect()
+        assert(inline.map(s => (s.nEvents, s.sumValue)).toSeq == Seq((2L, 3.75)))
+        // watermark pushes (two batches) fire B's timer
+        for (h <- Seq("14:00:00", "15:00:00")) {
+          input.addData(UserEvent(9L, ts(s"2024-01-01 $h"), 0.0))
+          q.processAllAvailable()
+        }
+        val all = spark.table("twssess").as[SessionOut].collect()
+          .filter(_.userId == 1L)
+          .map(s => (s.sessionStart.toString, s.nEvents, s.sumValue)).toSet
+        assert(all == Set(
+          ("2024-01-01 10:00:00.0", 2L, 3.75),
+          ("2024-01-01 12:00:00.0", 1L, 4.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("ingestBatch: store-backed sequence continuation and provenance chaining") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft-store").toString + "/mem"
