@@ -3746,15 +3746,20 @@ object SparkEntry {
     // cumsum window runs over the day series, which is bounded tiny
     // (decades fit in 10^4 rows), so its single-partition sort is free.
     "events_cusum" -> ((s, d) => {
+      // the day series is the fan-out point (totals, cumsum, argmax all
+      // read it) — checkpoint it so raw events scan ONCE, not once per
+      // lazy branch (PlanShapeSpec pins the single scan)
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val tot = daily.agg(sum(col("n")).as("t"),
         count(lit(1)).as("n_days"))
       val wc = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = daily.crossJoin(broadcast(tot))
         .withColumn("s", sum(col("n_days") * col("n") - col("t")).over(wc))
+        .localCheckpoint()
       cum.crossJoin(broadcast(
           cum.agg(max(abs(col("s"))).as("s_max"))))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),

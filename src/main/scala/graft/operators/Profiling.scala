@@ -523,8 +523,11 @@ object Profiling {
       .unionAll(after
         .select(col(valueCol).as("v")).where(col("v").isNotNull)
         .select(col("v"), lit(0L).as("b"), lit(1L).as("a")))
+    // the distinct-value series is the fan-out point (totals, cumsum,
+    // argmax) — checkpoint it so the row-scale pass happens ONCE
     val per = tagged.groupBy(col("v"))
       .agg(sum(col("b")).as("cb"), sum(col("a")).as("ca"))
+      .localCheckpoint()
     val tot = per.agg(sum(col("cb")).as("n"), sum(col("ca")).as("m"))
     val wc = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -533,6 +536,7 @@ object Profiling {
       .withColumn("j", sum(col("ca")).over(wc))
       .crossJoin(broadcast(tot))
       .withColumn("d", abs(col("i") * col("m") - col("j") * col("n")))
+      .localCheckpoint()
     cum.crossJoin(broadcast(cum.agg(max(col("d")).as("d_scaled"))))
       .where(col("d") === col("d_scaled"))
       .orderBy(col("v")).limit(1)

@@ -359,4 +359,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p.take(2000))
     assert(count(p, "TakeOrderedAndProject") == 1, p.take(2000))
   }
+
+  test("search_nsw: checkpointed traversal, top-k TakeOrdered, no cartesian") {
+    val p = plan("search_nsw")
+    // final top-k reads the checkpointed visited relation; the graph
+    // build's fan-out never reaches the serving plan
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+    assert(count(p, "Scan ExistingRDD") >= 1, p.take(2000))
+  }
+
+  test("graph_bfs_distances: frontier rounds checkpointed — no parquet in the final plan") {
+    val p = plan("graph_bfs_distances")
+    assert(count(p, "Scan parquet") == 0, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("profile_numeric_corr: ONE scan feeds every pair's moments") {
+    val p = plan("profile_numeric_corr")
+    // the k(k+1)/2 moment cells come from a single pass (checkpointed
+    // one-row relation fans out to the per-pair rows)
+    assert(count(p, "Scan parquet") == 0, p.take(2000)) // checkpointed agg
+    assert(count(p, "Scan ExistingRDD") >= 1, p.take(2000))
+  }
+
+  test("events_cusum / profile_ks_drift: series checkpointed — raw rows scanned once") {
+    for (n <- Seq("events_cusum", "profile_ks_drift")) {
+      val p = plan(n)
+      // the grain-reducing aggregate is checkpointed at the fan-out
+      // point (totals + cumsum + argmax all read it), so the final plan
+      // reads the tiny series relation and raw events never re-scan
+      assert(count(p, "Scan parquet") == 0, s"$n:\n${p.take(2000)}")
+      assert(count(p, "Scan ExistingRDD") >= 1, s"$n:\n${p.take(2000)}")
+      assert(count(p, "CartesianProduct") == 0, s"$n:\n${p.take(2000)}")
+    }
+  }
+
+  test("events_twap: one scan, lead window under one combiner aggregate") {
+    val p = plan("events_twap")
+    assert(count(p, "Scan parquet") == 1, p.take(2000))
+    assert(count(p, "HashAggregate") >= 2, p.take(2000)) // partial + final
+  }
 }
