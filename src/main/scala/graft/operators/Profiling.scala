@@ -611,17 +611,22 @@ object Profiling {
     import org.apache.spark.sql.expressions.Window
     val byV = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
     val byG = Window.partitionBy(col("g"))
+    // both ranked relations are fan-out points (median select + the
+    // deviation pass; MAD select + the final census) — checkpoint each
+    // so the raw rows are ranked once, not once per lazy branch
     val ranked = df
       .select(col(groupCol).as("g"), col(valueCol).as("v"),
         col(idCol).as("id"))
       .withColumn("rn", row_number().over(byV))
       .withColumn("n", count(lit(1)).over(byG))
+      .localCheckpoint()
     val meds = ranked.where(col("rn") === expr("(n + 1) div 2"))
       .select(col("g"), col("v").as("med"))
     val byDev = Window.partitionBy(col("g")).orderBy(col("dev"), col("id"))
     val devs = ranked.join(meds, "g")
       .withColumn("dev", abs(col("v") - col("med")))
       .withColumn("rn2", row_number().over(byDev))
+      .localCheckpoint()
     val mads = devs.where(col("rn2") === expr("(n + 1) div 2"))
       .select(col("g"), col("dev").as("mad"))
     devs.join(mads, "g")
