@@ -3098,6 +3098,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary growth curve (Heaps' law, measured) over the 3-SHINGLE
+    // vocabulary (the unigram vocabulary of this synthetic corpus
+    // saturates in decile 0 — 31 words; shingles genuinely grow): new
+    // shingles whose FIRST occurrence falls in each corpus decile + the
+    // cumulative vocabulary — is the corpus still yielding novelty or
+    // has it saturated (the keep-crawling signal). Exact integers: first
+    // occurrence is a MIN aggregate, never a quadratic
+    // cumulative-distinct; the cumsum runs over 10 rows.
+    "text_vocab_growth" -> ((s, d) => {
+      val dcs = docs(s, d)
+      val tot = dcs.agg(count(lit(1)).as("n_docs"))
+      val firstDoc = dcs
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.shinglesFromTokens(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      val dec = firstDoc.crossJoin(broadcast(tot))
+        .groupBy(expr("(first_doc * 10) div n_docs").as("decile"))
+        .agg(count(lit(1)).as("new_terms"))
+      dec.withColumn("cum_vocab", sum(col("new_terms")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("decile"))
+    }),
+
     // Gopher-rule repetition signals: top-2-gram share + duplicate-5-gram
     // share per document.
     "text_repetition" -> ((s, d) => {
@@ -3532,6 +3557,36 @@ object SparkEntry {
             .cast("double") / col("true_rows").cast("double"), 6)
             .as("rel_err"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Chao1 species-richness estimator audited: estimate a column's NDV
+    // from the 1-in-8 sample ALONE (D + f1²/2f2 from the sample's
+    // frequency-of-frequencies — Chao 1984), then compare against the
+    // true NDV the estimator never saw. All-integer until the one
+    // division; the companion to sample_estimate_audit for DISTINCTS,
+    // where naive scale-up (8·D_sample) is badly biased and Chao1's
+    // singleton/doubleton correction is the standard fix.
+    "sample_chao1_audit" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("id_",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      val freq = operators.Sampling.hashSample(l, "id_", 0.125, salt = "est")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("d_sample"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      val truth = Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("true_ndv"))
+      freq.crossJoin(truth)
+        .select(col("d_sample"), col("f1"), col("f2"),
+          round(col("d_sample") +
+            (col("f1") * col("f1")).cast("double") /
+              (lit(2.0) * col("f2")), 2).as("chao1"),
+          col("true_ndv"),
+          round((col("d_sample") +
+            (col("f1") * col("f1")).cast("double") /
+              (lit(2.0) * col("f2")) - col("true_ndv")) /
+            col("true_ndv").cast("double"), 6).as("rel_err"))
     }),
 
     // Exact two-sample KS drift on event values, first half-month vs
@@ -7414,6 +7469,22 @@ object SparkEntry {
         |    + (CASE WHEN stops > 0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    // first occurrence is a MIN aggregate; dense doc ids cut deciles
+    "text_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |ex AS (SELECT doc_id, unnest(shingles) AS t FROM sh),
+         |fo AS (SELECT t, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dec AS (SELECT (first_doc * 10) // n_docs AS decile,
+         |    COUNT(*) AS new_terms
+         |  FROM fo CROSS JOIN n GROUP BY 1)
+         |SELECT decile, new_terms,
+         |  CAST(SUM(new_terms) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM dec ORDER BY decile""".stripMargin,
+
     // vowel-run syllables via marker collapse ('V' can't occur in
     // lowercased text); same fixed-order double chain, round 4
     "text_readability" ->
@@ -7905,6 +7976,28 @@ object SparkEntry {
          |    AS DOUBLE) / CAST(ex.true_rows AS DOUBLE), 6) AS rel_err
          |FROM ex LEFT JOIN sm USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // same sample, frequency-of-frequencies, one double division
+    "sample_chao1_audit" -> {
+      val b = sqlHash64(
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)" +
+          " || '#est'")
+      s"""WITH l AS (SELECT l_partkey, $b % 1000000 AS bk FROM lineitem),
+         |s AS (SELECT l_partkey, COUNT(*) AS c FROM l
+         |  WHERE bk < 125000 GROUP BY 1),
+         |f AS (SELECT COUNT(*) AS d_sample,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM s),
+         |t AS (SELECT COUNT(DISTINCT l_partkey) AS true_ndv FROM lineitem)
+         |SELECT d_sample, f1, f2,
+         |  ROUND(d_sample + CAST(f1 * f1 AS DOUBLE) / (2.0 * f2), 2)
+         |    AS chao1,
+         |  true_ndv,
+         |  ROUND((d_sample + CAST(f1 * f1 AS DOUBLE) / (2.0 * f2)
+         |    - true_ndv) / CAST(true_ndv AS DOUBLE), 6) AS rel_err
+         |FROM f CROSS JOIN t""".stripMargin
     },
 
     // integer cross-multiplied ECDF gap per distinct value, one division
