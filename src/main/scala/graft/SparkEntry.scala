@@ -4322,6 +4322,27 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // TWS LIST-STATE gate: the streaming as-of contract verbatim, but
+    // the per-key update history lives in a NAMED ListState the RocksDB
+    // store appends/replaces element-wise — the third TWS state shape
+    // after ValueState and timers. Same fold, same oracle SQL.
+    "stream_tws_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      val ticks = ev.where(col("event_id") % 2 === 0)
+        .select(col("user_id").cast("string").as("key"),
+          col("tsm").as("ts"), col("event_id").cast("string").as("tickId"))
+      val updates = ev.where(col("event_id") % 2 === 1)
+        .groupBy(col("user_id").cast("string").as("key"), col("tsm").as("ts"))
+        .agg(max(col("value")).as("refValue"))
+      val work = "/tmp/graft_stream_twsasof_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedAsofRoundtrip(s, ticks, updates, work, tws = true)
+        .select(col("key"), col("tickId").as("tick_id"),
+          col("tsMs").as("ts_ms"), col("matchedTsMs").as("matched_ts_ms"),
+          col("matchedValue").as("matched_value"))
+        .orderBy(col("tick_id").cast("long"))
+    }),
+
     // TWS EVENT-TIME TIMERS gate: the same inactivity-session contract
     // as stream_session_windows (same slice, same oracle SQL), but the
     // final open sessions can ONLY emit through registerTimer(end+gap)
@@ -8777,6 +8798,23 @@ object SparkEntry {
     // the streamed enrichment must equal the BATCH as-of join (the
     // stagings split by event time, so arrival order = event-time order)
     "stream_asof_enrich" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    date_trunc('milliseconds', ts) AS ts,
+        |    CAST(event_id AS VARCHAR) AS tick_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |u AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    date_trunc('milliseconds', ts) AS ts, MAX(value) AS value
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT t.key, t.tick_id, CAST(epoch_ms(t.ts) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(u.ts) AS BIGINT) AS matched_ts_ms,
+        |  u.value AS matched_value
+        |FROM t ASOF LEFT JOIN u ON t.key = u.key AND u.ts <= t.ts
+        |ORDER BY CAST(t.tick_id AS BIGINT)""".stripMargin,
+
+    // the stream_asof_enrich contract verbatim; only the state API differs
+    "stream_tws_asof" ->
       """WITH t AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key,
         |    date_trunc('milliseconds', ts) AS ts,

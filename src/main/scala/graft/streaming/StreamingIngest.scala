@@ -570,12 +570,72 @@ object StreamingIngest {
       }
   }
 
+  /** Persisted row of the TWS as-of history list (tuple encoders are not
+    * product-typed; a named row is). */
+  final case class UpdEntry(tsMs: Long, v: Double)
+
+  /** [[asofEnrichStream]]'s fold on transformWithState LIST STATE — the
+    * third TWS state shape after [[TwsSequencer]]'s ValueState and
+    * [[TwsSessionizer]]'s timers: the per-key update history is a NAMED
+    * ListState (element-encoded rows the store appends/replaces
+    * natively) instead of one opaque state blob re-serialized per batch
+    * — at a million keys × 1024 retained updates, that is the
+    * difference between rewriting 8 KB per key per batch and the
+    * store managing elements. Fold logic is [[asofEnrichStream]]'s
+    * verbatim (same sort, same inclusive-≤ probe, same size cap), so
+    * the same ASOF LEFT JOIN oracle checks both APIs.
+    */
+  class TwsAsofEnricher(maxUpdatesPerKey: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, AsofEvent, AsofMatch] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var hist: ListState[UpdEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[UpdEntry]("hist",
+        org.apache.spark.sql.Encoders.product[UpdEntry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[AsofEvent],
+        tv: TimerValues): Iterator[AsofMatch] = {
+      var ups: List[(Long, Double)] =
+        if (hist.exists()) hist.get().map(e => (e.tsMs, e.v)).toList else Nil
+      val out = scala.collection.mutable.ListBuffer.empty[AsofMatch]
+      rows.toSeq.sortBy(e => (e.tsMs, !e.isUpdate, e.id)).foreach { e =>
+        if (e.isUpdate) {
+          val (before, after) = ups.span(_._1 <= e.tsMs)
+          ups = (before :+ (e.tsMs -> e.v)) ++ after
+          if (ups.length > maxUpdatesPerKey)
+            ups = ups.drop(ups.length - maxUpdatesPerKey)
+        } else {
+          val m = ups.takeWhile(_._1 <= e.tsMs).lastOption
+          out += AsofMatch(key, e.id, e.tsMs, m.map(_._1), m.map(_._2))
+        }
+      }
+      hist.put(ups.map(u => UpdEntry(u._1, u._2)).toArray)
+      out.iterator
+    }
+  }
+
+  def asofEnrichTws(ticks: Dataset[Tick], updates: Dataset[RefUpdate],
+      maxUpdatesPerKey: Int = 1024): Dataset[AsofMatch] = {
+    require(maxUpdatesPerKey >= 1)
+    import ticks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    updates
+      .map(u => AsofEvent(u.key, u.ts.getTime, isUpdate = true, "", u.refValue))
+      .union(ticks.map(t => AsofEvent(t.key, t.ts.getTime, isUpdate = false,
+        t.tickId, 0.0)))
+      .groupByKey(_.key)
+      .transformWithState(new TwsAsofEnricher(maxUpdatesPerKey),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Drive [[asofEnrichStream]] end-to-end over staged JSONL and return the
     * enriched output — the CORRECTNESS-gate harness for the streaming as-of
     * path, mirroring [[stagedIngestRoundtrip]]: both streams are staged in
     * two halves split at the midpoint EVENT time, with `processAllAvailable`
     * between stagings, so the output is built across ≥2 micro-batches with
     * per-key update history carried in state across the batch boundary.
+    * With `tws = true` the same harness drives [[asofEnrichTws]] instead
+    * (RocksDB provider + gate-scale state partitioning pinned at start).
     *
     * Because the split is by event time, every batch-1 event precedes every
     * batch-2 event, so arrival order equals event-time order and the final
@@ -589,7 +649,8 @@ object StreamingIngest {
     * `workDir` is wiped first.
     */
   def stagedAsofRoundtrip(spark: SparkSession, ticks: DataFrame,
-      updates: DataFrame, workDir: String): DataFrame = {
+      updates: DataFrame, workDir: String,
+      tws: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(workDir)
@@ -597,7 +658,8 @@ object StreamingIngest {
     fs.delete(new Path(workDir), true)
     val tickDir = s"$workDir/ticks"
     val updDir = s"$workDir/updates"
-    val table = "asof_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+    val table = "asof_gate_" + java.lang.Integer.toHexString(
+      (workDir + tws).hashCode)
 
     def stage(df: DataFrame, dir: String): Unit = df
       .select(to_json(struct(df.columns.map { c =>
@@ -628,11 +690,28 @@ object StreamingIngest {
       "key" -> StringType, "ts" -> TimestampType, "tickId" -> StringType)).as[Tick]
     val updDs = readJsonl(updDir, Seq(
       "key" -> StringType, "ts" -> TimestampType, "refValue" -> DoubleType)).as[RefUpdate]
-    val q = asofEnrichStream(tickDs, updDs)
-      .writeStream.format("memory").queryName(table)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode(OutputMode.Append)
-      .start()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(providerKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (tws) {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val q =
+      try (if (tws) asofEnrichTws(tickDs, updDs)
+           else asofEnrichStream(tickDs, updDs))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      finally if (tws) {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
     try {
       q.processAllAvailable() // micro-batch 1: first halves
       // updates FIRST: the running stream may fire a micro-batch between
