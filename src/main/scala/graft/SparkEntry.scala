@@ -4027,6 +4027,39 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Dynamic partition pruning: the fact store is partitioned by
+    // event_type and joined to a dim whose qualifying types are only
+    // known at RUNTIME (an aggregate-derived filter — nothing Catalyst
+    // can fold to a static IN list), so the fact scan must be pruned by
+    // the DPP subquery, not a literal predicate. At 100 TB this is the
+    // star-join pattern: the dim filter decides which partitions of the
+    // fact table are ever read. PlanShapeSpec pins the
+    // dynamicpruningexpression in the scan.
+    "store_dpp_join" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val path = "/tmp/graft_dpp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      src.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      // types whose mean value clears 50, phrased as an EXACT decimal
+      // margin (Σcents − 50·n > 0) and — critically for DPP — filtered
+      // as one attribute vs a literal: Spark's PartitionPruning only
+      // fires on likely-selective predicates, and a three-attribute
+      // comparison is not one (measured: tot·k > g planned NO pruning,
+      // margin > 0 plans the dynamicpruningexpression)
+      val dim = Tables.events(s, d).groupBy(col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,2)")) -
+          lit(50) * count(lit(1))).as("margin"))
+        .where(col("margin") > 0)
+        .select(col("event_type"))
+      s.read.parquet(path)
+        .join(dim, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Backfill roundtrip: write the store partitioned by event_type,
     // then dynamic-overwrite ONLY the click partition with corrected
     // values — other partitions' files stay physically untouched
@@ -8610,6 +8643,17 @@ object SparkEntry {
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // mean-over-50 types via the exact decimal margin; pruned join
+    "store_dpp_join" ->
+      """WITH dim AS (SELECT event_type FROM (
+        |    SELECT event_type,
+        |      SUM(CAST(value AS DECIMAL(18,2))) - 50 * COUNT(*) AS margin
+        |    FROM events GROUP BY 1) WHERE margin > 0)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // old files surface the evolved column as NULL, new files carry it
     "store_schema_merge" ->

@@ -400,4 +400,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1, p.take(2000))
     assert(count(p, "HashAggregate") >= 2, p.take(2000)) // partial + final
   }
+
+  test("store_dpp_join: the fact scan carries a dynamic pruning expression") {
+    val p = plan("store_dpp_join")
+    // the qualifying types are only known at runtime, so the partitioned
+    // fact scan must be pruned by the DPP subquery, not a static filter
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+    assert(count(p, "CartesianProduct") == 0, p.take(2000))
+  }
 }
