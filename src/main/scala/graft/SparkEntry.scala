@@ -4027,6 +4027,38 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Runtime bloom-filter join (DPP's sibling for NON-partitioned
+    // joins): the selective orders filter builds a bloom_filter_agg on
+    // the creation side and the lineitem scan probes might_contain
+    // BEFORE the shuffle — at 100 TB this is what keeps a star join's
+    // fact shuffle proportional to the matching rows, not the table.
+    // Local-mode thresholds (app-side scan size 10 GB default) are
+    // scoped INSIDE the gate and the result materialized under them —
+    // the broadcast override must never leak into other gates' plans.
+    "q_runtime_filter_join" -> ((s, d) => {
+      val bKey = "spark.sql.autoBroadcastJoinThreshold"
+      val tKey =
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      val prevB = s.conf.get(bKey)
+      val prevT = s.conf.get(tKey)
+      val out = "/tmp/graft_rtf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(bKey, "-1") // force SMJ so the probe side has a shuffle
+      s.conf.set(tKey, "0")
+      try {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .write.mode("overwrite").parquet(out)
+      } finally { s.conf.set(bKey, prevB); s.conf.set(tKey, prevT) }
+      s.read.parquet(out).orderBy(col("l_returnflag"))
+    }),
+
     // Dynamic partition pruning: the fact store is partitioned by
     // event_type and joined to a dim whose qualifying types are only
     // known at RUNTIME (an aggregate-derived filter — nothing Catalyst
@@ -8643,6 +8675,15 @@ object SparkEntry {
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // plain filtered join — the runtime filter must not change results
+    "q_runtime_filter_join" ->
+      """SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mean-over-50 types via the exact decimal margin; pruned join
     "store_dpp_join" ->

@@ -408,4 +408,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
     assert(count(p, "CartesianProduct") == 0, p.take(2000))
   }
+
+  test("runtime bloom filter: the probe side carries bloom_filter_agg under gate confs") {
+    // the gate materializes under these confs and restores them; here we
+    // pin the plan shape it materializes WITH
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val tKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val (prevB, prevT) = (spark.conf.get(bKey), spark.conf.get(tKey))
+    spark.conf.set(bKey, "-1"); spark.conf.set(tKey, "0")
+    try {
+      val o = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val j = Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p.take(3000))
+    } finally { spark.conf.set(bKey, prevB); spark.conf.set(tKey, prevT) }
+  }
 }
