@@ -4027,6 +4027,31 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Observation API: pipeline health counters (rows in, mass in)
+    // riding the SAME pass as the filter — `observe` attaches aggregates
+    // to the plan so a 100 TB curation job reports its funnel without a
+    // second scan (the accumulator pattern, typed and declarative). The
+    // gate materializes once, reads the observed metrics, and emits them
+    // beside the kept-count; the oracle recomputes both sides from
+    // scratch — observed metrics must equal a real aggregate.
+    "pipeline_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val kept = Tables.lineitem(s, d)
+        .observe(obs, count(lit(1)).as("rows_in"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_in"))
+        .where(col("l_discount") > 0.05)
+        .count()
+      val m = obs.get
+      s.createDataFrame(Seq((
+          m("rows_in").asInstanceOf[Long],
+          m("qty_in").asInstanceOf[java.math.BigDecimal].doubleValue,
+          kept)))
+        .toDF("rows_in", "qty_in", "rows_kept")
+        .select(col("rows_in"), col("qty_in"), col("rows_kept"),
+          round(col("rows_kept").cast("double") /
+            col("rows_in").cast("double"), 6).as("keep_share"))
+    }),
+
     // Runtime bloom-filter join (DPP's sibling for NON-partitioned
     // joins): the selective orders filter builds a bloom_filter_agg on
     // the creation side and the lineitem scan probes might_contain
@@ -8675,6 +8700,15 @@ object SparkEntry {
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // observed metrics must equal a from-scratch aggregate
+    "pipeline_observe" ->
+      """SELECT COUNT(*) AS rows_in,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_in,
+        |  COUNT(*) FILTER (l_discount > 0.05) AS rows_kept,
+        |  ROUND(CAST(COUNT(*) FILTER (l_discount > 0.05) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS keep_share
+        |FROM lineitem""".stripMargin,
 
     // plain filtered join — the runtime filter must not change results
     "q_runtime_filter_join" ->
