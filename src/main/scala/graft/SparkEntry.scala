@@ -4412,6 +4412,26 @@ object SparkEntry {
         .orderBy(col("memory_id").cast("long"))
     }),
 
+    // TWS MAP-STATE gate: per-session running count PER TOOL — the
+    // fourth and last TWS state primitive; the store reads/writes one
+    // sub-map ENTRY per update (a hot tool never deserializes the whole
+    // histogram). Oracle = per-(session, tool) ROW_NUMBER, so a lost or
+    // duplicated map entry fails the hash.
+    "stream_tws_type_counts" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .where(col("event_id") % 4 === 0)
+        .select(col("event_id").cast("string").as("memoryId"),
+          col("user_id").cast("string").as("sessionId"),
+          col("event_type").as("tool"),
+          col("ts"), col("value"))
+      val work = "/tmp/graft_stream_twsmap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedTwsSequencedRoundtrip(s, src, work, typed = true)
+        .select(col("memoryId").as("memory_id"),
+          col("sessionId").as("session_id"), col("tool"),
+          col("toolSeq").as("tool_seq"))
+        .orderBy(col("memory_id").cast("long"))
+    }),
+
     // TWS LIST-STATE gate: the streaming as-of contract verbatim, but
     // the per-key update history lives in a NAMED ListState the RocksDB
     // store appends/replaces element-wise — the third TWS state shape
@@ -8865,6 +8885,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sno
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // per-(session, tool) running occurrence number = plain ROW_NUMBER
+    "stream_tws_type_counts" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS memory_id,
+        |    CAST(user_id AS VARCHAR) AS session_id,
+        |    event_type AS tool, ts
+        |  FROM events WHERE event_id % 4 = 0)
+        |SELECT memory_id, session_id, tool,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY session_id, tool
+        |    ORDER BY ts, memory_id) AS BIGINT) AS tool_seq
+        |FROM src
+        |ORDER BY CAST(memory_id AS BIGINT)""".stripMargin,
 
     // same gapless-sequence window contract, the TWS slice (id % 7)
     "stream_tws_sequenced" ->

@@ -98,14 +98,15 @@ object StreamingIngest {
     * default after (provider choice is captured at query start).
     */
   def stagedTwsSequencedRoundtrip(spark: SparkSession, src: DataFrame,
-      workDir: String): DataFrame = {
+      workDir: String, typed: Boolean = false): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(workDir), true)
     val inDir = s"$workDir/in"
-    val table = "tws_gate_" + java.lang.Integer.toHexString(workDir.hashCode)
+    val table = "tws_gate_" + java.lang.Integer.toHexString(
+      (workDir + typed).hashCode)
 
     def stage(b: DataFrame): Unit = b
       .select(to_json(struct(col("memoryId"), col("sessionId"), col("tool"),
@@ -141,7 +142,8 @@ object StreamingIngest {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try sequencedTws(parsed)
+      try (if (typed) typeCountsTws(parsed).toDF()
+           else sequencedTws(parsed).toDF())
         .writeStream.format("memory").queryName(table)
         .option("checkpointLocation", s"$workDir/ckpt")
         .outputMode(OutputMode.Append)
@@ -573,6 +575,50 @@ object StreamingIngest {
   /** Persisted row of the TWS as-of history list (tuple encoders are not
     * product-typed; a named row is). */
   final case class UpdEntry(tsMs: Long, v: Double)
+
+  /** Output row of [[TwsTypeCounter]]: the running per-(session, tool)
+    * occurrence number at each call. */
+  final case class TypedSeq(memoryId: String, sessionId: String,
+      tool: String, toolSeq: Long)
+
+  /** Per-session running count PER TOOL on transformWithState MAP STATE
+    * — the fourth and last TWS state primitive (ValueState: X226,
+    * timers: X227, ListState: X230): the state is a keyed sub-map the
+    * store reads/writes PER ENTRY (`containsKey`/`getValue`/
+    * `updateValue`), so one hot tool's counter update never
+    * deserializes the session's whole histogram — the point of MapState
+    * over a ValueState[Map]. Emits each call's running occurrence
+    * number for its tool; the oracle is a plain per-(session, tool)
+    * ROW_NUMBER, so a lost/duplicated map entry fails the hash.
+    */
+  class TwsTypeCounter
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ToolCall, TypedSeq] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var cnt: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getMapState[String, Long]("cnt",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ToolCall],
+        tv: TimerValues): Iterator[TypedSeq] = {
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      rows.toSeq.sortBy(c => (us(c.ts), c.memoryId)).map { c =>
+        val n = (if (cnt.containsKey(c.tool)) cnt.getValue(c.tool) else 0L) + 1L
+        cnt.updateValue(c.tool, n)
+        TypedSeq(c.memoryId, key, c.tool, n)
+      }.iterator
+    }
+  }
+
+  def typeCountsTws(calls: Dataset[ToolCall]): Dataset[TypedSeq] = {
+    import calls.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    calls.groupByKey(_.sessionId)
+      .transformWithState(new TwsTypeCounter, TimeMode.None(),
+        OutputMode.Append())
+  }
 
   /** [[asofEnrichStream]]'s fold on transformWithState LIST STATE — the
     * third TWS state shape after [[TwsSequencer]]'s ValueState and
