@@ -4027,6 +4027,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // 2-D skyline: parts nobody beats on BOTH price (min) and size
+    // (max) — the Pareto-frontier query, O(n log n) via the per-class
+    // best + running-max sweep where the textbook NOT-EXISTS dominance
+    // join (which the oracle runs verbatim) is O(n²).
+    "q_skyline" -> ((s, d) => {
+      operators.TopK.skyline2d(
+        Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
+          col("p_size")),
+        "p_retailprice", "p_size")
+        .orderBy(col("p_partkey"))
+    }),
+
     // Observation API: pipeline health counters (rows in, mass in)
     // riding the SAME pass as the filter — `observe` attaches aggregates
     // to the plan so a 100 TB curation job reports its funnel without a
@@ -8720,6 +8732,16 @@ object SparkEntry {
     "store_layout_roundtrip" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the O(n²) textbook dominance anti-join — the sweep must equal it
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |      OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     // observed metrics must equal a from-scratch aggregate
     "pipeline_observe" ->

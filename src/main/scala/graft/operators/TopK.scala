@@ -37,6 +37,35 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
+  /** 2-D skyline (Pareto frontier): rows not STRICTLY dominated under
+    * (minimize `minCol`, maximize `maxCol`) — the "cheapest part at
+    * every size class" / "best cost-quality trade" query. Strict
+    * dominance: b dominates a iff b.min ≤ a.min ∧ b.max ≥ a.max with at
+    * least one strict; coincident points tie and ALL survive.
+    *
+    * Shape: the textbook NOT EXISTS is an O(n²) self-join (the oracle
+    * runs exactly that); here it collapses to the classic sweep — per
+    * distinct min-value the max of maxCol, a running max over STRICTLY
+    * smaller min-values (one lag on the ordered distinct-value series,
+    * which is what the window sort pays — value-cardinality, not rows),
+    * then one semi-join back: a row survives iff its maxCol equals its
+    * class best AND beats every cheaper class. O(n log n) where the
+    * dominance join is quadratic — the difference between a skyline
+    * over 10^9 offers and not running it.
+    */
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = df.groupBy(col(minCol).as("mn_"))
+      .agg(max(col(maxCol)).as("best_"))
+      .withColumn("before_", max(col("best_")).over(
+        Window.orderBy(col("mn_"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("before_").isNull || col("best_") > col("before_"))
+      .select(col("mn_"), col("best_"))
+    df.join(best, df(minCol) === col("mn_") && df(maxCol) === col("best_"))
+      .drop("mn_", "best_")
+  }
+
   /** Top-k rows per group: returns (group, id, value, rank). */
   def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k: Int): DataFrame = {

@@ -29,4 +29,19 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
     assert(got == Set((11L, 1), (10L, 2)))
   }
+
+  test("skyline2d: strict dominance, same-class losers drop, coincident points tie") {
+    import spark.implicits._
+    // minimize price, maximize size. (10,5) and (20,9) are the frontier;
+    // (10,3) loses to (10,5) in-class; (15,5) loses to (10,5) on price
+    // at equal size; (25,9) loses to (20,9); the duplicate (10,5) TIES
+    // (coincident points dominate nobody) and both rows survive.
+    val df = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 3), (3L, 15.0, 5),
+      (4L, 20.0, 9), (5L, 25.0, 9), (6L, 10.0, 5))
+      .toDF("id", "price", "size")
+    val got = TopK.skyline2d(df, "price", "size")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 6L))
+  }
 }
