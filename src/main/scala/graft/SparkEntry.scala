@@ -3969,11 +3969,16 @@ object SparkEntry {
 
     "events_funnel" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      // each stage aggregate feeds TWO lazy branches (the next stage and
+      // the final assembly) — checkpoint the small per-user relations so
+      // the raw type-slices scan once each (7 scans → 4, ScanCensus find)
       val v = e.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .localCheckpoint()
       val c = e.where(col("event_type") === "click")
         .join(v, "user_id").where(col("ts") > col("t1"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        .localCheckpoint()
       val p = e.where(col("event_type") === "purchase")
         .join(c, "user_id").where(col("ts") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
