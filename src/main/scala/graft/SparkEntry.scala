@@ -3792,6 +3792,48 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Inter-arrival spectrum per event type: consecutive Δt in integer
+    // µs, binned to powers of two via length(bin(dt)) — the highest-bit
+    // position, an EXACT integer log2 both engines compute identically
+    // (no float log) — with per-bucket counts and min/max. The
+    // watermark-delay / session-gap pre-flight: where the Δt mass sits
+    // decides both knobs, measured instead of guessed (pairs with
+    // stream_lateness_audit, which prices a chosen delay's drops).
+    "events_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .withColumn("dt", unix_micros(col("nxt")) - unix_micros(col("ts")))
+        .withColumn("bucket", length(bin(col("dt"))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("dt")).as("min_dt"),
+          max(col("dt")).as("max_dt"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Butterfly census (bipartite 4-cycles): Σ C(w,2) over co-purchase
+    // pair supports — THE cohesion/spam statistic of bipartite graphs
+    // (a burst of butterflies on one item pair = coordinated baskets);
+    // all-integer from the one pair count the basket family already
+    // shuffles, never a 4-way join.
+    "graph_butterflies" -> ((s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+        .localCheckpoint()
+      bi.select(col("bk"), col("it").as("a"))
+        .join(bi.select(col("bk"), col("it").as("b")), "bk")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n_pairs_multi"),
+          sum(expr("w * (w - 1) div 2")).as("butterflies"),
+          max(col("w")).as("max_support"))
+    }),
+
     // CUSUM change-point detection on the daily event series, ALL
     // INTEGER: with n days and total T, the statistic S_d = Σ_{i≤d}
     // (n·c_i − T) is the textbook CUSUM scaled by n — no float mean, no
@@ -8535,6 +8577,32 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // exact integer log2 via the binary-string length, both engines
+    "events_interarrival" ->
+      """WITH iv AS (
+        |  SELECT event_type,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_type, CAST(length(bin(dt)) AS INT) AS bucket,
+        |  COUNT(*) AS n, MIN(dt) AS min_dt, MAX(dt) AS max_dt
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Σ C(w,2) over the same distinct (basket, item) pair counts
+    "graph_butterflies" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs_multi,
+        |  CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS butterflies,
+        |  CAST(MAX(w) AS BIGINT) AS max_support
+        |FROM p""".stripMargin,
 
     // integer µs intervals, floor(v·2^20) quantized weights, one division
     "events_twap" ->
