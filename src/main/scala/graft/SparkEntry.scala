@@ -1866,6 +1866,32 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Pseudo-relevance feedback (RM3-lite): BM25 round 1 → top-5 docs →
+    // top-3 fresh terms from those docs (seed + stopwords excluded,
+    // (count, term) tie-break) → BM25 round 2 over the EXPANDED query.
+    // The classic recall lever of lexical search, fully deterministic;
+    // the 3-term collect is driver-bounded by construction (the
+    // Bm25.corpusStats collect discipline). Oracle unrolls both rounds.
+    "search_prf_expansion" -> ((s, d) => {
+      val dcs = docs(s, d).localCheckpoint()
+      val seedTerms = operators.Bm25.queryTerms(Bm25Query)
+      val top5 = operators.Bm25.topK(dcs, "text", "doc_id", Bm25Query,
+        k = 5, k1 = Bm25K1, b = Bm25B).select(col("doc_id"))
+      val excluded = seedTerms ++ Seq("the", "a", "of", "and", "to",
+        "in", "is", "that", "it", "for")
+      val exp = dcs.join(top5, "doc_id")
+        .select(explode(
+          graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+        .where(!col("term").isin(excluded: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq // 3 rows — bounded
+      operators.Bm25.topK(dcs, "text", "doc_id",
+        (seedTerms ++ exp).mkString(" "), k = 10, k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Exact phrase search: positional postings ⋈broadcast the k-row
     // phrase table, then ONE (doc, anchor) aggregation — a phrase starts
     // at anchor iff all k distinct offsets land there. The positional
@@ -5618,6 +5644,53 @@ object SparkEntry {
          |SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS score
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // both BM25 rounds unrolled; round 2's membership is the DERIVED
+    // q2 term set (seed ∪ top-3 expansion), never a literal list
+    "search_prf_expansion" -> {
+      def bm25Block(suffix: String, member: String) =
+        s"""tf$suffix AS (SELECT doc_id, dl, term,
+           |    CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+           |  WHERE $member GROUP BY 1, 2, 3),
+           |df$suffix AS (SELECT term, COUNT(*) AS df FROM (
+           |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+           |  WHERE $member GROUP BY 1),
+           |idf$suffix AS (SELECT term,
+           |  ROUND(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)), 6)
+           |    AS idf FROM df$suffix),
+           |c$suffix AS (SELECT t.doc_id,
+           |    ROUND(i.idf * ((t.tf * ${Bm25K1 + 1}) /
+           |      (t.tf + $Bm25K1 * (${1 - Bm25B} + ($Bm25B * t.dl) / a.a))), 9)
+           |      AS c
+           |  FROM tf$suffix t JOIN idf$suffix i ON t.term = i.term, avgdl a)"""
+          .stripMargin
+      val seed = operators.Bm25.queryTerms(Bm25Query)
+      val seedIn = seed.map(t => s"'$t'").mkString(", ")
+      val stopIn = Seq("the", "a", "of", "and", "to", "in", "is", "that",
+        "it", "for").map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks
+         |  FROM documents),
+         |st AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS tot FROM tok),
+         |avgdl AS (SELECT CAST(tot AS DOUBLE) / n AS a FROM st),
+         |${bm25Block("1", s"term IN ($seedIn)")},
+         |t5 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE)
+         |    AS score FROM c1 GROUP BY 1
+         |  ORDER BY score DESC, doc_id LIMIT 5)),
+         |expt AS (SELECT term FROM (
+         |    SELECT term, COUNT(*) AS n2 FROM (
+         |      SELECT unnest(toks) AS term FROM tok JOIN t5 USING (doc_id))
+         |    WHERE term NOT IN ($seedIn, $stopIn)
+         |    GROUP BY 1 ORDER BY n2 DESC, term LIMIT 3)),
+         |q2 AS (SELECT term FROM expt
+         |  UNION SELECT unnest([$seedIn]) AS term),
+         |${bm25Block("2", "term IN (SELECT term FROM q2)")}
+         |SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE)
+         |  AS score
+         |FROM c2 GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     },
 
     // identical shape: bigram tf, df cap = ceil(6% of doc count), norms
