@@ -2709,6 +2709,46 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // DBSCAN-lite over the embedding space: ε-neighbors = the multi-
+    // table RHP candidate pairs at cosine ≥ 0.2 (bucketed, never
+    // all-pairs — the X150 recall caveat applies and is the documented
+    // trade), core = ≥ 3 neighbors, clusters = components over
+    // core-core edges (min-id canonical), border = non-core adopting
+    // its MINIMUM core neighbor's cluster, the rest noise. The
+    // canonical density clusterer composed entirely from audited
+    // pieces; every tie rule pinned so the unrolled oracle matches.
+    "cluster_dbscan" -> ((s, d) => {
+      val e = embs(s, d)
+      val pairs = Dedup.embeddingNearDupPairsMultiTable(e, "embedding",
+        "vec_id", minCosine = 0.2, planes = 6, seeds = Seq(7, 21), dims = 64)
+        .select(col("a"), col("b")).localCheckpoint()
+      val deg = pairs.select(col("a").as("vec_id"))
+        .unionAll(pairs.select(col("b").as("vec_id")))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+      val core = deg.where(col("deg") >= 3).select(col("vec_id"))
+        .localCheckpoint()
+      val corePairs = pairs
+        .join(core.select(col("vec_id").as("a")), "a")
+        .join(core.select(col("vec_id").as("b")), "b")
+        .select(col("a"), col("b"))
+      val comp = operators.Components.connectedComponents(
+        core.select(col("vec_id").as("id")), corePairs).localCheckpoint()
+      val border = pairs.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(pairs.select(col("b").as("v"), col("a").as("u")))
+        .join(comp.select(col("id").as("u"), col("component")), "u")
+        .join(core.select(col("vec_id").as("v")), Seq("v"), "left_anti")
+        .groupBy(col("v").as("vec_id"))
+        .agg(min(col("component")).as("cluster"))
+      val assigned = comp.select(col("id").as("vec_id"),
+          lit("core").as("role"), col("component").as("cluster"))
+        .unionAll(border.select(col("vec_id"), lit("border").as("role"),
+          col("cluster")))
+      e.select(col("vec_id")).join(assigned, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("role"), lit("noise")).as("role"),
+          col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Cluster resolution over LSH candidate pairs: min-label propagation
     // (one shuffle per round) -> canonical keeper per near-dup cluster.
     "dedup_components" -> ((s, d) => {
@@ -6700,6 +6740,56 @@ object SparkEntry {
          |  (SELECT n FROM f) AS n_found,
          |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
          |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
+    },
+
+    // same multitable candidates + τ filter, degree census, core-core
+    // recursive reach with min-id labels, min-cluster border adoption
+    "cluster_dbscan" -> {
+      def bucketExpr(seed: Int) = sqlSigns(planes = 6, dims = 64, seed = seed)
+        .zipWithIndex.map { case (sg, p) =>
+          s"(CASE WHEN list_dot_product(v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n    ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e),
+         |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT l.vec_id AS a, r.vec_id AS b
+         |    FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |    UNION ALL
+         |    SELECT l.vec_id, r.vec_id
+         |    FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)),
+         |pairs AS (SELECT c.a, c.b FROM cand c
+         |  JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+         |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2),
+         |deg AS (SELECT nv, COUNT(*) AS deg FROM (
+         |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
+         |  GROUP BY 1),
+         |core AS (SELECT nv FROM deg WHERE deg >= 3),
+         |ce AS (SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON p.a = ca.nv JOIN core cb ON p.b = cb.nv),
+         |edges AS (SELECT a AS src, b AS dst FROM ce
+         |  UNION ALL SELECT b, a FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |mins AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY 1),
+         |comp AS (SELECT c.nv AS id,
+         |    LEAST(c.nv, COALESCE(m.mn, c.nv)) AS component
+         |  FROM core c LEFT JOIN mins m ON c.nv = m.src),
+         |border AS (SELECT n.v AS vec_id, MIN(comp.component) AS cluster
+         |  FROM (SELECT a AS v, b AS u FROM pairs
+         |    UNION ALL SELECT b, a FROM pairs) n
+         |  JOIN comp ON n.u = comp.id
+         |  WHERE n.v NOT IN (SELECT nv FROM core) GROUP BY 1),
+         |assigned AS (
+         |  SELECT id AS vec_id, 'core' AS role, component AS cluster FROM comp
+         |  UNION ALL SELECT vec_id, 'border', cluster FROM border)
+         |SELECT e.vec_id, COALESCE(a2.role, 'noise') AS role, a2.cluster
+         |FROM e LEFT JOIN assigned a2 USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
     },
 
     "dedup_embedding_multitable" -> {
