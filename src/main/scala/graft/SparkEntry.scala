@@ -3858,6 +3858,39 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    // day-slopes — one wild day moves OLS arbitrarily but shifts a
+    // median by one rank (the regression twin of the MAD fence). Slopes
+    // are exact integer ratios in double (deterministic division), the
+    // median is rank-selected at ⌊(n+1)/2⌋ under (slope, da, db) — no
+    // interpolation. The pair join is day-grain² per type (a YEAR is
+    // ~66k pairs), never event-grain.
+    "events_theilsen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("di"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val slopes = daily.select(col("event_type"), col("di").as("da"),
+          col("c").as("ca"))
+        .join(daily.select(col("event_type"), col("di").as("db"),
+          col("c").as("cb")), "event_type")
+        .where(col("da") < col("db"))
+        .withColumn("slope", round(
+          (col("cb") - col("ca")).cast("double") /
+            (col("db") - col("da")).cast("double"), 9))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("da"), col("db"))
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope").as("theil_sen_slope"))
+        .orderBy(col("event_type"))
+    }),
+
     // Inter-arrival spectrum per event type: consecutive Δt in integer
     // µs, binned to powers of two via length(bin(dt)) — the highest-bit
     // position, an EXACT integer log2 both engines compute identically
@@ -8740,6 +8773,28 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // same day-grain pair slopes, same rank-selected lower median
+    "events_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type, a.di AS da, b.di AS db,
+        |    ROUND(CAST(b.c - a.c AS DOUBLE)
+        |      / CAST(b.di - a.di AS DOUBLE), 9) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.di < b.di),
+        |r AS (SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope, da, db) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM sl)
+        |SELECT event_type, np AS n_pairs, slope AS theil_sen_slope
+        |FROM r WHERE rn = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     // exact integer log2 via the binary-string length, both engines
     "events_interarrival" ->
