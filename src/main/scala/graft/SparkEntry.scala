@@ -3858,6 +3858,65 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Time-to-convert: per converting user, the µs gap from FIRST view
+    // to the first click strictly after it (the funnel's latency, not
+    // just its count); per-step medians and p90 rank-selected at exact
+    // positions ⌊(n+1)/2⌋ / ⌈0.9n⌉ under (gap, user) — integer µs, no
+    // interpolated quantiles. Same three-aggregate shape as
+    // events_funnel, one extra subtraction.
+    "events_time_to_convert" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .localCheckpoint()
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val gaps = c.join(v, "user_id")
+        .select(col("user_id"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("gap"))
+      val w = Window.orderBy(col("gap"), col("user_id"))
+      val ranked = gaps.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
+        .localCheckpoint()
+      ranked.where(col("rn") === expr("(n + 1) div 2"))
+        .select(lit("median").as("stat"), col("n").as("n_converted"),
+          col("gap").as("gap_us"))
+        .unionAll(ranked.where(col("rn") === expr("(9 * n + 9) div 10"))
+          .select(lit("p90").as("stat"), col("n").as("n_converted"),
+            col("gap").as("gap_us")))
+        .orderBy(col("stat"))
+    }),
+
+    // Overdispersion audit per event type: variance-to-mean ratio of
+    // the DAILY count series in EXACT integer moments (n·Σc² − (Σc)²
+    // over n², divided by the mean once at the end) — the "is this
+    // Poisson or bursty" pre-flight that decides whether a rate alarm
+    // can assume var≈mean; dispersion ≫ 1 says bursts are normal and
+    // the alarm needs the measured variance.
+    "profile_dispersion" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n_days"),
+          round(col("s1").cast("double") / col("n_days").cast("double"), 6)
+            .as("mean_daily"),
+          round((col("n_days") * col("s2") - col("s1") * col("s1"))
+            .cast("double") /
+            (col("n_days") * col("n_days")).cast("double"), 6)
+            .as("var_daily"),
+          round(((col("n_days") * col("s2") - col("s1") * col("s1"))
+            .cast("double") /
+            (col("n_days") * col("n_days")).cast("double")) /
+            (col("s1").cast("double") / col("n_days").cast("double")), 6)
+            .as("dispersion"))
+        .orderBy(col("event_type"))
+    }),
+
     // Theil–Sen robust trend per event type: the MEDIAN of all pairwise
     // day-slopes — one wild day moves OLS arbitrarily but shifts a
     // median by one rank (the regression twin of the MAD fence). Slopes
@@ -8773,6 +8832,46 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // exact-rank median and ceil(0.9n) p90 over first-view→click gaps
+    "events_time_to_convert" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |g AS (SELECT c.user_id,
+        |    epoch_us(c.t2) - epoch_us(v.t1) AS gap
+        |  FROM c JOIN v USING (user_id)),
+        |r AS (SELECT gap, user_id,
+        |    ROW_NUMBER() OVER (ORDER BY gap, user_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM g)
+        |SELECT 'median' AS stat, n AS n_converted, gap AS gap_us
+        |FROM r WHERE rn = (n + 1) // 2
+        |UNION ALL
+        |SELECT 'p90', n, gap FROM r WHERE rn = (9 * n + 9) // 10
+        |ORDER BY stat""".stripMargin,
+
+    // integer moments over the day-grain series, one division chain
+    "profile_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS mean_daily,
+        |  ROUND(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |    / CAST(n_days * n_days AS DOUBLE), 6) AS var_daily,
+        |  ROUND((CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |    / CAST(n_days * n_days AS DOUBLE))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+        |    AS dispersion
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // same day-grain pair slopes, same rank-selected lower median
     "events_theilsen" ->
