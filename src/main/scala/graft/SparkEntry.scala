@@ -3164,6 +3164,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-space corpus drift: Jaccard of the 3-shingle vocabularies of
+    // the two corpus halves — the CONTENT drift the value-space KS test
+    // can't see (a topic shift keeps every numeric column stationary);
+    // exact integers from two distinct-sets + one intersection count.
+    "text_vocab_drift" -> ((s, d) => {
+      val dcs = docs(s, d)
+      val half = dcs.agg(expr("count(1) div 2").as("h"))
+      val sh = dcs.crossJoin(broadcast(half))
+        .select((col("doc_id") < col("h")).as("first_half"), explode(
+          graft.functions.TextFunctions.shinglesFromTokens(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("t"))
+        .groupBy(col("t"))
+        .agg(max(when(col("first_half"), 1L).otherwise(0L)).as("in_a"),
+          max(when(!col("first_half"), 1L).otherwise(0L)).as("in_b"))
+      sh.agg(sum(col("in_a")).as("vocab_a"), sum(col("in_b")).as("vocab_b"),
+          sum(col("in_a") * col("in_b")).as("inter"))
+        .select(col("vocab_a"), col("vocab_b"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"),
+            6).as("jaccard"))
+    }),
+
     // Vocabulary growth curve (Heaps' law, measured) over the 3-SHINGLE
     // vocabulary (the unigram vocabulary of this synthetic corpus
     // saturates in decile 0 — 31 words; shingles genuinely grow): new
@@ -3887,6 +3909,29 @@ object SparkEntry {
           .select(lit("p90").as("stat"), col("n").as("n_converted"),
             col("gap").as("gap_us")))
         .orderBy(col("stat"))
+    }),
+
+    // 10%-trimmed mean per event type: drop the exact-rank top and
+    // bottom ⌈n/10⌉ values (rank under (value, id) — deterministic, no
+    // interpolation) and mean the survivors through the decimal(18,2)
+    // cents carrier — the robust location estimate between the mean
+    // (breaks at one outlier) and the median (throws away 98% of the
+    // data); the fence companion to profile_mad_outliers.
+    "profile_trimmed_mean" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("rn") > expr("(n + 9) div 10") &&
+          col("rn") <= expr("n - (n + 9) div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+        .orderBy(col("event_type"))
     }),
 
     // Overdispersion audit per event type: variance-to-mean ratio of
@@ -7913,6 +7958,41 @@ object SparkEntry {
         |    + (CASE WHEN punct / NULLIF(n_chars_c, 0) < 0.2 THEN 0.3 ELSE 0.0 END)
         |    + (CASE WHEN stops > 0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // two distinct vocabularies + one intersection, exact integers
+    "text_vocab_drift" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |h AS (SELECT COUNT(*) // 2 AS h FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles3 AS shingles FROM tok),
+         |ex AS (SELECT doc_id, unnest(shingles) AS t FROM sh),
+         |fl AS (SELECT ex.doc_id < h.h AS first_half, t
+         |  FROM ex CROSS JOIN h),
+         |pres AS (SELECT t,
+         |    MAX(CASE WHEN first_half THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS in_b
+         |  FROM fl GROUP BY 1),
+         |agg AS (SELECT CAST(SUM(in_a) AS BIGINT) AS vocab_a,
+         |    CAST(SUM(in_b) AS BIGINT) AS vocab_b,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS inter FROM pres)
+         |SELECT vocab_a, vocab_b, inter,
+         |  ROUND(CAST(inter AS DOUBLE)
+         |    / CAST(vocab_a + vocab_b - inter AS DOUBLE), 6) AS jaccard
+         |FROM agg""".stripMargin,
+
+    // exact-rank trim of ⌈n/10⌉ per side, double mean of survivors
+    "profile_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_kept,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS trimmed_mean
+        |FROM r
+        |WHERE rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // first occurrence is a MIN aggregate; dense doc ids cut deciles
     "text_vocab_growth" ->
