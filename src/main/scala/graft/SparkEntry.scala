@@ -3647,6 +3647,35 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Stratified Horvitz–Thompson estimate audited: each source is
+    // sampled at its OWN rate (1/2, 1/4, 1/8 — the realistic design
+    // where cheap strata are sampled deep and expensive ones thin) and
+    // the per-stratum inverse-probability scale-up Σ 1/π is compared
+    // against the true counts the estimator never saw. The unequal-
+    // probability upgrade of X225's uniform audit; per-stratum exact
+    // integers (scale factors are powers of two).
+    "sample_ht_estimate" -> ((s, d) => {
+      val dcs = docs(s, d)
+      val rate = when(col("source") === "src0", 2L)
+        .when(col("source") === "src1", 4L).otherwise(8L)
+      val sampled = dcs
+        .withColumn("inv", rate)
+        .where(operators.Sampling.hashBucket(col("doc_id"), "ht") <
+          expr("1000000 div inv"))
+      val est = sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("inv")).as("ht_rows"))
+      dcs.groupBy(col("source")).agg(count(lit(1)).as("true_rows"))
+        .join(est, Seq("source"), "left")
+        .select(col("source"), col("true_rows"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("ht_rows"), lit(0L)).as("ht_rows"),
+          round((coalesce(col("ht_rows"), lit(0L)) - col("true_rows"))
+            .cast("double") / col("true_rows").cast("double"), 6)
+            .as("rel_err"))
+        .orderBy(col("source"))
+    }),
+
     // Chao1 species-richness estimator audited: estimate a column's NDV
     // from the 1-in-8 sample ALONE (D + f1²/2f2 from the sample's
     // frequency-of-frequencies — Chao 1984), then compare against the
@@ -3878,6 +3907,41 @@ object SparkEntry {
         .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), round(col("z"), 6).as("z"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Markov stationary distribution of the user journey: 3 integer
+    // fixed-point power-iteration rounds over the ROW-STOCHASTIC
+    // event-type transition matrix (share = (p·t) div r — the PageRank
+    // carrier without damping or teleport, since a transition matrix is
+    // already stochastic): where the journey settles if it runs forever
+    // — the equilibrium the raw transition counts only hint at. The
+    // state space is the TYPE alphabet (5 rows); only the one lag
+    // window touches event grain.
+    "events_markov_stationary" -> ((s, d) => {
+      val S = 1000000000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("i"), col("event_type").as("j"))
+        .agg(count(lit(1)).as("t"))
+        .localCheckpoint()
+      val rows = tr.groupBy(col("i")).agg(sum(col("t")).as("r"))
+        .localCheckpoint()
+      var p = rows.crossJoin(broadcast(rows.agg(count(lit(1)).as("k"))))
+        .select(col("i").as("state"), expr(s"${S}L div k").as("p"))
+        .localCheckpoint()
+      (1 to 3).foreach { _ =>
+        p = tr.join(rows, "i")
+          .join(p.withColumnRenamed("state", "i"), "i")
+          .select(col("j").as("state"), expr("(p * t) div r").as("sh"))
+          .groupBy(col("state")).agg(sum(col("sh")).as("p"))
+          .localCheckpoint()
+      }
+      p.select(col("state").as("event_type"), col("p").as("stationary_units"))
+        .orderBy(col("event_type"))
     }),
 
     // Time-to-convert: per converting user, the µs gap from FIRST view
@@ -8484,6 +8548,27 @@ object SparkEntry {
          |ORDER BY col_x, col_y""".stripMargin
     },
 
+    // per-stratum rates, same md5 bucket, Σ 1/π vs exact counts
+    "sample_ht_estimate" -> {
+      val b = sqlHash64("CAST(doc_id AS VARCHAR) || '#ht'")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2
+         |         WHEN source = 'src1' THEN 4 ELSE 8 END AS inv,
+         |    $b % 1000000 AS bk
+         |  FROM documents),
+         |s AS (SELECT source, COUNT(*) AS n_sampled,
+         |    CAST(SUM(inv) AS BIGINT) AS ht_rows
+         |  FROM d WHERE bk < 1000000 // inv GROUP BY 1),
+         |t AS (SELECT source, COUNT(*) AS true_rows FROM documents
+         |  GROUP BY 1)
+         |SELECT t.source, t.true_rows,
+         |  COALESCE(s.n_sampled, 0) AS n_sampled,
+         |  COALESCE(s.ht_rows, 0) AS ht_rows,
+         |  ROUND(CAST(COALESCE(s.ht_rows, 0) - t.true_rows AS DOUBLE)
+         |    / CAST(t.true_rows AS DOUBLE), 6) AS rel_err
+         |FROM t LEFT JOIN s USING (source) ORDER BY source""".stripMargin
+    },
+
     // same md5 bucket, same 1-in-8 cut, scale-up vs exact counts
     "sample_estimate_audit" -> {
       val b = sqlHash64(
@@ -8912,6 +8997,29 @@ object SparkEntry {
         |  ROUND(z, 6) AS z
         |FROM z WHERE abs(z) >= 2.5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // same integer share = (p·t) // r, three unrolled rounds
+    "events_markov_stationary" -> {
+      val rounds = (1 to 3).map { n =>
+        s"""p$n AS (SELECT tr.j AS state,
+           |    CAST(SUM((p.p * tr.t) // rw.r) AS BIGINT) AS p
+           |  FROM tr JOIN rw USING (i)
+           |  JOIN p${n - 1} p ON p.state = tr.i GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |tr AS (SELECT prev AS i, event_type AS j, COUNT(*) AS t
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |rw AS (SELECT i, CAST(SUM(t) AS BIGINT) AS r FROM tr GROUP BY 1),
+         |k AS (SELECT COUNT(*) AS k FROM rw),
+         |p0 AS (SELECT i AS state,
+         |  CAST(1000000000000 // k AS BIGINT) AS p FROM rw CROSS JOIN k),
+         |$rounds
+         |SELECT state AS event_type, p AS stationary_units
+         |FROM p3 ORDER BY event_type""".stripMargin
+    },
 
     // exact-rank median and ceil(0.9n) p90 over first-view→click gaps
     "events_time_to_convert" ->
