@@ -4945,6 +4945,441 @@ object SparkEntry {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // Gini concentration of customer spend per region: the classic
+    // inequality index from the rank formula G = (2·Σ i·x_(i) − (n+1)·T)
+    // / (n·T), EXACT — spend in integer cents through DECIMAL(18,2)·100,
+    // ranks under (spend, custkey), Σ i·x carried in DECIMAL(38,0), ONE
+    // double division at the end. Customer grain aggregates first, so
+    // the ranked window runs per region over the reduced relation; at
+    // 100 TB the exact rank becomes a range-partitioned prefix sum (or a
+    // sketch Gini) — the per-region partition here is the honest small-
+    // scale form of that layout.
+    "orders_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+          "AS DECIMAL(38,0))")).as("x"))
+      val w = Window.partitionBy(col("r_name"))
+        .orderBy(col("x"), col("c_custkey"))
+      spend
+        .withColumn("i", row_number().over(w).cast("decimal(38,0)"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).as("tot"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("r_name"), col("n_customers"),
+          col("tot").cast("long").as("total_cents"),
+          round((lit(2).cast("decimal(38,0)") * col("ix")
+            - (col("n_customers") + 1).cast("decimal(38,0)") * col("tot"))
+            .cast("double") /
+            (col("n_customers").cast("double") * col("tot").cast("double")),
+            6).as("gini"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Herfindahl–Hirschman concentration per region: Σ share² of each
+    // supplier's lineitem revenue = Σ s_i² / S², all-integer (revenue in
+    // cents, squares in DECIMAL(38,0)/HUGEINT), one double division.
+    // THE market-concentration pre-flight for partition skew too: an
+    // HHI near 1 on a join key says one supplier owns the key space and
+    // the join needs the salt path. Supplier grain reduces first; the
+    // square-sum is a plain combiner-heavy reagg of that relation.
+    "profile_hhi" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("s_suppkey"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+          "AS DECIMAL(38,0))")).as("rev"))
+      rev.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev")).as("tot"),
+          sum(col("rev") * col("rev")).as("sq"))
+        .select(col("r_name"), col("n_suppliers"),
+          round(col("sq").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")), 6)
+            .as("hhi"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Gini–Simpson diversity per user: 1 − Σ p_i² = (n² − Σ c_i²) / n²
+    // over the user's event-type mix — the EXACT-rational diversity
+    // index (entropy's log needs floats; this one is two integer sums
+    // and one division). Low diversity + high volume = a bot signature;
+    // the per-user mix is one combiner-heavy agg + one reagg, no window.
+    "events_diversity" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n"),
+          sum(col("c") * col("c")).as("c2"))
+        .select(col("user_id"), col("n_types"), col("n"),
+          round((col("n") * col("n") - col("c2")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("gini_simpson"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Lag-1 autocorrelation of the daily count series per event type,
+    // over the GLOBAL day spine (a type absent on a day counts 0 —
+    // dropping the day would splice non-adjacent days together). The
+    // estimator is multiplied through by n²: num = Σ(n·x_t − T)(n·x_{t+1}
+    // − T), den = Σ(n·x_t − T)² — exact integers, one division. r₁ ≈ 0
+    // says daily counts are memoryless; r₁ ≫ 0 says yesterday predicts
+    // today and rate alarms need a trend term. Day-grain series only;
+    // the per-type ordered window is bounded tiny.
+    "events_autocorr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val series = spine
+        .crossJoin(ev.select(col("event_type")).distinct())
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce(col("c"), lit(0L)))
+        .localCheckpoint()
+      val tot = series.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("t"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      series.join(tot, "event_type")
+        .withColumn("dev", col("n") * col("x") - col("t"))
+        .withColumn("nxt", lead(col("dev"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          sum(col("dev") * col("nxt")).as("num_"),
+          sum(col("dev") * col("dev")).as("den_"))
+        .select(col("event_type"), col("n_days"),
+          round(col("num_").cast("double") / col("den_").cast("double"), 6)
+            .as("acf1"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Wald–Wolfowitz runs test on the daily total series vs its median:
+    // is the above/below-median sign sequence random, or do high days
+    // clump? ALL INTEGER — the median is rank-selected (lower, under
+    // (n, day)), tie days dropped per the textbook test, runs = 1 +
+    // Σ[sign_t ≠ sign_{t−1}]; the expected-runs 1 + 2n₁n₂/(n₁+n₂) and
+    // its variance are the only divisions, once, at the end. The
+    // trend/clustering smell test that needs NO distributional
+    // assumption — companion to CUSUM (which locates the break).
+    "events_runs_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val med = daily
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n"), col("day"))))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+        .where(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("n").as("med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .where(col("n") =!= col("med"))
+        .withColumn("sgn", (col("n") > col("med")).cast("int"))
+        .withColumn("chg",
+          when(lag(col("sgn"), 1).over(Window.orderBy(col("day"))).isNull,
+            0).otherwise(
+            (lag(col("sgn"), 1).over(Window.orderBy(col("day")))
+              =!= col("sgn")).cast("int")))
+      signed.agg(count(lit(1)).as("n_kept"),
+          sum(col("sgn")).as("n_plus"),
+          sum(lit(1) - col("sgn")).as("n_minus"),
+          (sum(col("chg")) + 1).as("n_runs"))
+        .select(col("n_kept"), col("n_plus"), col("n_minus"), col("n_runs"),
+          round(lit(1.0) + lit(2.0) *
+            (col("n_plus") * col("n_minus")).cast("double") /
+            col("n_kept").cast("double"), 6).as("expected_runs"),
+          round(lit(2.0) * (col("n_plus") * col("n_minus")).cast("double") *
+            (lit(2) * col("n_plus") * col("n_minus") - col("n_kept"))
+              .cast("double") /
+            ((col("n_kept") * col("n_kept")).cast("double") *
+              (col("n_kept") - 1).cast("double")), 6).as("var_runs"))
+    }),
+
+    // Pearson lag-0 cross-correlation between every PAIR of event
+    // types' daily series on the zero-filled spine: which signals move
+    // together (views↔clicks) and which don't (errors) — the alarm-
+    // dedup pre-flight. Moments are exact integers multiplied through
+    // by n (num = nΣxy − ΣxΣy, den² = (nΣx²−(Σx)²)(nΣy²−(Σy)²)); the
+    // only floats are two IEEE-exact sqrts and one division. Day-grain
+    // self-join, C(5,2) pairs — never event grain.
+    "events_xcorr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val series = spine
+        .crossJoin(ev.select(col("event_type")).distinct())
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce(col("c"), lit(0L)))
+        .select(col("event_type"), col("day"), col("x"))
+        .localCheckpoint()
+      series.toDF("ta", "day", "xa")
+        .join(series.toDF("tb", "day", "xb"), "day")
+        .where(col("ta") < col("tb"))
+        .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+          sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa") * col("xa")).as("sx2"),
+          sum(col("xb") * col("xb")).as("sy2"))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_days") * col("sx2") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n_days") * col("sy2") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("pearson_r"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Total-variation drift between the two calendar halves' event-type
+    // mixes: TVD = ½ Σ |p₁ − p₂| = Σ|c₁·N₂ − c₂·N₁| / (2·N₁·N₂), exact
+    // integers over common denominators, one division per row — the
+    // CATEGORICAL drift the value-space KS and token-space Jaccard
+    // can't see. The split day is (min+max+1) div 2 on the day index
+    // (both engines floor non-negative div identically); conditional
+    // sums zero-fill a type absent from one half for free.
+    "events_tvd_drift" -> ((s, d) => {
+      val mid = Tables.events(s, d)
+        .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("di"))
+        .agg(expr("(min(di) + max(di) + 1) div 2").as("mid"))
+      val per = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("di"))
+        .crossJoin(broadcast(mid))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("di") < col("mid"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("di") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("numer", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .withColumn("tvd_term", round(col("numer").cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")), 6))
+        .withColumn("tvd_total", round(
+          sum(col("numer")).over(Window.partitionBy()).cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")), 6))
+        .select(col("event_type"), col("c1"), col("c2"),
+          col("tvd_term"), col("tvd_total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // RFM quartile scoring — the classic customer-value segmentation:
+    // recency (days since last order vs the corpus max date), frequency
+    // (order count), monetary (spend in exact cents), each cut into
+    // NTILE(4) quartiles under a fully-pinned order (metric, custkey) —
+    // ntile's ⌈n/b⌉-first-buckets split is engine-identical given a
+    // total order. Integer outputs end to end; the three global ntile
+    // sorts run on the customer-grain relation (at 100 TB: quantile
+    // boundaries from a sketch, then a broadcast bucket join).
+    "customer_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS DECIMAL(38,0))")).cast("long").as("monetary_cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days", datediff(col("mxd"), col("last_order")))
+      per
+        .withColumn("r_score", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(4).over(
+          Window.orderBy(col("n_orders").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(4).over(
+          Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+        .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // χ² independence of event_type × day-of-week: contrib = (N·O −
+    // R·C)²/(N·R·C) per cell — the float enters ONCE per cell on exact
+    // integer operands, each contrib rounded to 6 then summed through
+    // DECIMAL so the total is order-independent. Day-of-week via the
+    // day-index mod 7 (2024-01-01 is a Monday) — engine-identical,
+    // immune to locale dow conventions. Everything reads the one
+    // (type, dow) cell table; margins are windows over it, never a
+    // second scan.
+    "events_chi2_dow" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(7))
+            .as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      cells
+        .withColumn("r", sum(col("o")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("c", sum(col("o")).over(
+          Window.partitionBy(col("dow"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+        // (N·O − R·C)² and N·R·C overflow BIGINT past ~sf0.3 — carry the
+        // cell arithmetic in DECIMAL(38,0) (HUGEINT in the oracle)
+        .withColumn("dev", (col("n").cast("decimal(38,0)") * col("o")
+          - col("r").cast("decimal(38,0)") * col("c")))
+        .withColumn("contrib", round(
+          (col("dev") * col("dev")).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("r") * col("c"))
+            .cast("double"), 6))
+        .withColumn("chi2_total",
+          sum(col("contrib").cast("decimal(18,6)"))
+            .over(Window.partitionBy()).cast("double"))
+        .select(col("event_type"), col("dow"), col("o"),
+          col("contrib"), col("chi2_total"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Mann–Kendall trend test per event type on the zero-filled daily
+    // series: S = Σ_{i<j} sign(x_j − x_i) (the TEST to X240's Theil–Sen
+    // slope), with the tie-corrected variance ×18 kept integer —
+    // Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tie-group sizes —
+    // and the continuity-corrected z the only float. Day-grain pair
+    // join per type; tie groups are a reagg of the same day series.
+    "events_mann_kendall" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val series = spine
+        .crossJoin(ev.select(col("event_type")).distinct())
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce(col("c"), lit(0L)))
+        .select(col("event_type"), col("day"), col("x"))
+        .localCheckpoint()
+      val sStat = series.toDF("event_type", "da", "xa")
+        .join(series.toDF("event_type", "db", "xb"), "event_type")
+        .where(col("da") < col("db"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = series.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_corr"))
+      sStat.join(ties, "event_type")
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1) *
+            (lit(2) * col("n_days") + 5) - col("tie_corr"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          round(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0)), 6).as("z_mk"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Corpus length concentration: docs cut into NTILE(10) deciles by
+    // (n_chars DESC, doc_id), per-decile char share and cumulative
+    // share — the Lorenz view of "how much of the corpus the longest
+    // 10% owns", which prices truncation/packing policy before a
+    // training run. Integer sums, one division per row; the global
+    // ntile sort is customer-grain-bounded (sketch boundaries + bucket
+    // join at 100 TB, same note as customer_rfm).
+    "profile_length_deciles" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      per
+        .withColumn("tot", sum(col("chars")).over(Window.partitionBy()))
+        .withColumn("cum", sum(col("chars")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_docs"), col("chars"),
+          round(col("chars").cast("double") / col("tot").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("tot").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
+    // Unpivot (wide→long) as the pivot inverse: the same explicit-list
+    // pivot as q_pivot_events but with COUNT cells, melted back to long
+    // via Dataset.unpivot — one hash aggregate then a per-row explode of
+    // the 5 value columns, no shuffle added by the melt itself. Absent
+    // (user, type) combos surface as NULL cells and are dropped, so the
+    // roundtrip equals the plain long-form aggregate the oracle computes.
+    "q_unpivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .where(col("n").isNotNull)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Relational division — "customers who ordered in EVERY priority
+    // class": the classic total-requirement query (Codd's ÷). Implemented
+    // as distinct-pair reduce → per-customer class count → broadcast
+    // compare against the global class count — no correlated NOT EXISTS
+    // double-negation, one shuffle on custkey, divisor relation is a
+    // 1-row broadcast. At 100 TB the distinct pre-reduce is the key move:
+    // division runs over (customer × class), never over raw orders.
+    "q_relational_division" -> ((s, d) => {
+      val pr = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      val all = Tables.orders(s, d)
+        .agg(countDistinct(col("o_orderpriority")).as("n_all"))
+      pr.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_classes"))
+        .join(broadcast(all), col("n_classes") === col("n_all"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_classes"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Quantity-weighted median price per returnflag, EXACT: collapse to
+    // one row per (flag, price-cents) with summed integer weight, running
+    // weight via a cents-ordered window, median = least value whose
+    // doubled running weight reaches the total (2·cum ≥ T — integer
+    // compare, no halves). Ties need no tiebreak: equal values merged
+    // before the scan, so the crossing value is unique by construction.
+    "profile_weighted_median" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("w")).as("w"))
+      val win = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      per
+        .withColumn("cum", sum(col("w")).over(win))
+        .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("cum") * 2 >= col("tot"), col("cents")))
+            .as("wmedian_cents"),
+          max(col("tot")).as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -9581,6 +10016,308 @@ object SparkEntry {
         |  u.value AS matched_value
         |FROM t ASOF LEFT JOIN u ON t.key = u.key AND u.ts <= t.ts
         |ORDER BY CAST(t.tick_id AS BIGINT)""".stripMargin,
+
+    // same rank formula, spend in exact cents, HUGEINT carriers
+    "orders_gini" ->
+      """WITH spend AS (
+        |  SELECT r.r_name, c.c_custkey,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT)) AS HUGEINT) AS x
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT r_name, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+        |      ORDER BY x, c_custkey) AS HUGEINT) AS i
+        |  FROM spend)
+        |SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(x) AS BIGINT) AS total_cents,
+        |  ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+        |    AS gini
+        |FROM ranked GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    // Σ s² / S² in exact cents, one division
+    "profile_hhi" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, s.s_suppkey,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT)) AS HUGEINT) AS rev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, COUNT(*) AS n_suppliers,
+        |  ROUND(CAST(SUM(rev * rev) AS DOUBLE)
+        |    / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6)
+        |    AS hhi
+        |FROM rev GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    // (n² − Σc²)/n² exact rational per user
+    "events_diversity" ->
+      """WITH mix AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+        |    / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS gini_simpson
+        |FROM mix GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // n²-scaled integer moments over the zero-filled day spine
+    "events_autocorr" ->
+      """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.event_type, s.day, COALESCE(d.c, 0) AS x
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN daily d
+        |    ON d.event_type = t.event_type AND d.day = s.day),
+        |tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS t,
+        |    COUNT(*) AS n
+        |  FROM series GROUP BY 1),
+        |dev AS (
+        |  SELECT s.event_type, tot.n,
+        |    tot.n * s.x - tot.t AS dev,
+        |    lead(tot.n * s.x - tot.t) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.day) AS nxt
+        |  FROM series s JOIN tot ON s.event_type = tot.event_type)
+        |SELECT event_type, MAX(n) AS n_days,
+        |  ROUND(CAST(SUM(dev * nxt) AS DOUBLE)
+        |    / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf1
+        |FROM dev GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // lower-median sign sequence, tie days dropped, one division at end
+    "events_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |med AS (
+        |  SELECT n AS med FROM (
+        |    SELECT n, ROW_NUMBER() OVER (ORDER BY n, day) AS rn,
+        |      COUNT(*) OVER () AS nd
+        |    FROM daily)
+        |  WHERE rn = (nd + 1) // 2),
+        |signed AS (
+        |  SELECT day, CASE WHEN n > med THEN 1 ELSE 0 END AS sgn
+        |  FROM daily CROSS JOIN med WHERE n <> med),
+        |runs AS (
+        |  SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+        |      THEN 0
+        |      WHEN lag(sgn) OVER (ORDER BY day) <> sgn THEN 1
+        |      ELSE 0 END AS chg
+        |  FROM signed)
+        |SELECT COUNT(*) AS n_kept,
+        |  CAST(SUM(sgn) AS BIGINT) AS n_plus,
+        |  CAST(SUM(1 - sgn) AS BIGINT) AS n_minus,
+        |  CAST(SUM(chg) + 1 AS BIGINT) AS n_runs,
+        |  ROUND(1.0 + 2.0 * CAST(SUM(sgn) * SUM(1 - sgn) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS expected_runs,
+        |  ROUND(2.0 * CAST(SUM(sgn) * SUM(1 - sgn) AS DOUBLE)
+        |    * CAST(2 * SUM(sgn) * SUM(1 - sgn) - COUNT(*) AS DOUBLE)
+        |    / (CAST(COUNT(*) * COUNT(*) AS DOUBLE)
+        |       * CAST(COUNT(*) - 1 AS DOUBLE)), 6) AS var_runs
+        |FROM runs""".stripMargin,
+
+    // n-scaled integer moments per type pair; sqrt is IEEE-exact
+    "events_xcorr" ->
+      """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.event_type, s.day, COALESCE(d.c, 0) AS x
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN daily d
+        |    ON d.event_type = t.event_type AND d.day = s.day),
+        |m AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n, CAST(SUM(a.x) AS BIGINT) AS sx,
+        |    CAST(SUM(b.x) AS BIGINT) AS sy,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x * a.x) AS BIGINT) AS sx2,
+        |    CAST(SUM(b.x * b.x) AS BIGINT) AS sy2
+        |  FROM series a JOIN series b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n AS n_days,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS pearson_r
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
+
+    // |c1·N2 − c2·N1| over common denominators, one division per row
+    "events_tvd_drift" ->
+      """WITH di AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |mid AS (SELECT (MIN(di) + MAX(di) + 1) // 2 AS mid FROM di),
+        |per AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN di < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN di >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM di CROSS JOIN mid GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |  CAST(SUM(c2) AS BIGINT) AS n2 FROM per)
+        |SELECT event_type, c1, c2,
+        |  ROUND(CAST(abs(c1 * n2 - c2 * n1) AS DOUBLE)
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |    AS tvd_term,
+        |  ROUND(CAST(SUM(abs(c1 * n2 - c2 * n1)) OVER () AS DOUBLE)
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |    AS tvd_total
+        |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    // same three pinned-order NTILE(4) cuts over the customer grain
+    "customer_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(last_order) AS mxd FROM per),
+        |scored AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', last_order, mxd) AS recency_days,
+        |    n_orders, monetary_cents
+        |  FROM per CROSS JOIN mx)
+        |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+        |  n_orders, monetary_cents,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT)
+        |    AS r_score,
+        |  CAST(NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS INT)
+        |    AS f_score,
+        |  CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |    AS INT) AS m_score,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) * 100
+        |    + NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) * 10
+        |    + NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |    AS INT) AS rfm_code
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    // per-cell rounded contribs summed through DECIMAL; dow = di mod 7
+    "events_chi2_dow" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT event_type, dow, o,
+        |    SUM(o) OVER (PARTITION BY event_type) AS r,
+        |    SUM(o) OVER (PARTITION BY dow) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |ct AS (
+        |  SELECT event_type, dow, o,
+        |    ROUND(CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |        * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |        AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 6) AS contrib
+        |  FROM marg)
+        |SELECT event_type, CAST(dow AS INT) AS dow, o, contrib,
+        |  CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS chi2_total
+        |FROM ct ORDER BY event_type, dow""".stripMargin,
+
+    // S and the ×18 tie-corrected variance stay integer; z is the float
+    "events_mann_kendall" ->
+      """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.event_type, s.day, COALESCE(d.c, 0) AS x
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN daily d
+        |    ON d.event_type = t.event_type AND d.day = s.day),
+        |s_stat AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM series a JOIN series b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+        |  FROM (SELECT event_type, x, COUNT(*) AS t
+        |    FROM series GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.event_type, t.n_days, s.s_stat,
+        |  CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_corr
+        |    AS BIGINT) AS var18,
+        |  ROUND((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+        |    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+        |    ELSE 0.0 END)
+        |    / sqrt(CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+        |        - t.tie_corr AS DOUBLE) / 18.0), 6) AS z_mk
+        |FROM s_stat s JOIN ties t ON s.event_type = t.event_type
+        |ORDER BY s.event_type""".stripMargin,
+
+    // same pinned NTILE(10) cut; shares are one division per row
+    "profile_length_deciles" ->
+      """WITH cut AS (
+        |  SELECT doc_id, n_chars,
+        |    NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        |  FROM documents),
+        |per AS (
+        |  SELECT decile, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM cut GROUP BY 1)
+        |SELECT CAST(decile AS INT) AS decile, n_docs, chars,
+        |  ROUND(CAST(chars AS DOUBLE)
+        |    / CAST(SUM(chars) OVER () AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(SUM(chars) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(SUM(chars) OVER () AS DOUBLE), 6) AS cum_share
+        |FROM per ORDER BY decile""".stripMargin,
+
+    // pivot→unpivot roundtrip == the plain long-form aggregate
+    "q_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_relational_division" ->
+      """WITH pr AS (
+        |  SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |k AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_all FROM orders)
+        |SELECT c.c_custkey, c.c_name, COUNT(*) AS n_classes
+        |FROM pr JOIN customer c ON pr.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) = (SELECT n_all FROM k)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "profile_weighted_median" ->
+      """WITH per AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, cents, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM per)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS wmedian_cents,
+        |  MAX(tot) AS total_weight
+        |FROM cum GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
