@@ -5380,6 +5380,87 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Day-of-week seasonal index per event type: mean daily count on dow d
+    // over the type's overall mean daily count — exact rational
+    // (c_d · days_total) / (days_d · T) with ONE rounded double division.
+    // days_d comes from the observed-day spine (same spine discipline as
+    // events_autocorr: absent (type,dow) cells zero-fill via the
+    // types × dow frame). The DECOMPOSITION companion to X255's χ² test:
+    // χ² says "dow matters", this says by how much per cell.
+    "events_seasonality" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
+        .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01")), lit(7)))
+      val dowDays = spine.groupBy(col("dow")).agg(count(lit(1)).as("days_d"))
+        .withColumn("days_total", sum(col("days_d")).over(Window.partitionBy()))
+      val cells = ev
+        .select(col("event_type"),
+          pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(7)).as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("c"))
+      val frame = ev.select(col("event_type")).distinct()
+        .crossJoin(dowDays)
+      frame.join(cells, Seq("event_type", "dow"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("t", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"), col("c"), col("days_d"),
+          round((col("c") * col("days_total")).cast("double") /
+            (col("days_d") * col("t")).cast("double"), 6)
+            .as("seasonal_index"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Cohort LTV triangle: cohort = month of the customer's FIRST order
+    // (integer month index y·12+m — no months_between float), age = order
+    // month − cohort month, cell = revenue in exact cents + buying
+    // customers, plus the running LTV per cohort over age. The self-join
+    // back to orders shuffles on custkey once — at 100 TB both sides hash
+    // to the same custkey partitioning, so the join is co-located and the
+    // triangle is cohort-grain tiny.
+    "orders_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+      val cells = o.join(first, "o_custkey")
+        .groupBy(col("cm"), (col("m") - col("cm")).cast("long").as("age_months"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          sum(col("cents")).as("revenue_cents"))
+      cells
+        .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(
+          Window.partitionBy(col("cm")).orderBy(col("age_months"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(format_string("%04d-%02d", expr("cm div 12"),
+            pmod(col("cm"), lit(12)) + 1).as("cohort_month"),
+          col("age_months"), col("n_customers"), col("revenue_cents"),
+          col("cum_revenue_cents"))
+        .orderBy(col("cohort_month"), col("age_months"))
+    }),
+
+    // Mutual-kNN pairs: (a,b) kept only when each is in the OTHER's top-k
+    // — the reciprocity filter that turns one-way neighbor lists into
+    // high-precision near-dup/link candidates (one-way top-k is hub-
+    // polluted; mutuality kills hubs by construction). Exact kNN feeds a
+    // self-join on the reversed pair; at 100 TB the same filter runs over
+    // the LSH/IVF candidate lists instead of the exact join.
+    "search_mutual_knn" -> ((s, d) => {
+      val e = embs(s, d)
+      val knn = Similarity.knnJoin(e, e, "embedding", "vec_id", "vec_id",
+        k = 5, dims = 64)
+        .select(col("query_id"), col("base_id"), col("score"))
+        .localCheckpoint()
+      knn.as("a").join(knn.as("b"),
+          col("a.query_id") === col("b.base_id") &&
+          col("a.base_id") === col("b.query_id") &&
+          col("a.query_id") < col("a.base_id"))
+        .select(col("a.query_id").as("vec_a"),
+          col("a.base_id").as("vec_b"), col("a.score"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10318,6 +10399,71 @@ object SparkEntry {
         |  MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS wmedian_cents,
         |  MAX(tot) AS total_weight
         |FROM cum GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |dowdays AS (
+        |  SELECT CAST((day - DATE '2024-01-01') % 7 AS BIGINT) AS dow,
+        |    COUNT(*) AS days_d
+        |  FROM spine GROUP BY 1),
+        |k AS (SELECT CAST(SUM(days_d) AS BIGINT) AS days_total FROM dowdays),
+        |cells AS (
+        |  SELECT event_type,
+        |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS BIGINT) AS dow,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |frame AS (
+        |  SELECT t.event_type, d.dow, d.days_d, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN dowdays d
+        |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.dow = d.dow)
+        |SELECT event_type, CAST(dow AS INT) AS dow, c, days_d,
+        |  ROUND(CAST(c * (SELECT days_total FROM k) AS DOUBLE) /
+        |    CAST(days_d * SUM(c) OVER (PARTITION BY event_type) AS DOUBLE),
+        |    6) AS seasonal_index
+        |FROM frame ORDER BY event_type, dow""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+        |      AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |first AS (
+        |  SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cm, o.m - f.cm AS age_months,
+        |    COUNT(DISTINCT o.o_custkey) AS n_customers,
+        |    CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+        |  age_months, n_customers, revenue_cents,
+        |  CAST(SUM(revenue_cents) OVER (PARTITION BY cm ORDER BY age_months
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+        |FROM cells ORDER BY cohort_month, age_months""".stripMargin,
+
+    "search_mutual_knn" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS base_id,
+        |    ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings b, embeddings q
+        |  WHERE b.vec_id <> q.vec_id),
+        |knn AS (
+        |  SELECT query_id, base_id, score FROM (
+        |    SELECT query_id, base_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, base_id) AS rank
+        |    FROM scored) WHERE rank <= 5)
+        |SELECT a.query_id AS vec_a, a.base_id AS vec_b, a.score
+        |FROM knn a JOIN knn b
+        |  ON a.query_id = b.base_id AND a.base_id = b.query_id
+        |WHERE a.query_id < a.base_id
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
