@@ -5461,6 +5461,74 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Type-token ratio per document — lexical diversity as an exact
+    // rational (distinct whitespace tokens / tokens, same tokenizer as
+    // text_token_stats): the repetition-adjacent quality signal that
+    // catches template/boilerplate docs a length filter keeps. Per-row
+    // Column tree only, no shuffle beyond the scan.
+    "text_ttr" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"))
+        .where(col("n_tokens") > 0)
+        .withColumn("ttr", round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Systematic sampling after a quality-proxy sort: every k-th doc of
+    // the (n_chars, doc_id)-ordered corpus — the sorted walk IS implicit
+    // stratification (the sample spans the length distribution evenly,
+    // where a uniform hash sample can miss the tails at small n). Exact:
+    // row_number under a total order, integer modulus. At 100 TB the
+    // global sort becomes range-partitioned ids (sketch boundaries), the
+    // stride stays per-partition arithmetic.
+    "sample_systematic" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))))
+        .where(pmod(col("rn") - 1, lit(10)) === 0)
+        .select(col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("rn"))
+    }),
+
+    // Neyman optimal allocation for a stratified sample: n_h ∝ N_h·σ_h,
+    // and with population σ_h = sqrt(SS_h)/N_h (SS_h = N·Σx² − (Σx)² the
+    // exact integer scatter), the weight collapses to w_h = sqrt(SS_h) —
+    // one IEEE-exact sqrt per stratum, no mean subtraction. The sqrt is
+    // immediately quantized to integer micro-units (floor(w·1e6): one
+    // multiply + floor of identical doubles, engine-identical), so quota
+    // division and the largest-remainder seat assignment run in EXACT
+    // integers — no float total whose summation order could differ.
+    // The "design the 100 TB sample before paying for it" operator:
+    // stats one combiner-heavy pass, allocation stratum-grain.
+    "sample_neyman_alloc" -> ((s, d) => {
+      val budget = 1000L
+      val st = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+            .as("sxx"))
+        .withColumn("w", sqrt((col("n_h").cast("decimal(38,0)") * col("sxx")
+          - col("sx") * col("sx")).cast("double")))
+        .withColumn("wq", floor(col("w") * lit(1e6)).cast("long"))
+      st
+        .withColumn("wtot", sum(col("wq")).over(Window.partitionBy()))
+        .withColumn("base", expr("(1000 * wq) div wtot"))
+        .withColumn("rem", expr("(1000 * wq) % wtot"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(
+          Window.partitionBy()))
+        .withColumn("bonus_rank", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .select(col("lang"), col("n_h"),
+          round(col("w"), 6).as("neyman_weight"),
+          (col("base") + when(col("bonus_rank") <= col("leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy(col("lang"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10464,6 +10532,56 @@ object SparkEntry {
         |  ON a.query_id = b.base_id AND a.base_id = b.query_id
         |WHERE a.query_id < a.base_id
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "text_ttr" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    len($toks)::INT AS n_tokens,
+        |    len(list_distinct($toks))::INT AS n_types
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_types,
+        |  ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS ttr
+        |FROM t WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_systematic" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS INT) AS rn
+        |  FROM documents)
+        |SELECT rn, doc_id, n_chars FROM r
+        |WHERE (rn - 1) % 10 = 0 ORDER BY rn""".stripMargin,
+
+    "sample_neyman_alloc" ->
+      """WITH st AS (
+        |  SELECT lang, COUNT(*) AS n_h,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, n_h,
+        |    SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)) AS w,
+        |    CAST(FLOOR(SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wq
+        |  FROM st),
+        |q AS (
+        |  SELECT lang, n_h, w, wq,
+        |    CAST(SUM(wq) OVER () AS BIGINT) AS wtot
+        |  FROM w),
+        |seats AS (
+        |  SELECT lang, n_h, w,
+        |    (1000 * wq) // wtot AS base,
+        |    (1000 * wq) % wtot AS rem,
+        |    1000 - SUM((1000 * wq) // wtot) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY (1000 * wq) % wtot DESC, lang)
+        |      AS bonus_rank
+        |  FROM q)
+        |SELECT lang, n_h, ROUND(w, 6) AS neyman_weight,
+        |  CAST(base + CASE WHEN bonus_rank <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM seats ORDER BY lang""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
