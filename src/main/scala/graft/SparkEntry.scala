@@ -5529,6 +5529,99 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Offline changepoint (binary-segmentation step 1): the single best
+    // break day per event type = argmax over candidate splits of the
+    // between-segment score (S_L·n_R − S_R·n_L)²/(n_L·n_R) on the daily
+    // count series. Prefix sums make every candidate O(1); numerator and
+    // denominator are exact integers, the ONE division per candidate
+    // yields identical doubles on both engines, and the argmax is pinned
+    // by (score DESC, day ASC) rank — CUSUM's offline companion (X212
+    // locates drift online; this is the retrospective cut).
+    "events_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pre = daily
+        .withColumn("k", row_number().over(w))
+        .withColumn("sl", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("st", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("k") < col("n")) // split AFTER day k: both sides non-empty
+        .withColumn("num",
+          (col("sl").cast("decimal(38,0)") * (col("n") - col("k"))
+            - (col("st") - col("sl")).cast("decimal(38,0)") * col("k")))
+        .withColumn("score", (col("num") * col("num")).cast("double") /
+          (col("k").cast("decimal(38,0)") * (col("n") - col("k")))
+            .cast("double"))
+      pre
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("day"))))
+        .where(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("break_day"),
+          col("k").cast("long").as("days_before"),
+          (col("n") - col("k")).cast("long").as("days_after"),
+          round(col("score"), 6).as("break_score"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 2×2 association per exposure type: does having ≥1 click/error/
+    // signup/view associate with purchasing? Per-user flags melt through
+    // unpivot into one (exposure → a,b,c,d) contingency aggregate; odds
+    // ratio a·d/(b·c) is the one rounded division (NULL when a margin is
+    // empty). Cells are exact integers — the causal-smell pre-flight
+    // before anyone reads a funnel as causation. User grain reduces
+    // first; the melt is 4 rows per user, cells combiner-friendly.
+    "events_odds_ratio" -> ((s, d) => {
+      val flags = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("click"),
+          max(when(col("event_type") === "error", 1L).otherwise(0L)).as("error"),
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signup"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("view"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+      flags
+        .unpivot(Array(col("user_id"), col("purchased")),
+          Array(col("click"), col("error"), col("signup"), col("view")),
+          "exposure", "exposed")
+        .groupBy(col("exposure"))
+        .agg(
+          sum(col("exposed") * col("purchased")).as("a"),
+          sum(col("exposed") * (lit(1L) - col("purchased"))).as("b"),
+          sum((lit(1L) - col("exposed")) * col("purchased")).as("c"),
+          sum((lit(1L) - col("exposed")) * (lit(1L) - col("purchased"))).as("d"))
+        .select(col("exposure"), col("a"), col("b"), col("c"), col("d"),
+          when(col("b") * col("c") > 0,
+            round((col("a") * col("d")).cast("double") /
+              (col("b") * col("c")).cast("double"), 6))
+            .as("odds_ratio"))
+        .orderBy(col("exposure"))
+    }),
+
+    // Exact mode (ordered-set aggregate) of quantity per returnflag:
+    // value-merged counts ranked under (count DESC, value ASC) — the
+    // deterministic tie-break engines' built-in mode() refuses to
+    // promise. Two combiner-heavy aggregates, rank over group-grain rows.
+    "profile_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("cnt").desc, col("qty"))))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10582,6 +10675,77 @@ object SparkEntry {
         |  CAST(base + CASE WHEN bonus_rank <= leftover THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
         |FROM seats ORDER BY lang""".stripMargin,
+
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS sl,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS HUGEINT) AS st
+        |  FROM daily),
+        |scored AS (
+        |  SELECT event_type, day, k, n,
+        |    CAST((sl * (n - k) - (st - sl) * k)
+        |       * (sl * (n - k) - (st - sl) * k) AS DOUBLE)
+        |      / CAST(CAST(k AS HUGEINT) * (n - k) AS DOUBLE) AS score
+        |  FROM pre WHERE k < n),
+        |best AS (
+        |  SELECT event_type, day, k, n, score,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, day) AS rk
+        |  FROM scored)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS break_day,
+        |  k AS days_before, n - k AS days_after,
+        |  ROUND(score, 6) AS break_score
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "events_odds_ratio" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchased
+        |  FROM events GROUP BY 1),
+        |long AS (
+        |  SELECT user_id, purchased, 'click' AS exposure, click AS exposed
+        |    FROM flags
+        |  UNION ALL SELECT user_id, purchased, 'error', error FROM flags
+        |  UNION ALL SELECT user_id, purchased, 'signup', signup FROM flags
+        |  UNION ALL SELECT user_id, purchased, 'view', view FROM flags),
+        |cells AS (
+        |  SELECT exposure,
+        |    CAST(SUM(exposed * purchased) AS BIGINT) AS a,
+        |    CAST(SUM(exposed * (1 - purchased)) AS BIGINT) AS b,
+        |    CAST(SUM((1 - exposed) * purchased) AS BIGINT) AS c,
+        |    CAST(SUM((1 - exposed) * (1 - purchased)) AS BIGINT) AS d
+        |  FROM long GROUP BY 1)
+        |SELECT exposure, a, b, c, d,
+        |  CASE WHEN b * c > 0
+        |    THEN ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+        |  END AS odds_ratio
+        |FROM cells ORDER BY exposure""".stripMargin,
+
+    "profile_mode" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty) AS rk
+        |  FROM counts)
+        |SELECT l_returnflag, qty AS mode_qty, cnt
+        |FROM ranked WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
