@@ -5622,6 +5622,56 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MATCH_RECOGNIZE-lite: each user's full event history becomes a
+    // 1-char-per-event string (sort_array over (ts, event_id, code)
+    // structs pins the order inside the aggregate — collect_list alone
+    // promises nothing), then funnel patterns are plain regexes over it:
+    // v.*c.*p "browse→click→buy in order", ee "two errors back to back",
+    // p.*e "error AFTER purchase". Sequence mining as string algebra —
+    // one shuffle to user grain, patterns evaluated per row. At 100 TB
+    // the encode is bounded by per-user history (cap long tails first);
+    // the regex pass is embarrassingly parallel.
+    "events_funnel_regex" -> ((s, d) => {
+      val coded = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("code")))),
+          r => r.getField("code")), "").as("seq"))
+      coded.select(
+          count(lit(1)).as("n_users"),
+          sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L))
+            .as("full_funnel"),
+          sum(when(col("seq").rlike("ee"), 1L).otherwise(0L))
+            .as("double_error"),
+          sum(when(col("seq").rlike("p.*e"), 1L).otherwise(0L))
+            .as("error_after_purchase"),
+          sum(when(col("seq").rlike("^v+$"), 1L).otherwise(0L))
+            .as("view_only"))
+    }),
+
+    // Last-touch attribution: every purchase credits the user's most
+    // recent PRECEDING non-purchase event — last(ignoreNulls) over the
+    // (ts, event_id)-ordered user stream, the window-native form of "scan
+    // back for the trigger" (no self-join, no explode). Credits aggregate
+    // to (exposure type → purchases attributed, distinct buyers);
+    // purchases with no preceding exposure land in the 'none' bucket so
+    // the credit ledger always sums to the purchase count.
+    "events_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      Tables.events(s, d)
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("attributed_to"))
+        .agg(count(lit(1)).as("purchases"),
+          countDistinct(col("user_id")).as("buyers"))
+        .orderBy(col("attributed_to"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10746,6 +10796,37 @@ object SparkEntry {
         |  FROM counts)
         |SELECT l_returnflag, qty AS mode_qty, cnt
         |FROM ranked WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "events_funnel_regex" ->
+      """WITH coded AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0
+        |    END) AS BIGINT) AS full_funnel,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS double_error,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'p.*e') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error_after_purchase,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, '^v+$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view_only
+        |FROM coded""".stripMargin,
+
+    "events_attribution" ->
+      """WITH touched AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS attributed_to,
+        |  COUNT(*) AS purchases,
+        |  COUNT(DISTINCT user_id) AS buyers
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed_to""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
