@@ -5388,17 +5388,21 @@ object SparkEntry {
     // types × dow frame). The DECOMPOSITION companion to X255's χ² test:
     // χ² says "dow matters", this says by how much per cell.
     "events_seasonality" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
-        .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01")), lit(7)))
-      val dowDays = spine.groupBy(col("dow")).agg(count(lit(1)).as("days_d"))
-        .withColumn("days_total", sum(col("days_d")).over(Window.partitionBy()))
-      val cells = ev
-        .select(col("event_type"),
-          pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(7)).as("dow"))
-        .groupBy(col("event_type"), col("dow"))
+      // one scan: the (type, day) aggregate is the fan-out point (spine,
+      // type list, dow cells all derive from it) — checkpoint it so raw
+      // events scan ONCE, not once per lazy branch
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
-      val frame = ev.select(col("event_type")).distinct()
+        .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01")), lit(7)))
+        .localCheckpoint()
+      val dowDays = daily.select(col("day"), col("dow")).distinct()
+        .groupBy(col("dow")).agg(count(lit(1)).as("days_d"))
+        .withColumn("days_total", sum(col("days_d")).over(Window.partitionBy()))
+      val cells = daily
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("c")).as("c"))
+      val frame = daily.select(col("event_type")).distinct()
         .crossJoin(dowDays)
       frame.join(cells, Seq("event_type", "dow"), "left")
         .withColumn("c", coalesce(col("c"), lit(0L)))
@@ -5419,11 +5423,14 @@ object SparkEntry {
     // to the same custkey partitioning, so the join is co-located and the
     // triangle is cohort-grain tiny.
     "orders_cohort_ltv" -> ((s, d) => {
+      // checkpoint: `o` fans out (first-order reduce + the join back), so
+      // without it orders.parquet scans twice
       val o = Tables.orders(s, d).select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
           .as("m"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
           .as("cents"))
+        .localCheckpoint()
       val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
       val cells = o.join(first, "o_custkey")
         .groupBy(col("cm"), (col("m") - col("cm")).cast("long").as("age_months"))
