@@ -5679,6 +5679,39 @@ object SparkEntry {
         .orderBy(col("attributed_to"))
     }),
 
+    // Filtered ANN, pre- vs post-filter — THE production vector-search
+    // decision: post-filtering ranks the probed cells first and filters
+    // after (cheap, but the top-k fills with rows the predicate then
+    // kills), pre-filtering pushes the predicate into the candidate set
+    // before ranking (full k survives, costs selectivity-dependent scan).
+    // Both recalls are audited against the FILTERED brute-force truth in
+    // one gate so the gap is a measured number, not folklore. Same IVF
+    // tier as search_ivf_recall; the predicate is a label parity class
+    // (~half the corpus). All id-list joins are ≤k-row broadcasts.
+    "search_prefilter_ann" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val pred = col("label") % 2 === 0
+      val truth = Similarity.bruteForceTopK(e.where(pred), "embedding",
+        "vec_id", qv, k = 10).select(col("vec_id"))
+      val centroids = Similarity.pickCentroids(e, "embedding", "vec_id",
+        numCells = 16)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids)
+        .localCheckpoint()
+      val pre = Similarity.ivfSearch(assigned.where(pred), "embedding",
+        "vec_id", centroids, qv, k = 10, nprobe = 4).select(col("vec_id"))
+      val post = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+        centroids, qv, k = 10, nprobe = 4)
+        .join(broadcast(e.select(col("vec_id"), col("label"))), "vec_id")
+        .where(pred).select(col("vec_id"))
+      annRecall(truth, pre).withColumn("strategy", lit("prefilter"))
+        .unionByName(
+          annRecall(truth, post).withColumn("strategy", lit("postfilter")))
+        .select(col("strategy"), col("n_exact"), col("n_tier"),
+          col("n_found"), col("recall"))
+        .orderBy(col("strategy"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10834,6 +10867,55 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS buyers
         |FROM touched WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_to""".stripMargin,
+
+    "search_prefilter_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |centroids AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+        |  FROM e WHERE vec_id < 16),
+        |a AS (
+        |  SELECT vec_id, label, v, cell FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+        |        AS rn
+        |    FROM e CROSS JOIN centroids c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell FROM centroids, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4),
+        |truth AS (
+        |  SELECT e.vec_id FROM e, q WHERE label % 2 = 0
+        |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id
+        |  LIMIT 10),
+        |pre AS (
+        |  SELECT vec_id FROM a, q
+        |  WHERE cell IN (SELECT cell FROM probe) AND label % 2 = 0
+        |  ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+        |  LIMIT 10),
+        |post AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, label FROM a, q
+        |    WHERE cell IN (SELECT cell FROM probe)
+        |    ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+        |    LIMIT 10) WHERE label % 2 = 0),
+        |fpre AS (SELECT COUNT(*) AS n FROM truth JOIN pre USING (vec_id)),
+        |fpost AS (SELECT COUNT(*) AS n FROM truth JOIN post USING (vec_id))
+        |SELECT 'prefilter' AS strategy,
+        |  (SELECT COUNT(*) FROM truth) AS n_exact,
+        |  (SELECT COUNT(*) FROM pre) AS n_tier,
+        |  (SELECT n FROM fpre) AS n_found,
+        |  ROUND(CAST((SELECT n FROM fpre) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM truth), 6) AS recall
+        |UNION ALL SELECT 'postfilter',
+        |  (SELECT COUNT(*) FROM truth),
+        |  (SELECT COUNT(*) FROM post),
+        |  (SELECT n FROM fpost),
+        |  ROUND(CAST((SELECT n FROM fpost) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM truth), 6)
+        |ORDER BY strategy""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
