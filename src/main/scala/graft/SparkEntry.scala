@@ -5712,6 +5712,43 @@ object SparkEntry {
         .orderBy(col("strategy"))
     }),
 
+    // As-of join with a staleness tolerance (pandas merge_asof
+    // `tolerance`, kdb wj's window edge): the carried match is annulled
+    // when it is older than 30 minutes — "the last quote, unless it's
+    // stale". Same zero-join asof core; the tolerance is one integer-µs
+    // compare on the carried right time, so the plan cost is unchanged.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dw = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(dw)).where(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      val tolUs = 1800L * 1000000L
+      operators.AsofJoin.asofLe(ev, purchases, Seq("user_id"), "ts", "p_ts",
+        "p_event_id", Seq("p_ts", "p_event_id", "p_value"))
+        .withColumn("fresh",
+          unix_micros(col("ts")) - unix_micros(col("p_ts")) <= tolUs)
+        .select(col("event_id"), col("user_id"),
+          when(col("fresh"), col("p_event_id")).as("p_event_id"),
+          when(col("fresh"), round(col("p_value"), 4)).as("p_value"),
+          when(col("fresh"),
+            unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("age_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Class-balanced downsample to the minority class size — the cap is
+    // DERIVED (min class count rides as a broadcast 1-row relation, no
+    // driver collect), selection by the house content-hash rank so the
+    // survivors are engine- and partitioning-stable. The class-imbalance
+    // correction before training on labeled corpora.
+    "sample_balanced_classes" -> ((s, d) => {
+      operators.Sampling.balanceClasses(docs(s, d), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10916,6 +10953,37 @@ object SparkEntry {
         |  ROUND(CAST((SELECT n FROM fpost) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM truth), 6)
         |ORDER BY strategy""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, p.p_event_id, p.p_value,
+        |    epoch_us(e.ts) - epoch_us(p.ts) AS age_us
+        |  FROM events e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN age_us <= 1800000000 THEN p_event_id END AS p_event_id,
+        |  CASE WHEN age_us <= 1800000000 THEN ROUND(p_value, 4) END
+        |    AS p_value,
+        |  CASE WHEN age_us <= 1800000000 THEN age_us END AS age_us
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    "sample_balanced_classes" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#bal'")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |k AS (SELECT MIN(n) AS cap FROM c),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (($h % 1000000) + 1000000) % 1000000, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r, k WHERE rk <= cap
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)

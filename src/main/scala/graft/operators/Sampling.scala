@@ -101,6 +101,26 @@ object Sampling {
       .drop("rank_")
   }
 
+  /** Class-balanced downsample: every class kept at the MINORITY class's
+    * size — [[capPerGroup]] with the cap derived from the data instead of
+    * passed in. The cap rides as a broadcast 1-row relation (no driver
+    * collect), selection order is the same content-hash rank as every
+    * sampler here, so the surviving set is stable across runs, engines,
+    * and partitionings. One count pass + one window shuffle on the class.
+    */
+  def balanceClasses(df: DataFrame, idCol: String, classCol: String,
+      salt: String = "bal"): DataFrame = {
+    val cap = df.groupBy(col(classCol)).agg(count(lit(1)).as("n_"))
+      .agg(min(col("n_")).as("cap_"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("rank_", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .where(col("rank_") <= col("cap_"))
+      .drop("rank_", "cap_")
+  }
+
   /** Weighted sampling WITHOUT replacement, k per group — the
     * Efraimidis-Spirakis A-ES scheme made deterministic: each row's key
     * is u^(1/w) with u a uniform in (0, 1] derived from the PORTABLE
