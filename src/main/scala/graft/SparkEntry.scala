@@ -5749,6 +5749,106 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Interval flatten (Teradata NORMALIZE): each event projects a
+    // 15-minute presence interval; overlapping intervals merge into
+    // islands via the classic cum-max sweep — a new island starts exactly
+    // where the start clears every preceding end (half-open, touching
+    // merges). Per user: island count + exact covered µs — "true active
+    // time", which naive count·15min double-counts under bursts. One
+    // user-ordered window + two combiner aggs, all integer µs.
+    "events_coverage_islands" -> ((s, d) => {
+      val winUs = 15L * 60L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("start_us"), col("event_id"))
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"))
+        .withColumn("end_us", col("start_us") + winUs)
+        .withColumn("prev_max_end", max(col("end_us")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull ||
+            col("start_us") >= col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      iv.groupBy(col("user_id"), col("island"))
+        .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Markov next-event predictor EVALUATED on its own corpus: the
+    // argmax-next table (count DESC, type ASC — deterministic) from the
+    // lag-pair transition counts, scored back over every transition:
+    // top-1 accuracy per current type + the base-rate n. The eval
+    // closes the loop on the transition/stationary gates — a model row
+    // you can't act on until you know it beats the majority class.
+    // Pair grain once; the predictor is a 5-row broadcast.
+    "events_next_event_eval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"))
+        .localCheckpoint()
+      val predictor = pairs.groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cur"))
+            .orderBy(col("c").desc, col("nxt"))))
+        .where(col("rk") === 1)
+        .select(col("cur"), col("nxt").as("predicted"))
+      pairs.join(broadcast(predictor), "cur")
+        .groupBy(col("cur"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+            .as("hits"),
+          max(col("predicted")).as("predicted"))
+        .withColumn("accuracy",
+          round(col("hits").cast("double") / col("n").cast("double"), 6))
+        .orderBy(col("cur"))
+    }),
+
+    // Referential-integrity census over the schema's natural FKs: child
+    // rows whose parent key is missing, one left-anti count per edge —
+    // the load-order/corruption smoke test that runs BEFORE anyone
+    // trusts a join. Parent key sets reduce to distincts first; the
+    // small ones broadcast.
+    "profile_fk_orphans" -> ((s, d) => {
+      def orphans(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val pkeys = parent.select(col(pk)).distinct()
+        child.select(col(ck))
+          .join(pkeys, col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(child.agg(count(lit(1)).as("n_child")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d)
+      orphans("lineitem.orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(orphans("lineitem.partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(orphans("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(orphans("orders.custkey->customer",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+          "c_custkey"))
+        .unionByName(orphans("customer.nationkey->nation",
+          Tables.customer(s, d), "c_nationkey", Tables.nation(s, d),
+          "n_nationkey"))
+        .unionByName(orphans("supplier.nationkey->nation",
+          Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d),
+          "n_nationkey"))
+        .unionByName(orphans("nation.regionkey->region",
+          Tables.nation(s, d), "n_regionkey", Tables.region(s, d),
+          "r_regionkey"))
+        .orderBy(col("fk"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -10984,6 +11084,84 @@ object SparkEntry {
          |SELECT doc_id, lang FROM r, k WHERE rk <= cap
          |ORDER BY doc_id""".stripMargin
     },
+
+    "events_coverage_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 900000000 AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, start_us, end_us,
+        |    MAX(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, start_us, end_us,
+        |    SUM(CASE WHEN prev_max_end IS NULL OR start_us >= prev_max_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, MIN(start_us) AS s, MAX(end_us) AS e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "events_next_event_eval" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS cur,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events QUALIFY nxt IS NOT NULL),
+        |pred AS (
+        |  SELECT cur, nxt AS predicted FROM (
+        |    SELECT cur, nxt, COUNT(*) AS c,
+        |      ROW_NUMBER() OVER (PARTITION BY cur
+        |        ORDER BY COUNT(*) DESC, nxt) AS rk
+        |    FROM pairs GROUP BY 1, 2) WHERE rk = 1)
+        |SELECT p.cur, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN p.nxt = d.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  MAX(d.predicted) AS predicted,
+        |  ROUND(CAST(SUM(CASE WHEN p.nxt = d.predicted THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS accuracy
+        |FROM pairs p JOIN pred d USING (cur)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "profile_fk_orphans" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey) AS n_orphans
+        |UNION ALL SELECT 'lineitem.partkey->part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l ANTI JOIN part p
+        |    ON l.l_partkey = p.p_partkey)
+        |UNION ALL SELECT 'lineitem.suppkey->supplier',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l ANTI JOIN supplier s
+        |    ON l.l_suppkey = s.s_suppkey)
+        |UNION ALL SELECT 'orders.custkey->customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+        |    ON o.o_custkey = c.c_custkey)
+        |UNION ALL SELECT 'customer.nationkey->nation',
+        |  (SELECT COUNT(*) FROM customer),
+        |  (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey)
+        |UNION ALL SELECT 'supplier.nationkey->nation',
+        |  (SELECT COUNT(*) FROM supplier),
+        |  (SELECT COUNT(*) FROM supplier s ANTI JOIN nation n
+        |    ON s.s_nationkey = n.n_nationkey)
+        |UNION ALL SELECT 'nation.regionkey->region',
+        |  (SELECT COUNT(*) FROM nation),
+        |  (SELECT COUNT(*) FROM nation n ANTI JOIN region r
+        |    ON n.n_regionkey = r.r_regionkey)
+        |ORDER BY fk""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
