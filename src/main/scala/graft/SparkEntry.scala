@@ -5849,6 +5849,32 @@ object SparkEntry {
         .orderBy(col("fk"))
     }),
 
+    // The full curation pipeline in one call — what a training-data team
+    // actually runs: quality gate (corpus filter) ∩ near-dup canonical
+    // keepers → class-balanced downsample → deterministic split → the
+    // (split × lang) doc/token report a data card is written from. Every
+    // stage is an existing audited operator; the oracle replays the whole
+    // chain end to end, so THIS gate certifies the composition, not just
+    // the parts. kept is checkpointed at its fan-out (balance counts +
+    // rank + report all read it).
+    "pipeline_curation_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val qpass = TextAnalysis.corpusFilter(dd, "text", "doc_id")
+        .where(col("keep")).select(col("doc_id"))
+      val keepers = Dedup.canonicalMap(dd, "text", "doc_id", "n_chars")
+        .where(col("is_keeper")).select(col("doc_id"))
+      val kept = dd.join(qpass, "doc_id").join(keepers, "doc_id")
+        .localCheckpoint()
+      val balanced = operators.Sampling.balanceClasses(kept, "doc_id", "lang")
+      operators.Sampling.assignSplit(balanced, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("toks", size(TextFunctions.tokens(col("text"))))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("ws_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -11162,6 +11188,67 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM nation n ANTI JOIN region r
         |    ON n.n_regionkey = r.r_regionkey)
         |ORDER BY fk""".stripMargin,
+
+    // the whole curation chain replayed: canonical keepers ∩ quality
+    // pass → min-class balance (hash rank, '#bal') → hash split
+    // ('#split') → (split × lang) doc/token report. `tok` is shared with
+    // the canonical CTEs (same definition as text_corpus_filter's).
+    "pipeline_curation_report" -> {
+      val grams2 =
+        """CASE WHEN len(toks) < 2 THEN []
+          |  ELSE list_transform(generate_series(1, len(toks)-1),
+          |    i -> toks[i] || ' ' || toks[i+1]) END""".stripMargin
+      val hbal = sqlHash64("CAST(doc_id AS VARCHAR) || '#bal'")
+      val hsplit = sqlHash64("CAST(doc_id AS VARCHAR) || '#split'")
+      s"""WITH RECURSIVE $canonicalCtes,
+         |keepers AS (
+         |  SELECT c.id AS doc_id FROM comp c JOIN canon USING (component)
+         |  WHERE c.id = canon.canonical_id),
+         |f AS (
+         |  SELECT doc_id, length(text) AS n_chars_c,
+         |    len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+         |    len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+         |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stops
+         |  FROM documents),
+         |qr AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(punct / NULLIF(n_chars_c, 0), 4) AS punct_ratio,
+         |    ROUND(stops / NULLIF(n_tokens, 0), 4) AS stopword_ratio
+         |  FROM f),
+         |g2 AS (SELECT doc_id, unnest($grams2) AS gram FROM tok),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id,
+         |    ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS top_gram_ratio
+         |  FROM c2 GROUP BY 1),
+         |qpass AS (
+         |  SELECT qr.doc_id FROM qr LEFT JOIN a2 ON qr.doc_id = a2.doc_id
+         |  WHERE NOT ((qr.n_tokens < 40)
+         |    OR COALESCE(qr.stopword_ratio < 0.05, TRUE)
+         |    OR COALESCE(qr.punct_ratio > 0.2, FALSE)
+         |    OR COALESCE(a2.top_gram_ratio > 0.1, FALSE))),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN keepers USING (doc_id) JOIN qpass USING (doc_id)),
+         |cnt AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY 1),
+         |cap AS (SELECT MIN(n) AS cap FROM cnt),
+         |balr AS (
+         |  SELECT doc_id, lang, text,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (($hbal % 1000000) + 1000000) % 1000000, doc_id)
+         |      AS rk
+         |  FROM kept),
+         |bal AS (SELECT doc_id, lang, text FROM balr, cap WHERE rk <= cap),
+         |spl AS (
+         |  SELECT lang, text, CASE
+         |    WHEN $hsplit % 1000000 < 800000 THEN 'train'
+         |    WHEN $hsplit % 1000000 < 900000 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM bal)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS ws_tokens
+         |FROM spl GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
