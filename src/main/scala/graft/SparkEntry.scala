@@ -5875,6 +5875,60 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // IVF recall-vs-nprobe curve — the capacity-planning table: recall@10
+    // at nprobe ∈ {1,2,4,8} over the same assignment, in one gate. The
+    // production question is never "what's the recall" but "how many
+    // cells must I probe for the recall I need"; this emits that curve.
+    // exact + assignment checkpoint at their fan-outs (4 tiers read them).
+    "search_ivf_nprobe_curve" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id")).localCheckpoint()
+      val centroids = Similarity.pickCentroids(e, "embedding", "vec_id",
+        numCells = 16)
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", centroids)
+        .localCheckpoint()
+      Seq(1, 2, 4, 8).map { np =>
+        val tier = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+          centroids, qv, k = 10, nprobe = np).select(col("vec_id"))
+        annRecall(exact, tier).withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("n_exact"), col("n_tier"),
+          col("n_found"), col("recall"))
+        .orderBy(col("nprobe"))
+    }),
+
+    // Multi-probe LSH at Hamming radius 1: probe the query's RHP bucket
+    // AND its 4 single-bit-flip neighbors — 5 of 16 buckets replaces the
+    // multi-table trick (X37) at one table's storage cost, the classic
+    // table-count/probe-count trade. Radius-1 is the deterministic core;
+    // production multiprobe orders flips by projection margin, which only
+    // changes WHICH of these neighbors probe first. Candidate set
+    // checkpointed (count + rank both read it); recall vs brute force.
+    "search_lsh_multiprobe" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+        k = 10).select(col("vec_id"))
+      val base = Search.queryBucket(qv, planes = 4, seed = 7)
+      val probes = base +: (0 until 4).map(p => base ^ (1L << p))
+      val cands = e.withColumn("bucket",
+          VectorFunctions.rhpBucket(col("embedding"), planes = 4, seed = 7,
+            dims = 64))
+        .where(col("bucket").isin(probes: _*))
+        .localCheckpoint()
+      val tier = cands
+        .withColumn("score", round(
+          VectorFunctions.cosine(col("embedding"), typedLit(qv), 64), 6))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      annRecall(exact, tier)
+        .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+        .select(col("n_exact"), col("n_tier"), col("n_found"),
+          col("recall"), col("n_candidates"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -11248,6 +11302,79 @@ object SparkEntry {
          |SELECT split, lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS ws_tokens
          |FROM spl GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "search_ivf_nprobe_curve" -> {
+      val nps = Seq(1, 2, 4, 8)
+      val tiers = nps.map { np =>
+        s"""tier$np AS (
+           |  SELECT vec_id FROM a, q WHERE cell IN (
+           |    SELECT cell FROM centroids, q
+           |    ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT $np)
+           |  ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+           |  LIMIT 10),
+           |f$np AS (SELECT COUNT(*) AS n FROM exact JOIN tier$np USING (vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = nps.map { np =>
+        s"""SELECT $np AS nprobe,
+           |  (SELECT COUNT(*) FROM exact) AS n_exact,
+           |  (SELECT COUNT(*) FROM tier$np) AS n_tier,
+           |  (SELECT n FROM f$np) AS n_found,
+           |  ROUND(CAST((SELECT n FROM f$np) AS DOUBLE)
+           |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |centroids AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+         |a AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+         |    FROM e CROSS JOIN centroids c) WHERE rn = 1),
+         |exact AS (
+         |  SELECT e.vec_id FROM e, q
+         |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id
+         |  LIMIT 10),
+         |$tiers
+         |$rows
+         |ORDER BY nprobe""".stripMargin
+    },
+
+    "search_lsh_multiprobe" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      def bucket(v: String) = signs.zipWithIndex.map { case (s, p) =>
+        s"(CASE WHEN list_dot_product($v, $s) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |b AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+         |qb AS (SELECT ${bucket("qv")} AS qbucket FROM q),
+         |probes AS (
+         |  SELECT qbucket AS pb FROM qb
+         |  UNION ALL SELECT xor(qbucket, 1) FROM qb
+         |  UNION ALL SELECT xor(qbucket, 2) FROM qb
+         |  UNION ALL SELECT xor(qbucket, 4) FROM qb
+         |  UNION ALL SELECT xor(qbucket, 8) FROM qb),
+         |cands AS (
+         |  SELECT vec_id, v FROM b WHERE bucket IN (SELECT pb FROM probes)),
+         |tier AS (
+         |  SELECT vec_id FROM cands, q
+         |  ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+         |  LIMIT 10),
+         |exact AS (
+         |  SELECT e.vec_id FROM e, q
+         |  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 6) DESC, e.vec_id
+         |  LIMIT 10),
+         |f AS (SELECT COUNT(*) AS n FROM exact JOIN tier USING (vec_id))
+         |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM tier) AS n_tier,
+         |  (SELECT n FROM f) AS n_found,
+         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM exact), 6) AS recall,
+         |  (SELECT COUNT(*) FROM cands) AS n_candidates""".stripMargin
     },
 
     // the streamed two-sided join must equal the batch interval join
