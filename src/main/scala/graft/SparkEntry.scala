@@ -5929,6 +5929,235 @@ object SparkEntry {
           col("recall"), col("n_candidates"))
     }),
 
+    // Survivorship (golden records) — the step AFTER entity resolution
+    // that MDM actually ships: one record per resolved entity, each field
+    // by its own rule (name: longest-then-lexicographic; categorical
+    // fields: mode with min tie-break). Deterministic rules only — no
+    // "first seen", which depends on arrival order. The entity-joined
+    // relation checkpoints at its fan-out (member count + three ranked
+    // field picks all read it); everything downstream is component grain.
+    "er_golden_record" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ent = operators.EntityResolution.entities(cust, "c_custkey",
+        "c_name", Seq("c_nationkey", "c_mktsegment"), minSim = 0.97)
+      val full = cust.join(ent, col("c_custkey") === col("id"))
+        .select(col("component"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+        .localCheckpoint()
+      val nm = full.withColumn("rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(length(col("c_name")).desc, col("c_name"))))
+        .where(col("rk") === 1)
+        .select(col("component"), col("c_name").as("golden_name"))
+      def moded(c: String, out: String) = full.groupBy(col("component"), col(c))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("cnt").desc, col(c))))
+        .where(col("rk") === 1)
+        .select(col("component"), col(c).as(out))
+      full.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .join(nm, "component")
+        .join(moded("c_nationkey", "golden_nationkey"), "component")
+        .join(moded("c_mktsegment", "golden_mktsegment"), "component")
+        .select(col("component").as("entity_id"), col("n_members"),
+          col("golden_name"), col("golden_nationkey"),
+          col("golden_mktsegment"))
+        .orderBy(col("entity_id"))
+    }),
+
+    // WebDataset-style shard manifest: media packed into size-bounded
+    // shards by greedy next-fit over the CONTENT-HASH order (stable
+    // across runs/engines/partitionings — arrival order is not), shard =
+    // bytes-before div budget. The dataloader-facing layout step for the
+    // multimodal store; at 100 TB the hash order also spreads hot
+    // sources across shards for free. One window pass, manifest is
+    // shard grain.
+    "multimodal_shard_manifest" -> ((s, d) => {
+      val budget = 64L * 1024L
+      val media = Multimodal.fromDocuments(docs(s, d))
+        .select(col("media_id"), col("kind"),
+          length(col("bytes")).cast("long").as("byte_len"),
+          HashFunctions.hash64(concat(col("media_id").cast("string"),
+            lit("#shard"))).as("h"))
+      val w = Window.orderBy(col("h"), col("media_id"))
+      media
+        .withColumn("before", coalesce(sum(col("byte_len")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard_id", expr("before div " + budget))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("byte_len")).as("shard_bytes"),
+          countDistinct(col("kind")).as("n_kinds"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // Retrieval ranking metrics — the eval harness a search stack ships
+    // with: per-query NDCG@10 / MRR / P@10 of the radius-1 multi-probe
+    // LSH tier against the brute-force exact top-10 (ground truth BY
+    // DEFINITION; its |Q|·N cosine cost is the eval harness, not the
+    // serving path). DCG discounts 1/log2(i+1) are embedded as INTEGER
+    // literal weights (floor(2^30/log2(i+1)), same constants in the
+    // oracle) so no cross-engine libm call is in play; MRR in integer
+    // micro-units; every metric is a ratio of exact integers.
+    "search_rank_metrics" -> ((s, d) => {
+      val k = 10
+      val wgts = (1 to k).map(i =>
+        (i, math.floor(math.pow(2.0, 30) / (math.log(i + 1.0) / math.log(2.0))).toLong))
+      val idcg = wgts.map(_._2).sum // n_rel = k for every query here
+      val e = embs(s, d).localCheckpoint()
+      val qs = e.where(pmod(col("vec_id"), lit(61)) === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(qs))
+        .withColumn("score",
+          round(VectorFunctions.cosine(col("embedding"), col("qv"), 64), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .where(col("rk") <= k)
+        .select(col("qid"), col("vec_id"))
+      val b = e.withColumn("bucket",
+        VectorFunctions.rhpBucket(col("embedding"), planes = 4, seed = 7,
+          dims = 64))
+      val probes = qs
+        .withColumn("qbucket",
+          VectorFunctions.rhpBucket(col("qv"), planes = 4, seed = 7, dims = 64))
+        .withColumn("flip",
+          explode(typedLit((0L +: (0 until 4).map(p => 1L << p)).toSeq)))
+        .select(col("qid"), col("qv"),
+          col("qbucket").bitwiseXOR(col("flip")).as("pb"))
+      val cands = b.join(broadcast(probes), col("bucket") === col("pb"))
+        .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+        .localCheckpoint() // read twice: census + ranked tier
+      val nc = cands.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+      val sys = cands
+        .withColumn("score",
+          round(VectorFunctions.cosine(col("embedding"), col("qv"), 64), 6))
+        .withColumn("srk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .where(col("srk") <= k)
+        .select(col("qid"), col("vec_id"), col("srk"))
+      val weights = s.createDataFrame(wgts).toDF("srk", "wgt")
+      val j = sys
+        .join(exact.withColumn("rel", lit(1)), Seq("qid", "vec_id"), "left")
+        .join(broadcast(weights), "srk")
+      j.groupBy(col("qid")).agg(
+          sum(coalesce(col("rel"), lit(0))).cast("long").as("n_found"),
+          min(when(col("rel") === 1, col("srk"))).as("fr"),
+          sum(when(col("rel") === 1, col("wgt")).otherwise(0L)).cast("long")
+            .as("dcgu"))
+        .join(nc, "qid")
+        .select(col("qid"), col("n_cands"), col("n_found"),
+          round(col("n_found").cast("double") / k, 6).as("p_at_10"),
+          coalesce(expr("1000000 div fr"), lit(0L)).as("mrr_micro"),
+          round(col("dcgu").cast("double") / idcg.toDouble, 6).as("ndcg"))
+        .orderBy(col("qid"))
+    }),
+
+    // Poisson bootstrap CI — the distributed bootstrap (each row draws an
+    // INDEPENDENT Poisson(1) replicate count per resample; no global n
+    // needed, so it's one combiner-heavy agg, never a per-resample
+    // shuffle of the data). Counts are a pure function of the
+    // row-content hash against the Poisson(1) CDF thresholds (integer
+    // literals, same in the oracle) — deterministic across engines,
+    // runs, partitionings. Means in integer cents with `div`; the CI is
+    // exact rank selection over the B resample means.
+    "sample_bootstrap_ci" -> ((s, d) => {
+      val nB = 20
+      val thr = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+        999916L, 999989L) // cumsum of e^-1/k! in 1e-6 units, k = 0..7
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint() // point estimate + the B-way fan-out both read it
+      val rep = o
+        .withColumn("b", explode(typedLit((0 until nB).toList)))
+        .withColumn("u", pmod(HashFunctions.hash64(concat(
+          col("o_orderkey").cast("string"), lit("#bs"),
+          col("b").cast("string"))), lit(1000000L)))
+        .withColumn("cnt",
+          thr.map(t => when(col("u") >= t, 1).otherwise(0)).reduce(_ + _))
+      val res = rep.groupBy(col("b")).agg(
+          sum(col("cnt").cast("long") * col("cents")).as("sum_cents"),
+          sum(col("cnt")).cast("long").as("n_eff"))
+        .withColumn("mean_cents", expr("sum_cents div n_eff"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_cents"), col("b"))))
+      o.agg(expr("sum(cents) div count(1)").as("point_mean_cents"))
+        .crossJoin(res.agg(
+          count(lit(1)).as("n_resamples"),
+          min(when(col("rk") === 2, col("mean_cents"))).as("ci_lo_cents"),
+          min(when(col("rk") === nB - 1, col("mean_cents"))).as("ci_hi_cents"),
+          expr("sum(mean_cents) div count(1)").as("boot_mean_cents")))
+        .select(col("point_mean_cents"), col("n_resamples"),
+          col("ci_lo_cents"), col("ci_hi_cents"), col("boot_mean_cents"))
+    }),
+
+    // Chi-square test of independence + Cramér's V over two categoricals
+    // (nation × market segment) — the feature-association audit. One
+    // contingency pass; marginals by window over the CELL grain (≤ r·c
+    // rows, never the data); each cell's (o−e)²/e is quantized
+    // floor(x·2^20) and summed in BIGINT so the Σ is order-free (the
+    // per-cell double math is single-rounded IEEE ops, bit-identical
+    // across engines; only the SUM order would not be).
+    "profile_chisq_assoc" -> ((s, d) => {
+      val ct = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // three window marginals read the cell grain
+      val cells = ct
+        .withColumn("rt", sum(col("o")).over(
+          Window.partitionBy(col("c_nationkey"))))
+        .withColumn("colt", sum(col("o")).over(
+          Window.partitionBy(col("c_mktsegment"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+        .withColumn("e",
+          col("rt").cast("double") * col("colt") / col("n"))
+        .withColumn("q", floor((col("o") - col("e")) * (col("o") - col("e"))
+          / col("e") * 1048576).cast("long"))
+      cells.agg(
+          max(col("n")).as("n"),
+          countDistinct(col("c_nationkey")).as("r"),
+          countDistinct(col("c_mktsegment")).as("c"),
+          sum(col("q")).as("sq"))
+        .select(col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("sq").cast("double") / 1048576, 6).as("chi2"),
+          round(sqrt((col("sq").cast("double") / 1048576)
+            / (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // Mann-Whitney rank-sum AUC — "does `value` rank purchase events
+    // above the rest?" evaluated WITHOUT a sort of the events:
+    // tie-correct average ranks come from the SCORE-grain cumulative
+    // (2r = 2·cnt_below + cnt_eq + 1, all integers ×2 so no halves), so
+    // the window runs over distinct scores, not rows — the O(n log n)
+    // global sort a naive rank() would cost at 100 TB collapses to one
+    // combiner-heavy agg plus a tiny ordered cumulative. Scores in
+    // integer micro-units; AUC as micro-units plus the rounded double.
+    "events_predictor_auc" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        round(col("value") * 1000000, 0).cast("long").as("score"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      val byScore = ev.groupBy(col("score")).agg(
+          count(lit(1)).as("ns"),
+          sum(col("label")).cast("long").as("ps"))
+        .withColumn("cumlt", coalesce(sum(col("ns")).over(
+          Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      byScore.agg(
+          sum(col("ns")).as("n_events"),
+          sum(col("ps")).as("n_pos"),
+          (sum(col("ns")) - sum(col("ps"))).as("n_neg"),
+          sum(col("ps") * (lit(2L) * col("cumlt") + col("ns") + 1))
+            .as("sum2r"))
+        .select(col("n_events"), col("n_pos"), col("n_neg"),
+          expr("(1000000 * (sum2r - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+            .as("auc_micro"),
+          round((col("sum2r") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") / (lit(2L) * col("n_pos") * col("n_neg")), 6)
+            .as("auc"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -8468,6 +8697,51 @@ object SparkEntry {
         |  least(c.c_custkey, coalesce(m.mn, c.c_custkey)) AS component
         |FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src
         |ORDER BY id""".stripMargin,
+
+    // the er_entities component chain + per-field survivorship picks
+    "er_golden_record" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+        |ent AS (
+        |  SELECT least(c.c_custkey, coalesce(m.mn, c.c_custkey)) AS component,
+        |    c.c_name, c.c_nationkey, c.c_mktsegment
+        |  FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src),
+        |nm AS (
+        |  SELECT component, c_name AS golden_name FROM (
+        |    SELECT component, c_name,
+        |      ROW_NUMBER() OVER (PARTITION BY component
+        |        ORDER BY length(c_name) DESC, c_name) AS rk
+        |    FROM ent) WHERE rk = 1),
+        |nk AS (
+        |  SELECT component, c_nationkey AS golden_nationkey FROM (
+        |    SELECT component, c_nationkey,
+        |      ROW_NUMBER() OVER (PARTITION BY component
+        |        ORDER BY COUNT(*) DESC, c_nationkey) AS rk
+        |    FROM ent GROUP BY component, c_nationkey) WHERE rk = 1),
+        |mk AS (
+        |  SELECT component, c_mktsegment AS golden_mktsegment FROM (
+        |    SELECT component, c_mktsegment,
+        |      ROW_NUMBER() OVER (PARTITION BY component
+        |        ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+        |    FROM ent GROUP BY component, c_mktsegment) WHERE rk = 1),
+        |cnt AS (SELECT component, COUNT(*) AS n_members FROM ent GROUP BY 1)
+        |SELECT component AS entity_id, n_members, golden_name,
+        |  golden_nationkey, golden_mktsegment
+        |FROM cnt JOIN nm USING (component) JOIN nk USING (component)
+        |  JOIN mk USING (component)
+        |ORDER BY entity_id""".stripMargin,
 
     "dedup_components" -> {
       val mh = (0 until 4).map(i =>
@@ -11376,6 +11650,170 @@ object SparkEntry {
          |    / (SELECT COUNT(*) FROM exact), 6) AS recall,
          |  (SELECT COUNT(*) FROM cands) AS n_candidates""".stripMargin
     },
+
+    "multimodal_shard_manifest" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#shard'")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+         |      AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |    $h AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT media_id, kind, byte_len,
+         |    COALESCE(SUM(byte_len) OVER (ORDER BY h, media_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS before
+         |  FROM m)
+         |SELECT CAST(before // 65536 AS BIGINT) AS shard_id, COUNT(*) AS n_items,
+         |  CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+         |  COUNT(DISTINCT kind) AS n_kinds
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+    },
+
+    "search_rank_metrics" -> {
+      val signs = sqlSigns(planes = 4, dims = 64, seed = 7)
+      def bucket(v: String) = signs.zipWithIndex.map { case (sg, p) =>
+        s"(CASE WHEN list_dot_product($v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      val wgts = (1 to 10).map(i =>
+        (i, math.floor(math.pow(2.0, 30) / (math.log(i + 1.0) / math.log(2.0))).toLong))
+      val idcg = wgts.map(_._2).sum
+      val wvals = wgts.map { case (i, w) => s"($i, ${w}::BIGINT)" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e
+         |  WHERE ((vec_id % 61) + 61) % 61 = 1),
+         |b AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+         |qb AS (SELECT qid, qv, ${bucket("qv")} AS qbucket FROM qs),
+         |probes AS (
+         |  SELECT qid, qv, xor(qbucket, f) AS pb
+         |  FROM qb, (SELECT unnest([0, 1, 2, 4, 8]) AS f)),
+         |cands AS (
+         |  SELECT p.qid, p.qv, b.vec_id, b.v
+         |  FROM b JOIN probes p ON b.bucket = p.pb),
+         |nc AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY 1),
+         |sysr AS (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id)
+         |    AS srk
+         |  FROM cands),
+         |sys AS (SELECT qid, vec_id, srk FROM sysr WHERE srk <= 10),
+         |exr AS (
+         |  SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |    ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+         |      e.vec_id) AS rk
+         |  FROM e CROSS JOIN qs q),
+         |exact AS (SELECT qid, vec_id FROM exr WHERE rk <= 10),
+         |wts AS (SELECT * FROM (VALUES $wvals) AS t(srk, wgt)),
+         |j AS (
+         |  SELECT s.qid, s.srk, w.wgt,
+         |    CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM sys s JOIN wts w USING (srk)
+         |  LEFT JOIN exact x ON s.qid = x.qid AND s.vec_id = x.vec_id),
+         |m AS (
+         |  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_found,
+         |    MIN(CASE WHEN rel = 1 THEN srk END) AS fr,
+         |    CAST(SUM(CASE WHEN rel = 1 THEN wgt ELSE 0 END) AS BIGINT)
+         |      AS dcgu
+         |  FROM j GROUP BY 1)
+         |SELECT m.qid, nc.n_cands, m.n_found,
+         |  ROUND(CAST(m.n_found AS DOUBLE) / 10, 6) AS p_at_10,
+         |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS mrr_micro,
+         |  ROUND(CAST(dcgu AS DOUBLE) / $idcg, 6) AS ndcg
+         |FROM m JOIN nc USING (qid) ORDER BY qid""".stripMargin
+    },
+
+    "sample_bootstrap_ci" -> {
+      val u = sqlHash64("CAST(o_orderkey AS VARCHAR) || '#bs' || CAST(b AS VARCHAR)")
+      val thr = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+        999916L, 999989L)
+      val cnt = thr.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" +\n    ")
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |rep AS (
+         |  SELECT o_orderkey, cents, b,
+         |    (($u % 1000000) + 1000000) % 1000000 AS u
+         |  FROM o, (SELECT unnest(generate_series(0, 19)) AS b)),
+         |cn AS (SELECT b, cents, $cnt AS cnt FROM rep),
+         |res AS (
+         |  SELECT b, CAST(SUM(CAST(cnt AS BIGINT) * cents) AS BIGINT)
+         |      // CAST(SUM(cnt) AS BIGINT) AS mean_cents
+         |  FROM cn GROUP BY 1),
+         |rr AS (
+         |  SELECT b, mean_cents,
+         |    ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk
+         |  FROM res)
+         |SELECT
+         |  (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) FROM o)
+         |    AS point_mean_cents,
+         |  COUNT(*) AS n_resamples,
+         |  CAST(MIN(CASE WHEN rk = 2 THEN mean_cents END) AS BIGINT)
+         |    AS ci_lo_cents,
+         |  CAST(MIN(CASE WHEN rk = 19 THEN mean_cents END) AS BIGINT)
+         |    AS ci_hi_cents,
+         |  CAST(SUM(mean_cents) AS BIGINT) // COUNT(*) AS boot_mean_cents
+         |FROM rr""".stripMargin
+    },
+
+    "profile_chisq_assoc" ->
+      """WITH ct AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT o,
+        |    SUM(o) OVER (PARTITION BY c_nationkey) AS rt,
+        |    SUM(o) OVER (PARTITION BY c_mktsegment) AS colt,
+        |    SUM(o) OVER () AS n,
+        |    c_nationkey, c_mktsegment
+        |  FROM ct),
+        |qq AS (
+        |  SELECT c_nationkey, c_mktsegment, o, n,
+        |    CAST(FLOOR((o - e) * (o - e) / e * 1048576) AS BIGINT) AS q
+        |  FROM (SELECT *,
+        |    CAST(rt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e FROM cells)),
+        |agg AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    COUNT(DISTINCT c_nationkey) AS r,
+        |    COUNT(DISTINCT c_mktsegment) AS c,
+        |    CAST(SUM(q) AS BIGINT) AS sq
+        |  FROM qq)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        |  ROUND(CAST(sq AS DOUBLE) / 1048576, 6) AS chi2,
+        |  ROUND(SQRT((CAST(sq AS DOUBLE) / 1048576)
+        |    / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "events_predictor_auc" ->
+      """WITH ev AS (
+        |  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |bys AS (
+        |  SELECT score, COUNT(*) AS ns, CAST(SUM(label) AS BIGINT) AS ps
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT score, ns, ps,
+        |    COALESCE(SUM(ns) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumlt
+        |  FROM bys),
+        |agg AS (
+        |  SELECT CAST(SUM(ns) AS BIGINT) AS n_events,
+        |    CAST(SUM(ps) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ns) - SUM(ps) AS BIGINT) AS n_neg,
+        |    CAST(SUM(ps * (2 * cumlt + ns + 1)) AS BIGINT) AS sum2r
+        |  FROM cum)
+        |SELECT n_events, n_pos, n_neg,
+        |  CAST((1000000 * (sum2r - n_pos * (n_pos + 1)))
+        |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro,
+        |  ROUND(CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / (2 * n_pos * n_neg), 6) AS auc
+        |FROM agg""".stripMargin,
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
