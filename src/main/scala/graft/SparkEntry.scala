@@ -6158,6 +6158,100 @@ object SparkEntry {
             .as("auc"))
     }),
 
+    // OLS trend of daily revenue — slope/intercept/R² from the six
+    // sufficient statistics, which are EXACT BIGINT sums (one
+    // combiner-heavy agg; the regression never sees row grain). The
+    // final combine casts the stats to double and uses an identical
+    // expression shape on both engines — every op is a single-rounded
+    // IEEE multiply/subtract/divide, so the result is bit-identical
+    // without any quantization dance.
+    "profile_ols_trend" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("x"))
+        .agg(expr("sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100")
+          .as("y"))
+      daily.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_days"),
+          expr("cast(n as double)").as("nd"),
+          expr("cast(sx as double)").as("sxd"),
+          expr("cast(sy as double)").as("syd"),
+          expr("cast(sxy as double)").as("sxyd"),
+          expr("cast(sxx as double)").as("sxxd"),
+          expr("cast(syy as double)").as("syyd"))
+        .select(col("n_days"),
+          expr("round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 6)")
+            .as("slope"),
+          expr("round((syd*sxxd - sxd*sxyd) / (nd*sxxd - sxd*sxd), 6)")
+            .as("intercept"),
+          expr("""round((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)
+            / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6)""")
+            .as("r2"))
+    }),
+
+    // Decile lift/gains table — the direct-marketing evaluation of a
+    // score: rank events by `value`, cut into 10 population deciles, and
+    // report per-decile positive rate, lift over base rate, and the
+    // cumulative gains curve. Deciles are assigned from the SCORE-grain
+    // descending cumulative ((10·cnt_above) div n — ties share a decile,
+    // no row sort, no ntile's O(n log n) global ordering); everything
+    // downstream runs on ≤10 rows. All metrics are integer micro-units.
+    "events_lift_deciles" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        round(col("value") * 1000000, 0).cast("long").as("score"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      val byScore = ev.groupBy(col("score")).agg(
+          count(lit(1)).as("ns"), sum(col("label")).cast("long").as("ps"))
+        .withColumn("above", coalesce(sum(col("ns")).over(
+          Window.orderBy(col("score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("ns")).over(Window.partitionBy()))
+        .withColumn("decile", expr("(10 * above) div n + 1"))
+      byScore.groupBy(col("decile")).agg(
+          sum(col("ns")).as("n_b"), sum(col("ps")).as("n_pos"))
+        .withColumn("n", sum(col("n_b")).over(Window.partitionBy()))
+        .withColumn("tp", sum(col("n_pos")).over(Window.partitionBy()))
+        .withColumn("cumpos", sum(col("n_pos")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n_b"), col("n_pos"),
+          expr("(1000000 * n_pos) div n_b").as("rate_micro"),
+          expr("(1000000 * n_pos * n) div (n_b * tp)").as("lift_micro"),
+          expr("(1000000 * cumpos) div tp").as("gain_micro"))
+        .orderBy(col("decile"))
+    }),
+
+    // Cohen's kappa of the langId heuristic against the stored label —
+    // chance-corrected agreement from the confusion matrix alone:
+    // kappa = (n·agree − Σ_k rt_k·ct_k) / (n² − Σ_k rt_k·ct_k), ALL
+    // integers (the /n² cancels), so no float in sight until the rounded
+    // double twin. Marginals by per-axis aggs of the cell grain,
+    // full-outer-joined on the class (a class may appear on one axis
+    // only); everything after the one confusion pass is ≤ classes² rows.
+    "text_kappa_langid" -> ((s, d) => {
+      val cm = docs(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("o"))
+        .localCheckpoint() // n/agree census + both marginals read it
+      val r = cm.groupBy(col("lang").as("cls")).agg(sum(col("o")).as("rt"))
+      val c = cm.groupBy(col("lang_pred").as("cls")).agg(sum(col("o")).as("ct"))
+      val pe = r.join(c, Seq("cls"), "full_outer")
+        .agg(sum(coalesce(col("rt"), lit(0L)) * coalesce(col("ct"), lit(0L)))
+          .as("pe_num"))
+      cm.agg(sum(col("o")).as("n"),
+          sum(when(col("lang") === col("lang_pred"), col("o"))
+            .otherwise(0L)).as("agree"))
+        .crossJoin(pe)
+        .select(col("n"), col("agree"), col("pe_num"),
+          expr("(1000000 * (n * agree - pe_num)) div (n * n - pe_num)")
+            .as("kappa_micro"),
+          expr("round(cast(n * agree - pe_num as double) / (n * n - pe_num), 6)")
+            .as("kappa"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -11814,6 +11908,95 @@ object SparkEntry {
         |  ROUND(CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
         |    / (2 * n_pos * n_neg), 6) AS auc
         |FROM agg""".stripMargin,
+
+    "profile_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM daily),
+        |dd AS (
+        |  SELECT n AS n_days, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM st)
+        |SELECT n_days,
+        |  ROUND((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 6) AS slope,
+        |  ROUND((syd*sxxd - sxd*sxyd) / (nd*sxxd - sxd*sxd), 6)
+        |    AS intercept,
+        |  ROUND((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)
+        |    / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+        |FROM dd""".stripMargin,
+
+    "events_lift_deciles" ->
+      """WITH ev AS (
+        |  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |bys AS (
+        |  SELECT score, COUNT(*) AS ns, CAST(SUM(label) AS BIGINT) AS ps
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT score, ns, ps,
+        |    COALESCE(SUM(ns) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS above,
+        |    SUM(ns) OVER () AS n
+        |  FROM bys),
+        |dec AS (
+        |  SELECT (10 * above) // n + 1 AS decile, ns, ps FROM cum),
+        |g AS (
+        |  SELECT decile, CAST(SUM(ns) AS BIGINT) AS n_b,
+        |    CAST(SUM(ps) AS BIGINT) AS n_pos
+        |  FROM dec GROUP BY 1),
+        |w AS (
+        |  SELECT decile, n_b, n_pos,
+        |    CAST(SUM(n_b) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(n_pos) OVER () AS BIGINT) AS tp,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumpos
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_b, n_pos,
+        |  CAST((1000000 * n_pos) // n_b AS BIGINT) AS rate_micro,
+        |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
+        |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
+        |FROM w ORDER BY decile""".stripMargin,
+
+    "text_kappa_langid" -> {
+      s"""WITH $langidCtes,
+         |cm AS (
+         |  SELECT d.lang, p.lang_pred, COUNT(*) AS o
+         |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         |r AS (SELECT lang AS cls, CAST(SUM(o) AS BIGINT) AS rt
+         |  FROM cm GROUP BY 1),
+         |c AS (SELECT lang_pred AS cls, CAST(SUM(o) AS BIGINT) AS ct
+         |  FROM cm GROUP BY 1),
+         |pe AS (
+         |  SELECT CAST(SUM(COALESCE(rt, 0) * COALESCE(ct, 0)) AS BIGINT)
+         |    AS pe_num
+         |  FROM r FULL OUTER JOIN c USING (cls)),
+         |ag AS (
+         |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lang = lang_pred THEN o ELSE 0 END)
+         |      AS BIGINT) AS agree
+         |  FROM cm)
+         |SELECT n, agree, pe_num,
+         |  CAST((1000000 * (n * agree - pe_num)) // (n * n - pe_num)
+         |    AS BIGINT) AS kappa_micro,
+         |  ROUND(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6)
+         |    AS kappa
+         |FROM ag, pe""".stripMargin
+    },
 
     // the streamed two-sided join must equal the batch interval join
     // (event-time split ⇒ arrival order = event-time order)
