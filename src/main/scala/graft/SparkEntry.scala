@@ -6252,6 +6252,104 @@ object SparkEntry {
             .as("kappa"))
     }),
 
+    // Purged temporal split — the time-series training split done right:
+    // cut at the 80% point of the observed span, drop an embargo window
+    // before the cut (so label horizons can't leak across the boundary),
+    // and report the entity-overlap census (users seen on BOTH sides —
+    // the leakage a random split would hide). All boundary arithmetic in
+    // integer epoch-µs; one pass over events plus a user-grain agg.
+    "sample_purged_temporal_split" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        expr("unix_micros(ts)").as("us"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("lo + ((hi - lo) * 8) div 10"))
+        .withColumn("split",
+          when(col("us") < col("cut") - lit(7L * 24 * 3600 * 1000000L),
+            "train")
+          .when(col("us") >= col("cut"), "test").otherwise("embargo"))
+        .localCheckpoint() // split census + user overlap both read it
+      val overlap = tagged.groupBy(col("user_id")).agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("in_tr"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_te"))
+        .agg(sum(col("in_tr") * col("in_te")).cast("long")
+          .as("n_users_overlap"))
+      tagged.agg(
+          sum(when(col("split") === "train", 1).otherwise(0)).cast("long")
+            .as("n_train"),
+          sum(when(col("split") === "test", 1).otherwise(0)).cast("long")
+            .as("n_test"),
+          sum(when(col("split") === "embargo", 1).otherwise(0)).cast("long")
+            .as("n_embargo"),
+          max(when(col("split") === "train",
+            date_format(col("ts"), "yyyy-MM-dd"))).as("train_last_day"),
+          min(when(col("split") === "test",
+            date_format(col("ts"), "yyyy-MM-dd"))).as("test_first_day"))
+        .crossJoin(overlap)
+    }),
+
+    // Corpus-wide hard-negative SAMPLER (contrast: search_hard_negatives
+    // brute-forces boundary negatives for a 1% query subset): EVERY
+    // anchor gets k negatives drawn from its own IVF cell (semantically
+    // near region — that's what makes them hard) excluding near-dups
+    // (cosine ≥ 0.95 would be a false negative), picked by content-hash
+    // rank so the draw is deterministic across runs/engines/
+    // partitionings. The quadratic stays within-cell — the same bound
+    // every cell-based stage here rides; never corpus × corpus.
+    "sample_hard_negatives" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+        .localCheckpoint() // both sides of the within-cell join read it
+      val l = assigned.select(col("cell"), col("vec_id").as("anchor"),
+        col("embedding").as("va_"))
+      val r = assigned.select(col("cell"), col("vec_id").as("neg"),
+        col("embedding").as("vb_"))
+      l.join(r, "cell").where(col("anchor") =!= col("neg"))
+        .withColumn("cos",
+          round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6))
+        .where(col("cos") < 0.95)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("anchor"))
+          .orderBy(pmod(HashFunctions.hash64(concat(
+            col("anchor").cast("string"), lit("#"),
+            col("neg").cast("string"))), lit(1000000000L)), col("neg"))))
+        .where(col("rk") <= 3)
+        .select(col("anchor"), col("rk").cast("long").as("rk"), col("neg"),
+          col("cos"))
+        .orderBy(col("anchor"), col("rk"))
+    }),
+
+    // DPO-style preference pairs: within each language group, pair the
+    // i-th best document (by quality score) with the i-th worst —
+    // mirrored tie-breaks keep the halves disjoint for i ≤ n/2, an odd
+    // middle element pairs with nobody, and equal-quality pairs are
+    // dropped (no preference signal). Two windows over the same scored
+    // relation; pair volume is n/2 per group by construction.
+    "pipeline_preference_pairs" -> ((s, d) => {
+      val q = TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .localCheckpoint() // best ranks, worst ranks and counts read it
+      val best = q.withColumn("i", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .select(col("lang"), col("i"), col("doc_id").as("chosen_id"),
+          col("quality_score").as("q_chosen"))
+      val worst = q.withColumn("i", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("quality_score").asc, col("doc_id").desc)))
+        .select(col("lang"), col("i"), col("doc_id").as("rejected_id"),
+          col("quality_score").as("q_rejected"))
+      val n = q.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      best.join(worst, Seq("lang", "i")).join(n, "lang")
+        .where(col("i") <= expr("n div 2"))
+        .where(col("q_chosen") > col("q_rejected"))
+        .select(col("lang"), col("i").cast("long").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"), col("q_chosen"),
+          col("q_rejected"))
+        .orderBy(col("lang"), col("pair_rank"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -11971,6 +12069,105 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "sample_purged_temporal_split" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |tagged AS (
+        |  SELECT user_id, ts, CASE
+        |    WHEN us < (lo + ((hi - lo) * 8) // 10) - 604800000000 THEN 'train'
+        |    WHEN us >= lo + ((hi - lo) * 8) // 10 THEN 'test'
+        |    ELSE 'embargo' END AS split
+        |  FROM ev, b),
+        |ov AS (
+        |  SELECT CAST(SUM(in_tr * in_te) AS BIGINT) AS n_users_overlap
+        |  FROM (SELECT user_id,
+        |      MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+        |      MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+        |    FROM tagged GROUP BY 1))
+        |SELECT
+        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_embargo,
+        |  MAX(CASE WHEN split = 'train' THEN strftime(ts, '%Y-%m-%d') END)
+        |    AS train_last_day,
+        |  MIN(CASE WHEN split = 'test' THEN strftime(ts, '%Y-%m-%d') END)
+        |    AS test_first_day,
+        |  (SELECT n_users_overlap FROM ov) AS n_users_overlap
+        |FROM tagged""".stripMargin,
+
+    "sample_hard_negatives" -> {
+      val h = sqlHash64("CAST(anchor AS VARCHAR) || '#' || CAST(neg AS VARCHAR)")
+      s"""WITH x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+         |  FROM embeddings),
+         |cent0 AS (
+         |  SELECT label, pos,
+         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+         |  FROM x GROUP BY label, pos),
+         |cent AS (
+         |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+         |  FROM cent0 GROUP BY label),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |p AS (
+         |  SELECT l.vec_id AS anchor, r.vec_id AS neg,
+         |    ROUND(list_cosine_similarity(l.v, r.v), 6) AS cos
+         |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+         |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) < 0.95),
+         |rk AS (
+         |  SELECT anchor, neg, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY (($h % 1000000000) + 1000000000) % 1000000000, neg)
+         |      AS rk
+         |  FROM p)
+         |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, cos
+         |FROM rk WHERE rk <= 3 ORDER BY anchor, rk""".stripMargin
+    },
+
+    "pipeline_preference_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+        |    length(text) AS n_chars_c,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+        |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stops
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(CAST((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN punct / NULLIF(n_chars_c, 0) < 0.2 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN stops > 0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4)
+        |      AS quality_score
+        |  FROM f),
+        |best AS (
+        |  SELECT lang, doc_id AS chosen_id, quality_score AS q_chosen,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY quality_score DESC, doc_id) AS i
+        |  FROM q),
+        |worst AS (
+        |  SELECT lang, doc_id AS rejected_id, quality_score AS q_rejected,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY quality_score ASC, doc_id DESC) AS i
+        |  FROM q),
+        |n AS (SELECT lang, COUNT(*) AS n FROM q GROUP BY 1)
+        |SELECT b.lang, CAST(b.i AS BIGINT) AS pair_rank, b.chosen_id,
+        |  w.rejected_id, b.q_chosen, w.q_rejected
+        |FROM best b JOIN worst w ON b.lang = w.lang AND b.i = w.i
+        |JOIN n ON b.lang = n.lang
+        |WHERE b.i <= n.n // 2 AND b.q_chosen > w.q_rejected
+        |ORDER BY b.lang, pair_rank""".stripMargin,
 
     "text_kappa_langid" -> {
       s"""WITH $langidCtes,
