@@ -6350,6 +6350,93 @@ object SparkEntry {
         .orderBy(col("lang"), col("pair_rank"))
     }),
 
+    // Top principal component by power iteration — PCA where it's
+    // actually run at 100 TB: ONE distributed covariance pass
+    // (profile_embedding_cov's engine), then d²-scale driver math on the
+    // collected matrix. Ten max-abs-normalized rounds; the oracle
+    // unrolls the identical rounds CTE-for-CTE (integer matrix×vector
+    // via floor((c·v)·2^30) BIGINT sums, round-6 components) so every
+    // intermediate is bit-equal.
+    "profile_pca_power" -> ((s, d) => {
+      operators.Profiling.pcaPower(embs(s, d), "embedding", dims = 64,
+        rounds = 10).orderBy(col("pos"))
+    }),
+
+    // Johnson-Lindenstrauss distortion audit: project 64→16 dims with
+    // the SAME deterministic ±1 hyperplane family the LSH tier uses,
+    // and histogram |cos_full − cos_proj| over a bounded pair panel —
+    // the evidence table for "how much recall does the cheap projection
+    // cost". All arithmetic stays exact: components quantize to 2^20
+    // integers BEFORE projecting, so every signed sum and dot product
+    // is an exact integer no matter the summation order; only the final
+    // cosine divides (single-rounded, identical shape both engines).
+    "search_jl_distortion" -> ((s, d) => {
+      val signs = VectorFunctions.hyperplaneSigns(planes = 16, dims = 64,
+        seed = 11)
+      val e = embs(s, d).where(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"))
+      def proj(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array(signs.map(row =>
+        (0 until 64).map(dd =>
+          floor(element_at(v, dd + 1).cast("double") * 1048576)
+            * row(dd)).reduce(_ + _).cast("long")): _*)
+      val withP = e.withColumn("p", proj(col("embedding")))
+        .localCheckpoint() // both sides of the pair panel read it
+      val l = withP.select(col("vec_id").as("a"), col("embedding").as("va_"),
+        col("p").as("pa"))
+      val r = withP.select(col("vec_id").as("b"), col("embedding").as("vb_"),
+        col("p").as("pb"))
+      val pairs = l.crossJoin(r).where(col("a") < col("b"))
+        .withColumn("cos_full",
+          round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6))
+        .withColumn("dot", (0 until 16).map(k =>
+          element_at(col("pa"), k + 1) * element_at(col("pb"), k + 1))
+          .reduce(_ + _))
+        .withColumn("na", (0 until 16).map(k =>
+          element_at(col("pa"), k + 1) * element_at(col("pa"), k + 1))
+          .reduce(_ + _))
+        .withColumn("nb", (0 until 16).map(k =>
+          element_at(col("pb"), k + 1) * element_at(col("pb"), k + 1))
+          .reduce(_ + _))
+        .withColumn("cos_proj", round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6))
+        .withColumn("d_micro",
+          round(abs(col("cos_full") - col("cos_proj")) * 1000000, 0)
+            .cast("long"))
+      pairs.groupBy(expr("d_micro div 50000").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(d_micro) div count(1)").as("mean_d_micro"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Hampel filter on daily revenue — rolling-median outlier detection
+    // (the robust cousin of the z-score: one freak day can't drag the
+    // median the way it drags a mean). Centered 7-day window; median
+    // and MAD come from the SORTED window array's exact middle element
+    // (odd window ⇒ pure integers, no averaging, no engine median()
+    // semantics in play); flag = dev > 3·MAD. Day grain — the window
+    // never touches row-grain data.
+    "profile_hampel_outliers" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100")
+          .as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
+        .where(size(col("arr")) === 7)
+        .withColumn("med", element_at(col("arr"), 4))
+        .withColumn("mad", element_at(sort_array(transform(col("arr"),
+          e => abs(e - col("med")))), 4))
+        .withColumn("dev", abs(col("y") - col("med")))
+        .where(col("dev") > col("mad") * 3)
+        .select(col("day").cast("long").as("day"), col("y"), col("med"),
+          col("mad"), col("dev"))
+        .orderBy(col("day"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12069,6 +12156,97 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "profile_pca_power" -> {
+      val rounds = (1 to 10).map { k =>
+        s"""mv$k AS MATERIALIZED (
+           |  SELECT cf.i AS pos,
+           |    CAST(SUM(CAST(FLOOR((cf.cov * p.v) * 1073741824.0) AS BIGINT))
+           |      AS BIGINT) AS mv
+           |  FROM cf JOIN v${k - 1} p ON cf.j = p.pos GROUP BY 1),
+           |s$k AS (SELECT MAX(ABS(mv)) AS s FROM mv$k),
+           |v$k AS MATERIALIZED (SELECT pos, ROUND(CAST(mv AS DOUBLE)
+           |  / (SELECT s FROM s$k), 6) AS v FROM mv$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM e),
+         |x AS (SELECT v, unnest(v) AS xi,
+         |  CAST(generate_subscripts(v, 1) - 1 AS INT) AS i FROM e),
+         |p AS (SELECT i, unnest(range(i, 64)) AS j0, xi, v FROM x),
+         |ps AS (SELECT i, CAST(j0 AS INT) AS j,
+         |  CAST(xi * v[CAST(j0 AS INT) + 1] AS DECIMAL(28,16)) AS prod,
+         |  CAST(xi AS DECIMAL(28,16)) AS xi_d FROM p),
+         |sij AS (SELECT i, j, SUM(prod) AS s_ij FROM ps GROUP BY i, j),
+         |si AS (SELECT i, SUM(xi_d) AS s_ FROM ps WHERE i = j GROUP BY i),
+         |cov AS (SELECT sij.i, sij.j,
+         |  ROUND((CAST(s_ij AS DOUBLE)
+         |    - CAST(a.s_ AS DOUBLE) * CAST(b.s_ AS DOUBLE) / n) / n, 6) AS cov
+         |  FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i, nn),
+         |cf AS MATERIALIZED (SELECT i, j, cov FROM cov
+         |  UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+         |v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos, 1.0 AS v),
+         |$rounds
+         |SELECT CAST(pos AS INTEGER) AS pos, v AS loading,
+         |  (SELECT ROUND(CAST(s AS DOUBLE) / 1073741824.0, 6) FROM s10)
+         |    AS lambda
+         |FROM v10 ORDER BY pos""".stripMargin
+    },
+
+    "search_jl_distortion" -> {
+      val signs = sqlSigns(planes = 16, dims = 64, seed = 11)
+      val projs = signs.zipWithIndex.map { case (sg, k) =>
+        s"CAST(list_dot_product(y, $sg) AS BIGINT) AS p$k"
+      }.mkString(",\n    ")
+      def dot(a: String, b: String) = (0 until 16)
+        .map(k => s"$a$k * $b$k").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> FLOOR(x * 1048576)) AS y
+         |  FROM embeddings WHERE vec_id < 50),
+         |pr AS (SELECT vec_id, v,
+         |    $projs
+         |  FROM e),
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    ROUND(list_cosine_similarity(l.v, r.v), 6) AS cos_full,
+         |    ${dot("l.p", "r.p")} AS dot,
+         |    ${dot("l.p", "l.p")} AS na,
+         |    ${dot("r.p", "r.p")} AS nb
+         |  FROM pr l JOIN pr r ON l.vec_id < r.vec_id),
+         |sc AS (
+         |  SELECT a, b, cos_full,
+         |    ROUND(CAST(dot AS DOUBLE)
+         |      / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)
+         |      AS cos_proj
+         |  FROM pairs),
+         |dm AS (
+         |  SELECT CAST(ROUND(ABS(cos_full - cos_proj) * 1000000, 0)
+         |    AS BIGINT) AS d_micro FROM sc)
+         |SELECT d_micro // 50000 AS bucket, COUNT(*) AS n_pairs,
+         |  CAST(SUM(d_micro) AS BIGINT) // COUNT(*) AS mean_d_micro
+         |FROM dm GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "profile_hampel_outliers" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |wa AS (
+        |  SELECT day, y,
+        |    list_sort(list(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM daily),
+        |f AS (SELECT day, y, arr, arr[4] AS med FROM wa WHERE len(arr) = 7),
+        |g AS (
+        |  SELECT day, y, med,
+        |    list_sort(list_transform(arr, e -> abs(e - med)))[4] AS mad
+        |  FROM f)
+        |SELECT day, y, med, mad, ABS(y - med) AS dev
+        |FROM g WHERE ABS(y - med) > 3 * mad ORDER BY day""".stripMargin,
 
     "sample_purged_temporal_split" ->
       """WITH ev AS (

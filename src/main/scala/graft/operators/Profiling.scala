@@ -246,6 +246,46 @@ object Profiling {
     rows.toDF("i", "j", "cov", "corr")
   }
 
+  /** Dominant principal component by max-abs-normalized power iteration
+    * over [[embeddingCovariance]]'s matrix. The distributed work is the
+    * one covariance pass; the iteration itself is d²-scale driver math —
+    * exactly where a 100 TB PCA runs it too (the model is tiny, the data
+    * is not). Determinism: each round's matrix×vector goes through
+    * floor((c·v)·2^30) BIGINT sums (order-free integers), normalization
+    * divides by the integer max-abs (any norm works for power iteration;
+    * max-abs needs no cross-engine sqrt-of-sum), and components re-round
+    * to 6 half-up — the oracle unrolls the same rounds CTE-for-CTE, so
+    * every intermediate is bit-identical. Sign follows the all-ones
+    * start, same on both engines.
+    */
+  def pcaPower(vecs: DataFrame, vecCol: String, dims: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cells = embeddingCovariance(vecs, vecCol, dims)
+      .select(col("i"), col("j"), col("cov")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def c(i: Int, j: Int): Double =
+      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    def r6(v: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(dims)(1.0)
+    var scale = 0L
+    for (_ <- 1 to rounds) {
+      val mv = Array.tabulate(dims)(i => (0 until dims).map(j =>
+        math.floor((c(i, j) * v(j)) * 1073741824.0).toLong).sum)
+      scale = mv.map(math.abs).max
+      require(scale > 0, "pcaPower: zero covariance matrix")
+      v = mv.map(m => r6(m.toDouble / scale.toDouble))
+    }
+    val lambda = r6(scale.toDouble / 1073741824.0)
+    spark.createDataFrame(
+      v.zipWithIndex.toSeq.map { case (l, p) => (p, l, lambda) })
+      .toDF("pos", "loading", "lambda")
+  }
+
   /** Functional-dependency discovery (TANE-lite): for each candidate
     * pair X → Y, the violation mass Σ_x (distinct-Y-per-x − 1) — zero
     * iff the FD holds exactly — plus group counts, from ONE
