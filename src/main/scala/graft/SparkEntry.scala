@@ -6437,6 +6437,117 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // JSONL ingest with corrupt-record quarantine — the PERMISSIVE-mode
+    // contract every log pipeline leans on: bad lines must neither kill
+    // the job nor silently vanish. Events render to JSON lines, a
+    // deterministic 1/97 subset is truncated mid-object (unparseable by
+    // construction), and the schema'd read-back must route exactly those
+    // to _corrupt_record (nulls elsewhere) while the good rows survive
+    // bit-equal. The gate reports the quarantine census + a checksum
+    // over survivors; the oracle simulates the same corruption set.
+    "source_jsonl_corrupt" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val path = "/tmp/graft_jsonl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      src.select(when(pmod(col("event_id"), lit(97)) === 0,
+          substring(to_json(struct(col("event_id"), col("event_type"),
+            col("user_id"), col("value"))), 1, 10))
+        .otherwise(to_json(struct(col("event_id"), col("event_type"),
+          col("user_id"), col("value")))).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1).otherwise(0))
+            .cast("long").as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("event_id")))
+            .as("sum_good_ids"),
+          sum(when(col("_corrupt_record").isNull,
+            round(col("value") * 1000000, 0).cast("long")))
+            .as("sum_good_value_micro"))
+    }),
+
+    // Shard-resize stability: mod-hash vs rendezvous (HRW) routing when
+    // k goes 10 → 11 — THE reason consistent schemes exist: mod reshuffles
+    // ~k/(k+1) of all keys (a 100 TB re-layout), rendezvous moves only
+    // the ~1/(k+1) that the new shard wins (argmax over per-(key,shard)
+    // hashes, deterministic). One explode to k+1 rows per key for the
+    // HRW argmax; the census is two integers per scheme.
+    "store_rendezvous_audit" -> ((s, d) => {
+      val keys = docs(s, d).select(col("doc_id")).localCheckpoint()
+      val n = keys.count()
+      def hrw(k: Int) = keys
+        .withColumn("shard", explode(typedLit((0 until k).toList)))
+        .withColumn("h", HashFunctions.hash64(concat(
+          col("doc_id").cast("string"), lit("#rdv#"),
+          col("shard").cast("string"))))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("h").desc, col("shard"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("shard"))
+      val hrwMoved = hrw(10).withColumnRenamed("shard", "s10")
+        .join(hrw(11).withColumnRenamed("shard", "s11"), "doc_id")
+        .agg(sum(when(col("s10") =!= col("s11"), 1).otherwise(0))
+          .cast("long").as("n_moved"))
+        .withColumn("scheme", lit("rendezvous"))
+      val modMoved = keys
+        .withColumn("h", HashFunctions.hash64(concat(
+          col("doc_id").cast("string"), lit("#mod"))))
+        .agg(sum(when(pmod(col("h"), lit(10)) =!= pmod(col("h"), lit(11)),
+          1).otherwise(0)).cast("long").as("n_moved"))
+        .withColumn("scheme", lit("mod"))
+      hrwMoved.unionByName(modMoved)
+        .select(col("scheme"), lit(n).as("n_keys"), col("n_moved"),
+          expr(s"(1000000 * n_moved) div $n").as("moved_ppm"))
+        .orderBy(col("scheme"))
+    }),
+
+    // Blocking-quality audit for entity resolution — the two numbers
+    // every blocking scheme is judged by: reduction ratio (how much of
+    // the n² pair space the blocks prune) and pair completeness (how
+    // many TRUE matches survive the pruning). Ground truth is exact
+    // Jaro-Winkler ≥ 0.94 over a bounded panel (the audit's quadratic
+    // is panel², never corpus² — you sample the audit, not the ER run).
+    "er_blocking_audit" -> ((s, d) => {
+      val panel = Tables.customer(s, d).where(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .localCheckpoint()
+      val l = panel.select(col("id").as("a"), col("nm").as("na"),
+        col("nk").as("nka"), col("seg").as("sega"))
+      val r = panel.select(col("id").as("b"), col("nm").as("nb"),
+        col("nk").as("nkb"), col("seg").as("segb"))
+      val all = l.crossJoin(r).where(col("a") < col("b"))
+        .withColumn("is_true", (round(functions.JaroWinkler.sim(
+          col("na"), col("nb")), 6) >= 0.94).cast("int"))
+        .withColumn("is_cand",
+          (col("nka") === col("nkb") && col("sega") === col("segb"))
+            .cast("int"))
+      all.agg(count(lit(1)).as("n_all_pairs"),
+          sum(col("is_cand")).cast("long").as("n_cand"),
+          sum(col("is_true")).cast("long").as("n_true"),
+          sum(col("is_true") * col("is_cand")).cast("long").as("n_found"))
+        .select(col("n_all_pairs"), col("n_cand"), col("n_true"),
+          col("n_found"),
+          expr("(1000000 * n_found) div n_true").as("pc_micro"),
+          expr("1000000 - (1000000 * n_cand) div n_all_pairs")
+            .as("rr_micro"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12156,6 +12267,78 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "source_jsonl_corrupt" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN ((event_id % 97) + 97) % 97 = 0 THEN 1 ELSE 0 END
+        |      AS corrupt
+        |  FROM events)
+        |SELECT
+        |  CAST(SUM(1 - corrupt) AS BIGINT) AS n_good,
+        |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN corrupt = 0 THEN event_id END) AS BIGINT)
+        |    AS sum_good_ids,
+        |  CAST(SUM(CASE WHEN corrupt = 0
+        |    THEN CAST(ROUND(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+        |    AS sum_good_value_micro
+        |FROM ev""".stripMargin,
+
+    "store_rendezvous_audit" -> {
+      val hr = sqlHash64(
+        "CAST(doc_id AS VARCHAR) || '#rdv#' || CAST(shard AS VARCHAR)")
+      val hm = sqlHash64("CAST(doc_id AS VARCHAR) || '#mod'")
+      def hrwCte(k: Int, name: String) =
+        s"""$name AS (
+           |  SELECT doc_id, shard FROM (
+           |    SELECT k.doc_id, s.shard,
+           |      ROW_NUMBER() OVER (PARTITION BY k.doc_id
+           |        ORDER BY $hr DESC, s.shard) AS rn
+           |    FROM keys k, (SELECT unnest(range(0, $k)) AS shard) s)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH keys AS (SELECT doc_id FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM keys),
+         |${hrwCte(10, "a10")},
+         |${hrwCte(11, "a11")},
+         |hrw AS (
+         |  SELECT 'rendezvous' AS scheme,
+         |    CAST(SUM(CASE WHEN a10.shard <> a11.shard THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved
+         |  FROM a10 JOIN a11 USING (doc_id)),
+         |md AS (
+         |  SELECT 'mod' AS scheme,
+         |    CAST(SUM(CASE WHEN (($hm % 10) + 10) % 10
+         |      <> (($hm % 11) + 11) % 11 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_moved
+         |  FROM keys),
+         |u AS (SELECT * FROM hrw UNION ALL SELECT * FROM md)
+         |SELECT scheme, (SELECT n FROM n) AS n_keys, n_moved,
+         |  CAST((1000000 * n_moved) // (SELECT n FROM n) AS BIGINT)
+         |    AS moved_ppm
+         |FROM u ORDER BY scheme""".stripMargin
+    },
+
+    "er_blocking_audit" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey <= 300),
+        |pairs AS (
+        |  SELECT l.id AS a, r.id AS b,
+        |    CASE WHEN ROUND(jaro_winkler_similarity(l.nm, r.nm), 6) >= 0.94
+        |      THEN 1 ELSE 0 END AS is_true,
+        |    CASE WHEN l.nk = r.nk AND l.seg = r.seg THEN 1 ELSE 0 END
+        |      AS is_cand
+        |  FROM p l JOIN p r ON l.id < r.id)
+        |SELECT COUNT(*) AS n_all_pairs,
+        |  CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+        |  CAST(SUM(is_true) AS BIGINT) AS n_true,
+        |  CAST(SUM(is_true * is_cand) AS BIGINT) AS n_found,
+        |  CAST((1000000 * SUM(is_true * is_cand)) // SUM(is_true)
+        |    AS BIGINT) AS pc_micro,
+        |  CAST(1000000 - (1000000 * SUM(is_cand)) // COUNT(*) AS BIGINT)
+        |    AS rr_micro
+        |FROM pairs""".stripMargin,
 
     "profile_pca_power" -> {
       val rounds = (1 to 10).map { k =>
