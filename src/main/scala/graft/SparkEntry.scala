@@ -6548,6 +6548,108 @@ object SparkEntry {
             .as("rr_micro"))
     }),
 
+    // Cochran-Mantel-Haenszel — the Simpson's-paradox-proof association
+    // test: does segment=BUILDING associate with positive balance AFTER
+    // controlling for nation? One pass to 2×2-per-stratum counts (a
+    // combiner-heavy agg; the test never sees row grain), then exact
+    // integer cell products; the only doubles are single divisions per
+    // stratum, quantized floor(x·2^20) before the cross-stratum sums so
+    // Σ order can't matter. MH pooled odds ratio rides the same pass.
+    "profile_cmh_strata" -> ((s, d) => {
+      val ct = Tables.customer(s, d).groupBy(col("c_nationkey")).agg(
+          sum(when(col("c_mktsegment") === "BUILDING"
+            && col("c_acctbal") > 0, 1).otherwise(0)).cast("long").as("a"),
+          sum(when(col("c_mktsegment") === "BUILDING"
+            && col("c_acctbal") <= 0, 1).otherwise(0)).cast("long").as("b"),
+          sum(when(col("c_mktsegment") =!= "BUILDING"
+            && col("c_acctbal") > 0, 1).otherwise(0)).cast("long").as("c"),
+          sum(when(col("c_mktsegment") =!= "BUILDING"
+            && col("c_acctbal") <= 0, 1).otherwise(0)).cast("long").as("dd"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+        .where(col("n") >= 2)
+        .withColumn("qe", floor((col("a")
+          - expr("cast((a + b) * (a + c) as double) / n")) * 1048576)
+          .cast("long"))
+        .withColumn("qv", floor(
+          expr("""cast((a + b) * (c + dd) * (a + c) * (b + dd) as double)
+            / cast(n * n * (n - 1) as double)""") * 1048576).cast("long"))
+        .withColumn("qn", floor(expr("cast(a * dd as double) / n") * 1048576)
+          .cast("long"))
+        .withColumn("qd", floor(expr("cast(b * c as double) / n") * 1048576)
+          .cast("long"))
+      ct.agg(count(lit(1)).as("n_strata"), sum(col("qe")).as("se"),
+          sum(col("qv")).as("sv"), sum(col("qn")).as("sn"),
+          sum(col("qd")).as("sd"))
+        .select(col("n_strata"),
+          expr("""round(cast(se as double) * cast(se as double)
+            / (1048576.0 * cast(sv as double)), 6)""").as("cmh"),
+          expr("round(cast(sn as double) / cast(sd as double), 6)")
+            .as("or_mh"))
+    }),
+
+    // Two-proportion z-test on a hash-split A/B assignment — the
+    // experimentation primitive: users land in arms by content hash
+    // (deterministic, balanced), the metric is the event-level error
+    // rate, and the z statistic comes from four integers and three
+    // single-rounded divisions + one sqrt (both IEEE-exact). At 100 TB
+    // this is one combiner-heavy agg — the test is free, the discipline
+    // is the assignment.
+    "events_ab_ztest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(HashFunctions.hash64(concat(col("user_id").cast("string"),
+          lit("#ab"))), lit(2)).as("arm"),
+        when(col("event_type") === "error", 1).otherwise(0).as("bad"))
+      ev.agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n1"),
+          sum(when(col("arm") === 0, col("bad")).otherwise(0)).cast("long")
+            .as("x1"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n2"),
+          sum(when(col("arm") === 1, col("bad")).otherwise(0)).cast("long")
+            .as("x2"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          expr("""round((cast(x1 as double) / n1 - cast(x2 as double) / n2)
+            / sqrt((cast(x1 + x2 as double) / (n1 + n2))
+              * (1.0 - cast(x1 + x2 as double) / (n1 + n2))
+              * (1.0 / n1 + 1.0 / n2)), 6)""").as("z"))
+        .withColumn("significant", abs(col("z")) > 1.959964)
+    }),
+
+    // Kendall tau-b between per-nation customer count and total balance
+    // — the rank correlation that needs NO ranks: concordant/discordant/
+    // tied pair counting over the stratum grain (25 rows → 300 pairs,
+    // never the data), all integers until one sqrt and one division.
+    // Pearson (profile_numeric_corr) sees linear structure; tau sees
+    // monotone structure with exact tie handling.
+    "profile_kendall_tau" -> ((s, d) => {
+      val m = Tables.customer(s, d).groupBy(col("c_nationkey")).agg(
+          count(lit(1)).as("x"),
+          sum(expr("cast(round(c_acctbal * 100, 0) as bigint)")).as("y"))
+        .localCheckpoint() // both sides of the pair panel read it
+      val l = m.select(col("c_nationkey").as("i"), col("x").as("xi"),
+        col("y").as("yi"))
+      val r = m.select(col("c_nationkey").as("j"), col("x").as("xj"),
+        col("y").as("yj"))
+      val pairs = l.crossJoin(r).where(col("i") < col("j"))
+        .withColumn("sx", signum((col("xi") - col("xj")).cast("double"))
+          .cast("long"))
+        .withColumn("sy", signum((col("yi") - col("yj")).cast("double"))
+          .cast("long"))
+      pairs.agg(
+          sum(when(col("sx") * col("sy") === 1, 1).otherwise(0)).cast("long")
+            .as("c_pairs"),
+          sum(when(col("sx") * col("sy") === -1, 1).otherwise(0)).cast("long")
+            .as("d_pairs"),
+          sum(when(col("sx") === 0 && col("sy") =!= 0, 1).otherwise(0))
+            .cast("long").as("tx"),
+          sum(when(col("sy") === 0 && col("sx") =!= 0, 1).otherwise(0))
+            .cast("long").as("ty"))
+        .select(col("c_pairs"), col("d_pairs"), col("tx"), col("ty"),
+          expr("""round(cast(c_pairs - d_pairs as double)
+            / sqrt(cast(c_pairs + d_pairs + tx as double)
+              * cast(c_pairs + d_pairs + ty as double)), 6)""")
+            .as("tau_b"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12267,6 +12369,97 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "profile_cmh_strata" ->
+      """WITH ct AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN c_mktsegment <> 'BUILDING' AND c_acctbal > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN c_mktsegment <> 'BUILDING' AND c_acctbal <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM customer GROUP BY 1),
+        |q AS (
+        |  SELECT a + b + c + dd AS n, a, b, c, dd,
+        |    CAST(FLOOR((a - CAST((a + b) * (a + c) AS DOUBLE)
+        |      / (a + b + c + dd)) * 1048576) AS BIGINT) AS qe,
+        |    CAST(FLOOR((CAST((a + b) * (c + dd) * (a + c) * (b + dd)
+        |        AS DOUBLE)
+        |      / CAST((a + b + c + dd) * (a + b + c + dd)
+        |        * (a + b + c + dd - 1) AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS qv,
+        |    CAST(FLOOR((CAST(a * dd AS DOUBLE) / (a + b + c + dd))
+        |      * 1048576) AS BIGINT) AS qn,
+        |    CAST(FLOOR((CAST(b * c AS DOUBLE) / (a + b + c + dd))
+        |      * 1048576) AS BIGINT) AS qd
+        |  FROM ct WHERE a + b + c + dd >= 2),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_strata, CAST(SUM(qe) AS BIGINT) AS se,
+        |    CAST(SUM(qv) AS BIGINT) AS sv, CAST(SUM(qn) AS BIGINT) AS sn,
+        |    CAST(SUM(qd) AS BIGINT) AS sd
+        |  FROM q)
+        |SELECT n_strata,
+        |  ROUND(CAST(se AS DOUBLE) * CAST(se AS DOUBLE)
+        |    / (1048576.0 * CAST(sv AS DOUBLE)), 6) AS cmh,
+        |  ROUND(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6) AS or_mh
+        |FROM agg""".stripMargin,
+
+    "events_ab_ztest" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+         |  FROM events),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN bad ELSE 0 END) AS BIGINT)
+         |      AS x1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN bad ELSE 0 END) AS BIGINT)
+         |      AS x2
+         |  FROM ev)
+         |SELECT n1, x1, n2, x2,
+         |  ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         |    / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 / n1 + 1.0 / n2)), 6) AS z,
+         |  ABS(ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         |    / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 / n1 + 1.0 / n2)), 6)) > 1.959964 AS significant
+         |FROM agg""".stripMargin
+    },
+
+    "profile_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT c_nationkey, COUNT(*) AS x,
+        |    CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM customer GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(SIGN(l.x - r.x) AS BIGINT) AS sx,
+        |    CAST(SIGN(l.y - r.y) AS BIGINT) AS sy
+        |  FROM m l JOIN m r ON l.c_nationkey < r.c_nationkey),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_pairs,
+        |    CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_pairs,
+        |    CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ty
+        |  FROM p)
+        |SELECT c_pairs, d_pairs, tx, ty,
+        |  ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+        |    / SQRT(CAST(c_pairs + d_pairs + tx AS DOUBLE)
+        |      * CAST(c_pairs + d_pairs + ty AS DOUBLE)), 6) AS tau_b
+        |FROM agg""".stripMargin,
 
     "source_jsonl_corrupt" ->
       """WITH ev AS (
