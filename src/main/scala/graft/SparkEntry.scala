@@ -6650,6 +6650,90 @@ object SparkEntry {
             .as("tau_b"))
     }),
 
+    // Autocorrelation function (lags 1..7) of daily revenue — Pearson r
+    // over (y_t, y_{t−k}) pairs from the SAME six-sufficient-stat recipe
+    // as profile_ols_trend: exact BIGINT sums per lag (one explode to 7
+    // lag rows per day, one combiner-heavy agg), double combine with
+    // identical expression shape on both engines. The weekly-seasonality
+    // detector a forecasting pipeline runs before choosing features.
+    "profile_acf" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100")
+          .as("y"))
+        .localCheckpoint() // both sides of the lag join read it
+      val lagged = daily.withColumn("lag", explode(typedLit((1 to 7).toList)))
+        .select((col("day") + col("lag")).as("day"), col("lag"),
+          col("y").as("x"))
+      val pairs = daily.join(lagged, "day")
+      pairs.groupBy(col("lag")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag").cast("long").as("lag"), col("n").as("n_pairs"),
+          expr("""round((cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / (sqrt(cast(n as double) * cast(sxx as double)
+                - cast(sx as double) * cast(sx as double))
+              * sqrt(cast(n as double) * cast(syy as double)
+                - cast(sy as double) * cast(sy as double))), 6)""")
+            .as("r"))
+        .orderBy(col("lag"))
+    }),
+
+    // CUPED variance reduction — the modern experimentation workhorse:
+    // θ = cov(pre, post)/var(pre) from user-grain sufficient statistics
+    // (pre-period event count vs post-period spend, split at the span
+    // midpoint in integer epoch-µs), and the residual variance ratio
+    // 1 − ρ² that says how much tighter every later A/B test gets. All
+    // sums exact BIGINT; the combine is the same identical-shape double
+    // chain as the OLS/ACF gates.
+    "events_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(round(value * 100, 0) as bigint)").as("vc"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val users = ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("lo + (hi - lo) div 2"))
+        .groupBy(col("user_id")).agg(
+          sum(when(col("us") < col("cut"), 1).otherwise(0)).cast("long")
+            .as("x"),
+          sum(when(col("us") >= col("cut"), col("vc")).otherwise(0L))
+            .cast("long").as("y"))
+      users.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_users"),
+          expr("""round((cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+            / (cast(n as double) * cast(sxx as double)
+              - cast(sx as double) * cast(sx as double)), 6)""")
+            .as("theta"),
+          expr("""round(1.0 - ((cast(n as double) * cast(sxy as double)
+                - cast(sx as double) * cast(sy as double))
+              * (cast(n as double) * cast(sxy as double)
+                - cast(sx as double) * cast(sy as double)))
+            / ((cast(n as double) * cast(sxx as double)
+                - cast(sx as double) * cast(sx as double))
+              * (cast(n as double) * cast(syy as double)
+                - cast(sy as double) * cast(sy as double))), 6)""")
+            .as("var_ratio"))
+    }),
+
+    // Streaming fold of the A/B z-test (X300's counts are additive —
+    // the CMS property): per-micro-batch (arm, n, x) deltas sum into a
+    // 2-row versioned store, state stays arm-grain bytes forever, and
+    // the folded z must equal the one-pass batch test bit-for-bit — the
+    // gate shares events_ab_ztest's oracle verbatim.
+    "stream_ab_ztest" -> ((s, d) => {
+      streaming.StreamingIngest.stagedAbZtestRoundtrip(s, Tables.events(s, d),
+        "/tmp/graft_stream_abz_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12369,6 +12453,98 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "profile_acf" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT day + lag AS day, lag, y AS x
+        |  FROM daily, (SELECT unnest(range(1, 8)) AS lag)),
+        |pairs AS (
+        |  SELECT l.lag, l.x, d.y FROM daily d JOIN lagged l USING (day)),
+        |st AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM st ORDER BY lag""".stripMargin,
+
+    "events_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN us < lo + (hi - lo) // 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN us >= lo + (hi - lo) // 2 THEN vc ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ev, b GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM users)
+        |SELECT n AS n_users,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+        |  ROUND(1.0 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS var_ratio
+        |FROM st""".stripMargin,
+
+    // additive fold == one-pass batch test, so the streaming gate shares
+    // the batch oracle verbatim
+    "stream_ab_ztest" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+         |  FROM events),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN bad ELSE 0 END) AS BIGINT)
+         |      AS x1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN bad ELSE 0 END) AS BIGINT)
+         |      AS x2
+         |  FROM ev)
+         |SELECT n1, x1, n2, x2,
+         |  ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         |    / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 / n1 + 1.0 / n2)), 6) AS z,
+         |  ABS(ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         |    / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 / n1 + 1.0 / n2)), 6)) > 1.959964 AS significant
+         |FROM agg""".stripMargin
+    },
 
     "profile_cmh_strata" ->
       """WITH ct AS (

@@ -1219,6 +1219,86 @@ object StreamingIngest {
         (col("est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Streaming A/B z-test fold: the four test counts (per-arm events and
+    * errors) are ADDITIVE across micro-batches, so the fold keeps a
+    * 2-row (arm, n, x) versioned store summed per batch with NO history
+    * re-read — the experimentation-dashboard shape: state is arm-grain
+    * (bytes), whatever the stream volume. The z statistic from the
+    * folded counts must equal the one-pass batch test bit-for-bit, so
+    * the gate reuses `events_ab_ztest`'s oracle verbatim. Arms are the
+    * same deterministic user-hash split as the batch gate.
+    */
+  def stagedAbZtestRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    val src = events.select(col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"))
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("user_id"), col("event_type"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    stage(src.where(pmod(col("event_id"), lit(2)) === 0))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.select(
+            pmod(graft.functions.HashFunctions.hash64(concat(
+              col("user_id").cast("string"), lit("#ab"))), lit(2)).as("arm"),
+            when(col("event_type") === "error", 1L).otherwise(0L).as("bad"))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("bad")).as("x"))
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy(col("arm"))
+              .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the arm store
+      stage(src.where(pmod(col("event_id"), lit(2)) === 1))
+      q.processAllAvailable() // batch 1+: additive folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedAbZtestRoundtrip: no batch"))
+    spark.read.parquet(fin).agg(
+        sum(when(col("arm") === 0, col("n")).otherwise(0L)).cast("long")
+          .as("n1"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).cast("long")
+          .as("x1"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).cast("long")
+          .as("n2"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).cast("long")
+          .as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("""round((cast(x1 as double) / n1 - cast(x2 as double) / n2)
+          / sqrt((cast(x1 + x2 as double) / (n1 + n2))
+            * (1.0 - cast(x1 + x2 as double) / (n1 + n2))
+            * (1.0 / n1 + 1.0 / n2)), 6)""").as("z"))
+      .withColumn("significant", abs(col("z")) > 1.959964)
+  }
+
   /** Streaming substring-dedup fold: k-gram COUNTS are additive across
     * micro-batches (the CMS property, exact rather than sketched), so the
     * fold keeps a versioned (gram-hash, count) store summed per batch with
