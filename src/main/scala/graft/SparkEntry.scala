@@ -6734,6 +6734,101 @@ object SparkEntry {
         "/tmp/graft_stream_abz_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     }),
 
+    // Exact Shapley channel attribution — the fair-division upgrade of
+    // last-touch (X-family funnel/attribution gates): each channel's
+    // credit is its average marginal lift over all orderings. With the
+    // user's exposure set as a 3-bit mask, the whole computation after
+    // one user-grain pass lives on the 8-row coalition lattice joined to
+    // a 12-row literal (channel, S, S∪{i}, |S|!(|C|−|S|−1)!) table —
+    // conversion rates in integer micro-units, Shapley as Σw·Δv div 3!.
+    "events_shapley_attribution" -> ((s, d) => {
+      val masks = Tables.events(s, d).groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c1"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("c2"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("c3"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("np"))
+        .select((col("c1") + col("c2") * 2 + col("c3") * 4).as("mask"),
+          when(col("np") >= 15, 1).otherwise(0).as("conv"))
+      val v = masks.groupBy(col("mask")).agg(count(lit(1)).as("n"),
+          sum(col("conv")).cast("long").as("cv"))
+        .withColumn("v_micro", expr("(1000000 * cv) div n"))
+        .localCheckpoint() // joined twice (S and S∪{i} sides)
+      val pairRows = for {
+        (ch, bit) <- Seq(("click", 1), ("view", 2), ("signup", 4))
+        s0 <- 0 until 8 if (s0 & bit) == 0
+      } yield (ch, s0, s0 | bit,
+        Seq(2L, 1L, 2L)(Integer.bitCount(s0))) // |S|!(2−|S|)! for |C|=3
+      val pairs = s.createDataFrame(pairRows).toDF("channel", "s0", "s1", "w")
+      pairs
+        .join(v.select(col("mask").as("s0"), col("v_micro").as("v0")),
+          Seq("s0"), "left")
+        .join(v.select(col("mask").as("s1"), col("v_micro").as("v1")),
+          Seq("s1"), "left")
+        .groupBy(col("channel"))
+        .agg(sum(col("w") * (coalesce(col("v1"), lit(0L))
+          - coalesce(col("v0"), lit(0L)))).as("sw"))
+        .select(col("channel"), expr("sw div 6").as("phi_micro"))
+        .orderBy(col("channel"))
+    }),
+
+    // Difference-in-differences — the other causal-inference workhorse
+    // next to CUPED: (treat post − treat pre) − (control post − control
+    // pre) over the deterministic hash arms and the µs-midpoint period
+    // split. Four cell means in integer micro-centi units (sums and
+    // counts exact, one div per cell), DiD stays pure integer.
+    "events_did" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(HashFunctions.hash64(concat(col("user_id").cast("string"),
+          lit("#did"))), lit(2)).as("treat"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(round(value * 100, 0) as bigint)").as("vc"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .withColumn("post",
+          when(col("us") >= expr("lo + (hi - lo) div 2"), 1).otherwise(0))
+      def cell(t: Int, p: Int, out: String) = Seq(
+        sum(when(col("treat") === t && col("post") === p, 1).otherwise(0))
+          .cast("long").as(s"n_$out"),
+        sum(when(col("treat") === t && col("post") === p, col("vc"))
+          .otherwise(0L)).cast("long").as(s"s_$out"))
+      val aggCols = cell(1, 0, "t_pre") ++ cell(1, 1, "t_post") ++
+        cell(0, 0, "c_pre") ++ cell(0, 1, "c_post")
+      cells.agg(aggCols.head, aggCols.tail: _*)
+        .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          expr("(1000000 * s_t_pre) div n_t_pre").as("m_t_pre"),
+          expr("(1000000 * s_t_post) div n_t_post").as("m_t_post"),
+          expr("(1000000 * s_c_pre) div n_c_pre").as("m_c_pre"),
+          expr("(1000000 * s_c_post) div n_c_post").as("m_c_post"))
+        .withColumn("did_micro",
+          (col("m_t_post") - col("m_t_pre"))
+            - (col("m_c_post") - col("m_c_pre")))
+    }),
+
+    // Feature-hashing (hashing-trick) collision audit: project the
+    // vocabulary into 2^12 buckets under the portable hash and report
+    // the collision mass — the table a feature-engineering pipeline
+    // reads before fixing the hash width. One distinct + one group;
+    // term grain never leaves the combiners.
+    "text_feature_hashing" -> ((s, d) => {
+      val terms = docs(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+        .distinct()
+        .withColumn("bucket", pmod(HashFunctions.hash64(col("term")),
+          lit(4096L)))
+      val byBucket = terms.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("load"))
+      byBucket.agg(
+          sum(col("load")).as("n_terms"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("load")).as("max_bucket_load"),
+          (sum(col("load")) - count(lit(1))).as("collision_terms"))
+        .withColumn("collision_ppm",
+          expr("(1000000 * collision_terms) div n_terms"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12453,6 +12548,95 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "events_shapley_attribution" -> {
+      val pairVals = (for {
+        (ch, bit) <- Seq(("click", 1), ("view", 2), ("signup", 4))
+        s0 <- 0 until 8 if (s0 & bit) == 0
+      } yield s"('$ch', $s0, ${s0 | bit}, ${Seq(2L, 1L, 2L)(Integer.bitCount(s0))})")
+        .mkString(", ")
+      s"""WITH flags AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+         |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM events GROUP BY 1),
+         |masks AS (
+         |  SELECT c1 + c2 * 2 + c3 * 4 AS mask,
+         |    CASE WHEN np >= 15 THEN 1 ELSE 0 END AS conv
+         |  FROM flags),
+         |v AS (
+         |  SELECT mask, CAST((1000000 * SUM(conv)) // COUNT(*) AS BIGINT)
+         |    AS v_micro
+         |  FROM masks GROUP BY 1),
+         |p AS (SELECT * FROM (VALUES $pairVals) AS t(channel, s0, s1, w))
+         |SELECT p.channel,
+         |  CAST(SUM(p.w * (COALESCE(v1.v_micro, 0) - COALESCE(v0.v_micro, 0)))
+         |    // 6 AS BIGINT) AS phi_micro
+         |FROM p
+         |LEFT JOIN v v0 ON v0.mask = p.s0
+         |LEFT JOIN v v1 ON v1.mask = p.s1
+         |GROUP BY 1 ORDER BY channel""".stripMargin
+    },
+
+    "events_did" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#did'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS treat, epoch_us(ts) AS us,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+         |  FROM events),
+         |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+         |cells AS (
+         |  SELECT treat, vc,
+         |    CASE WHEN us >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END AS post
+         |  FROM ev, b),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_t_pre,
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_t_post,
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_c_pre,
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_c_post,
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN vc ELSE 0 END)
+         |      AS BIGINT) AS s_t_pre,
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN vc ELSE 0 END)
+         |      AS BIGINT) AS s_t_post,
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN vc ELSE 0 END)
+         |      AS BIGINT) AS s_c_pre,
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN vc ELSE 0 END)
+         |      AS BIGINT) AS s_c_post
+         |  FROM cells),
+         |m AS (
+         |  SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |    CAST((1000000 * s_t_pre) // n_t_pre AS BIGINT) AS m_t_pre,
+         |    CAST((1000000 * s_t_post) // n_t_post AS BIGINT) AS m_t_post,
+         |    CAST((1000000 * s_c_pre) // n_c_pre AS BIGINT) AS m_c_pre,
+         |    CAST((1000000 * s_c_post) // n_c_post AS BIGINT) AS m_c_post
+         |  FROM agg)
+         |SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_micro
+         |FROM m""".stripMargin
+    },
+
+    "text_feature_hashing" -> {
+      val h = sqlHash64("term")
+      s"""WITH terms AS (
+         |  SELECT DISTINCT unnest(${sqlTokens("lower(text)")}) AS term
+         |  FROM documents),
+         |bk AS (
+         |  SELECT (($h % 4096) + 4096) % 4096 AS bucket, COUNT(*) AS load
+         |  FROM terms GROUP BY 1)
+         |SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
+         |  COUNT(*) AS n_buckets_used,
+         |  CAST(MAX(load) AS BIGINT) AS max_bucket_load,
+         |  CAST(SUM(load) - COUNT(*) AS BIGINT) AS collision_terms,
+         |  CAST((1000000 * (SUM(load) - COUNT(*))) // SUM(load) AS BIGINT)
+         |    AS collision_ppm
+         |FROM bk""".stripMargin
+    },
 
     "profile_acf" ->
       """WITH daily AS (
