@@ -6829,6 +6829,104 @@ object SparkEntry {
           expr("(1000000 * collision_terms) div n_terms"))
     }),
 
+    // Split-conformal prediction interval — distribution-free coverage
+    // the modern-ML way: fit the OLS trend on even days, take the
+    // ceil(0.9(n+1))-th smallest |residual| as the interval half-width
+    // (EXACT rank selection, no quantile interpolation semantics), and
+    // audit the realized coverage on odd days. Slope/intercept stay
+    // UNROUNDED doubles — both engines build them from the same casted
+    // integer stats with identical expression shape, so residual
+    // ordering is bit-identical.
+    "profile_conformal_interval" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("x"))
+        .agg(expr("sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100")
+          .as("y"))
+        .localCheckpoint() // stats, calibration ranks and test all read it
+      val cal = daily.where(pmod(col("x"), lit(2)) === 0)
+      val fit = cal.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          expr("""(cast(n as double) * cast(sxy as double)
+            - cast(sx as double) * cast(sy as double))
+            / (cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))""").as("b1"),
+          expr("""(cast(sy as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sxy as double))
+            / (cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))""").as("b0"))
+      val withR = daily.crossJoin(broadcast(fit))
+        .withColumn("ar", abs(col("y") - (col("b0") + col("b1") * col("x"))))
+      val calR = withR.where(pmod(col("x"), lit(2)) === 0)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ar"), col("x"))))
+        .withColumn("k", expr("cast(ceil(0.9 * (n + 1)) as bigint)"))
+      val qhat = calR.where(col("rk") === col("k"))
+        .select(col("ar").as("qhat"), col("n").as("n_cal"))
+      withR.where(pmod(col("x"), lit(2)) === 1)
+        .crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("ar") <= col("qhat"), 1).otherwise(0)).cast("long")
+            .as("n_covered"),
+          max(round(col("qhat"), 2)).as("qhat_r"))
+        .select(col("n_cal"), col("n_test"), col("n_covered"),
+          expr("(1000000 * n_covered) div n_test").as("coverage_ppm"),
+          col("qhat_r"))
+    }),
+
+    // Open-order backlog aging — the operational report every order
+    // system ships: non-finalized orders bucketed by age against the
+    // dataset's latest order date. One scan-agg; buckets are integer
+    // day thresholds.
+    "orders_backlog_aging" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      o.where(col("o_orderstatus") =!= "F")
+        .crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("mxd"), to_date(col("o_orderdate"))))
+        .withColumn("bucket",
+          when(col("age") <= 30, "a_0_30")
+            .when(col("age") <= 90, "b_31_90")
+            .when(col("age") <= 365, "c_91_365").otherwise("d_over_365"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("sum(cast(round(o_totalprice * 100, 0) as bigint))")
+            .as("value_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Item-item collaborative filtering: cosine similarity on the
+    // part co-order matrix — cooc(i,j)/√(n_i·n_j) where the pair
+    // expansion is bounded by BASKET size (an order's few lineitems),
+    // never the catalog — the recommender sibling of market-basket
+    // lift (X129: P(j|i)/P(j); cosine is symmetric and
+    // popularity-normalized on both sides). Top-20 by similarity with
+    // min support, exact integers under the one sqrt.
+    "mine_item_cf" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // item counts + both pair sides read it
+      val cnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("i"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("j")),
+          "l_orderkey")
+        .where(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 2)
+      pairs
+        .join(cnt.select(col("l_partkey").as("i"), col("n").as("ni")), "i")
+        .join(cnt.select(col("l_partkey").as("j"), col("n").as("nj")), "j")
+        .withColumn("cosine", round(col("c12").cast("double")
+          / sqrt(col("ni").cast("double") * col("nj").cast("double")), 6))
+        .select(col("i"), col("j"), col("c12"), col("ni"), col("nj"),
+          col("cosine"))
+        .orderBy(col("cosine").desc, col("i"), col("j")).limit(20)
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12548,6 +12646,73 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "profile_conformal_interval" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |fit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS b1,
+        |    (CAST(SUM(y) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS b0
+        |  FROM daily WHERE ((x % 2) + 2) % 2 = 0),
+        |wr AS (
+        |  SELECT x, ABS(y - (b0 + b1 * x)) AS ar, n FROM daily, fit),
+        |calr AS (
+        |  SELECT ar, n, ROW_NUMBER() OVER (ORDER BY ar, x) AS rk,
+        |    CAST(CEIL(0.9 * (n + 1)) AS BIGINT) AS k
+        |  FROM wr WHERE ((x % 2) + 2) % 2 = 0),
+        |qh AS (SELECT ar AS qhat, n AS n_cal FROM calr WHERE rk = k),
+        |t AS (SELECT ar FROM wr WHERE ((x % 2) + 2) % 2 = 1)
+        |SELECT (SELECT n_cal FROM qh) AS n_cal,
+        |  COUNT(*) AS n_test,
+        |  CAST(SUM(CASE WHEN ar <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST((1000000 * SUM(CASE WHEN ar <= (SELECT qhat FROM qh)
+        |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_ppm,
+        |  (SELECT ROUND(qhat, 2) FROM qh) AS qhat_r
+        |FROM t""".stripMargin,
+
+    "orders_backlog_aging" ->
+      """WITH mx AS (
+        |  SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        |o AS (
+        |  SELECT date_diff('day', CAST(o_orderdate AS DATE), mxd) AS age,
+        |    o_totalprice
+        |  FROM orders, mx WHERE o_orderstatus <> 'F')
+        |SELECT CASE WHEN age <= 30 THEN 'a_0_30'
+        |    WHEN age <= 90 THEN 'b_31_90'
+        |    WHEN age <= 365 THEN 'c_91_365' ELSE 'd_over_365' END AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "mine_item_cf" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS c12
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.i, p.j, p.c12, ci.n AS ni, cj.n AS nj,
+        |  ROUND(CAST(p.c12 AS DOUBLE)
+        |    / SQRT(CAST(ci.n AS DOUBLE) * CAST(cj.n AS DOUBLE)), 6)
+        |    AS cosine
+        |FROM pairs p JOIN cnt ci ON p.i = ci.l_partkey
+        |JOIN cnt cj ON p.j = cj.l_partkey
+        |ORDER BY cosine DESC, p.i, p.j LIMIT 20""".stripMargin,
 
     "events_shapley_attribution" -> {
       val pairVals = (for {
