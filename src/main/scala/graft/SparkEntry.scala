@@ -6927,6 +6927,89 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("i"), col("j")).limit(20)
     }),
 
+    // Greedy k-center coreset (farthest-point traversal) — the OTHER
+    // diversity sampler next to cell caps (X146): 8 rounds, each picks
+    // the point FARTHEST from the chosen set (deterministic round-6
+    // cosine distance, vec_id tie-break), giving a 2-approximation of
+    // the optimal k-center cover. Each round is ONE pass computing min-
+    // distance to a ≤8-vector broadcast set — model-scale driver state,
+    // corpus-scale never pairs with itself. Emits each pick's selection
+    // radius: the coverage-vs-k curve a curator reads to choose k.
+    "sample_kcenter_coreset" -> ((s, d) => {
+      val e = embs(s, d).localCheckpoint() // 8 selection passes read it
+      var chosen = List((0L, e.where(col("vec_id") === 0)
+        .head().getSeq[Float](1)))
+      val picks = scala.collection.mutable.ListBuffer((1, 0L, 0.0))
+      for (k <- 2 to 8) {
+        val dists = chosen.map { case (_, v) =>
+          round(lit(1.0) - VectorFunctions.cosine(col("embedding"),
+            typedLit(v), 64), 6) }
+        val md = if (dists.size == 1) dists.head else least(dists: _*)
+        val far = e.withColumn("md", md)
+          .orderBy(col("md").desc, col("vec_id"))
+          .select(col("vec_id"), col("md"), col("embedding")).head()
+        chosen = chosen :+ (far.getLong(0), far.getSeq[Float](2))
+        picks += ((k, far.getLong(0), far.getDouble(1)))
+      }
+      s.createDataFrame(picks.toSeq)
+        .toDF("round", "vec_id", "radius")
+        .orderBy(col("round"))
+    }),
+
+    // Winsorized mean per event type — the clamp-don't-drop twin of
+    // profile_trimmed_mean: values outside the exact rank-selected
+    // p10/p90 order statistics are pulled TO those bounds (robust to
+    // tails without discarding mass). Rank bounds from one window pass,
+    // mean in integer micro-units.
+    "profile_winsorized_mean" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("vm"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000, 0) as bigint)").as("vm"),
+          col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .localCheckpoint() // bounds and clamp both read it
+      val bounds = ranked
+        .groupBy(col("event_type"), col("n")).agg(
+          min(when(col("rn") === expr("(n + 9) div 10"), col("vm")))
+            .as("lo"),
+          min(when(col("rn") === expr("n - (n + 9) div 10 + 1"), col("vm")))
+            .as("hi"))
+        .select(col("event_type"), col("lo"), col("hi"))
+      ranked.join(bounds, "event_type")
+        .withColumn("cl", least(greatest(col("vm"), col("lo")), col("hi")))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_events"),
+          max(col("lo")).as("lo_micro"), max(col("hi")).as("hi_micro"),
+          expr("sum(cl) div count(1)").as("winsorized_mean_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Purity of the semantic-dedup clusters against the stored labels —
+    // the external-validity check for X145 (silhouette is internal):
+    // purity = Σ_c max-label-count / n, all integers; cluster grain
+    // after one (cluster, label) count pass.
+    "dedup_semantic_purity" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+        .select(col("vec_id"), col("cell"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+      val cl = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val perCell = cl.groupBy(col("cell"))
+        .agg(max(col("c")).as("maxc"), sum(col("c")).as("n"))
+      perCell.agg(count(lit(1)).as("n_clusters"),
+          sum(col("n")).as("n_points"),
+          sum(col("maxc")).as("majority_mass"))
+        .select(col("n_clusters"), col("n_points"), col("majority_mass"),
+          expr("(1000000 * majority_mass) div n_points").as("purity_ppm"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12646,6 +12729,88 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "sample_kcenter_coreset" -> {
+      val rounds = (2 to 8).map { k =>
+        val terms = (1 until k).map(i =>
+          s"ROUND(1.0 - list_cosine_similarity(v, (SELECT v FROM c$i)), 6)")
+        val md = if (terms.size == 1) terms.head
+          else s"LEAST(${terms.mkString(",\n      ")})"
+        s"""c$k AS MATERIALIZED (
+           |  SELECT vec_id, v, md FROM (
+           |    SELECT vec_id, v, $md AS md FROM e)
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (2 to 8).map(k =>
+        s"SELECT $k AS round, (SELECT vec_id FROM c$k) AS vec_id, (SELECT md FROM c$k) AS radius")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         |$rounds
+         |SELECT CAST(round AS INTEGER) AS round, vec_id, radius FROM (
+         |  SELECT 1 AS round, CAST(0 AS BIGINT) AS vec_id, 0.0 AS radius
+         |  UNION ALL $rows)
+         |ORDER BY round""".stripMargin
+    },
+
+    "profile_winsorized_mean" ->
+      """WITH ranked AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vm, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ROUND(value * 1000000, 0) AS BIGINT), event_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |bounds AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = (n + 9) // 10 THEN vm END) AS lo,
+        |    MIN(CASE WHEN rn = n - (n + 9) // 10 + 1 THEN vm END) AS hi
+        |  FROM ranked GROUP BY event_type, n),
+        |cl AS (
+        |  SELECT r.event_type,
+        |    LEAST(GREATEST(r.vm, b.lo), b.hi) AS cl
+        |  FROM ranked r JOIN bounds b USING (event_type))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  (SELECT MAX(lo) FROM bounds b2 WHERE b2.event_type = cl.event_type)
+        |    AS lo_micro,
+        |  (SELECT MAX(hi) FROM bounds b2 WHERE b2.event_type = cl.event_type)
+        |    AS hi_micro,
+        |  CAST(SUM(cl) AS BIGINT) // COUNT(*) AS winsorized_mean_micro
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_semantic_purity" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |cl AS (
+        |  SELECT a.cell, emb.label, COUNT(*) AS c
+        |  FROM a JOIN (SELECT vec_id, label FROM embeddings) emb
+        |    USING (vec_id)
+        |  GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT cell, MAX(c) AS maxc, SUM(c) AS n FROM cl GROUP BY 1)
+        |SELECT COUNT(*) AS n_clusters,
+        |  CAST(SUM(n) AS BIGINT) AS n_points,
+        |  CAST(SUM(maxc) AS BIGINT) AS majority_mass,
+        |  CAST((1000000 * SUM(maxc)) // SUM(n) AS BIGINT) AS purity_ppm
+        |FROM pc""".stripMargin,
 
     "profile_conformal_interval" ->
       """WITH daily AS (
