@@ -7010,6 +7010,113 @@ object SparkEntry {
           expr("(1000000 * majority_mass) div n_points").as("purity_ppm"))
     }),
 
+    // Cursor-paginated scroll parity (reference S6's scroll, paginated
+    // the way a real client walks it): three pages of 10 via keyset
+    // predicates ((ts, id) > cursor — each page an independent
+    // pushed-down query, the O(1)-per-page form), and the union must
+    // equal the one-shot ordered top-30 row-for-row. The oracle slices
+    // by ROW_NUMBER; the engine side actually walks the cursors.
+    "mem_scroll_cursor_parity" -> ((s, d) => {
+      val m = memories(s, d).select(col("memory_id").cast("long").as("mid"),
+          col("session_id"), col("tool"),
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("ts"))
+        .localCheckpoint() // three cursor pages read it
+      var cursor: Option[(String, Long)] = None
+      val pages = (1 to 3).map { p =>
+        val base = cursor match {
+          case None => m
+          case Some((cts, cid)) => m.where(col("ts") > cts
+            || (col("ts") === cts && col("mid") > cid))
+        }
+        val page = base.orderBy(col("ts"), col("mid")).limit(10)
+          .withColumn("page", lit(p))
+        val last = page.select(col("ts"), col("mid"))
+          .orderBy(col("ts").desc, col("mid").desc).head()
+        cursor = Some((last.getString(0), last.getLong(1)))
+        page
+      }
+      pages.reduce(_ unionByName _)
+        .withColumn("pos", row_number().over(Window.partitionBy(col("page"))
+          .orderBy(col("ts"), col("mid"))))
+        .select(col("page").cast("long").as("page"),
+          col("pos").cast("long").as("pos"), col("mid"), col("session_id"),
+          col("tool"), col("ts"))
+        .orderBy(col("page"), col("pos"))
+    }),
+
+    // Qini curve — the uplift-modeling evaluation: does targeting by
+    // score capture incremental (treatment-minus-scaled-control)
+    // conversions? Pooled score deciles (same thresholds both arms, from
+    // the score-grain descending cumulative), then per-decile arm cells
+    // and the cumulative Qini in integer micro-units. The targeting
+    // sibling of X300's z-test: that says "is there an effect", this
+    // says "whom to treat first".
+    "events_qini_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(HashFunctions.hash64(concat(col("user_id").cast("string"),
+          lit("#ab"))), lit(2)).as("arm"),
+        round(col("value") * 1000000, 0).cast("long").as("score"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      val byScore = ev.groupBy(col("score"), col("arm")).agg(
+          count(lit(1)).as("ns"), sum(col("label")).cast("long").as("ps"))
+      // pooled deciles: thresholds from the SCORE grain (both arms
+      // together), then joined back to the (score, arm) cells — a
+      // cumulative over the (score, arm) grain would leak same-score
+      // other-arm mass into "above"
+      val pooled = byScore.groupBy(col("score"))
+        .agg(sum(col("ns")).as("sns"))
+        .withColumn("above", coalesce(sum(col("sns")).over(
+          Window.orderBy(col("score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("sns")).over(Window.partitionBy()))
+        .withColumn("decile", expr("(10 * above) div n + 1"))
+        .select(col("score"), col("decile"))
+      val cells = byScore.join(pooled, "score").groupBy(col("decile")).agg(
+          sum(when(col("arm") === 1, col("ns")).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 1, col("ps")).otherwise(0L)).as("x_t"),
+          sum(when(col("arm") === 0, col("ns")).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 0, col("ps")).otherwise(0L)).as("x_c"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cnt", sum(col("n_t")).over(w))
+        .withColumn("cxt", sum(col("x_t")).over(w))
+        .withColumn("cnc", sum(col("n_c")).over(w))
+        .withColumn("cxc", sum(col("x_c")).over(w))
+        .select(col("decile"), col("n_t"), col("x_t"), col("n_c"),
+          col("x_c"),
+          expr("1000000 * cxt - (1000000 * cxc * cnt) div cnc")
+            .as("qini_micro"))
+        .orderBy(col("decile"))
+    }),
+
+    // Benford SECOND-digit audit — the forensic refinement of X-benford:
+    // fabricated numbers often survive the first-digit test and fail the
+    // second. Expected proportions Σ_d1 log10(1+1/(10·d1+d)) are
+    // embedded as integer ppm LITERALS computed once at plan-build (no
+    // runtime log10 on either engine); observed counts are one
+    // scan-agg over the cents string.
+    "profile_benford2" -> ((s, d) => {
+      val exp = (0 to 9).map(d2 => (d2,
+        math.round((1 to 9).map(d1 =>
+          math.log10(1.0 + 1.0 / (10 * d1 + d2))).sum * 1000000)))
+      val expDf = s.createDataFrame(exp).toDF("digit", "exp_ppm")
+      val obs = Tables.orders(s, d)
+        .select(substring(expr(
+          "cast(cast(round(o_totalprice * 100, 0) as bigint) as string)"),
+          2, 1).cast("int").as("digit"))
+        .where(col("digit").isNotNull)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("obs_ppm", expr("(1000000 * n) div tot"))
+      obs.join(broadcast(expDf), "digit")
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          col("obs_ppm"), col("exp_ppm"),
+          (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12729,6 +12836,90 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "mem_scroll_cursor_parity" ->
+      """WITH m AS (
+        |  SELECT CAST(event_id AS BIGINT) AS mid,
+        |    CAST(user_id AS VARCHAR) AS session_id, event_type AS tool,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |  FROM events),
+        |r AS (SELECT m.*, ROW_NUMBER() OVER (ORDER BY ts, mid) AS rn
+        |  FROM m)
+        |SELECT CAST((rn - 1) // 10 + 1 AS BIGINT) AS page,
+        |  CAST((rn - 1) % 10 + 1 AS BIGINT) AS pos, mid, session_id, tool,
+        |  ts
+        |FROM r WHERE rn <= 30 ORDER BY page, pos""".stripMargin,
+
+    "events_qini_curve" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm,
+         |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+         |  FROM events),
+         |bys AS (
+         |  SELECT score, arm, COUNT(*) AS ns,
+         |    CAST(SUM(label) AS BIGINT) AS ps
+         |  FROM ev GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT score, SUM(ns) AS sns FROM bys GROUP BY 1),
+         |cum AS (
+         |  SELECT score,
+         |    COALESCE(SUM(sns) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS above,
+         |    SUM(sns) OVER () AS n
+         |  FROM sg),
+         |dec AS (
+         |  SELECT b.score, b.arm, b.ns, b.ps,
+         |    (10 * c.above) // c.n + 1 AS decile
+         |  FROM bys b JOIN cum c USING (score)),
+         |cells AS (
+         |  SELECT decile,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN ns ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN ps ELSE 0 END) AS BIGINT)
+         |      AS x_t,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN ns ELSE 0 END) AS BIGINT)
+         |      AS n_c,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN ps ELSE 0 END) AS BIGINT)
+         |      AS x_c
+         |  FROM dec GROUP BY 1),
+         |w AS (
+         |  SELECT decile, n_t, x_t, n_c, x_c,
+         |    CAST(SUM(n_t) OVER o AS BIGINT) AS cnt,
+         |    CAST(SUM(x_t) OVER o AS BIGINT) AS cxt,
+         |    CAST(SUM(n_c) OVER o AS BIGINT) AS cnc,
+         |    CAST(SUM(x_c) OVER o AS BIGINT) AS cxc
+         |  FROM cells
+         |  WINDOW o AS (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(decile AS BIGINT) AS decile, n_t, x_t, n_c, x_c,
+         |  1000000 * cxt - (1000000 * cxc * cnt) // cnc AS qini_micro
+         |FROM w ORDER BY decile""".stripMargin
+    },
+
+    "profile_benford2" -> {
+      val expVals = (0 to 9).map(d2 => s"($d2, ${
+        math.round((1 to 9).map(d1 =>
+          math.log10(1.0 + 1.0 / (10 * d1 + d2))).sum * 1000000)}::BIGINT)")
+        .mkString(", ")
+      s"""WITH exp AS (SELECT * FROM (VALUES $expVals) AS t(digit, exp_ppm)),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0)
+         |      AS BIGINT) AS VARCHAR), 2, 1) AS INTEGER) AS digit,
+         |    COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |o2 AS (
+         |  SELECT digit, CAST(n AS BIGINT) AS n,
+         |    CAST((1000000 * n) // (SELECT SUM(n) FROM obs) AS BIGINT)
+         |      AS obs_ppm
+         |  FROM obs WHERE digit IS NOT NULL)
+         |SELECT CAST(o2.digit AS BIGINT) AS digit, o2.n, o2.obs_ppm,
+         |  e.exp_ppm, o2.obs_ppm - e.exp_ppm AS dev_ppm
+         |FROM o2 JOIN exp e ON o2.digit = e.digit
+         |ORDER BY digit""".stripMargin
+    },
 
     "sample_kcenter_coreset" -> {
       val rounds = (2 to 8).map { k =>
