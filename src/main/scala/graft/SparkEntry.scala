@@ -7117,6 +7117,89 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // Incremental distinct-view maintenance: the (user, day) presence
+    // SET folds by union+dedup per micro-batch (state = the view's own
+    // grain, never the event stream), and the 7-day WAU curve computed
+    // at read time over the folded store must equal the batch
+    // events_rolling_actives gate row-for-row — shared oracle.
+    "stream_rolling_actives_fold" -> ((s, d) => {
+      streaming.StreamingIngest.stagedRollingActivesRoundtrip(s,
+        Tables.events(s, d),
+        "/tmp/graft_stream_wau_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }),
+
+    // Shard-manifest content checksums — transfer-integrity for the
+    // X282 layout: per shard, item count plus an order-free checksum
+    // (sum of bounded per-item hashes — commutative, so ANY
+    // partitioning/arrival order produces the same manifest line; an
+    // xor or ordered digest would not survive a repartition).
+    "multimodal_shard_checksums" -> ((s, d) => {
+      val budget = 64L * 1024L
+      val media = Multimodal.fromDocuments(docs(s, d))
+        .select(col("media_id"),
+          length(col("bytes")).cast("long").as("byte_len"),
+          HashFunctions.hash64(concat(col("media_id").cast("string"),
+            lit("#shard"))).as("h"),
+          pmod(HashFunctions.hash64(concat(col("media_id").cast("string"),
+            lit("#chk"))), lit(1000000000L)).as("chk"))
+      val w = Window.orderBy(col("h"), col("media_id"))
+      media
+        .withColumn("before", coalesce(sum(col("byte_len")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard_id", expr("before div " + budget))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_items"), sum(col("chk")).as("checksum"),
+          sum(col("byte_len")).as("shard_bytes"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // Influence diagnostics on the OLS trend — leverage and Cook's
+    // distance per day, top-10: WHICH days bend the fit (the follow-up
+    // to X295's "which days are outliers" — an outlier at the center
+    // has little pull; a mild one at the edge can steer the slope).
+    // Residual sum-of-squares quantized floor(r²/2^10) — COARSENED, not
+    // scaled up, so the BIGINT Σ can't overflow at any SF — making the
+    // Σ order-free; everything else is identical-shape single-rounded
+    // doubles from exact integer stats.
+    "profile_ols_influence" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("x"))
+        .agg(expr("sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100")
+          .as("y"))
+        .localCheckpoint() // fit, RSS and the per-day pass all read it
+      val fit = daily.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), col("sx"), col("sxx"),
+          expr("""(cast(n as double) * cast(sxy as double)
+            - cast(sx as double) * cast(sy as double))
+            / (cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))""").as("b1"),
+          expr("""(cast(sy as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sxy as double))
+            / (cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))""").as("b0"))
+      val withR = daily.crossJoin(broadcast(fit))
+        .withColumn("resid", col("y") - (col("b0") + col("b1") * col("x")))
+        .withColumn("hi", expr("""1.0 / n
+          + (x - cast(sx as double) / n) * (x - cast(sx as double) / n)
+          / (cast(sxx as double) - cast(sx as double) * cast(sx as double) / n)"""))
+        .localCheckpoint() // RSS agg + per-day Cook's D read it
+      val s2 = withR.agg(
+          sum(floor(col("resid") * col("resid") / 1024).cast("long"))
+            .as("sq"), max(col("n")).as("nn"))
+        .select(expr("(cast(sq as double) * 1024) / (nn - 2)").as("s2"))
+      withR.crossJoin(broadcast(s2))
+        .withColumn("cookd", expr("""round((resid * resid * hi)
+          / (2.0 * s2 * (1.0 - hi) * (1.0 - hi)), 6)"""))
+        .select(col("x").cast("long").as("day"), col("y"),
+          round(col("resid"), 2).as("resid_r"),
+          round(col("hi"), 6).as("leverage"), col("cookd"))
+        .orderBy(col("cookd").desc, col("day")).limit(10)
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12836,6 +12919,77 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    // folded distinct view == batch view, oracle shared verbatim
+    "stream_rolling_actives_fold" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sp AS (SELECT DISTINCT day AS d FROM ud)
+        |SELECT strftime(sp.d, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT ud.user_id) AS active_users
+        |FROM ud JOIN sp ON date_diff('day', ud.day, sp.d) BETWEEN 0 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "multimodal_shard_checksums" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR) || '#shard'")
+      val hc = sqlHash64("CAST(media_id AS VARCHAR) || '#chk'")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |    $h AS h
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT media_id, byte_len, h,
+         |    (($hc % 1000000000) + 1000000000) % 1000000000 AS chk
+         |  FROM m),
+         |c AS (
+         |  SELECT media_id, byte_len, chk,
+         |    COALESCE(SUM(byte_len) OVER (ORDER BY h, media_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS before
+         |  FROM m2)
+         |SELECT CAST(before // 65536 AS BIGINT) AS shard_id,
+         |  COUNT(*) AS n_items, CAST(SUM(chk) AS BIGINT) AS checksum,
+         |  CAST(SUM(byte_len) AS BIGINT) AS shard_bytes
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+    },
+
+    "profile_ols_influence" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |fit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS b1,
+        |    (CAST(SUM(y) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS b0
+        |  FROM daily),
+        |wr AS (
+        |  SELECT x, y, y - (b0 + b1 * x) AS resid,
+        |    1.0 / n
+        |      + (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE) / n)
+        |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |      AS hi,
+        |    n
+        |  FROM daily, fit),
+        |s2 AS (
+        |  SELECT (CAST(SUM(CAST(FLOOR(resid * resid / 1024) AS BIGINT))
+        |    AS DOUBLE) * 1024) / (MAX(n) - 2) AS s2
+        |  FROM wr)
+        |SELECT CAST(x AS BIGINT) AS day, y, ROUND(resid, 2) AS resid_r,
+        |  ROUND(hi, 6) AS leverage,
+        |  ROUND((resid * resid * hi)
+        |    / (2.0 * s2 * (1.0 - hi) * (1.0 - hi)), 6) AS cookd
+        |FROM wr, s2
+        |ORDER BY cookd DESC, day LIMIT 10""".stripMargin,
 
     "mem_scroll_cursor_parity" ->
       """WITH m AS (

@@ -1299,6 +1299,74 @@ object StreamingIngest {
       .withColumn("significant", abs(col("z")) > 1.959964)
   }
 
+  /** Incremental maintenance of a DISTINCT-view: the (user, day)
+    * presence relation is a SET, so the fold is union + dedup per batch
+    * (groupBy the key — NO history re-scan of events, only the compact
+    * presence store), and the 7-day rolling-actives curve computed at
+    * READ time over the folded store must equal the batch
+    * `events_rolling_actives` gate row-for-row — its oracle is shared
+    * verbatim. The materialized-view-maintenance shape: state is the
+    * view's own grain (users × active days), never the event stream.
+    */
+  def stagedRollingActivesRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    val src = events.select(col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("user_id"), col("day"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    stage(src.where(pmod(col("event_id"), lit(2)) === 0))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("day", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.select(col("user_id"), col("day")).distinct()
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta).distinct()
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the presence store
+      stage(src.where(pmod(col("event_id"), lit(2)) === 1))
+      q.processAllAvailable() // batch 1+: set-union folds
+    } finally q.stop()
+    val fin = latest.getOrElse(
+      sys.error("stagedRollingActivesRoundtrip: no batch"))
+    val ud = spark.read.parquet(fin)
+      .select(col("user_id"), to_date(col("day")).as("day"))
+    val spine = broadcast(ud.select(col("day").as("d")).distinct())
+    ud.join(spine, datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("active_users"))
+      .orderBy(col("day"))
+  }
+
   /** Streaming substring-dedup fold: k-gram COUNTS are additive across
     * micro-batches (the CMS property, exact rather than sketched), so the
     * fold keeps a versioned (gram-hash, count) store summed per batch with
