@@ -7200,6 +7200,80 @@ object SparkEntry {
         .orderBy(col("cookd").desc, col("day")).limit(10)
     }),
 
+    // Gini coefficient of per-user activity — inequality the
+    // scale-honest way: NO row-grain sort. The rank-sum Σi·xᵢ collapses
+    // to the VALUE grain via tie blocks (2Σi·x = Σ_x x·(2·cum_below·c +
+    // c·(c+1)), all integers), so the only ordered pass runs over
+    // distinct activity levels. G in micro-units, pure integer ratio.
+    // Contrast orders_gini (row-grain ranked window per region): same
+    // statistic, but THIS form survives a 10^9-user table — ranks never
+    // materialize, only the value histogram does.
+    "profile_gini_activity" -> ((s, d) => {
+      val ux = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val byX = ux.groupBy(col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy(col("x"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      byX.agg(
+          sum(col("c")).as("n"),
+          sum(col("x") * col("c")).as("sx"),
+          sum(col("x") * (lit(2L) * col("cb") * col("c")
+            + col("c") * (col("c") + 1))).as("s2ix"))
+        .select(col("n").as("n_users"), col("sx").as("total_events"),
+          expr("(1000000 * (s2ix - (n + 1) * sx)) div (n * sx)")
+            .as("gini_micro"))
+    }),
+
+    // NULL-semantics parity — the differential gate for the aggregate
+    // NULL contract (COUNT(*) vs COUNT(col), SUM/AVG/MIN/MAX skipping
+    // NULLs, COALESCE fallthrough): both engines must agree cell-for-
+    // cell on a column that is NULL for a deterministic value band.
+    // AVG stays exact: micro-unit sum div nonnull count.
+    "q_null_semantics" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        when(col("value") < 1, lit(null)).otherwise(
+          expr("cast(round(value * 1000000, 0) as bigint)")).as("nv"))
+      ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_all"),
+          count(col("nv")).as("n_nonnull"),
+          (count(lit(1)) - count(col("nv"))).as("n_null"),
+          sum(col("nv")).as("sum_nv"),
+          min(col("nv")).as("min_nv"),
+          max(col("nv")).as("max_nv"),
+          sum(coalesce(col("nv"), lit(0L))).as("sum_coalesced"))
+        .withColumn("avg_micro", expr("sum_nv div n_nonnull"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Window-function long tail — ntile / percent_rank / cume_dist
+    // parity per event type: quartile census with the exact rational
+    // rank statistics at each quartile boundary. percent_rank's
+    // (rn−1)/(n−1) and cume_dist's rn/n are single divisions of exact
+    // integers — engine-identical; ntile's uneven-bucket rule (first
+    // buckets get the remainder) is part of what's under test.
+    "q_window_misc" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("vm"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000, 0) as bigint)").as("vm"),
+          col("event_id"))
+        .withColumn("q", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vm")).as("min_vm"), max(col("vm")).as("max_vm"),
+          round(min(col("pr")), 6).as("pr_min"),
+          round(max(col("pr")), 6).as("pr_max"),
+          round(max(col("cd")), 6).as("cd_max"))
+        .select(col("event_type"), col("q").cast("long").as("q"),
+          col("n"), col("min_vm"), col("max_vm"), col("pr_min"),
+          col("pr_max"), col("cd_max"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12919,6 +12993,61 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "profile_gini_activity" ->
+      """WITH ux AS (
+        |  SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+        |byx AS (
+        |  SELECT x, COUNT(*) AS c FROM ux GROUP BY 1),
+        |cb AS (
+        |  SELECT x, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM byx),
+        |agg AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(x * c) AS BIGINT) AS sx,
+        |    CAST(SUM(x * (2 * cb * c + c * (c + 1))) AS BIGINT) AS s2ix
+        |  FROM cb)
+        |SELECT n AS n_users, sx AS total_events,
+        |  CAST((1000000 * (s2ix - (n + 1) * sx)) // (n * sx) AS BIGINT)
+        |    AS gini_micro
+        |FROM agg""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 1 THEN NULL
+        |      ELSE CAST(ROUND(value * 1000000, 0) AS BIGINT) END AS nv
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n_all,
+        |  COUNT(nv) AS n_nonnull,
+        |  COUNT(*) - COUNT(nv) AS n_null,
+        |  CAST(SUM(nv) AS BIGINT) AS sum_nv,
+        |  MIN(nv) AS min_nv,
+        |  MAX(nv) AS max_nv,
+        |  CAST(SUM(COALESCE(nv, 0)) AS BIGINT) AS sum_coalesced,
+        |  CAST(SUM(nv) AS BIGINT) // COUNT(nv) AS avg_micro
+        |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_window_misc" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vm, event_id
+        |  FROM events),
+        |wf AS (
+        |  SELECT event_type, vm,
+        |    NTILE(4) OVER w AS q,
+        |    PERCENT_RANK() OVER w AS pr,
+        |    CUME_DIST() OVER w AS cd
+        |  FROM ev WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY vm, event_id))
+        |SELECT event_type, CAST(q AS BIGINT) AS q, COUNT(*) AS n,
+        |  MIN(vm) AS min_vm, MAX(vm) AS max_vm,
+        |  ROUND(MIN(pr), 6) AS pr_min, ROUND(MAX(pr), 6) AS pr_max,
+        |  ROUND(MAX(cd), 6) AS cd_max
+        |FROM wf GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
 
     // folded distinct view == batch view, oracle shared verbatim
     "stream_rolling_actives_fold" ->
