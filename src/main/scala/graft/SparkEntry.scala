@@ -7274,6 +7274,63 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // Peak concurrency by boundary sweep — the interval-stabbing
+    // maximum without expanding intervals to their covered instants:
+    // per-user 30-minute-gap sessions become ±1 boundary events, one
+    // ordered cumulative over the BOUNDARY grain finds the running and
+    // peak concurrency. Deltas NET at equal timestamps (an end exactly
+    // at a start doesn't bump the peak — and the sum is order-free).
+    // The capacity-planning number for any session-serving tier.
+    "events_peak_concurrency" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      val gap = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sessions = ev
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") > gap, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      val bounds = sessions.select(col("st").as("t"), lit(1).as("delta"))
+        .unionByName(sessions.select(col("en").as("t"),
+          lit(-1).as("delta")))
+        .groupBy(col("t")).agg(sum(col("delta")).as("d"),
+          sum(when(col("delta") === 1, 1).otherwise(0)).as("starts"))
+      val run = bounds.withColumn("conc", sum(col("d")).over(
+          Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("mx", max(col("conc")).over(Window.partitionBy()))
+      run.agg(
+          sum(col("starts")).cast("long").as("n_sessions"),
+          max(col("conc")).cast("long").as("peak_concurrency"),
+          min(when(col("conc") === col("mx"), col("t"))).as("peak_at_us"))
+    }),
+
+    // Wilson lower-bound ranking — the right way to rank by a
+    // proportion when group sizes differ (a 3/3 supplier must not beat
+    // a 95/100 one): LB = (p̂ + z²/2n − z√(p̂(1−p̂)/n + z²/4n²))/(1+z²/n).
+    // Non-return rate per supplier; z embedded as the same literal both
+    // sides, one sqrt, everything else single-rounded from exact
+    // integer (hit, n) pairs. Top-15 by the bound.
+    "q_wilson_ranking" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).groupBy(col("l_suppkey")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") =!= "R", 1)
+            .otherwise(0)).cast("long").as("hits"))
+      li.withColumn("wilson_lb", expr("""round(
+          (cast(hits as double) / n + 1.9208 / n
+            - 1.96 * sqrt((cast(hits as double) / n)
+              * (1.0 - cast(hits as double) / n) / n
+              + 0.9604 / (cast(n as double) * n)))
+          / (1.0 + 3.8416 / n), 6)"""))
+        .select(col("l_suppkey"), col("n"), col("hits"),
+          expr("(1000000 * hits) div n").as("rate_ppm"), col("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("l_suppkey")).limit(15)
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -12993,6 +13050,58 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "events_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |br AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1
+        |      ELSE 0 END AS brk
+        |  FROM (SELECT user_id, us,
+        |      LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |    FROM ev)),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM br),
+        |sessions AS (
+        |  SELECT user_id, sid, MIN(us) AS st, MAX(us) AS en
+        |  FROM sid GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT t, CAST(SUM(delta) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS starts
+        |  FROM (
+        |    SELECT st AS t, 1 AS delta FROM sessions
+        |    UNION ALL SELECT en, -1 FROM sessions)
+        |  GROUP BY 1),
+        |run AS (
+        |  SELECT t, starts,
+        |    SUM(d) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds),
+        |r2 AS (SELECT t, starts, conc, MAX(conc) OVER () AS mx FROM run)
+        |SELECT CAST(SUM(starts) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT) AS peak_at_us
+        |FROM r2""".stripMargin,
+
+    "q_wilson_ranking" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, n, hits,
+        |  CAST((1000000 * hits) // n AS BIGINT) AS rate_ppm,
+        |  ROUND(
+        |    (CAST(hits AS DOUBLE) / n + 1.9208 / n
+        |      - 1.96 * SQRT((CAST(hits AS DOUBLE) / n)
+        |        * (1.0 - CAST(hits AS DOUBLE) / n) / n
+        |        + 0.9604 / (CAST(n AS DOUBLE) * n)))
+        |    / (1.0 + 3.8416 / n), 6) AS wilson_lb
+        |FROM li ORDER BY wilson_lb DESC, l_suppkey LIMIT 15""".stripMargin,
 
     "profile_gini_activity" ->
       """WITH ux AS (
