@@ -7331,6 +7331,91 @@ object SparkEntry {
         .orderBy(col("wilson_lb").desc, col("l_suppkey")).limit(15)
     }),
 
+    // Maximal Marginal Relevance rerank — the diversity pass serving
+    // stacks run AFTER retrieval: greedily pick argmax[rel − λ·max-sim-
+    // to-selected] from the top-50 candidate pool (λ=0.5). Every float
+    // kernel (query relevance AND the 50×50 candidate similarity
+    // matrix) is computed by the ENGINES and round-6ed before the
+    // greedy loop touches it — the driver-side selection is pure
+    // comparisons on a model-scale matrix, and the oracle unrolls the
+    // same 10 rounds as MATERIALIZED CTEs.
+    "search_mmr_rerank" -> ((s, d) => {
+      val e = embs(s, d)
+      val qv = queryVec(s, d)
+      val cands = Similarity.bruteForceTopK(e, "embedding", "vec_id", qv,
+          k = 50)
+        .select(col("vec_id"), round(col("score"), 6).as("rel"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .localCheckpoint() // relevance list + both sides of the sim matrix
+      val simRows = cands.select(col("vec_id").as("a"),
+          col("embedding").as("va_"))
+        .crossJoin(cands.select(col("vec_id").as("b"),
+          col("embedding").as("vb_")))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), round(VectorFunctions.cosine(
+          col("va_"), col("vb_"), 64), 6).as("sim"))
+        .collect()
+      val sim = simRows.map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def simOf(x: Long, y: Long): Double =
+        if (x == y) 1.0
+        else sim.getOrElse((math.min(x, y), math.max(x, y)), 0.0)
+      val rels = cands.select(col("vec_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      var selected = List.empty[Long]
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
+      for (k <- 1 to 10) {
+        val (pick, score) = rels.keys.filterNot(selected.contains).toSeq
+          .map { v =>
+            val pen = if (selected.isEmpty) 0.0
+              else selected.map(simOf(v, _)).max
+            (v, rels(v) - 0.5 * pen)
+          }
+          .minBy { case (v, sc) => (-sc, v) }
+        selected = selected :+ pick
+        out += ((k, pick, rels(pick), score))
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("round", "vec_id", "rel", "mmr_score")
+        .withColumn("mmr_score", round(col("mmr_score"), 6))
+        .orderBy(col("round"))
+    }),
+
+    // Fellegi-Sunter linkage scoring — the probabilistic record-linkage
+    // decision model over the agreement-pattern lattice: three feature
+    // agreements (name JW ≥ 0.94, nation, segment) on a bounded panel,
+    // likelihood ratio Π (mᵢ/uᵢ or (1−mᵢ)/(1−uᵢ)) from literal m/u
+    // parameters in FIXED feature order (same three multiplies both
+    // engines), thresholded into link / possible / non-link. Pattern
+    // grain: 8 rows whatever the corpus.
+    "er_fellegi_sunter" -> ((s, d) => {
+      val panel = Tables.customer(s, d).where(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .localCheckpoint()
+      val l = panel.select(col("id").as("a"), col("nm").as("na"),
+        col("nk").as("nka"), col("seg").as("sega"))
+      val r = panel.select(col("id").as("b"), col("nm").as("nb"),
+        col("nk").as("nkb"), col("seg").as("segb"))
+      val pat = l.crossJoin(r).where(col("a") < col("b"))
+        .select(
+          (round(functions.JaroWinkler.sim(col("na"), col("nb")), 6)
+            >= 0.94).cast("int").as("a1"),
+          (col("nka") === col("nkb")).cast("int").as("a2"),
+          (col("sega") === col("segb")).cast("int").as("a3"))
+        .groupBy(col("a1"), col("a2"), col("a3"))
+        .agg(count(lit(1)).as("n_pairs"))
+      pat.withColumn("score", round(
+          expr("case when a1 = 1 then 0.95e0 / 0.05e0 else 0.05e0 / 0.95e0 end")
+            * expr("case when a2 = 1 then 0.9e0 / 0.04e0 else 0.1e0 / 0.96e0 end")
+            * expr("case when a3 = 1 then 0.85e0 / 0.2e0 else 0.15e0 / 0.8e0 end"),
+          6))
+        .withColumn("decision",
+          when(col("score") > 100, "link")
+            .when(col("score") > 1, "possible").otherwise("non-link"))
+        .orderBy(col("a1"), col("a2"), col("a3"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -13050,6 +13135,70 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "search_mmr_rerank" -> {
+      val rounds = (2 to 10).map { k =>
+        val sims = (1 until k).map(i =>
+          s"ROUND(list_cosine_similarity(c.v, (SELECT v FROM s$i)), 6)")
+        val pen = if (sims.size == 1) sims.head
+          else s"GREATEST(${sims.mkString(",\n      ")})"
+        val excl = (1 until k).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$k AS MATERIALIZED (
+           |  SELECT vec_id, rel, v, score FROM (
+           |    SELECT c.vec_id, c.rel, c.v, c.rel - 0.5 * $pen AS score
+           |    FROM cands c WHERE c.vec_id NOT IN ($excl))
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 10).map(k =>
+        s"""SELECT $k AS round, (SELECT vec_id FROM s$k) AS vec_id,
+           |  (SELECT rel FROM s$k) AS rel,
+           |  (SELECT ROUND(score, 6) FROM s$k) AS mmr_score""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cands AS MATERIALIZED (
+         |  SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS rel, v
+         |  FROM e, q
+         |  ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+         |  LIMIT 50),
+         |s1 AS MATERIALIZED (
+         |  SELECT vec_id, rel, v, rel AS score FROM cands
+         |  ORDER BY rel DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT CAST(round AS INTEGER) AS round, vec_id, rel, mmr_score
+         |FROM ($rows)
+         |ORDER BY round""".stripMargin
+    },
+
+    "er_fellegi_sunter" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey <= 200),
+        |pat AS (
+        |  SELECT
+        |    CASE WHEN ROUND(jaro_winkler_similarity(l.nm, r.nm), 6) >= 0.94
+        |      THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN l.nk = r.nk THEN 1 ELSE 0 END AS a2,
+        |    CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS a3
+        |  FROM p l JOIN p r ON l.id < r.id),
+        |g AS (
+        |  SELECT CAST(a1 AS INTEGER) AS a1, CAST(a2 AS INTEGER) AS a2,
+        |    CAST(a3 AS INTEGER) AS a3, COUNT(*) AS n_pairs
+        |  FROM pat GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT a1, a2, a3, n_pairs,
+        |    ROUND((CASE WHEN a1 = 1 THEN 0.95e0 / 0.05e0 ELSE 0.05e0 / 0.95e0 END)
+        |      * (CASE WHEN a2 = 1 THEN 0.9e0 / 0.04e0 ELSE 0.1e0 / 0.96e0 END)
+        |      * (CASE WHEN a3 = 1 THEN 0.85e0 / 0.2e0 ELSE 0.15e0 / 0.8e0 END), 6)
+        |      AS score
+        |  FROM g)
+        |SELECT a1, a2, a3, n_pairs, score,
+        |  CASE WHEN score > 100 THEN 'link'
+        |    WHEN score > 1 THEN 'possible' ELSE 'non-link' END AS decision
+        |FROM sc ORDER BY a1, a2, a3""".stripMargin,
 
     "events_peak_concurrency" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
