@@ -7416,6 +7416,80 @@ object SparkEntry {
         .orderBy(col("a1"), col("a2"), col("a3"))
     }),
 
+    // Gini impurity per semantic cluster — the log-free diversity
+    // criterion (1 − Σp², the decision-tree split measure; entropy's ln
+    // is the classic cross-engine divergence this codebase bans): pure
+    // integers via (n² − Σc²)·10⁶ div n² on the (cluster, label) count
+    // grain. Purity (X313) asks "how dominant is the top label"; this
+    // asks "how mixed is the whole cell".
+    "dedup_cluster_impurity" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.centroidsFromLong(
+        Similarity.labelCentroids(e, "embedding", "label"))
+      val cl = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+        .select(col("vec_id"), col("cell"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+      cl.groupBy(col("cell"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("n_labels"))
+        .select(col("cell"), col("n"), col("n_labels"),
+          expr("(1000000 * (n * n - sc2)) div (n * n)")
+            .as("impurity_ppm"))
+        .orderBy(col("cell"))
+    }),
+
+    // Kish effective sample size — what a weighted sample is actually
+    // worth: n_eff = (Σw)²/Σw² from two exact integer sums (weights =
+    // per-user event counts), plus the design-effect ratio. One
+    // combiner-heavy agg; the survey-statistics sanity check for every
+    // weighted estimator in the X-sampling family.
+    "sample_kish_effective_n" -> ((s, d) => {
+      val w = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("w"))
+      w.agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sw2"))
+        .select(col("n").as("n_users"), col("sw").as("sum_w"),
+          expr("""round(cast(sw as double) * cast(sw as double)
+            / cast(sw2 as double), 6)""").as("n_eff"),
+          expr("""round(cast(sw as double) * cast(sw as double)
+            / cast(sw2 as double) / n, 6)""").as("eff_ratio"))
+    }),
+
+    // Session duration statistics — mean, exact-rank median and p90 of
+    // 30-minute-gap session lengths, all in integer µs (median/p90 by
+    // the DURATION-grain cumulative rank trick — no row sort of
+    // sessions, same shape as the AUC/decile gates).
+    "events_session_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      val gap = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val durs = ev
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") > gap, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg((max(col("us")) - min(col("us"))).as("dur"))
+      val byDur = durs.groupBy(col("dur")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy(col("dur"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      byDur.agg(
+          max(col("n")).as("n_sessions"),
+          expr("sum(dur * c) div max(n)").as("mean_us"),
+          min(when(col("cb") < expr("(n + 1) div 2")
+            && expr("(n + 1) div 2") <= col("cb") + col("c"), col("dur")))
+            .as("median_us"),
+          min(when(col("cb") < expr("(9 * n + 9) div 10")
+            && expr("(9 * n + 9) div 10") <= col("cb") + col("c"),
+            col("dur"))).as("p90_us"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -13135,6 +13209,87 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "dedup_cluster_impurity" ->
+      """WITH x AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY label, pos),
+        |cent AS (
+        |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
+        |  FROM cent0 GROUP BY label),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |cl AS (
+        |  SELECT a.cell, emb.label, COUNT(*) AS c
+        |  FROM a JOIN (SELECT vec_id, label FROM embeddings) emb
+        |    USING (vec_id)
+        |  GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT cell, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2, COUNT(*) AS n_labels
+        |  FROM cl GROUP BY 1)
+        |SELECT cell, n, n_labels,
+        |  CAST((1000000 * (n * n - sc2)) // (n * n) AS BIGINT)
+        |    AS impurity_ppm
+        |FROM pc ORDER BY cell""".stripMargin,
+
+    "sample_kish_effective_n" ->
+      """WITH w AS (SELECT user_id, COUNT(*) AS w FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w * w) AS BIGINT) AS sw2
+        |  FROM w)
+        |SELECT n AS n_users, sw AS sum_w,
+        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE), 6) AS n_eff,
+        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE) / n, 6) AS eff_ratio
+        |FROM st""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |br AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1
+        |      ELSE 0 END AS brk
+        |  FROM (SELECT user_id, us,
+        |      LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |    FROM ev)),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM br),
+        |durs AS (
+        |  SELECT user_id, sid, MAX(us) - MIN(us) AS dur
+        |  FROM sid GROUP BY 1, 2),
+        |byd AS (
+        |  SELECT dur, COUNT(*) AS c FROM durs GROUP BY 1),
+        |cum AS (
+        |  SELECT dur, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    SUM(c) OVER () AS n
+        |  FROM byd)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(dur * c) AS BIGINT) // CAST(MAX(n) AS BIGINT) AS mean_us,
+        |  CAST(MIN(CASE WHEN cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c
+        |    THEN dur END) AS BIGINT) AS median_us,
+        |  CAST(MIN(CASE WHEN cb < (9 * n + 9) // 10
+        |    AND (9 * n + 9) // 10 <= cb + c THEN dur END) AS BIGINT)
+        |    AS p90_us
+        |FROM cum""".stripMargin,
 
     "search_mmr_rerank" -> {
       val rounds = (2 to 10).map { k =>
