@@ -7490,6 +7490,67 @@ object SparkEntry {
             col("dur"))).as("p90_us"))
     }),
 
+    // NOT IN's NULL trap as a pinned differential gate: a NULL in the
+    // subquery makes `x NOT IN (...)` three-valued — never TRUE — so
+    // the naive form returns ZERO rows while NOT EXISTS and the
+    // null-filtered form return the real complement. All three counts
+    // pinned cell-for-cell on both engines; the production lesson is
+    // the delta between them.
+    "q_not_in_null_trap" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+      // every 7th purchaser id is poisoned to NULL — one NULL suffices
+      // to turn the whole naive NOT IN into "never TRUE"
+      val purchasers = ev.where(col("event_type") === "purchase")
+        .select(when(pmod(col("user_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("user_id")).as("maybe_uid"))
+        .distinct().localCheckpoint()
+      val base = ev.select(col("user_id")).distinct().localCheckpoint()
+      purchasers.createOrReplaceTempView("graft_null_trap_purch")
+      base.createOrReplaceTempView("graft_null_trap_base")
+      val notIn = s.sql("""SELECT user_id FROM graft_null_trap_base
+        WHERE user_id NOT IN (SELECT maybe_uid FROM graft_null_trap_purch)""")
+      val filtered = base.join(
+        purchasers.where(col("maybe_uid").isNotNull),
+        col("user_id") === col("maybe_uid"), "left_anti")
+      val notExists = s.sql("""SELECT user_id FROM graft_null_trap_base b
+        WHERE NOT EXISTS (SELECT 1 FROM graft_null_trap_purch p
+          WHERE p.maybe_uid = b.user_id)""")
+      base.agg(count(lit(1)).as("n_base"))
+        .crossJoin(notIn.agg(count(lit(1)).as("n_not_in_nullable")))
+        .crossJoin(filtered.agg(count(lit(1)).as("n_not_in_filtered")))
+        .crossJoin(notExists.agg(count(lit(1)).as("n_not_exists")))
+    }),
+
+    // Minimum detectable effect — the pre-experiment power analysis
+    // that closes the experimentation suite (X300 tests, X303 tightens,
+    // X306/X315 attribute, THIS sizes): MDE = (z_α/2+z_β)·√(2p̂(1−p̂)/n)
+    // at 80% power / 5% α from the same hash-arm counts, z constants as
+    // shared literals, one sqrt over single-rounded exact-integer
+    // ratios.
+    "profile_power_mde" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(HashFunctions.hash64(concat(col("user_id").cast("string"),
+          lit("#ab"))), lit(2)).as("arm"),
+        when(col("event_type") === "error", 1).otherwise(0).as("bad"))
+      ev.agg(count(lit(1)).as("n"), sum(col("bad")).cast("long").as("x"))
+        .select(col("n"), col("x"),
+          expr("(1000000 * x) div n").as("base_rate_ppm"),
+          expr("""round((1.96 + 0.8416)
+            * sqrt(2.0 * (cast(x as double) / n)
+              * (1.0 - cast(x as double) / n) / (cast(n as double) / 2)),
+            6)""").as("mde_abs"))
+    }),
+
+    // Streaming fold of the peak-concurrency boundary relation — the
+    // fourth fold flavor (store additive, statistic computed at read
+    // over boundary grain); must equal the batch gate bit-for-bit,
+    // oracle shared verbatim.
+    "stream_peak_concurrency" -> ((s, d) => {
+      streaming.StreamingIngest.stagedPeakConcurrencyRoundtrip(s,
+        Tables.events(s, d),
+        "/tmp/graft_stream_conc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -13209,6 +13270,79 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "q_not_in_null_trap" ->
+      """WITH purch AS (
+        |  SELECT DISTINCT CASE WHEN ((user_id % 7) + 7) % 7 = 0 THEN NULL
+        |    ELSE user_id END AS maybe_uid
+        |  FROM events WHERE event_type = 'purchase'),
+        |base AS (SELECT DISTINCT user_id FROM events)
+        |SELECT
+        |  (SELECT COUNT(*) FROM base) AS n_base,
+        |  (SELECT COUNT(*) FROM base WHERE user_id NOT IN
+        |    (SELECT maybe_uid FROM purch)) AS n_not_in_nullable,
+        |  (SELECT COUNT(*) FROM base WHERE user_id NOT IN
+        |    (SELECT maybe_uid FROM purch WHERE maybe_uid IS NOT NULL))
+        |    AS n_not_in_filtered,
+        |  (SELECT COUNT(*) FROM base b WHERE NOT EXISTS
+        |    (SELECT 1 FROM purch p WHERE p.maybe_uid = b.user_id))
+        |    AS n_not_exists""".stripMargin,
+
+    "profile_power_mde" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+         |  FROM events),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(bad) AS BIGINT) AS x
+         |  FROM ev)
+         |SELECT n, x,
+         |  CAST((1000000 * x) // n AS BIGINT) AS base_rate_ppm,
+         |  ROUND((1.96 + 0.8416)
+         |    * SQRT(2.0 * (CAST(x AS DOUBLE) / n)
+         |      * (1.0 - CAST(x AS DOUBLE) / n) / (CAST(n AS DOUBLE) / 2)),
+         |    6) AS mde_abs
+         |FROM agg""".stripMargin
+    },
+
+    // folded boundary store == batch sweep, oracle shared verbatim
+    "stream_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |br AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1
+        |      ELSE 0 END AS brk
+        |  FROM (SELECT user_id, us,
+        |      LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |    FROM ev)),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM br),
+        |sessions AS (
+        |  SELECT user_id, sid, MIN(us) AS st, MAX(us) AS en
+        |  FROM sid GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT t, CAST(SUM(delta) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS starts
+        |  FROM (
+        |    SELECT st AS t, 1 AS delta FROM sessions
+        |    UNION ALL SELECT en, -1 FROM sessions)
+        |  GROUP BY 1),
+        |run AS (
+        |  SELECT t, starts,
+        |    SUM(d) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds),
+        |r2 AS (SELECT t, starts, conc, MAX(conc) OVER () AS mx FROM run)
+        |SELECT CAST(SUM(starts) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT) AS peak_at_us
+        |FROM r2""".stripMargin,
 
     "dedup_cluster_impurity" ->
       """WITH x AS (

@@ -1367,6 +1367,91 @@ object StreamingIngest {
       .orderBy(col("day"))
   }
 
+  /** Streaming fold of the peak-concurrency boundary relation: session
+    * ±1 deltas NET additively per timestamp, so the fold keeps a
+    * (t, delta, starts) versioned store summed per batch — a FOURTH
+    * fold flavor next to counts (CMS), sets (WAU) and test stats (z):
+    * here the STORE is additive while the statistic (running max of the
+    * ordered cumulative) is computed at read time over boundary grain.
+    * Batches must be USER-complete (a user's events arrive together —
+    * the staged driver splits on user_id) since sessions are per-user.
+    * Folded result must equal the batch gate bit-for-bit; oracle shared
+    * verbatim.
+    */
+  def stagedPeakConcurrencyRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    val src = events.select(col("user_id").cast("long").as("user_id"),
+      expr("unix_micros(ts)").as("us"))
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("user_id"), col("us"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    stage(src.where(pmod(col("user_id"), lit(2)) === 0))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("us", LongType)))).as("j"))
+      .select(col("j.*"))
+
+    val gap = 30L * 60 * 1000000L
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val sessions = batch
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("brk", when(col("prev").isNull
+            || col("us") - col("prev") > gap, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+        val delta = sessions.select(col("st").as("t"), lit(1L).as("d"),
+            lit(1L).as("starts"))
+          .unionByName(sessions.select(col("en").as("t"),
+            lit(-1L).as("d"), lit(0L).as("starts")))
+          .groupBy(col("t"))
+          .agg(sum(col("d")).as("d"), sum(col("starts")).as("starts"))
+        val next = latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy(col("t"))
+              .agg(sum(col("d")).as("d"), sum(col("starts")).as("starts"))
+        }
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the boundary store
+      stage(src.where(pmod(col("user_id"), lit(2)) === 1))
+      q.processAllAvailable() // batch 1+: additive folds
+    } finally q.stop()
+    val fin = latest.getOrElse(
+      sys.error("stagedPeakConcurrencyRoundtrip: no batch"))
+    val run = spark.read.parquet(fin)
+      .withColumn("conc", sum(col("d")).over(
+        Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mx", max(col("conc")).over(Window.partitionBy()))
+    run.agg(
+      sum(col("starts")).cast("long").as("n_sessions"),
+      max(col("conc")).cast("long").as("peak_concurrency"),
+      min(when(col("conc") === col("mx"), col("t"))).as("peak_at_us"))
+  }
+
   /** Streaming substring-dedup fold: k-gram COUNTS are additive across
     * micro-batches (the CMS property, exact rather than sketched), so the
     * fold keeps a versioned (gram-hash, count) store summed per batch with
