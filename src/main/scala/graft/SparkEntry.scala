@@ -7551,6 +7551,42 @@ object SparkEntry {
         "/tmp/graft_stream_conc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     }),
 
+    // Sample-ratio-mismatch check — the A/B health gate run BEFORE
+    // reading any metric: a 50/50 hash split whose realized counts fail
+    // the 1-dof chi-square says the assignment itself is broken and
+    // every downstream readout is garbage. Entirely integer:
+    // chi² = (n₁−n₂)²/n in micro-units against the 3.841459 critical
+    // literal.
+    "sample_srm_check" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(HashFunctions.hash64(concat(col("user_id").cast("string"),
+          lit("#ab"))), lit(2)).as("arm"))
+      ev.agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n1"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n2"))
+        .select(col("n1"), col("n2"),
+          expr("(1000000 * (n1 - n2) * (n1 - n2)) div (n1 + n2)")
+            .as("chi2_micro"))
+        .withColumn("srm_detected", col("chi2_micro") > 3841459L)
+    }),
+
+    // Day-of-week × hour activity matrix — the load-shape heatmap
+    // behind capacity planning and send-time optimization: one
+    // combiner-heavy (dow, hour) count with per-cell share in ppm.
+    // dow anchored to the epoch-Monday convention used by the seasonal
+    // gates (datediff from a known Monday, mod 7).
+    "events_dow_hour_matrix" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(7))
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      ev.groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .select(col("dow"), col("hod"), col("n"),
+          expr("(1000000 * n) div tot").as("share_ppm"))
+        .orderBy(col("dow"), col("hod"))
+    }),
+
     // The `tools/list` catalog surface (reference schema.py:86-132 via
     // server.py:153-175): render every fixture-archetype tool as its
     // JSON-Schema document. The oracle is the HAND-WRITTEN expected
@@ -13270,6 +13306,35 @@ object SparkEntry {
         |  CAST((1000000 * n_pos * n) // (n_b * tp) AS BIGINT) AS lift_micro,
         |  CAST((1000000 * cumpos) // tp AS BIGINT) AS gain_micro
         |FROM w ORDER BY decile""".stripMargin,
+
+    "sample_srm_check" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")
+      s"""WITH ev AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm FROM events),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM ev)
+         |SELECT n1, n2,
+         |  CAST((1000000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) AS BIGINT)
+         |    AS chi2_micro,
+         |  (1000000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) > 3841459
+         |    AS srm_detected
+         |FROM agg""".stripMargin
+    },
+
+    "events_dow_hour_matrix" ->
+      """WITH ev AS (
+        |  SELECT ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      % 7) + 7) % 7 AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hod
+        |  FROM events),
+        |g AS (SELECT dow, hod, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT CAST(dow AS BIGINT) AS dow, hod, n,
+        |  CAST((1000000 * n) // (SELECT SUM(n) FROM g) AS BIGINT)
+        |    AS share_ppm
+        |FROM g ORDER BY dow, hod""".stripMargin,
 
     "q_not_in_null_trap" ->
       """WITH purch AS (
