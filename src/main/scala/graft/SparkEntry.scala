@@ -6370,7 +6370,7 @@ object SparkEntry {
     // integers BEFORE projecting, so every signed sum and dot product
     // is an exact integer no matter the summation order; only the final
     // cosine divides (single-rounded, identical shape both engines).
-    "search_jl_distortion" -> ((s, d) => {
+    "search_jl_pairwise_audit" -> ((s, d) => {
       val signs = VectorFunctions.hyperplaneSigns(planes = 16, dims = 64,
         seed = 11)
       val e = embs(s, d).where(col("vec_id") < 50)
@@ -6522,7 +6522,7 @@ object SparkEntry {
     // many TRUE matches survive the pruning). Ground truth is exact
     // Jaro-Winkler ≥ 0.94 over a bounded panel (the audit's quadratic
     // is panel², never corpus² — you sample the audit, not the ER run).
-    "er_blocking_audit" -> ((s, d) => {
+    "er_blocking_truth_audit" -> ((s, d) => {
       val panel = Tables.customer(s, d).where(col("c_custkey") <= 300)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"),
           col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
@@ -14287,7 +14287,7 @@ object SparkEntry {
          |FROM u ORDER BY scheme""".stripMargin
     },
 
-    "er_blocking_audit" ->
+    "er_blocking_truth_audit" ->
       """WITH p AS (
         |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
         |    c_mktsegment AS seg
@@ -14344,7 +14344,7 @@ object SparkEntry {
          |FROM v10 ORDER BY pos""".stripMargin
     },
 
-    "search_jl_distortion" -> {
+    "search_jl_pairwise_audit" -> {
       val signs = sqlSigns(planes = 16, dims = 64, seed = 11)
       val projs = signs.zipWithIndex.map { case (sg, k) =>
         s"CAST(list_dot_product(y, $sg) AS BIGINT) AS p$k"
