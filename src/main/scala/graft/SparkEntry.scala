@@ -70,6 +70,10 @@ object SparkEntry {
   private val Bm25B = 0.75
   private val Bm25Query = "spark window join"
 
+  /** Seat budget shared by `sample_neyman_alloc`'s engine and oracle —
+    * quota division and leftover-seat count must use the SAME constant. */
+  private val NeymanBudget = 1000L
+
   // ---- Oracle SQL fragment builders (shared constants keep the Spark
   // side and the DuckDB side in lockstep) ----
 
@@ -1330,18 +1334,45 @@ object SparkEntry {
     }),
 
     // Sketch aggregates — the 100 TB answer when exact distinct/quantiles
-    // would shuffle every value: HLL++ and t-digest-style summaries merge
-    // associatively, so only fixed-size sketches cross the wire. No SQL
-    // oracle (sketch internals are engine-specific); the driver records
-    // the weaker rows-only check, and the spec asserts error bounds.
+    // would shuffle every value: mergeable fixed-size summaries. Unlike
+    // engine-native HLL++/percentile_approx (implementation-defined, so
+    // unverifiable), every sketch here is from the pinned oracle-exact
+    // family: [[operators.HyperLogLog]] NDV estimates (md5 hash family,
+    // integer registers) and quantiles over a deterministic 1-in-8
+    // hash-sample (sample choice is data-, not engine-, defined; the
+    // sample quantile itself is exact interpolation). Self-auditing:
+    // carries exact NDV + relative error alongside the estimates.
     "q_approx_sketch" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      val g = Seq("l_returnflag")
+      val ndPart = operators.HyperLogLog.estimate(
+        operators.HyperLogLog.build(li, "l_partkey", g), g)
+        .select(col("l_returnflag"), col("est").as("nd_part_est"))
+      // second NDV key is l_orderkey, not l_suppkey: suppkey NDV (~10 at
+      // sf0.001) sits below the raw-HLL regime the pinned sketch serves
+      // (no linear-counting correction — ln() is not oracle-portable)
+      val ndOrder = operators.HyperLogLog.estimate(
+        operators.HyperLogLog.build(li, "l_orderkey", g), g)
+        .select(col("l_returnflag"), col("est").as("nd_order_est"))
+      // 1-in-8 deterministic sample keyed on the row identity — the
+      // same rows are in-sample on any engine, so the estimate is exact
+      val sampleKey = functions.HashFunctions.hash64(
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")))
+      val quant = li.where(sampleKey % 8 === 0)
         .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("nd_part"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("nd_supp"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_est"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_est"),
+          count(lit(1)).as("n_sample"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part_true"))
+      ndPart.join(ndOrder, "l_returnflag").join(quant, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("nd_part_est"), col("nd_order_est"),
+          col("p50_est"), col("p99_est"), col("n_sample"),
+          col("nd_part_true"),
+          round((col("nd_part_est") - col("nd_part_true")) /
+            col("nd_part_true"), 4).as("rel_err_part"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -4723,6 +4754,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // S10 follow mode (log_viewer.py:151-172): readStream.text twin of
+    // log_parse_roundtrip — pre-existing file in batch 0, tailed lines in
+    // batch 1; the fold of per-batch parses must equal the one-shot batch
+    // parse (read_file ≡ tail_file over the reference's shared parser).
+    "stream_log_follow" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      val work = "/tmp/graft_stream_log_follow_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      StreamingIngest.stagedLogFollowRoundtrip(s, src, work)
+        .orderBy(col("id"))
+    }),
+
     "stream_ingest_sequenced" -> ((s, d) => {
       val src = Tables.events(s, d)
         .where(col("event_id") % 5 === 0)
@@ -5511,7 +5554,7 @@ object SparkEntry {
     // The "design the 100 TB sample before paying for it" operator:
     // stats one combiner-heavy pass, allocation stratum-grain.
     "sample_neyman_alloc" -> ((s, d) => {
-      val budget = 1000L
+      val budget = NeymanBudget
       val st = Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_h"),
@@ -5523,8 +5566,8 @@ object SparkEntry {
         .withColumn("wq", floor(col("w") * lit(1e6)).cast("long"))
       st
         .withColumn("wtot", sum(col("wq")).over(Window.partitionBy()))
-        .withColumn("base", expr("(1000 * wq) div wtot"))
-        .withColumn("rem", expr("(1000 * wq) % wtot"))
+        .withColumn("base", expr(s"($budget * wq) div wtot"))
+        .withColumn("rem", expr(s"($budget * wq) % wtot"))
         .withColumn("leftover", lit(budget) - sum(col("base")).over(
           Window.partitionBy()))
         .withColumn("bonus_rank", row_number().over(
@@ -7023,18 +7066,29 @@ object SparkEntry {
             .as("ts"))
         .localCheckpoint() // three cursor pages read it
       var cursor: Option[(String, Long)] = None
-      val pages = (1 to 3).map { p =>
-        val base = cursor match {
-          case None => m
-          case Some((cts, cid)) => m.where(col("ts") > cts
-            || (col("ts") === cts && col("mid") > cid))
+      var exhausted = false
+      val pages = (1 to 3).flatMap { p =>
+        if (exhausted) None
+        else {
+          val base = cursor match {
+            case None => m
+            case Some((cts, cid)) => m.where(col("ts") > cts
+              || (col("ts") === cts && col("mid") > cid))
+          }
+          val page = base.orderBy(col("ts"), col("mid")).limit(10)
+            .withColumn("page", lit(p))
+          // short store (<30 rows): an empty page ends the walk instead
+          // of throwing — the oracle's ROW_NUMBER slice is short too
+          page.select(col("ts"), col("mid"))
+            .orderBy(col("ts").desc, col("mid").desc).collect().headOption
+            match {
+              case Some(last) =>
+                cursor = Some((last.getString(0), last.getLong(1)))
+                Some(page)
+              case None =>
+                exhausted = true; None
+            }
         }
-        val page = base.orderBy(col("ts"), col("mid")).limit(10)
-          .withColumn("page", lit(p))
-        val last = page.select(col("ts"), col("mid"))
-          .orderBy(col("ts").desc, col("mid").desc).head()
-        cursor = Some((last.getString(0), last.getLong(1)))
-        page
       }
       pages.reduce(_ unionByName _)
         .withColumn("pos", row_number().over(Window.partitionBy(col("page"))
@@ -7086,8 +7140,11 @@ object SparkEntry {
         .withColumn("cxc", sum(col("x_c")).over(w))
         .select(col("decile"), col("n_t"), col("x_t"), col("n_c"),
           col("x_c"),
-          expr("1000000 * cxt - (1000000 * cxc * cnt) div cnc")
-            .as("qini_micro"))
+          // guard the control-arm divisor: an all-treatment top decile
+          // must yield NULL on both engines (DuckDB // errors on 0)
+          expr("""CASE WHEN cnc > 0
+                 |  THEN 1000000 * cxt - (1000000 * cxc * cnt) div cnc
+                 |END""".stripMargin).as("qini_micro"))
         .orderBy(col("decile"))
     }),
 
@@ -8084,9 +8141,47 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((1, 2), (1), ())
         |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
-    // q_approx_sketch: intentionally no oracle — HLL++/quantile-sketch
-    // values are engine-specific; accuracy is spec-tested against exact
-    // aggregates instead (SparkEntrySketchSpec).
+    // q_approx_sketch: oracle-exact sketches — the DuckDB twin rebuilds
+    // the SAME pinned-md5 HLL registers (mirrors hllAuditSql's constants:
+    // p=6, m=64, width=54) and the SAME 1-in-8 hash-sample quantiles.
+    "q_approx_sketch" -> {
+      def hllEst(key: String, alias: String): String = {
+        val h = sqlHash64(s"CAST($key AS VARCHAR)")
+        s"""(SELECT l_returnflag,
+           |  ROUND(CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968 /
+           |    CAST(SUM(CAST(1 AS BIGINT) << (55 - reg))
+           |      + (64 - COUNT(*)) * 36028797018963968 AS DOUBLE), 4)
+           |    AS $alias
+           |FROM (
+           |  SELECT l_returnflag, bucket, MAX(rho) AS reg FROM (
+           |    SELECT l_returnflag,
+           |      hv // 18014398509481984 AS bucket,
+           |      55 - len(list_filter(range(0, 54),
+           |        i -> (hv % 18014398509481984) >= (CAST(1 AS BIGINT) << i)))
+           |        AS rho
+           |    FROM (SELECT l_returnflag, $h AS hv FROM lineitem))
+           |  GROUP BY 1, 2)
+           |GROUP BY 1)""".stripMargin
+      }
+      val sampleHash = sqlHash64(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
+      s"""WITH pest AS ${hllEst("l_partkey", "nd_part_est")},
+         |sest AS ${hllEst("l_orderkey", "nd_order_est")},
+         |q AS (SELECT l_returnflag,
+         |    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+         |    ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_est,
+         |    COUNT(*) AS n_sample
+         |  FROM lineitem WHERE $sampleHash % 8 = 0 GROUP BY 1),
+         |x AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part_true
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, nd_part_est, nd_order_est, p50_est, p99_est,
+         |  n_sample, nd_part_true,
+         |  ROUND((nd_part_est - nd_part_true) / nd_part_true, 4)
+         |    AS rel_err_part
+         |FROM pest JOIN sest USING (l_returnflag) JOIN q USING (l_returnflag)
+         |  JOIN x USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
@@ -11067,12 +11162,13 @@ object SparkEntry {
         |si AS (SELECT i, SUM(xi_d) AS s_ FROM ps WHERE i = j GROUP BY i),
         |cov AS (SELECT sij.i, sij.j,
         |  ROUND((CAST(s_ij AS DOUBLE)
-        |    - CAST(a.s_ AS DOUBLE) * CAST(b.s_ AS DOUBLE) / n) / n, 6) AS cov
+        |    - CAST(a.s_ AS DOUBLE) * CAST(b.s_ AS DOUBLE) / n) / n, 6) + 0.0
+        |    AS cov
         |  FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i, nn),
         |diag AS (SELECT i AS d_, cov AS var_ FROM cov WHERE i = j)
         |SELECT c.i, c.j, c.cov,
         |  CASE WHEN di.var_ > 0 AND dj.var_ > 0
-        |    THEN ROUND(c.cov / sqrt(di.var_ * dj.var_), 6) END AS corr
+        |    THEN ROUND(c.cov / sqrt(di.var_ * dj.var_), 6) + 0.0 END AS corr
         |FROM cov c JOIN diag di ON c.i = di.d_ JOIN diag dj ON c.j = dj.d_
         |ORDER BY c.i, c.j""".stripMargin,
 
@@ -12207,6 +12303,15 @@ object SparkEntry {
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // follow-mode fold ≡ one-shot parse of all lines: the oracle is the
+    // line-construction contract inverted (direction from the id parity
+    // that built the wire line, id/tool from the json payload)
+    "stream_log_follow" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'client' ELSE 'server' END
+        |    AS direction,
+        |  event_id AS id, event_type AS tool
+        |FROM events ORDER BY id""".stripMargin,
+
     // the streamed rollup must equal the batch rollup of the same events
     "stream_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -12658,7 +12763,7 @@ object SparkEntry {
         |WHERE (rn - 1) % 10 = 0 ORDER BY rn""".stripMargin,
 
     "sample_neyman_alloc" ->
-      """WITH st AS (
+      s"""WITH st AS (
         |  SELECT lang, COUNT(*) AS n_h,
         |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
         |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
@@ -12675,11 +12780,12 @@ object SparkEntry {
         |  FROM w),
         |seats AS (
         |  SELECT lang, n_h, w,
-        |    (1000 * wq) // wtot AS base,
-        |    (1000 * wq) % wtot AS rem,
-        |    1000 - SUM((1000 * wq) // wtot) OVER () AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY (1000 * wq) % wtot DESC, lang)
-        |      AS bonus_rank
+        |    ($NeymanBudget * wq) // wtot AS base,
+        |    ($NeymanBudget * wq) % wtot AS rem,
+        |    $NeymanBudget - SUM(($NeymanBudget * wq) // wtot) OVER ()
+        |      AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY ($NeymanBudget * wq) % wtot DESC,
+        |      lang) AS bonus_rank
         |  FROM q)
         |SELECT lang, n_h, ROUND(w, 6) AS neyman_weight,
         |  CAST(base + CASE WHEN bonus_rank <= leftover THEN 1 ELSE 0 END
@@ -13790,7 +13896,9 @@ object SparkEntry {
          |  WINDOW o AS (ORDER BY decile
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT CAST(decile AS BIGINT) AS decile, n_t, x_t, n_c, x_c,
-         |  1000000 * cxt - (1000000 * cxc * cnt) // cnc AS qini_micro
+         |  CASE WHEN cnc > 0
+         |    THEN 1000000 * cxt - (1000000 * cxc * cnt) // cnc
+         |  END AS qini_micro
          |FROM w ORDER BY decile""".stripMargin
     },
 
@@ -14318,7 +14426,7 @@ object SparkEntry {
            |  FROM cf JOIN v${k - 1} p ON cf.j = p.pos GROUP BY 1),
            |s$k AS (SELECT MAX(ABS(mv)) AS s FROM mv$k),
            |v$k AS MATERIALIZED (SELECT pos, ROUND(CAST(mv AS DOUBLE)
-           |  / (SELECT s FROM s$k), 6) AS v FROM mv$k)""".stripMargin
+           |  / (SELECT s FROM s$k), 6) + 0.0 AS v FROM mv$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nn AS (SELECT COUNT(*) AS n FROM e),
@@ -14339,7 +14447,7 @@ object SparkEntry {
          |v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos, 1.0 AS v),
          |$rounds
          |SELECT CAST(pos AS INTEGER) AS pos, v AS loading,
-         |  (SELECT ROUND(CAST(s AS DOUBLE) / 1073741824.0, 6) FROM s10)
+         |  (SELECT ROUND(CAST(s AS DOUBLE) / 1073741824.0, 6) + 0.0 FROM s10)
          |    AS lambda
          |FROM v10 ORDER BY pos""".stripMargin
     },

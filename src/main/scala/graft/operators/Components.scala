@@ -44,7 +44,11 @@ object Components {
     // driverMaxEdges+1 rows instead of a full count. The small path still
     // runs two jobs over the checkpointed edges (gate, then the union-find
     // iterator) — both bounded and local-read-only after the checkpoint.
-    val gate = edges.limit((driverMaxEdges + 1).toInt).count()
+    // clamp before the Int cast: driverMaxEdges near Long range must not
+    // overflow limit()'s Int argument (a >2^31 driver bound is nonsense,
+    // but it must degrade to "always small path", not wrap negative)
+    val gate = edges
+      .limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt).count()
     if (gate <= driverMaxEdges)
       return attachIsolated(nodes, unionFindLabels(edges))
     iterativeLabels(nodes, edges, maxIter)

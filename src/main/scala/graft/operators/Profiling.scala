@@ -229,9 +229,11 @@ object Profiling {
       .collect() // d(d+1)/2 rows — model-size, the centroidsFromLong bound
     // moments are exact decimals; the double chain below is the same IEEE
     // ops as the SQL oracle, and round6 mirrors Spark's HALF_UP round
+    // + 0.0 collapses IEEE −0.0 to +0.0 (the oracle SQL appends the same
+    // term after ROUND) — value-equal cells must also be byte-equal
     def r6(v: Double): Double =
       BigDecimal(java.math.BigDecimal.valueOf(v))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val sMap = stats.map(r => (r.getInt(0), r.getInt(1)) ->
       ((r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))).toMap
     val sI = (0 until dims).map(i => i -> sMap((i, i))._2).toMap
@@ -268,9 +270,9 @@ object Profiling {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     def c(i: Int, j: Int): Double =
       cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
-    def r6(v: Double): Double =
+    def r6(v: Double): Double = // + 0.0: −0.0 → +0.0, mirrors oracle
       BigDecimal(java.math.BigDecimal.valueOf(v))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     var v = Array.fill(dims)(1.0)
     var scale = 0L
     for (_ <- 1 to rounds) {

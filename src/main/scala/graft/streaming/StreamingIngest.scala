@@ -947,6 +947,77 @@ object StreamingIngest {
     spark.table(table)
   }
 
+  /** S10 follow mode — the reference's `tail -f` half of the log source
+    * (log_viewer.py:151-172 `tail_file`: seek-to-end + poll readline)
+    * re-expressed as a Structured Streaming file source: lines appended
+    * to the directory surface in later micro-batches only, each batch
+    * parses ONLY its new lines (stateless), and the memory sink
+    * accumulates the parsed store. Wire shape and parse contract are the
+    * reference's `parse_log_line` regex
+    * (`Message from (client|server): (json) \{ metadata`,
+    * log_viewer.py:18-22), via the same locate+substring+from_json path
+    * as the batch gate `log_parse_roundtrip` (regex-free hot path). Two
+    * staged writes, one file each, one file per trigger → ≥2 pinned
+    * micro-batches. The oracle is the one-shot batch parse of the same
+    * lines: `read_file` ≡ `tail_file` over the reference's shared parser
+    * is exactly follow-fold ≡ batch-scan here.
+    */
+  def stagedLogFollowRoundtrip(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val table = "log_follow_" + java.lang.Integer.toHexString(workDir.hashCode)
+
+    val lines = events.select(
+      col("event_id"),
+      concat(lit("Message from "),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("client"))
+          .otherwise(lit("server")),
+        lit(": {\"id\": "), col("event_id"),
+        lit(", \"tool\": \""), col("event_type"),
+        lit("\"} { metadata: {} }")).as("value"))
+    def stage(b: DataFrame): Unit =
+      b.select(col("value")).coalesce(1).write.mode("append").text(inDir)
+
+    // "existing file, then appended lines": client half is on disk before
+    // the stream starts (the seek(0,2) baseline), server half lands after
+    // batch 0 — the tail
+    stage(lines.where(pmod(col("event_id"), lit(2)) === 0))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(inDir)
+      .where(col("value").startsWith("Message from "))
+      // prefix is fixed → first ": " terminates the direction; payload
+      // runs to the " { metadata" suffix (reference regex group 2)
+      .withColumn("direction",
+        expr("substring(value, 14, locate(': ', value) - 14)"))
+      .withColumn("payload", expr(
+        """substring(value, locate(': ', value) + 2,
+          |  locate(' { metadata', value) - locate(': ', value) - 2)"""
+          .stripMargin))
+      .where(col("direction").isin("client", "server"))
+      .withColumn("j", from_json(col("payload"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("tool", StringType)))))
+      .select(col("direction"), col("j.id").as("id"), col("j.tool").as("tool"))
+
+    val q = parsed.writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: the pre-existing file
+      stage(lines.where(pmod(col("event_id"), lit(2)) === 1))
+      q.processAllAvailable() // batch 1: the tailed lines
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming twin of exact dedup ([[graft.operators.Dedup.exactClusters]]
     * keyed on id): drop re-deliveries of the same id arriving within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only
@@ -1389,14 +1460,22 @@ object StreamingIngest {
 
     val src = events.select(col("user_id").cast("long").as("user_id"),
       expr("unix_micros(ts)").as("us"))
+    // user-completeness is LOAD-BEARING here (sessions are per-user), so
+    // pin the batch boundary explicitly rather than relying on the file
+    // source's default read-all-available: each staged write is exactly
+    // ONE file (coalesce) and each trigger reads exactly ONE file
+    // (maxFilesPerTrigger) → staged write ≡ micro-batch, by construction
+    // user-complete under the even/odd user split.
     def stage(b: DataFrame): Unit = b
       .select(to_json(struct(col("user_id"), col("us"))).as("value"))
+      .coalesce(1)
       .write.mode("append").text(inDir)
 
     stage(src.where(pmod(col("user_id"), lit(2)) === 0))
 
     val parsed = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1")
       .text(inDir)
       .select(from_json(col("value"), StructType(Seq(
         StructField("user_id", LongType),
