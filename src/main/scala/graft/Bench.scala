@@ -113,14 +113,47 @@ object Bench {
     // "regressions" in round 7 when the rerun deadline cut the second pass.
     // Single-sample queries are counted (single_sample) so a truncated run
     // is visibly weaker evidence, not silently complete.
-    val regressions = results.toSeq
+    val flagged = results.toSeq
       .collect { case (n, (cur, true)) if rerun.contains(n) =>
         prev.get(n).collect { case p if p > 0 && cur / p >= 1.4 =>
           (n, p, cur, cur / p)
         }
       }.flatten.sortBy(-_._4)
+    // Interleaved A/B on every flagged query (ProbeMemSearch pattern,
+    // in-JVM alternation with a stable baseline): host drift hits the
+    // baseline and the flagged query alike, a plan regression only the
+    // flagged query. Verdict ships IN the artifact: "cleared" (more
+    // samples pulled the min under the 1.4x flag bar — the flag was
+    // noise), "drift" (baseline-normalized ratio <= 1.15 — host, not
+    // plan) or "plan_suspect" (survives normalization — look at the
+    // plan). Deadline-bounded like every other pass.
+    val abBase = "q1_pricing_summary"
+    val abDeadline = System.nanoTime() + 120L * 1000000000L
+    val abBasePrev = prev.get(abBase).filter(_ > 0)
+    val regressions = flagged
       .map { case (n, p, c, r) =>
-        f"""{"query":"$n","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f}""" }
+        var bestQ = c
+        var bestB = Double.MaxValue
+        var round = 0
+        while (round < 3 && System.nanoTime() < abDeadline) {
+          val (bt, bok) = timeOne(abBase, SparkEntry.queries(abBase))
+          if (bok) bestB = math.min(bestB, bt)
+          val (qt, qok) = timeOne(n, SparkEntry.queries(n))
+          if (qok) bestQ = math.min(bestQ, qt)
+          round += 1
+        }
+        val hostFactor = abBasePrev
+          .filter(_ => bestB < Double.MaxValue).map(bestB / _)
+        val normRatio = hostFactor.map(h => (bestQ / p) / h)
+          .getOrElse(bestQ / p)
+        val verdict =
+          if (bestQ / p < 1.4) "cleared"
+          else if (normRatio <= 1.15) "drift"
+          else "plan_suspect"
+        f"""{"query":"$n","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
+          f""""ab_min":$bestQ%.3f,"ab_norm_ratio":$normRatio%.2f,""" +
+          s""""verdict":"$verdict"}"""
+      }
       .mkString("[", ",", "]")
     val singleSample = results.count { case (n, (_, ok)) => ok && !rerun.contains(n) }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regressions,"single_sample":$singleSample,"samples":$samples,"sf":"$sfDir"}"""

@@ -2831,10 +2831,15 @@ object SparkEntry {
     // Streaming twin of mine_frequent_pairs: per-micro-batch count
     // deltas folded into a versioned store (basket-complete batches),
     // support threshold + metric divisions at read time. Must equal the
-    // one-pass batch recompute row-for-row.
+    // one-pass batch recompute row-for-row. Gate-scale slice (even
+    // baskets; basket-complete, so the fold contract is untouched) —
+    // the full-corpus pair join is already covered by
+    // mine_frequent_pairs; this gate's job is the cross-batch fold.
     "stream_frequent_pairs" -> ((s, d) => {
       streaming.StreamingIngest.stagedFrequentPairsRoundtrip(s,
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        Tables.lineitem(s, d)
+          .where(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minSupport = 2,
         "/tmp/graft_fpstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
         .orderBy(col("a"), col("b"))
@@ -9895,7 +9900,7 @@ object SparkEntry {
     // same oracle text as mine_frequent_pairs
     "stream_frequent_pairs" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
         |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
         |ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
         |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w

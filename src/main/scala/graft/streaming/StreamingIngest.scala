@@ -866,11 +866,21 @@ object StreamingIngest {
         StructField("user_id", LongType),
         StructField("value", DoubleType)))).as("j"))
       .select(col("j.*"))
-    val q = sessionWindows(parsed, gap, watermark)
-      .writeStream.format("memory").queryName(table)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode(OutputMode.Append)
-      .start()
+    // session-window state commits one store per shuffle partition per
+    // micro-batch; at gate scale (4 batches, ~100k rows) that fixed
+    // commit cost dominates, so capture a small state partitioning at
+    // start — the stagedIntervalJoinRoundtrip discipline. Production
+    // keeps the session default; the knob is per-query and fixed for
+    // the checkpoint's life.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try sessionWindows(parsed, gap, watermark)
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable() // micro-batch 1: first half
       stage(events.where(col("ts") >= lit(mid)))
@@ -1769,6 +1779,14 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    // foreachBatch plans each batch with the live session conf: a ~300k-row
+    // pair join + three store writes through 32 shuffle partitions spends
+    // more on task/file overhead (32-file store parquets, re-read fan-in)
+    // than on work, so pin a small partitioning for the stream's life
+    // (restored in the finally below; gates run sequentially). Production
+    // keeps the session default.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1808,7 +1826,10 @@ object StreamingIngest {
       q.processAllAvailable() // batch 0: seed the count store
       stage(src.where(col("bk") >= mid))
       q.processAllAvailable() // batch 1+: incremental folds
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val fin = latest.getOrElse(sys.error("stagedFrequentPairsRoundtrip: no batch ran"))
     val nb = spark.read.parquet(s"$fin/n").collect()(0).getLong(0)
     val ic = spark.read.parquet(s"$fin/items")
@@ -2102,11 +2123,13 @@ object StreamingIngest {
     // A stream-stream join commits FOUR state stores per shuffle
     // partition per micro-batch (two sides × two join-state stores); at
     // gate scale that fixed commit overhead dominates, so the stream
-    // captures a small state partitioning at start. Production sizing
-    // keeps the session default — state partition count is a per-query
-    // knob, fixed for the life of the checkpoint.
+    // captures a small state partitioning at start (2 × 4 stores × 4
+    // batches = 32 commits; ~20k state rows per side split 2 ways stays
+    // trivially in memory). Production sizing keeps the session
+    // default — state partition count is a per-query knob, fixed for
+    // the life of the checkpoint.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
       try intervalJoinStream(readJsonl(lDir), readJsonl(rDir), horizon,
         joinType = joinType)
