@@ -74,6 +74,11 @@ object SparkEntry {
     * quota division and leftover-seat count must use the SAME constant. */
   private val NeymanBudget = 1000L
 
+  /** Σ df² work budget shared by `search_sparse_budget`'s engine and
+    * oracle — the histogram cap walk must compare against the SAME
+    * literal on both sides. */
+  private val SparsePairBudget = 100000L
+
   // ---- Oracle SQL fragment builders (shared constants keep the Spark
   // side and the DuckDB side in lockstep) ----
 
@@ -1946,6 +1951,21 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Work-budget df-cap twin of search_sparse_cosine: the cap comes
+    // from the bitlen(df) histogram so admitted join work (Σ df²) is
+    // bounded at ANY scale and df distribution — the guard the frac cap
+    // lacks on pooled weakly-overlapping corpora (multilingual /
+    // multi-source), where dfs stay flat while n grows and frac·n
+    // silently admits every shard's stop terms (67× time on the r9
+    // scale soak's 10× sharded corpus; SCALE_NOTES). Both engines
+    // derive the identical cap from the same integer histogram.
+    "search_sparse_budget" -> ((s, d) => {
+      operators.SparseSim.cosinePairsBudget(docs(s, d), "text", "doc_id",
+        minSim = 0.3, pairBudget = SparsePairBudget, maxDfFrac = 0.06,
+        termK = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "search_knn_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(embs(s, d), "embedding", "vec_id",
         queryVec(s, d), k = 10)
@@ -2913,6 +2933,18 @@ object SparkEntry {
     "mine_frequent_pairs" -> ((s, d) => {
       operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // RELATIVE-support twin — the scale-robust threshold: "co-occurs in
+    // ≥ 0.02% of baskets" keeps meaning the same thing at every corpus
+    // size, where the absolute minSupport=2 above turned into a density
+    // probe on the r9 soak's 10× corpus (335× qualifying pairs,
+    // SCALE_NOTES). Threshold derivation (distinct-basket count →
+    // GREATEST(2, CEIL(frac·nb))) is part of the oracle contract.
+    "mine_frequent_pairs_rel" -> ((s, d) => {
+      operators.MarketBasket.frequentPairsRelative(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupportFrac = 0.0002)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -8700,6 +8732,39 @@ object SparkEntry {
          |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
 
+    // same inverted-index join under the HISTOGRAM-derived cap: the
+    // oracle rebuilds the ≤63-row bitlen(df) table, walks the cumulative
+    // Σ df² against the same budget literal, and takes the same
+    // LEAST(2^b − 1, frac cap) — cap derivation is part of the contract
+    "search_sparse_budget" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+         |  ELSE list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1]) END AS terms FROM tok),
+         |ex AS (SELECT doc_id, unnest(terms) AS term FROM sh),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfa AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |hist AS (SELECT length(bin(df)) AS b, SUM(df * df) AS w
+         |  FROM dfa GROUP BY 1),
+         |cum AS (SELECT b, SUM(w) OVER (ORDER BY b) AS cw FROM hist),
+         |bsel AS (SELECT COALESCE(MAX(CASE WHEN cw <= $SparsePairBudget
+         |  THEN b END), 1) AS bmax FROM cum),
+         |caps AS (SELECT LEAST((1::BIGINT << bmax) - 1,
+         |  GREATEST(2, CEIL(0.06 * (SELECT COUNT(*) FROM documents)))) AS cap
+         |  FROM bsel),
+         |capped AS (SELECT tf.doc_id, tf.term, tf.tf
+         |  FROM tf JOIN dfa USING (term), caps WHERE dfa.df <= caps.cap),
+         |norms AS (SELECT doc_id, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS norm
+         |  FROM capped GROUP BY 1),
+         |dots AS (SELECT l.doc_id AS a, r.doc_id AS b, SUM(l.tf * r.tf) AS dot
+         |  FROM capped l JOIN capped r ON l.term = r.term AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+         |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+         |WHERE ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
+         |ORDER BY a, b""".stripMargin,
+
     // identical vote: top-3 window, count per label, most-votes-then-
     // smallest-label
     "search_label_propagation" ->
@@ -9924,6 +9989,26 @@ object SparkEntry {
         |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, CAST(w AS BIGINT) AS w,
+        |  CAST(w AS DOUBLE) / nb AS support,
+        |  CAST(w AS DOUBLE) / ca.c AS confidence,
+        |  (CAST(w AS DOUBLE) * nb) / (ca.c * cb.c) AS lift
+        |FROM p JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b = cb.it
+        |  CROSS JOIN n
+        |ORDER BY a, b""".stripMargin,
+
+    // same shape with the threshold DERIVED: GREATEST(2, CEIL(frac·nb))
+    // over the distinct-basket count, mirroring frequentPairsRelative
+    "mine_frequent_pairs_rel" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
+        |thr AS (SELECT GREATEST(2, CEIL(0.0002 *
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem))) AS t),
+        |ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+        |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT t FROM thr))
         |SELECT a, b, CAST(w AS BIGINT) AS w,
         |  CAST(w AS DOUBLE) / nb AS support,
         |  CAST(w AS DOUBLE) / ca.c AS confidence,

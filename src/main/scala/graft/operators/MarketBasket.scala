@@ -35,6 +35,27 @@ object MarketBasket {
       minSupport: Long, basketMax: Long = Long.MaxValue): DataFrame =
     frequentPairsManaged(df, basketCol, itemCol, minSupport, basketMax)._1
 
+  /** [[frequentPairs]] with the support threshold as a FRACTION of
+    * baskets — the scale-robust form. An absolute minSupport is a
+    * density probe, not a frequency one: on the r9 scale soak a 10×
+    * corpus over the same catalog pushed every w=1 pair past
+    * minSupport=2 and the qualifying-pair output grew 335× (SCALE_NOTES)
+    * — correct arithmetic, wrong question at scale. "Co-occurs in
+    * ≥ frac of baskets" keeps meaning the same thing at every corpus
+    * size, exactly the cosinePairsAuto/planesFor statistics-driven-
+    * parameter discipline. Costs one distinct-count on the basket key;
+    * floor threshold 2 (a pair seen once is never "frequent").
+    */
+  def frequentPairsRelative(df: DataFrame, basketCol: String,
+      itemCol: String, minSupportFrac: Double,
+      basketMax: Long = Long.MaxValue): DataFrame = {
+    require(minSupportFrac > 0.0 && minSupportFrac <= 1.0)
+    val nb = df.select(col(basketCol)).where(col(basketCol).isNotNull)
+      .distinct().count()
+    val thr = math.max(2L, math.ceil(minSupportFrac * nb).toLong)
+    frequentPairs(df, basketCol, itemCol, thr, basketMax)
+  }
+
   /** [[frequentPairs]] plus a release handle for the internal
     * (basket, item) cache entry — the cosinePairsManaged discipline for
     * sweep drivers mining many basket tables in one session. */

@@ -142,4 +142,57 @@ object SparseSim {
     val cap = math.max(2L, math.ceil(maxDfFrac * docs.count()).toLong)
     cosinePairs(docs, textCol, idCol, minSim, cap, termK)
   }
+
+  /** [[cosinePairs]] with the df cap derived from a WORK BUDGET instead
+    * of a corpus fraction. The inverted-index self-join costs Σ_t df_t²
+    * candidate rows; a frac-of-n cap bounds that only when term dfs grow
+    * with the corpus. On a POOLED corpus of weakly-overlapping shards
+    * (multilingual crawl, multi-source merge — or the scale soak's
+    * namespaced replicas) per-shard dfs stay flat while n grows, the
+    * frac cap inflates with n and silently admits every shard's stop
+    * terms: measured 67× time growth on a 10× corpus (SCALE_NOTES r9).
+    *
+    * Cure: pick the cap from the df histogram so the ADMITTED join work
+    * is bounded. Terms bucket by bitlen(df) (= length(bin(df)) — exact
+    * integer, engine-portable); one combiner-heavy aggregation yields
+    * ≤63 rows of (bitlen, Σ df²); the driver takes the largest bitlen
+    * whose cumulative Σ df² fits `pairBudget` and admits terms with
+    * df < 2^b. Deterministic (integer histogram, integer threshold), so
+    * an external engine derives the identical cap from the same corpus.
+    * Work is then ≤ pairBudget candidate rows at ANY scale and ANY df
+    * distribution — the cap adapts to the data instead of trusting n as
+    * a proxy for it. (`maxDfFrac` still applies as a ceiling so a tiny
+    * corpus under a huge budget keeps dropping true stop terms.)
+    */
+  def cosinePairsBudget(docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double = 0.5, pairBudget: Long = 100000000L,
+      maxDfFrac: Double = 0.5, termK: Int = 1): DataFrame = {
+    require(pairBudget >= 1)
+    val spark = docs.sparkSession
+    val terms = if (termK == 1) col("toks_")
+      else TextFunctions.shinglesFromTokens(col("toks_"), termK)
+    val df = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(lower(col(textCol))).as("toks_"))
+      .select(col("id"), explode(terms).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // ≤63-row histogram — the only thing that reaches the driver
+    val hist = df
+      .groupBy(length(expr("bin(df)")).as("b"))
+      .agg(sum(col("df") * col("df")).cast("decimal(38,0)").as("w"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    var cum = java.math.BigDecimal.ZERO
+    var bMax = 1 // df = 1 terms join nothing; always admissible
+    for ((b, w) <- hist) {
+      cum = cum.add(w)
+      if (cum.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0)
+        bMax = b
+    }
+    val fracCap = math.max(2L, math.ceil(maxDfFrac * docs.count()).toLong)
+    val cap = math.min((1L << bMax) - 1, fracCap)
+    cosinePairs(docs, textCol, idCol, minSim, cap, termK)
+  }
 }

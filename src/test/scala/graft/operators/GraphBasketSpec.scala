@@ -120,4 +120,33 @@ class GraphBasketSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("x", "y", 1L)))
   }
+
+  test("frequentPairsRelative: threshold scales with basket count, floor 2") {
+    // 10 baskets; xy co-occurs in 3, xz in 2
+    val bi = ((1 to 3).flatMap(b => Seq((b, "x"), (b, "y"))) ++
+      (4 to 5).flatMap(b => Seq((b, "x"), (b, "z"))) ++
+      (6 to 10).map(b => (b, "solo"))).toDF("bk", "it")
+    // frac 0.3 → thr = max(2, ceil(3)) = 3 → only xy survives
+    val tight = MarketBasket.frequentPairsRelative(bi, "bk", "it",
+      minSupportFrac = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tight == Set(("x", "y")))
+    // frac 0.01 → ceil(0.1) = 1, but the floor keeps thr = 2 → xy and xz
+    val floor = MarketBasket.frequentPairsRelative(bi, "bk", "it",
+      minSupportFrac = 0.01)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floor == Set(("x", "y"), ("x", "z")))
+    // a 10× denser replica of the same catalog keeps the SAME survivors
+    // under relative support (the absolute form would admit every pair)
+    val dense = (1 to 10).flatMap(k =>
+      Seq((k * 100 + 1, "x"), (k * 100 + 1, "y"), (k * 100 + 2, "x"),
+        (k * 100 + 2, "y"), (k * 100 + 3, "x"), (k * 100 + 3, "y"),
+        (k * 100 + 4, "x"), (k * 100 + 4, "z"), (k * 100 + 5, "x"),
+        (k * 100 + 5, "z")) ++ (6 to 10).map(b => (k * 100 + b, "solo")))
+      .toDF("bk", "it")
+    val scaled = MarketBasket.frequentPairsRelative(dense, "bk", "it",
+      minSupportFrac = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(scaled == Set(("x", "y")))
+  }
 }

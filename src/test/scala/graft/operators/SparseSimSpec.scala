@@ -75,4 +75,30 @@ class SparseSimSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got == Map((1L, 2L) -> 1.0))
   }
+
+  test("cosinePairsBudget: histogram cap admits only the df band the budget affords") {
+    import spark.implicits._
+    // term dfs: "s" df=4 (bitlen 3, df²=16); "p" df=2 (bitlen 2, df²=4);
+    // singles df=1 ×2 (bitlen 1, Σ=2). Cumulative: b1=2, b2=6, b3=22.
+    val df = Seq((1L, "s p u"), (2L, "s p"), (3L, "s v"), (4L, "s"))
+      .toDF("doc_id", "text")
+    // budget 6 → bMax=2 → cap=min(3, frac) — "s" (df 4) dropped, "p" kept
+    val some = SparseSim.cosinePairsBudget(df, "text", "doc_id",
+      minSim = 0.0, pairBudget = 6L, maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(some == Set((1L, 2L))) // only the "p" pair survives
+    // budget 22 → bMax=3 → cap 7 — "s" admitted, all 6 pairs connect
+    val all = SparseSim.cosinePairsBudget(df, "text", "doc_id",
+      minSim = 0.0, pairBudget = 22L, maxDfFrac = 1.0)
+    assert(all.count() == 6)
+    // budget 1 (< even the df=1 band) degrades to df ≤ 1: no pairs,
+    // never an error — the conservative floor
+    assert(SparseSim.cosinePairsBudget(df, "text", "doc_id",
+      minSim = 0.0, pairBudget = 1L, maxDfFrac = 1.0).count() == 0)
+    // the frac ceiling still applies under a huge budget
+    val frac = SparseSim.cosinePairsBudget(df, "text", "doc_id",
+      minSim = 0.0, pairBudget = Long.MaxValue, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frac == Set((1L, 2L))) // cap = min(big, ceil(0.5·4)=2) → "s" out
+  }
 }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build a ~10× scale point from sf0.1 for the scale soak (SCALE_NOTES):
+  * `Test/runMain graft.tools.ScaleUp [copies] [outDir]`.
+  *
+  * The driver ships sf0.001/0.01/0.1 only; the soak needs one more
+  * order of magnitude to show candidate-count growth empirically. Each
+  * table is replicated `copies`× with DISJOINT key spaces (stride
+  * offsets), and the payload is decorrelated per copy so the result
+  * statistically resembles a larger corpus instead of k identical
+  * clones (which would manufacture quadratic near-dup cliques no real
+  * corpus has):
+  *
+  *  - documents: EVERY token gets a copy-specific suffix — a per-copy
+  *    vocabulary namespace. Within-copy similarity structure (the
+  *    realistic part) is preserved EXACTLY (one shared bijection on the
+  *    vocab), while cross-copy token sets are disjoint, so cosine,
+  *    Jaccard, simhash and shingle overlap across copies are all ~zero.
+  *    The result is ten independent sf0.1-shaped shards — the honest
+  *    10× corpus. (First attempt suffixed only every 8th token;
+  *    similarity-robust families — simhash, token-count cosine — saw
+  *    the copies as 10-cliques of near-dups and pair counts exploded
+  *    ~100×: a measurement artifact of weak perturbation, not an
+  *    engine behavior. Namespacing removes it.) n_chars re-derived.
+  *  - embeddings: components rotated by k positions — norm and
+  *    coordinate distribution preserved, cross-copy cosine ≈ chance.
+  *  - events: new user population per copy (same time window → 10× the
+  *    event rate, which is how traffic actually scales).
+  *  - lineitem: new order keys per copy; part space kept (pair-count
+  *    growth stays interpretable: baskets 10×, catalog fixed).
+  *
+  * Output under target/scale/ — NOT driver testdata; correctness gates
+  * never read this.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val out = if (args.length > 1) args(1)
+      else "/root/repo/target/scale/sf1x"
+    val in = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val S = 10000000L
+
+    def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$in/$name.parquet")
+      val scaled = (0 until copies).map(k => xform(base, k))
+        .reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"SCALED $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    replicate("documents") { (df, k) =>
+      val txt = if (k == 0) col("text")
+      else array_join(transform(split(col("text"), " "),
+        t => concat(t, lit(s"~$k"))), " ")
+      df.select((col("doc_id") + k * S).as("doc_id"), txt.as("text"),
+        col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
+    }
+
+    replicate("embeddings") { (df, k) =>
+      val rot = if (k == 0) col("embedding")
+      else concat(slice(col("embedding"), k + 1, 64 - k),
+        slice(col("embedding"), 1, k))
+      df.select((col("vec_id") + k * S).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }
+
+    replicate("events") { (df, k) =>
+      df.select((col("event_id") + k * S).as("event_id"), col("ts"),
+        (col("user_id") + k * S).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }
+
+    replicate("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + k * S)
+    }
+
+    spark.stop()
+  }
+}
