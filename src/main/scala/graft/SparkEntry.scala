@@ -114,6 +114,33 @@ object SparkEntry {
     * Mirrors [[operators.HyperLogLog]]: p=6, m=64, width=54,
     * 2^54 = 18014398509481984, 2^55 = 36028797018963968.
     */
+  /** Shared by `profile_kmv_audit` and `stream_kmv_audit` (the
+    * distinct-union-take-k fold is an exact order statistic, so the
+    * fold's oracle IS the batch oracle). Mirrors [[operators.Kmv]]:
+    * k=64, 2^60 = 1152921504606846976.
+    */
+  private lazy val kmvAuditSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ${sqlHash64("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (SELECT event_type,
+       |    MAX(CASE WHEN rn = 64 THEN h END) AS hk,
+       |    CAST(LEAST(COUNT(*), 64) AS BIGINT) AS n_held
+       |  FROM r GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS true_ndv
+       |  FROM events GROUP BY 1),
+       |est AS (SELECT s.event_type, e.true_ndv,
+       |    CASE WHEN s.n_held < 64 THEN CAST(s.n_held AS DOUBLE)
+       |      ELSE ROUND(63 * CAST(1152921504606846976 AS DOUBLE)
+       |        / CAST(s.hk AS DOUBLE), 4) END AS est,
+       |    s.n_held
+       |  FROM sk s JOIN ex e USING (event_type))
+       |SELECT event_type, true_ndv, est, n_held,
+       |  ROUND((est - true_ndv) / true_ndv, 4) AS rel_err
+       |FROM est ORDER BY event_type""".stripMargin
+
   private lazy val hllAuditSql: String = {
     val h = sqlHash64("CAST(event_id AS VARCHAR)")
     s"""WITH hv AS (SELECT event_type, $h AS hv FROM events),
@@ -2926,6 +2953,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming KMV fold: store = the sketch exploded to (group, hash)
+    // rows ≤k per group; fold = distinct-union-take-k, which is
+    // IDEMPOTENT (replay-safe like HLL's max, stronger than CMS's adds)
+    // and an exact order statistic — so the fold equals the one-pass
+    // batch audit bit-for-bit and shares its oracle verbatim.
+    "stream_kmv_audit" -> ((s, d) => {
+      streaming.StreamingIngest.stagedKmvRoundtrip(s,
+        Tables.events(s, d), "user_id", "event_type", k = 64,
+        "/tmp/graft_kmvstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("event_type"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -2945,6 +2984,19 @@ object SparkEntry {
     "mine_frequent_pairs_rel" -> ((s, d) => {
       operators.MarketBasket.frequentPairsRelative(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupportFrac = 0.0002)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ORDER-AWARE association twin (PrefixSpan's k=2 level): a→b counts
+    // only baskets where a's first line strictly precedes b's under
+    // l_linenumber — sequence, not co-occurrence, so "viewed X then
+    // bought Y" separates from "had both in the cart". Equal-position
+    // ties are unobserved order and DROP (no fabricated tie-break);
+    // threshold is the soak-vetted relative form.
+    "mine_seq_pairs" -> ((s, d) => {
+      operators.MarketBasket.sequentialPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", "l_linenumber",
+        minSupportFrac = 0.0002)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -3606,6 +3658,59 @@ object SparkEntry {
       operators.HyperLogLog.audit(Tables.events(s, d), "event_id",
         "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // KMV NDV audit — the set-operation-capable member of the pinned-md5
+    // sketch family: the k smallest distinct hashes per group are an
+    // ORDER STATISTIC (merge-order-immune, unlike MG counts), so the
+    // oracle replays the sketch itself bit-for-bit with a row_number
+    // window — not just its guarantee.
+    "profile_kmv_audit" -> ((s, d) => {
+      operators.Kmv.audit(Tables.events(s, d), "user_id", "event_type",
+        k = 64)
+        .orderBy(col("event_type"))
+    }),
+
+    // KMV set-operation audit: |BUILDING customers ∩ urgent-order
+    // customers| estimated from two mergeable 64-long sketches vs the
+    // exact distinct join — "how many keys did BOTH things" over 100 TB
+    // without a distinct-join (the sketch side is the product; the
+    // exact side is the audit and only runs at audit scale).
+    "profile_kmv_intersect" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"), lit("cust").as("grp"))
+      val ords = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"), lit("ord").as("grp"))
+      operators.Kmv.intersectAudit(cust.unionByName(ords), "key", "grp",
+        "cust", "ord", k = 64)
+    }),
+
+    // Misra-Gries guarantee audit — order-independent facts only (MG
+    // counts are merge-order-dependent; its GUARANTEE is not): every
+    // item with true frequency > n/(k+1) must sit in the k-counter
+    // summary with its estimate in the error band. k=2 over the uniform
+    // 3-way l_returnflag split puts the threshold AT the split point,
+    // so which flags qualify flips with the data — discriminating, not
+    // a tautology (at sf0.01 A and R clear it, N misses by 74).
+    "profile_mg_audit" -> ((s, d) => {
+      operators.MisraGries.audit(Tables.lineitem(s, d), "l_returnflag",
+        k = 2)
+        .orderBy(col("item"))
+    }),
+
+    // Calibration/reliability table: is a score an honest probability —
+    // the pre-flight before trusting a model score as a sampling weight
+    // or filter threshold (the importance-sampling and quality-filter
+    // consumers assume calibrated scores; this measures the assumption).
+    // Integer micro-unit normalization and binning, exact BIGINT/DECIMAL
+    // aggregates, ONE float division per output cell.
+    "profile_calibration" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        round(col("value") * 1000000, 0).cast("long").as("sm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      operators.Profiling.calibrationTable(ev, "sm", "y", bins = 10)
     }),
 
     // k-anonymity audit on (lang, source, length-bucket) quasi-identifier
@@ -4333,6 +4438,46 @@ object SparkEntry {
     // Weekly cohort retention: cohort = first-activity week per user,
     // cells = distinct users active k weeks later. Two combiner-heavy
     // aggregations + one user-key join; no windows, no self-join.
+    // Kaplan-Meier user survival: duration = days from first to last
+    // event; churn = no activity on the window's closing day (the
+    // uniformly-active synthetic users never go quiet for a whole week,
+    // so the final-day cutoff is what yields real deaths — 17 of 150 at
+    // sf0.01); still-active users right-censored — the censoring-correct
+    // curve (a naive lifetime histogram counts the still-alive as
+    // churned, biasing survival DOWN). The risk table is distributed
+    // integer arithmetic; the cumulative product folds on the driver
+    // over the ≤31 day-granular rows in exact 10^12 fixed point (BigInt
+    // floor division), replayed by the oracle's recursive CTE in the
+    // same integer arithmetic.
+    "events_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // one scalar to the driver: the window's closing date (the same
+      // statistics-driven-parameter discipline as cosinePairsAuto)
+      val maxD = ev.agg(max(to_date(col("ts")))).collect()(0)
+        .getDate(0)
+      operators.Survival.kaplanMeier(
+        operators.Survival.lifetimes(ev, "user_id", "ts",
+          lit(maxD.toString)),
+        "dur", "ev")
+        .orderBy(col("t"))
+    }),
+
+    // Log-rank test over the same lifetimes, arms hash-split by user
+    // (the #ab convention shared with events_ab_ztest): does either arm
+    // churn faster, censoring respected — the A/B read a raw churn-rate
+    // compare gets wrong. Milli/nano fixed-point hypergeometric terms,
+    // integer sums, one float chain at the end.
+    "events_survival_logrank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val maxD = ev.agg(max(to_date(col("ts")))).collect()(0)
+        .getDate(0)
+      val life = operators.Survival.lifetimes(ev, "user_id", "ts",
+          lit(maxD.toString))
+        .withColumn("arm", pmod(HashFunctions.hash64(
+          concat(col("subject").cast("string"), lit("#ab"))), lit(2)))
+      operators.Survival.logRank(life, "dur", "ev", "arm")
+    }),
+
     "events_retention" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
@@ -10017,6 +10162,27 @@ object SparkEntry {
         |  CROSS JOIN n
         |ORDER BY a, b""".stripMargin,
 
+    // order-aware twin: position = MIN(l_linenumber) per (basket, item),
+    // pairs join on strict position inequality (ties drop), same derived
+    // relative threshold; confidence denominator = baskets containing
+    // the antecedent at all
+    "mine_seq_pairs" ->
+      """WITH bi AS (SELECT l_orderkey AS bk, l_partkey AS it,
+        |    MIN(l_linenumber) AS pos FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
+        |thr AS (SELECT GREATEST(2, CEIL(0.0002 *
+        |  (SELECT nb FROM n))) AS t),
+        |ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+        |p AS (SELECT l.it AS a, r.it AS b, COUNT(*) AS w
+        |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.pos < r.pos
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT t FROM thr))
+        |SELECT a, b, CAST(w AS BIGINT) AS w,
+        |  CAST(w AS DOUBLE) / nb AS support,
+        |  CAST(w AS DOUBLE) / ca.c AS confidence
+        |FROM p JOIN ic ca ON p.a = ca.it
+        |  CROSS JOIN n
+        |ORDER BY a, b""".stripMargin,
+
     // naive id-ordered triangle join (count is orientation-invariant);
     // wedge denominator from the degree census
     // same frequent-pair edges, three unrolled degree→filter rounds
@@ -11671,6 +11837,104 @@ object SparkEntry {
     // the 0.709 literal on both sides, so association can't matter.
     "profile_hll_audit" -> hllAuditSql,
 
+    // KMV replayed exactly: the sketch is the k=64 smallest distinct
+    // md5-top-60-bit hashes per group (an order statistic — a window
+    // reproduces it); est = 63·2^60 / h_(64), one int→double conversion
+    // and one division. Shared with stream_kmv_audit: the
+    // distinct-union-take-k fold is exact, so the fold's oracle IS the
+    // batch oracle.
+    "profile_kmv_audit" -> kmvAuditSql,
+    "stream_kmv_audit" -> kmvAuditSql,
+
+    // two sketches merged: union sketch = 64 smallest of the merged
+    // hash sets; jaccard = matches/|union sketch| over exact integers;
+    // intersection estimate = (raw ratio) × (rounded union NDV) — the
+    // same two-float-op chain as the engine
+    "profile_kmv_intersect" ->
+      s"""WITH a AS (SELECT DISTINCT c_custkey AS key FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |b AS (SELECT DISTINCT o_custkey AS key FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |ha AS (SELECT DISTINCT ${sqlHash64("CAST(key AS VARCHAR)")} AS h
+         |  FROM a),
+         |hb AS (SELECT DISTINCT ${sqlHash64("CAST(key AS VARCHAR)")} AS h
+         |  FROM b),
+         |ka AS (SELECT h FROM (SELECT h,
+         |    ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 64),
+         |kb AS (SELECT h FROM (SELECT h,
+         |    ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 64),
+         |ku AS (SELECT h FROM (SELECT h,
+         |    ROW_NUMBER() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 64),
+         |m AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ka) AS na_held,
+         |    (SELECT MAX(h) FROM ka) AS ha_k,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kb) AS nb_held,
+         |    (SELECT MAX(h) FROM kb) AS hb_k,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ku) AS ku_n,
+         |    (SELECT MAX(h) FROM ku) AS hu_k,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ku
+         |      WHERE h IN (SELECT h FROM ka)
+         |        AND h IN (SELECT h FROM kb)) AS matches),
+         |est AS (SELECT
+         |    CASE WHEN na_held < 64 THEN CAST(na_held AS DOUBLE)
+         |      ELSE ROUND(63 * CAST(1152921504606846976 AS DOUBLE)
+         |        / CAST(ha_k AS DOUBLE), 4) END AS est_a,
+         |    CASE WHEN nb_held < 64 THEN CAST(nb_held AS DOUBLE)
+         |      ELSE ROUND(63 * CAST(1152921504606846976 AS DOUBLE)
+         |        / CAST(hb_k AS DOUBLE), 4) END AS est_b,
+         |    CASE WHEN ku_n < 64 THEN CAST(ku_n AS DOUBLE)
+         |      ELSE ROUND(63 * CAST(1152921504606846976 AS DOUBLE)
+         |        / CAST(hu_k AS DOUBLE), 4) END AS est_union,
+         |    matches, ku_n FROM m)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT key FROM a UNION SELECT key FROM b)) AS n_union,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+         |    WHERE key IN (SELECT key FROM b)) AS n_inter,
+         |  est_a, est_b, est_union,
+         |  ROUND(CAST(matches AS DOUBLE) / CAST(ku_n AS DOUBLE), 4)
+         |    AS jaccard_est,
+         |  ROUND((CAST(matches AS DOUBLE) / CAST(ku_n AS DOUBLE))
+         |    * est_union, 4) AS est_inter
+         |FROM est""".stripMargin,
+
+    // MG guarantee audit: the oracle computes the exact frequent set and
+    // asserts the theorem-forced booleans — present and est-in-band are
+    // TRUE whenever the sketch honors the Misra-Gries contract (counts
+    // themselves are merge-order-dependent and deliberately not emitted)
+    "profile_mg_audit" ->
+      """WITH ex AS (SELECT CAST(l_returnflag AS VARCHAR) AS item,
+        |    COUNT(*) AS true_cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(true_cnt) AS BIGINT) AS n FROM ex)
+        |SELECT item, true_cnt,
+        |  CAST((SELECT n FROM t) // 3 AS BIGINT) AS thr,
+        |  TRUE AS present, TRUE AS est_in_band
+        |FROM ex WHERE true_cnt > (SELECT n FROM t) // 3
+        |ORDER BY item""".stripMargin,
+
+    // micro-unit min-max normalization and equal-width binning in
+    // integer division; per-bin sums exact; one float division per cell
+    "profile_calibration" ->
+      """WITH s AS (SELECT
+        |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mm AS (SELECT MIN(sm) AS lo, MAX(sm) AS hi FROM s),
+        |p AS (SELECT (1000000 * (sm - lo)) // (hi - lo) AS p, y
+        |  FROM s, mm WHERE hi > lo),
+        |b AS (SELECT LEAST((10 * p) // 1000000, 9) AS bin, p, y FROM p)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(p) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_pred,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS obs_rate,
+        |  ROUND(CAST(SUM((p - 1000000 * y) * (p - 1000000 * y)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6) AS brier
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // max-merge is exact, so the streaming fold shares the batch oracle
     "stream_hll_audit" -> hllAuditSql,
 
@@ -12098,6 +12362,90 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical cohorting: Monday-truncated weeks, day-diff/7 offsets
+    // Kaplan-Meier: lifetime table and risk table in plain SQL; the
+    // 10^12 fixed-point survival product replayed by a recursive CTE in
+    // the SAME integer floor-division arithmetic as the engine's BigInt
+    // fold (UNION ALL per the WITH RECURSIVE dedup gotcha)
+    "events_survival_km" ->
+      """WITH RECURSIVE life AS (SELECT user_id,
+        |    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+        |      AS dur,
+        |    CASE WHEN MAX(CAST(ts AS DATE)) <
+        |        (SELECT MAX(CAST(ts AS DATE)) FROM events)
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM life GROUP BY 1),
+        |ord AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+        |    (SELECT COUNT(*) FROM life) - COALESCE(SUM(d + c)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM tt),
+        |km AS (
+        |  SELECT rn, t, n_risk, d, c,
+        |    CAST((1000000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.t, o.n_risk, o.d, o.c,
+        |    CAST((km.s * (o.n_risk - o.d)) // o.n_risk AS BIGINT)
+        |  FROM km JOIN ord o ON o.rn = km.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  s AS surv_micro,
+        |  ROUND(CAST(s AS DOUBLE) / 1000000000000, 6) AS survival
+        |FROM km ORDER BY t""".stripMargin,
+
+    // Mantel-Haenszel log-rank in the same milli/nano fixed point as the
+    // engine: every hypergeometric term an integer floor division, sums
+    // exact, one double multiply-divide chain at the end
+    "events_survival_logrank" ->
+      s"""WITH life AS (SELECT user_id,
+         |    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+         |      AS dur,
+         |    CASE WHEN MAX(CAST(ts AS DATE)) <
+         |        (SELECT MAX(CAST(ts AS DATE)) FROM events)
+         |      THEN 1 ELSE 0 END AS ev,
+         |    ${sqlHash64("CAST(user_id AS VARCHAR) || '#ab'")} % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |tt AS (SELECT dur AS t,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c2
+         |  FROM life GROUP BY 1),
+         |risk AS (SELECT t, d1, d2,
+         |    (SELECT SUM(d1 + c1) FROM tt) - COALESCE(SUM(d1 + c1)
+         |      OVER (ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         |    (SELECT SUM(d2 + c2) FROM tt) - COALESCE(SUM(d2 + c2)
+         |      OVER (ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+         |  FROM tt),
+         |ev AS (SELECT t, d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS d
+         |  FROM risk WHERE d1 + d2 > 0),
+         |terms AS (SELECT
+         |    1000 * d1 - ((1000 * d * n1) // n) AS oem,
+         |    d * ((1000 * n1) // n) * ((1000 * n2) // n) *
+         |      (CASE WHEN n > 1 THEN (1000 * (n - d)) // (n - 1)
+         |        ELSE 0 END) AS v9,
+         |    d1, d2 FROM ev),
+         |agg AS (SELECT
+         |    (SELECT CAST(SUM(d1 + c1) AS BIGINT) FROM tt) AS n1,
+         |    (SELECT CAST(SUM(d2 + c2) AS BIGINT) FROM tt) AS n2,
+         |    CAST(SUM(d1) AS BIGINT) AS d1, CAST(SUM(d2) AS BIGINT) AS d2,
+         |    CAST(SUM(oem) AS BIGINT) AS oe_milli,
+         |    CAST(SUM(v9) AS BIGINT) AS v_nano
+         |  FROM terms),
+         |fin AS (SELECT n1, n2, d1, d2, oe_milli, v_nano,
+         |    CASE WHEN v_nano > 0
+         |      THEN ROUND(CAST(oe_milli * oe_milli AS DOUBLE) * 1000.0
+         |        / CAST(v_nano AS DOUBLE), 6) END AS chi2
+         |  FROM agg)
+         |SELECT n1, n2, d1, d2, oe_milli, v_nano, chi2,
+         |  COALESCE(chi2 > 3.841459, FALSE) AS significant
+         |FROM fin""".stripMargin,
+
     "events_retention" ->
       """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
         |c AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY 1),

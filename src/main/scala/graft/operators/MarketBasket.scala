@@ -56,6 +56,63 @@ object MarketBasket {
     frequentPairs(df, basketCol, itemCol, thr, basketMax)
   }
 
+  /** Sequential pair mining — the ORDER-AWARE twin of [[frequentPairs]]
+    * (PrefixSpan's length-2 level): a→b counts only baskets where a's
+    * first occurrence strictly precedes b's first occurrence under
+    * `orderCol`, so "users who viewed X later bought Y" is distinguishable
+    * from mere co-occurrence. Directional: (a→b) and (b→a) are separate
+    * rows with separate supports.
+    *
+    * Semantics pinned for the oracle: position = MIN(orderCol) per
+    * (basket, item) — multiplicity collapses to first occurrence;
+    * equal-position pairs are DROPPED (their order is unobserved, and
+    * any tie-break would fabricate a sequence). Threshold is relative —
+    * GREATEST(2, CEIL(frac·distinct-baskets)) — the scale-robust form
+    * ([[frequentPairsRelative]]'s soak lesson). Metrics over exact
+    * integers: support = w/n_baskets, confidence = w/baskets-containing-a
+    * (the rule-strength denominator: of the baskets where the antecedent
+    * appears at all, how many realize the sequence).
+    *
+    * Physical shape: identical blocking discipline to [[frequentPairs]]
+    * — pairs meet only inside a basket via the basket-key equi-join,
+    * `basketMax` caps mega-basket fan-out, threshold prunes before the
+    * metric joins, item counts broadcast.
+    */
+  def sequentialPairs(df: DataFrame, basketCol: String, itemCol: String,
+      orderCol: String, minSupportFrac: Double,
+      basketMax: Long = Long.MaxValue): DataFrame = {
+    require(minSupportFrac > 0.0 && minSupportFrac <= 1.0)
+    val bi0 = df
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"),
+        col(orderCol).as("pos"))
+      .where(col("bk").isNotNull && col("it").isNotNull &&
+        col("pos").isNotNull)
+      .groupBy(col("bk"), col("it")).agg(min(col("pos")).as("pos"))
+    val bi = (
+      if (basketMax == Long.MaxValue) bi0
+      else bi0
+        .withColumn("bs_", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        .where(col("bs_") <= basketMax)
+        .drop("bs_")
+      ).persist() // read by the basket count, pair join (twice), item counts
+    val nb = bi.select(col("bk")).distinct().count()
+    val thr = math.max(2L, math.ceil(minSupportFrac * nb).toLong)
+    val itemCnt = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    bi.select(col("bk"), col("it").as("a"), col("pos").as("pa"))
+      .join(bi.select(col("bk"), col("it").as("b"), col("pos").as("pb")),
+        "bk")
+      .where(col("pa") < col("pb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= thr)
+      .join(broadcast(itemCnt.select(col("it").as("a"),
+        col("c").as("ca_"))), "a")
+      .select(col("a"), col("b"), col("w"),
+        (col("w").cast("double") / lit(nb)).as("support"),
+        (col("w").cast("double") / col("ca_")).as("confidence"))
+  }
+
   /** [[frequentPairs]] plus a release handle for the internal
     * (basket, item) cache entry — the cosinePairsManaged discipline for
     * sweep drivers mining many basket tables in one session. */

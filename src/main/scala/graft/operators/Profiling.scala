@@ -679,4 +679,64 @@ object Profiling {
           .as("n_outliers"))
       .orderBy(col("group_key"))
   }
+
+  /** Calibration / reliability table for a score against a binary label —
+    * "when the quality classifier says 0.8, is it right 80% of the
+    * time": the pre-flight before TRUSTING a model score as a sampling
+    * weight or filter threshold (the `sample_importance_dsir` /
+    * `text_quality` consumers assume calibrated scores; this measures
+    * whether they are). Complements `events_predictor_auc` (ranking
+    * skill) with the orthogonal axis (probability faithfulness) and
+    * `events_lift_deciles` (business yield) with the statistical one.
+    *
+    * Input: `scoreMicroCol` — the score in INTEGER micro-units (the
+    * caller quantizes; keeping the contract integer makes every
+    * aggregate exact), `labelCol` ∈ {0,1}. Scores are min-max normalized
+    * to [0,1] probabilities IN INTEGER ARITHMETIC — p_micro =
+    * (10^6·(s−min)) div (max−min) — and cut into `bins` equal-width
+    * probability bins by integer division.
+    *
+    * Per bin, everything is one exact BIGINT aggregate then ONE float
+    * division: mean predicted probability, observed positive rate, and
+    * the Brier contribution Σ(p−y)² carried as Σ(p_micro − 10^6·y)² in
+    * micro² BIGINT (max 10^12 per row — 10^6 rows per bin before
+    * overflow would need 10^18; cast to DECIMAL(38,0) for headroom).
+    *
+    * Physical shape at 100 TB: one min/max aggregate (2 scalars to the
+    * driver), one combiner-heavy groupBy on ≤`bins` keys. Output:
+    * (bin, n, n_pos, mean_pred, obs_rate, brier) ordered by bin.
+    */
+  def calibrationTable(df: DataFrame, scoreMicroCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val Micro = 1000000L
+    val mm = df.agg(min(col(scoreMicroCol)).as("lo_"),
+      max(col(scoreMicroCol)).as("hi_"))
+    df.crossJoin(broadcast(mm))
+      .where(col("hi_") > col("lo_"))
+      .select(
+        expr(s"($Micro * (${scoreMicroCol} - lo_)) div (hi_ - lo_)")
+          .as("p"),
+        col(labelCol).cast("long").as("y"))
+      // top edge closed: p = 10^6 lands in the last bin, not bin `bins`
+      .withColumn("bin",
+        least(expr(s"($bins * p) div $Micro"), lit(bins - 1)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p").cast("decimal(38,0)")).as("sp_"),
+        sum(((col("p") - lit(Micro) * col("y")) *
+          (col("p") - lit(Micro) * col("y"))).cast("decimal(38,0)"))
+          .as("sq_"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sp_").cast("double") /
+          (col("n").cast("double") * Micro.toDouble), 6).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("obs_rate"),
+        round(col("sq_").cast("double") /
+          (col("n").cast("double") * (Micro.toDouble * Micro.toDouble)), 6)
+          .as("brier"))
+      .orderBy(col("bin"))
+  }
 }

@@ -2034,6 +2034,83 @@ object StreamingIngest {
           .as("rel_err"))
   }
 
+  /** Streaming KMV fold — the set-operation NDV sketch's streaming
+    * member. The store holds the sketch EXPLODED as (group, hash) rows,
+    * ≤k per group; each fold unions the batch delta, dedups, and re-takes
+    * the k smallest per group. Like HLL's max-merge (and unlike CMS's
+    * additive fold), distinct-union-take-k is IDEMPOTENT as well as
+    * commutative/associative, so a re-delivered micro-batch cannot
+    * corrupt the store; and because the sketch is an order statistic,
+    * the fold equals the one-pass batch [[graft.operators.Kmv.audit]]
+    * bit-for-bit — the gate shares the batch oracle SQL verbatim.
+    */
+  def stagedKmvRoundtrip(spark: SparkSession, items: DataFrame,
+      keyCol: String, groupCol: String, k: Int, workDir: String): DataFrame = {
+    require(items.schema(keyCol).dataType == LongType,
+      s"stagedKmvRoundtrip: $keyCol must be LONG (wire schema)")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("k"), col("g"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    val src = items.select(col(keyCol).as("k"), col(groupCol).as("g"))
+      .where(col("k").isNotNull)
+    val midRow = src.agg(avg(col("k"))).collect()(0)
+    require(!midRow.isNullAt(0), "stagedKmvRoundtrip: empty input")
+    val mid = midRow.getDouble(0)
+    stage(src.where(col("k") < mid))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("k", LongType), StructField("g", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = graft.operators.Kmv.build(batch, "k", "g", k)
+          .select(col("g"), explode(col("kmv")).as("h"))
+        val next = (latest match {
+          case None => delta
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(delta).distinct()
+        })
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("g")).orderBy(col("h"))))
+          .where(col("rn") <= k).drop("rn")
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed the sketch store
+      stage(src.where(col("k") >= mid))
+      q.processAllAvailable() // batch 1+: idempotent k-min folds
+    } finally q.stop()
+    val fin = latest.getOrElse(sys.error("stagedKmvRoundtrip: no batch ran"))
+    val sk = spark.read.parquet(fin)
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("h"))).as("kmv"))
+    val exact = items.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(keyCol)).as("true_ndv"))
+    sk.join(exact, "g")
+      .select(col("g").as(groupCol), col("true_ndv"),
+        graft.operators.Kmv.estCol(col("kmv"), k).as("est"),
+        size(col("kmv")).cast("long").as("n_held"))
+      .withColumn("rel_err",
+        round((col("est") - col("true_ndv")) / col("true_ndv"), 4))
+  }
+
   /** Stream-stream inner INTERVAL join — the one first-class Structured
     * Streaming surface the engine had not yet exercised: BOTH sides are
     * unbounded, both carry watermarks, and Spark keys state on each side,
