@@ -119,6 +119,40 @@ object SparkEntry {
     * fold's oracle IS the batch oracle). Mirrors [[operators.Kmv]]:
     * k=64, 2^60 = 1152921504606846976.
     */
+  /** Shared by `events_survival_km` and `stream_survival_km` (the
+    * min/max lifetime fold is exact, so the fold's oracle IS the batch
+    * oracle): KM risk table in SQL, fixed-point survival product via a
+    * recursive CTE in the engine's integer floor-division arithmetic. */
+  private lazy val survivalKmSql: String =
+    """WITH RECURSIVE life AS (SELECT user_id,
+        |    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+        |      AS dur,
+        |    CASE WHEN MAX(CAST(ts AS DATE)) <
+        |        (SELECT MAX(CAST(ts AS DATE)) FROM events)
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM life GROUP BY 1),
+        |ord AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+        |    (SELECT COUNT(*) FROM life) - COALESCE(SUM(d + c)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM tt),
+        |km AS (
+        |  SELECT rn, t, n_risk, d, c,
+        |    CAST((1000000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.t, o.n_risk, o.d, o.c,
+        |    CAST((km.s * (o.n_risk - o.d)) // o.n_risk AS BIGINT)
+        |  FROM km JOIN ord o ON o.rn = km.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  s AS surv_micro,
+        |  ROUND(CAST(s AS DOUBLE) / 1000000000000, 6) AS survival
+        |FROM km ORDER BY t""".stripMargin
+
   private lazy val kmvAuditSql: String =
     s"""WITH h AS (SELECT DISTINCT event_type,
        |    ${sqlHash64("CAST(user_id AS VARCHAR)")} AS h FROM events),
@@ -2965,6 +2999,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming Kaplan-Meier: the lifetime table is a pure min/max
+    // first/last-seen fold — idempotent (replay-safe) and exact, state
+    // one row per subject; the curve computes at READ time over the
+    // folded lifetimes, so the fold equals the one-pass batch KM
+    // bit-for-bit and shares its oracle verbatim.
+    "stream_survival_km" -> ((s, d) => {
+      streaming.StreamingIngest.stagedSurvivalRoundtrip(s,
+        Tables.events(s, d), "user_id", "ts",
+        "/tmp/graft_survstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy(col("t"))
+    }),
+
     // Market-basket association mining over order baskets: pairs meet
     // only inside a basket (self-equi-join on the order key), support
     // threshold prunes pre-metrics, and every metric is ONE division
@@ -4456,6 +4502,21 @@ object SparkEntry {
       val maxD = ev.agg(max(to_date(col("ts")))).collect()(0)
         .getDate(0)
       operators.Survival.kaplanMeier(
+        operators.Survival.lifetimes(ev, "user_id", "ts",
+          lit(maxD.toString)),
+        "dur", "ev")
+        .orderBy(col("t"))
+    }),
+
+    // KM with Greenwood 95% bands: the cumulative Σ d/(n(n−d)) rides the
+    // same driver fold in integer NANO units; the band is a short chain
+    // of correctly-rounded float ops (sqrt is IEEE-exact, unlike libm
+    // ln/exp) so it replays identically; d = n points band NULL.
+    "events_survival_bands" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val maxD = ev.agg(max(to_date(col("ts")))).collect()(0)
+        .getDate(0)
+      operators.Survival.kaplanMeierBands(
         operators.Survival.lifetimes(ev, "user_id", "ts",
           lit(maxD.toString)),
         "dur", "ev")
@@ -12366,7 +12427,14 @@ object SparkEntry {
     // 10^12 fixed-point survival product replayed by a recursive CTE in
     // the SAME integer floor-division arithmetic as the engine's BigInt
     // fold (UNION ALL per the WITH RECURSIVE dedup gotcha)
-    "events_survival_km" ->
+    "events_survival_km" -> survivalKmSql,
+    "stream_survival_km" -> survivalKmSql,
+
+    // KM + Greenwood: the recursive CTE carries BOTH integer
+    // accumulators (survival micro product, Greenwood nano sum); bands
+    // are the engine's exact float chain — division, IEEE sqrt, two
+    // multiplies, GREATEST/LEAST clamp behind an explicit null CASE
+    "events_survival_bands" ->
       """WITH RECURSIVE life AS (SELECT user_id,
         |    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
         |      AS dur,
@@ -12385,15 +12453,29 @@ object SparkEntry {
         |  FROM tt),
         |km AS (
         |  SELECT rn, t, n_risk, d, c,
-        |    CAST((1000000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        |    CAST((1000000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s,
+        |    CASE WHEN n_risk > d THEN
+        |      CAST((1000000000 * d) // (n_risk * (n_risk - d)) AS BIGINT)
+        |      END AS g
         |  FROM ord WHERE rn = 1
         |  UNION ALL
         |  SELECT o.rn, o.t, o.n_risk, o.d, o.c,
-        |    CAST((km.s * (o.n_risk - o.d)) // o.n_risk AS BIGINT)
+        |    CAST((km.s * (o.n_risk - o.d)) // o.n_risk AS BIGINT),
+        |    CASE WHEN km.g IS NULL OR o.n_risk <= o.d THEN NULL
+        |      ELSE km.g + CAST((1000000000 * o.d)
+        |        // (o.n_risk * (o.n_risk - o.d)) AS BIGINT) END
         |  FROM km JOIN ord o ON o.rn = km.rn + 1)
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
-        |  s AS surv_micro,
-        |  ROUND(CAST(s AS DOUBLE) / 1000000000000, 6) AS survival
+        |  s AS surv_micro, g AS g_nano,
+        |  ROUND(CAST(s AS DOUBLE) / 1000000000000, 6) AS survival,
+        |  CASE WHEN g IS NOT NULL THEN
+        |    ROUND(GREATEST(0.0, CAST(s AS DOUBLE) / 1000000000000
+        |      - 1.959964 * (CAST(s AS DOUBLE) / 1000000000000
+        |        * SQRT(CAST(g AS DOUBLE) / 1000000000.0))), 6) END AS lo,
+        |  CASE WHEN g IS NOT NULL THEN
+        |    ROUND(LEAST(1.0, CAST(s AS DOUBLE) / 1000000000000
+        |      + 1.959964 * (CAST(s AS DOUBLE) / 1000000000000
+        |        * SQRT(CAST(g AS DOUBLE) / 1000000000.0))), 6) END AS hi
         |FROM km ORDER BY t""".stripMargin,
 
     // Mantel-Haenszel log-rank in the same milli/nano fixed point as the

@@ -87,6 +87,54 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** [[kaplanMeier]] plus Greenwood 95% confidence bands. The Greenwood
+    * cumulative Σ d/(n(n−d)) is carried in integer NANO units with floor
+    * division per step (exact both engines); the band is then a short
+    * chain of CORRECTLY-ROUNDED float ops — sqrt is IEEE-754
+    * correctly-rounded (unlike libm ln/exp), so se = S·√(Σg) and
+    * S ∓ z·se replay identically on any engine. d = n time points
+    * (everyone at risk dies) have infinite Greenwood variance — bands
+    * NULL there, survival itself unaffected.
+    *
+    * Output: (t, n_risk, d, c, surv_micro, g_nano, survival, lo, hi).
+    */
+  def kaplanMeierBands(df: DataFrame, durationCol: String, eventCol: String,
+      maxBuckets: Int = 512, z: Double = 1.959964): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val risk = kaplanMeier(df, durationCol, eventCol, maxBuckets)
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("surv_micro"))
+      .orderBy(col("t"))
+      .collect()
+    var g = BigInt(0)
+    var gDead = false // once a d = n point passes, all later bands are null
+    val folded = risk.map { r =>
+      val (t, n, d, c, sm) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      if (n > d) g += BigInt(1000000000L) * d / (BigInt(n) * BigInt(n - d))
+      else gDead = true
+      (t, n, d, c, sm, if (gDead) None else Some(g.toLong))
+    }
+    folded.toSeq.toDF("t", "n_risk", "d", "c", "surv_micro", "g_nano")
+      .withColumn("survival",
+        round(col("surv_micro").cast("double") / Micro.toDouble, 6))
+      .withColumn("se_", (col("surv_micro").cast("double") / Micro.toDouble)
+        * sqrt(col("g_nano").cast("double") / 1000000000.0))
+      // explicit null propagation: GREATEST/LEAST null-handling differs
+      // by engine (most ignore nulls), so never let a null se reach them
+      .withColumn("lo", when(col("g_nano").isNotNull,
+        round(greatest(lit(0.0),
+          (col("surv_micro").cast("double") / Micro.toDouble)
+            - lit(z) * col("se_")), 6)))
+      .withColumn("hi", when(col("g_nano").isNotNull,
+        round(least(lit(1.0),
+          (col("surv_micro").cast("double") / Micro.toDouble)
+            + lit(z) * col("se_")), 6)))
+      .drop("se_")
+      .orderBy(col("t"))
+  }
+
   /** Log-rank test: do two arms share a survival curve — the A/B read
     * on retention that respects censoring (comparing raw churn rates
     * biases toward whichever arm enrolled earlier). Mantel-Haenszel

@@ -2111,6 +2111,83 @@ object StreamingIngest {
         round((col("est") - col("true_ndv")) / col("true_ndv"), 4))
   }
 
+  /** Streaming Kaplan-Meier fold: the survival curve's streaming member.
+    * The per-subject lifetime table is a pure (min first-seen, max
+    * last-seen) fold — min/max merges are IDEMPOTENT like HLL's
+    * registers and KMV's k-min sets, so a re-delivered micro-batch
+    * cannot corrupt the store; state = one (subject, first_d, last_d)
+    * row per subject regardless of event volume. The KM curve itself
+    * (risk table + fixed-point product) computes at READ time over the
+    * folded lifetimes, so the stream holds no curve state at all — and
+    * the result equals the one-pass batch
+    * [[graft.operators.Survival.kaplanMeier]] bit-for-bit (the gate
+    * shares the batch oracle SQL verbatim).
+    */
+  def stagedSurvivalRoundtrip(spark: SparkSession, events: DataFrame,
+      subjectCol: String, tsCol: String, workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val inDir = s"$workDir/in"
+    val storeBase = s"$workDir/store"
+
+    def stage(b: DataFrame): Unit = b
+      .select(to_json(struct(col("u"), col("dd"))).as("value"))
+      .write.mode("append").text(inDir)
+
+    val src = events.select(col(subjectCol).cast("long").as("u"),
+        date_format(to_date(col(tsCol)), "yyyy-MM-dd").as("dd"))
+      .where(col("u").isNotNull)
+    // split mid-stream so most subjects span BOTH batches: the fold must
+    // merge a batch-0 first-seen with a batch-1 last-seen
+    val mid = src.agg(expr("percentile_approx(unix_date(to_date(dd)), 0.5)"))
+      .collect()(0).getAs[Number](0).longValue
+    stage(src.where(expr(s"unix_date(to_date(dd)) < $mid")))
+
+    val parsed = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("u", LongType), StructField("dd", StringType)))).as("j"))
+      .select(col("j.*"))
+
+    var latest: Option[String] = None
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.groupBy(col("u"))
+          .agg(min(col("dd")).as("first_d"), max(col("dd")).as("last_d"))
+        val next = (latest match {
+          case None => delta
+          case Some(prev) => spark.read.parquet(prev).unionByName(delta)
+        })
+          .groupBy(col("u"))
+          .agg(min(col("first_d")).as("first_d"),
+            max(col("last_d")).as("last_d"))
+        val out = s"$storeBase/v$id"
+        next.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: seed first/last-seen store
+      stage(src.where(expr(s"unix_date(to_date(dd)) >= $mid")))
+      q.processAllAvailable() // batch 1+: idempotent min/max folds
+    } finally q.stop()
+    val fin = latest.getOrElse(
+      sys.error("stagedSurvivalRoundtrip: no batch ran"))
+    val store = spark.read.parquet(fin)
+      .select(col("u"), to_date(col("first_d")).as("first_d"),
+        to_date(col("last_d")).as("last_d"))
+    // read-time lifetime derivation — identical to Survival.lifetimes
+    val cutoff = store.agg(max(col("last_d"))).collect()(0).getDate(0)
+    val life = store.select(col("u").as("subject"),
+      datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+      when(col("last_d") < lit(cutoff.toString), 1L).otherwise(0L).as("ev"))
+    graft.operators.Survival.kaplanMeier(life, "dur", "ev")
+  }
+
   /** Stream-stream inner INTERVAL join — the one first-class Structured
     * Streaming surface the engine had not yet exercised: BOTH sides are
     * unbounded, both carry watermarks, and Spark keys state on each side,

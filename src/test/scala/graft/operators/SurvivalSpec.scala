@@ -48,6 +48,25 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeierBands: Greenwood terms exact; band nulls after d=n") {
+    // fixture from the textbook test: S(1)=3/4, S(3)=3/8
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)).toDF("dur", "ev")
+    val rows = Survival.kaplanMeierBands(df, "dur", "ev").collect()
+    // g(1) = 1e9*1/(4*3) = 83333333; g(3) = g(1) + 1e9*1/(2*1)
+    assert(rows(0).getLong(5) == 83333333L)
+    assert(rows(2).getLong(5) == 583333333L)
+    // bands clamp into [0,1] and bracket the estimate
+    rows.foreach { r =>
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(8) <= 1.0)
+      assert(r.getDouble(7) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(8))
+    }
+    // everyone-dies tail: d = n at the last time -> band null there on
+    val dd = Seq((1L, 1L), (2L, 1L)).toDF("dur", "ev")
+    val rr = Survival.kaplanMeierBands(dd, "dur", "ev").collect()
+    assert(!rr(0).isNullAt(5) && rr(1).isNullAt(5))
+    assert(rr(1).isNullAt(7) && rr(1).isNullAt(8))
+  }
+
   test("lifetimes: duration and censor flag from an event log") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-05 10:00:00"), // churned
