@@ -3274,6 +3274,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Merge-conflict audit: per multi-member entity, do members agree on
+    // a strong attribute the block key doesn't force equal (name length
+    // here — near-identical names at JW ≥ 0.97 usually agree; a chained
+    // A≈B≈C over-merge is where they don't). Post-closure governance,
+    // the PRE-closure blocking audits' missing twin.
+    "er_conflict_audit" -> ((s, d) => {
+      operators.EntityResolution.conflictAudit(Tables.customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        minSim = 0.97, strongCol = length(col("c_name")))
+        .orderBy(col("component"))
+    }),
+
     "text_langid" -> ((s, d) => {
       docs(s, d)
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -4506,6 +4518,27 @@ object SparkEntry {
           lit(maxD.toString)),
         "dur", "ev")
         .orderBy(col("t"))
+    }),
+
+    // Per-cohort survival: one KM curve per signup week (the retention
+    // matrix's censoring-correct sibling) — risk tables distributed per
+    // (cohort, day), driver folds each cohort's bounded curve; cohort
+    // labels use the shared date_trunc-week string convention.
+    "events_cohort_survival" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val maxD = ev.agg(max(to_date(col("ts")))).collect()(0)
+        .getDate(0)
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        .select(
+          date_format(date_trunc("week", col("first_d")), "yyyy-MM-dd")
+            .as("cohort"),
+          datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+          when(col("last_d") < lit(maxD.toString), 1L).otherwise(0L)
+            .as("ev"))
+      operators.Survival.kaplanMeierGrouped(life, "cohort", "dur", "ev")
+        .orderBy(col("cohort"), col("t"))
     }),
 
     // KM with Greenwood 95% bands: the cumulative Σ d/(n(n−d)) rides the
@@ -10539,6 +10572,32 @@ object SparkEntry {
         |FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src
         |ORDER BY id""".stripMargin,
 
+    // the er_entities closure + a strong-attribute census per entity
+    "er_conflict_audit" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+        |lab AS (SELECT c.c_custkey AS id,
+        |    least(c.c_custkey, coalesce(m.mn, c.c_custkey)) AS component,
+        |    length(c.c_name) AS strong
+        |  FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src)
+        |SELECT component, COUNT(*) AS n_members,
+        |  COUNT(DISTINCT strong) AS n_strong_values,
+        |  COUNT(DISTINCT strong) > 1 AS conflict
+        |FROM lab GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY component""".stripMargin,
+
     // the er_entities component chain + per-field survivorship picks
     "er_golden_record" ->
       """WITH RECURSIVE pairs AS (
@@ -12429,6 +12488,42 @@ object SparkEntry {
     // fold (UNION ALL per the WITH RECURSIVE dedup gotcha)
     "events_survival_km" -> survivalKmSql,
     "stream_survival_km" -> survivalKmSql,
+
+    // per-cohort KM: the same recursive fold PARTITIONED by cohort (the
+    // recursion joins on (cohort, rn)), cohort = date_trunc-week string
+    "events_cohort_survival" ->
+      """WITH RECURSIVE life AS (SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |lt AS (SELECT strftime(date_trunc('week', f), '%Y-%m-%d') AS cohort,
+        |    date_diff('day', f, l) AS dur,
+        |    CASE WHEN l < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM life),
+        |tt AS (SELECT cohort, dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM lt GROUP BY 1, 2),
+        |tot AS (SELECT cohort, COUNT(*) AS n FROM lt GROUP BY 1),
+        |ord AS (SELECT tt.cohort, t, d, c,
+        |    ROW_NUMBER() OVER (PARTITION BY tt.cohort ORDER BY t) AS rn,
+        |    tot.n - COALESCE(SUM(d + c)
+        |      OVER (PARTITION BY tt.cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM tt JOIN tot ON tt.cohort = tot.cohort),
+        |km AS (
+        |  SELECT cohort, rn, t, n_risk, d, c,
+        |    CAST((1000000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.cohort, o.rn, o.t, o.n_risk, o.d, o.c,
+        |    CAST((km.s * (o.n_risk - o.d)) // o.n_risk AS BIGINT)
+        |  FROM km JOIN ord o
+        |    ON o.cohort = km.cohort AND o.rn = km.rn + 1)
+        |SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  s AS surv_micro,
+        |  ROUND(CAST(s AS DOUBLE) / 1000000000000, 6) AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
 
     // KM + Greenwood: the recursive CTE carries BOTH integer
     // accumulators (survival micro product, Greenwood nano sum); bands

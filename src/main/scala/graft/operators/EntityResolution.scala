@@ -77,6 +77,32 @@ object EntityResolution {
     Components.connectedComponents(df.select(col(idCol).as("id")), pairs)
   }
 
+  /** Merge-conflict audit over resolved entities — "did the closure
+    * over-merge": for every multi-member entity, do its members agree on
+    * a STRONG attribute the blocking key does not already force equal?
+    * Transitive closure chains A≈B≈C into one entity even when A and C
+    * never scored — a conflicting strong attribute inside an entity is
+    * the classic symptom (the chain crossed two real-world records).
+    * This is the post-resolution governance twin of [[blockingAudit]]
+    * (which measures candidate quality PRE-closure).
+    *
+    * Output per multi-member entity: (component, n_members,
+    * n_strong_values, conflict) — exact integer census, one broadcast
+    * join of the model-size entity labels back to the records.
+    */
+  def conflictAudit(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], minSim: Double,
+      strongCol: org.apache.spark.sql.Column): DataFrame = {
+    val ents = entities(df, idCol, nameCol, blockCols, minSim)
+    df.select(col(idCol).as("id"), strongCol.as("strong_"))
+      .join(ents, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("strong_")).as("n_strong_values"))
+      .where(col("n_members") > 1)
+      .withColumn("conflict", col("n_strong_values") > 1)
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
     * classical blocking family: rank records by a sort key and compare
     * each to its next `windowSize−1` neighbors. Catches near-matches

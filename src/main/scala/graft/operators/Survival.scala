@@ -87,6 +87,58 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Per-group [[kaplanMeier]] — one survival curve per cohort/arm/
+    * segment in a single pass. The risk tables build distributed
+    * (groupBy (group, t) + one per-group window); the driver folds each
+    * group's ≤`maxBuckets` rows independently (total driver rows bounded
+    * by groups × buckets — still model-size for the cohort/segment
+    * cardinalities this is for; a 10^6-group use belongs in the plain
+    * per-key aggregation world, not curve estimation).
+    *
+    * Output: (group, t, n_risk, d, c, surv_micro, survival) ordered by
+    * (group, t). */
+  def kaplanMeierGrouped(df: DataFrame, groupCol: String,
+      durationCol: String, eventCol: String,
+      maxRows: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byT = df
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(durationCol).cast("long").as("t"))
+      .agg(
+        sum(col(eventCol).cast("long")).as("d"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT
+      .withColumn("gone", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .withColumn("total", sum(col("d") + col("c"))
+        .over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("t"), (col("total") - col("gone")).as("n_risk"),
+        col("d"), col("c"))
+      .orderBy(col("g"), col("t"))
+    val rows = risk.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"kaplanMeierGrouped: > $maxRows (group, duration) rows — coarsen " +
+        "the duration grid or aggregate, don't curve-fit, this many groups")
+    val folded = rows.toSeq
+      .groupBy(_.getString(0)).toSeq
+      .flatMap { case (g, rs) =>
+        var s = BigInt(Micro)
+        rs.sortBy(_.getLong(1)).map { r =>
+          val (t, n, d, c) = (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))
+          s = s * BigInt(n - d) / BigInt(n)
+          (g, t, n, d, c, s.toLong)
+        }
+      }
+    folded.toDF("g", "t", "n_risk", "d", "c", "surv_micro")
+      .withColumnRenamed("g", groupCol)
+      .withColumn("survival",
+        round(col("surv_micro").cast("double") / Micro.toDouble, 6))
+      .orderBy(col(groupCol), col("t"))
+  }
+
   /** [[kaplanMeier]] plus Greenwood 95% confidence bands. The Greenwood
     * cumulative Σ d/(n(n−d)) is carried in integer NANO units with floor
     * division per step (exact both engines); the band is then a short

@@ -43,6 +43,20 @@ class EntityResolutionSpec extends SparkSpec {
     assert(ents.size == 8)
   }
 
+  test("conflictAudit: multi-member entities censused; chained merge conflicts flagged") {
+    import org.apache.spark.sql.functions._
+    // strong attribute = name length: the Acme pair agrees (16 == 16);
+    // the Jane chain 10/10/11 is a chained-merge conflict
+    val rows = EntityResolution.conflictAudit(records, "id", "name",
+      Seq("blk"), minSim = 0.9, strongCol = length(col("name")))
+      .orderBy(col("component"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 1L, false), // Acme pair: same length, no conflict
+      (4L, 3L, 2L, true))) // Jane chain: two lengths -> over-merge signal
+  }
+
   test("blockMax drops oversized blocks before the self-join") {
     val hot = (1L to 20L).map(i => (i, s"Name$i", "hot")) ++
       Seq((21L, "Alpha Beta", "cold"), (22L, "Alpha Betta", "cold"))

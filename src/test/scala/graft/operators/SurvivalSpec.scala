@@ -67,6 +67,25 @@ class SurvivalSpec extends SparkSpec {
     assert(rr(1).isNullAt(7) && rr(1).isNullAt(8))
   }
 
+  test("kaplanMeierGrouped: independent curves per group, same fold per group") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 0L),
+      ("b", 5L, 1L), ("b", 6L, 1L)).toDF("g", "dur", "ev")
+    val rows = Survival.kaplanMeierGrouped(df, "g", "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    // group a replays the textbook fixture; group b telescopes to 0
+    assert(rows.toSeq == Seq(
+      ("a", 1L, 750000000000L), ("a", 2L, 750000000000L),
+      ("a", 3L, 375000000000L), ("a", 4L, 375000000000L),
+      ("b", 5L, 500000000000L), ("b", 6L, 0L)))
+    // single-group result equals the ungrouped fold
+    val solo = Survival.kaplanMeier(
+      df.where(col("g") === "a").select(col("dur"), col("ev")), "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(rows.filter(_._1 == "a").map(t => (t._2, t._3)).toSeq ==
+      solo.toSeq)
+  }
+
   test("lifetimes: duration and censor flag from an event log") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-05 10:00:00"), // churned
