@@ -113,10 +113,17 @@ object Bench {
     // "regressions" in round 7 when the rerun deadline cut the second pass.
     // Single-sample queries are counted (single_sample) so a truncated run
     // is visibly weaker evidence, not silently complete.
+    // Micro-gates (prev < 1 s) need a 3.0x ratio to flag: sub-second
+    // queries drift 2-3x on identical code on this host (round-9
+    // same-code example: events_odds_ratio 0.61 -> 2.04 s), so a 1.4x
+    // bar on them only manufactures noise for the A/B pass to clear.
+    // A genuine micro-gate regression big enough to matter (0.3 s -> 30 s)
+    // still clears 3.0x.
     val flagged = results.toSeq
       .collect { case (n, (cur, true)) if rerun.contains(n) =>
-        prev.get(n).collect { case p if p > 0 && cur / p >= 1.4 =>
-          (n, p, cur, cur / p)
+        prev.get(n).collect {
+          case p if p > 0 && cur / p >= (if (p >= 1.0) 1.4 else 3.0) =>
+            (n, p, cur, cur / p)
         }
       }.flatten.sortBy(-_._4)
     // Interleaved A/B on every flagged query (ProbeMemSearch pattern,
@@ -146,8 +153,14 @@ object Bench {
           .filter(_ => bestB < Double.MaxValue).map(bestB / _)
         val normRatio = hostFactor.map(h => (bestQ / p) / h)
           .getOrElse(bestQ / p)
+        // "plan_suspect" must be EARNED by A/B evidence: if the deadline
+        // cut the loop before any alternation ran (round == 0, bestQ
+        // still the flagging sample), the honest verdict is
+        // "unadjudicated" — round-9 emitted 10 plan_suspects whose
+        // ab_min == cur, i.e. zero new samples behind the accusation.
         val verdict =
           if (bestQ / p < 1.4) "cleared"
+          else if (round == 0) "unadjudicated"
           else if (normRatio <= 1.15) "drift"
           else "plan_suspect"
         f"""{"query":"$n","prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +

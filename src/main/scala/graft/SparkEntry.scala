@@ -402,42 +402,49 @@ object SparkEntry {
       .zipWithIndex.map { case (sg, p) =>
         s"(CASE WHEN list_dot_product(v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" +\n    ")
+    // Every CTE below that is referenced more than once (e, q, g, each
+    // v_r) is MATERIALIZED: DuckDB inlines plain CTEs at each reference
+    // site, so the per-round v_r chain (each v_r referenced by BOTH
+    // nb_{r+1}'s NOT IN and v_{r+1}'s UNION ALL) re-derives the entire
+    // prefix exponentially — measured 667 s at 500 vectors for the
+    // (m=24, beam=48, r=6) variant, ~1 s materialized. Same results,
+    // linear cost.
     val rounds = (1 to nRounds).map { r =>
-      s"""nb$r AS (SELECT DISTINCT g.dst AS id
+      s"""nb$r AS MATERIALIZED (SELECT DISTINCT g.dst AS id
          |  FROM bm${r - 1} b JOIN g ON g.src = b.id
          |  WHERE g.dst NOT IN (SELECT id FROM v${r - 1})),
-         |ns$r AS (SELECT e.vec_id AS id,
+         |ns$r AS MATERIALIZED (SELECT e.vec_id AS id,
          |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS s
          |  FROM e JOIN nb$r ON e.vec_id = nb$r.id, q),
-         |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM ns$r),
-         |bm$r AS (SELECT id, s FROM (SELECT id, s,
+         |v$r AS MATERIALIZED (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM ns$r),
+         |bm$r AS MATERIALIZED (SELECT id, s FROM (SELECT id, s,
          |    ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn FROM v$r)
          |  WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e),
-       |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e),
-       |cand AS (
+       |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |b1 AS MATERIALIZED (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e),
+       |b2 AS MATERIALIZED (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e),
+       |cand AS MATERIALIZED (
        |  SELECT l.vec_id AS a, r.vec_id AS b
        |  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
        |  UNION
        |  SELECT l.vec_id, r.vec_id
        |  FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
-       |sc AS (SELECT c.a, c.b,
+       |sc AS MATERIALIZED (SELECT c.a, c.b,
        |    ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS s
        |  FROM cand c JOIN e ea ON c.a = ea.vec_id
        |  JOIN e eb ON c.b = eb.vec_id),
-       |sym AS (SELECT a AS src, b AS dst, s FROM sc
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst, s FROM sc
        |  UNION ALL SELECT b, a, s FROM sc),
-       |g AS (SELECT src, dst FROM (SELECT src, dst,
+       |g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
        |  FROM sym) WHERE rn <= $m),
-       |v0 AS (SELECT e.vec_id AS id,
+       |v0 AS MATERIALIZED (SELECT e.vec_id AS id,
        |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS s
        |  FROM e, q WHERE e.vec_id = 1),
-       |bm0 AS (SELECT id, s FROM v0),
+       |bm0 AS MATERIALIZED (SELECT id, s FROM v0),
        |$rounds,
        |tier AS (SELECT id, s FROM (SELECT id, s,
        |    ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn FROM v$nRounds)
@@ -10324,22 +10331,26 @@ object SparkEntry {
 
     // unrolled support-count rounds; k=3 keeps edges with >= 1 triangle
     "graph_ktruss" -> {
+      // MATERIALIZED: each round reads e_{k-1} three times (adj's two
+      // union arms + the support join's edge side) and adj_{k-1} twice;
+      // DuckDB's default CTE inlining re-derives the whole peel prefix
+      // at every reference — measured 41 s at sf0.01, ~1 s materialized
       val rounds = (1 to 3).map { k =>
-        s"""adj${k - 1} AS (SELECT a AS s, b AS d FROM e${k - 1}
+        s"""adj${k - 1} AS MATERIALIZED (SELECT a AS s, b AS d FROM e${k - 1}
            |  UNION ALL SELECT b, a FROM e${k - 1}),
-           |s$k AS (SELECT e.a, e.b, COUNT(*) AS sup
+           |s$k AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS sup
            |  FROM e${k - 1} e JOIN adj${k - 1} x ON x.s = e.a
            |  JOIN adj${k - 1} y ON y.s = e.b AND y.d = x.d
            |  GROUP BY 1, 2),
-           |e$k AS (SELECT a, b FROM s$k WHERE sup >= 1)""".stripMargin
+           |e$k AS MATERIALIZED (SELECT a, b FROM s$k WHERE sup >= 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      s"""WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
          |  FROM lineitem),
-         |e0 AS (SELECT l.it AS a, r.it AS b
+         |e0 AS MATERIALIZED (SELECT l.it AS a, r.it AS b
          |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |$rounds,
-         |adjf AS (SELECT a AS s, b AS d FROM e3
+         |adjf AS MATERIALIZED (SELECT a AS s, b AS d FROM e3
          |  UNION ALL SELECT b, a FROM e3)
          |SELECT e.a, e.b, COUNT(*) AS support
          |FROM e3 e JOIN adjf x ON x.s = e.a

@@ -157,16 +157,20 @@ final class OnnxTextEmbedder(modelPath: String, vocabPath: String,
       .toArray
     val mask = encoded.map(e =>
       Array.fill(e.length)(1L) ++ Array.fill(width - e.length)(0L)).toArray
+    // input tensors hold NATIVE (off-heap) memory: every created tensor
+    // must be closed in the same finally that closes the run result, or
+    // a long embedding job leaks one batch of native buffers per call
     val feeds = new java.util.HashMap[String, AnyRef]()
     feeds.put("input_ids", longTensor(ids))
     feeds.put("attention_mask", longTensor(mask))
     if (inputNames.contains("token_type_ids"))
       feeds.put("token_type_ids",
         longTensor(ids.map(r => Array.fill(r.length)(0L))))
-    val result = session.getClass
-      .getMethod("run", classOf[java.util.Map[String, _]])
-      .invoke(session, feeds)
+    var result: AnyRef = null
     try {
+      result = session.getClass
+        .getMethod("run", classOf[java.util.Map[String, _]])
+        .invoke(session, feeds)
       val first = result.getClass.getMethod("get", classOf[Int])
         .invoke(result, Integer.valueOf(0))
       // last_hidden_state: [batch, seq, hidden]
@@ -200,7 +204,14 @@ final class OnnxTextEmbedder(modelPath: String, vocabPath: String,
         if (norm > 0) { j = 0; while (j < dims) { out(j) /= norm; j += 1 } }
         out
       }
-    } finally result.getClass.getMethod("close").invoke(result)
+    } finally {
+      feeds.values.asScala.foreach { t =>
+        try t.getClass.getMethod("close").invoke(t)
+        catch { case _: Throwable => () } // best-effort: close the rest
+      }
+      if (result != null)
+        result.getClass.getMethod("close").invoke(result)
+    }
   }
 }
 

@@ -74,7 +74,13 @@ object Kmv {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string").as("g"),
+    df
+      // null keys are dropped BEFORE hashing: a null hash would hit the
+      // non-nullable Long of the typed encoder at runtime, and both the
+      // exact side (countDistinct) and the streaming twin
+      // (stagedKmvRoundtrip) already ignore nulls
+      .where(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         HashFunctions.hash64(col(keyCol).cast("string")).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)

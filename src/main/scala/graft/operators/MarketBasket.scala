@@ -80,7 +80,18 @@ object MarketBasket {
     */
   def sequentialPairs(df: DataFrame, basketCol: String, itemCol: String,
       orderCol: String, minSupportFrac: Double,
-      basketMax: Long = Long.MaxValue): DataFrame = {
+      basketMax: Long = Long.MaxValue): DataFrame =
+    sequentialPairsManaged(df, basketCol, itemCol, orderCol,
+      minSupportFrac, basketMax)._1
+
+  /** [[sequentialPairs]] plus a release handle for the internal
+    * (basket, item, pos) cache entry — the cosinePairsManaged discipline
+    * for sweep drivers mining many basket tables in one session (the
+    * unmanaged form otherwise accumulates one cache entry per table for
+    * the session's life). */
+  def sequentialPairsManaged(df: DataFrame, basketCol: String,
+      itemCol: String, orderCol: String, minSupportFrac: Double,
+      basketMax: Long = Long.MaxValue): (DataFrame, CacheHandle) = {
     require(minSupportFrac > 0.0 && minSupportFrac <= 1.0)
     val bi0 = df
       .select(col(basketCol).as("bk"), col(itemCol).as("it"),
@@ -110,14 +121,15 @@ object MarketBasket {
         col("c").as("ca_"))), "a")
       .select(col("a"), col("b"), col("w"),
         (col("w").cast("double") / lit(nb)).as("support"),
-        (col("w").cast("double") / col("ca_")).as("confidence"))
+        (col("w").cast("double") / col("ca_")).as("confidence")) ->
+      new CacheHandle(bi)
   }
 
   /** [[frequentPairs]] plus a release handle for the internal
     * (basket, item) cache entry — the cosinePairsManaged discipline for
     * sweep drivers mining many basket tables in one session. */
   def frequentPairsManaged(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, basketMax: Long = Long.MaxValue): (DataFrame, () => Unit) = {
+      minSupport: Long, basketMax: Long = Long.MaxValue): (DataFrame, CacheHandle) = {
     // null basket/item keys are dropped (a null basket can form no pairs
     // in the equi-join anyway, and counting it in the support denominator
     // would be a phantom basket — inner-join semantics, as in
@@ -157,6 +169,6 @@ object MarketBasket {
         // exact below 2^53 and merely rounds above, never corrupts
         ((col("w").cast("double") * col("nb_")) /
           (col("ca_").cast("double") * col("cb_").cast("double")))
-          .as("lift")) -> (() => { bi.unpersist(false); () })
+          .as("lift")) -> new CacheHandle(bi)
   }
 }

@@ -88,7 +88,7 @@ object SparseSim {
     */
   def cosinePairsManaged(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, maxDf: Long = Long.MaxValue,
-      termK: Int = 1): (DataFrame, () => Unit) = {
+      termK: Int = 1): (DataFrame, CacheHandle) = {
     require(termK >= 1)
     // tokens staged as a REAL column before shingling — an inline token
     // expression captured by the transform lambda re-tokenizes the doc
@@ -123,7 +123,7 @@ object SparseSim {
         round(col("dot").cast("double") / (col("na") * col("nb")), 6))
       .where(col("cosine") >= minSim)
       .select(col("a"), col("b"), col("cosine"))
-    (pairs, () => { tf.unpersist(false); () })
+    (pairs, new CacheHandle(tf))
   }
 
   /** [[cosinePairs]] with the df cap DERIVED from corpus statistics

@@ -253,7 +253,12 @@ object Survival {
       .select(col("n1"), col("n2"), col("d1"), col("d2"),
         col("oe_milli"), col("v_nano"),
         when(col("v_nano") > 0,
-          round((col("oe_milli") * col("oe_milli")).cast("double") *
+          // square in DOUBLE, not Long: oe_milli beyond ~3e9 (|O−E| over
+          // ~3e6 deaths) silently wraps a BIGINT square in Spark where
+          // the oracle's BIGINT multiply raises — the double square is
+          // exact below 2^53 and correctly rounded above, never wrong-sign
+          round(col("oe_milli").cast("double") *
+            col("oe_milli").cast("double") *
             lit(1000.0) / col("v_nano").cast("double"), 6))
           .as("chi2"))
       .withColumn("significant",

@@ -1827,8 +1827,11 @@ object StreamingIngest {
       stage(src.where(col("bk") >= mid))
       q.processAllAvailable() // batch 1+: incremental folds
     } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // restore the session conf FIRST (its own try/finally): if stop()
+      // throws, the session must not stay pinned at 8 partitions for
+      // every subsequent gate in the run
+      try spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally q.stop()
     }
     val fin = latest.getOrElse(sys.error("stagedFrequentPairsRoundtrip: no batch ran"))
     val nb = spark.read.parquet(s"$fin/n").collect()(0).getLong(0)

@@ -6,11 +6,21 @@ in DuckDB over the sf parquet tables, load the Spark result, sort columns by
 name, sort rows, and compare values exactly (with a float tolerance report so
 near-misses are diagnosable).
 
-Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir> [summary.json]
+
+Each oracle is timed; the optional third arg writes a machine-readable
+summary {"pass": N, "fail": N, "slowest": [...], "queries": {name:
+{"status": "pass"|"fail", "oracle_sec": s, "rows": n, "detail": ...}}} so
+the round artifact can never silently zero — round 9's CORRECTNESS came
+back `{}` because one oracle (search_nsw_recall_wide, pre-MATERIALIZED)
+ran 667 s and blew the driver's wall budget. Any oracle >30 s is flagged
+SLOW in the output and counts as a budget failure in the exit code.
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 import pandas as pd
+
+ORACLE_BUDGET_SEC = 30.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,26 +39,50 @@ def canon(df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    summary_path = sys.argv[3] if len(sys.argv) > 3 else None
     con, oracle = load(sfdir, outdir)
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, status, sec, rows=None, detail=None):
+        nonlocal n_pass, n_fail
+        entry = {"status": status, "oracle_sec": round(sec, 3)}
+        if rows is not None:
+            entry["rows"] = int(rows)
+        if detail:
+            entry["detail"] = detail
+        report[name] = entry
+        slow = " SLOW" if sec > ORACLE_BUDGET_SEC else ""
+        if status == "pass":
+            n_pass += 1
+            print(f"PASS {name} ({rows} rows, {sec:.2f}s){slow}")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {detail} ({sec:.2f}s){slow}")
+
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            record(name, "fail", 0.0, detail="no spark output"); continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         except Exception as e:
-            print(f"FAIL {name}: read spark output: {e}"); n_fail += 1; continue
+            record(name, "fail", 0.0, detail=f"read spark output: {e}"); continue
+        t0 = time.time()
         try:
             duck_df = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+            record(name, "fail", time.time() - t0,
+                   detail=f"oracle sql error: {e}"); continue
+        sec = time.time() - t0
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):
-            print(f"FAIL {name}: cols spark={list(s.columns)} duck={list(d.columns)}")
-            n_fail += 1; continue
+            record(name, "fail", sec,
+                   detail=f"cols spark={list(s.columns)} duck={list(d.columns)}")
+            continue
         if len(s) != len(d):
-            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
+            record(name, "fail", sec,
+                   detail=f"rows spark={len(s)} duck={len(d)}"); continue
         bad = []
         for c in s.columns:
             sv, dv = s[c], d[c]
@@ -69,11 +103,33 @@ def main():
                     i = neq.idxmax()
                     bad.append(f"{c}: first diff row {i}: spark={sv[i]!r} duck={dv[i]!r}")
         if bad:
-            print(f"FAIL {name}: " + "; ".join(bad)); n_fail += 1
+            record(name, "fail", sec, rows=len(s), detail="; ".join(bad))
         else:
-            print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+            record(name, "pass", sec, rows=len(s))
+
+    over = sorted(((v["oracle_sec"], k) for k, v in report.items()
+                   if v["oracle_sec"] > ORACLE_BUDGET_SEC), reverse=True)
+    slowest = sorted(((v["oracle_sec"], k) for k, v in report.items()),
+                     reverse=True)[:10]
+    total_sec = sum(v["oracle_sec"] for v in report.values())
+    print(f"\n{n_pass} pass, {n_fail} fail; oracle wall {total_sec:.1f}s")
+    print("slowest oracles: " +
+          ", ".join(f"{k}={s:.1f}s" for s, k in slowest))
+    if over:
+        print(f"OVER-BUDGET (> {ORACLE_BUDGET_SEC:.0f}s): " +
+              ", ".join(f"{k}={s:.1f}s" for s, k in over))
+    if summary_path:
+        with open(summary_path, "w") as f:
+            json.dump({
+                "pass": n_pass, "fail": n_fail,
+                "oracle_wall_sec": round(total_sec, 1),
+                "budget_sec": ORACLE_BUDGET_SEC,
+                "over_budget": [k for _, k in over],
+                "slowest": [{"name": k, "sec": s} for s, k in slowest],
+                "queries": report,
+            }, f, indent=1, sort_keys=True)
+        print(f"summary -> {summary_path}")
+    sys.exit(1 if (n_fail or over) else 0)
 
 if __name__ == "__main__":
     main()
