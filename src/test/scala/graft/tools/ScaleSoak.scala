@@ -1,16 +1,22 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Scale soak: run candidate-generating gates at two scale points and
-  * report (rows, seconds) so SCALE_NOTES can show measured growth:
-  * `Test/runMain graft.tools.ScaleSoak <dir> <gate> [gate…]`.
+  * report (rows, seconds, shuffle records/bytes) so SCALE_NOTES can show
+  * measured growth: `Test/runMain graft.tools.ScaleSoak <dir> <gate> [gate…]`.
   *
   * For the pair/candidate gates the OUTPUT relation *is* the candidate
   * set (post banding/cap/blocking), so its row count against a 10×
   * input is exactly the sub-quadratic claim under test. Count executes
   * the full plan (joins and aggregations can't be pruned below a
-  * count); each gate runs twice and reports the warm pass.
+  * count); each gate runs twice and reports the warm pass. Shuffle
+  * write records/bytes (from stage-completion metrics, warm pass) are
+  * the INTERNAL work carrier — a gate whose output stays linear while
+  * its shuffle volume goes quadratic is still a scale bug, and only the
+  * shuffle column shows it.
   */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
@@ -21,10 +27,35 @@ object ScaleSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val shufRecs = new AtomicLong(0L)
+    val shufBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
     // probe_embedding_sized: the gate's fixed planes=4 is the sf-scale
     // deterministic choice; the documented scale rule is planesFor —
     // this probe applies it (target bucket 128) so the soak measures
     // the rule, not the gate constant.
+    // probe_graph_*_rel: the graph gates derive their co-purchase edges
+    // with ABSOLUTE minSupport=2 — at 10× traffic over the fixed part
+    // catalog that threshold stops filtering (the mine_frequent_pairs
+    // 335× lesson) and the graph itself densifies. The scale-robust
+    // derivation is the relative threshold ("co-occurs in ≥ frac of
+    // baskets"): frac=1e-5 reproduces threshold 2 at sf0.1 exactly, so
+    // the sf0.1 probe row equals the gate's graph while the 10× row
+    // measures the OPERATOR at 10× input instead of the threshold bug.
+    import org.apache.spark.sql.functions.col
+    def relEdges() = graft.operators.MarketBasket
+      .frequentPairsRelative(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minSupportFrac = 1e-5)
+      .select(col("a"), col("b")).localCheckpoint()
     def run(name: String): org.apache.spark.sql.DataFrame = name match {
       case "probe_embedding_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -33,18 +64,67 @@ object ScaleSoak {
         println(s"PROBE probe_embedding_sized planes=$planes dir=$dir")
         graft.operators.Dedup.embeddingNearDupPairs(e, "embedding",
           "vec_id", minCosine = 0.2, planes = planes, seed = 7, dims = 64)
+      // probe_dbscan_sized / probe_semantic_sized: cluster_dbscan and
+      // dedup_semantic bucket their quadratic stage into a FIXED number
+      // of cells (planes=6 RHP buckets; per-label centroids) — at 10×
+      // corpus the occupancy grows 10× and within-cell pair work ~100×
+      // (measured via the shuffle column). The documented cure is the
+      // planesFor rule: cells sized FROM n so occupancy stays ~constant.
+      // These probes apply it (the gate constants stay oracle-stable).
+      case "probe_dbscan_sized" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val planes = graft.operators.Dedup.planesFor(e.count(),
+          targetBucketSize = 128)
+        println(s"PROBE probe_dbscan_sized planes=$planes dir=$dir")
+        graft.operators.Dedup.embeddingNearDupPairsMultiTable(e,
+          "embedding", "vec_id", minCosine = 0.2, planes = planes,
+          seeds = Seq(7, 21), dims = 64)
+      case "probe_semantic_sized" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val planes = graft.operators.Dedup.planesFor(e.count(),
+          targetBucketSize = 128)
+        println(s"PROBE probe_semantic_sized planes=$planes dir=$dir")
+        graft.operators.Dedup.embeddingNearDupPairs(e, "embedding",
+          "vec_id", minCosine = 0.3, planes = planes, seed = 7, dims = 64)
+      case "probe_graph_edges_rel" => relEdges()
+      case "probe_ktruss_rel" =>
+        graft.operators.Graph.kTrussPeel(relEdges(), k = 3, rounds = 3)
+      case "probe_kcore_rel" =>
+        graft.operators.Graph.kCorePeel(relEdges(), k = 3, rounds = 3)
+      case "probe_pagerank_rel" =>
+        graft.operators.Graph.pageRank(relEdges(), rounds = 3)
+      case "probe_communities_rel" =>
+        graft.operators.Graph.labelCommunities(relEdges(), rounds = 3)
+      case "probe_bfs_rel" =>
+        val edges = relEdges()
+        val nodes = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node"))).distinct()
+        graft.operators.Graph.bfsDistances(edges,
+          nodes.where(col("node") % 50 === 0), rounds = 3)
       case n => graft.SparkEntry.queries(n)(spark, dir)
     }
     for (name <- args.drop(1)) {
       try {
         var rows = 0L
         var best = Double.MaxValue
+        var bestRecs = -1L
+        var bestBytes = -1L
         for (_ <- 1 to 2) {
+          // listener events are async (listenerBus is private[spark]):
+          // a short sleep drains them — soak-grade precision is enough
+          Thread.sleep(300)
+          shufRecs.set(0L); shufBytes.set(0L)
           val t0 = System.nanoTime()
           rows = run(name).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
+          if (sec < best) {
+            best = sec
+            bestRecs = shufRecs.get(); bestBytes = shufBytes.get()
+          }
         }
-        println(f"SOAK $name rows=$rows sec=$best%.2f dir=$dir")
+        println(f"SOAK $name rows=$rows sec=$best%.2f " +
+          f"shuffle_recs=$bestRecs shuffle_mb=${bestBytes / 1e6}%.1f dir=$dir")
       } catch {
         case e: Throwable =>
           println(s"SOAK $name ERROR ${e.getClass.getSimpleName}: " +
