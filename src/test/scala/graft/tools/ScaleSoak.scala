@@ -56,6 +56,11 @@ object ScaleSoak {
         spark.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minSupportFrac = 1e-5)
       .select(col("a"), col("b")).localCheckpoint()
+    // the raw gates' absolute-threshold derivation — DENSIFIES at 10×
+    def denseEdges() = graft.operators.MarketBasket
+      .frequentPairs(spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minSupport = 2)
+      .select(col("a"), col("b")).localCheckpoint()
     def run(name: String): org.apache.spark.sql.DataFrame = name match {
       case "probe_embedding_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -86,6 +91,30 @@ object ScaleSoak {
         println(s"PROBE probe_semantic_sized planes=$planes dir=$dir")
         graft.operators.Dedup.embeddingNearDupPairs(e, "embedding",
           "vec_id", minCosine = 0.3, planes = planes, seed = 7, dims = 64)
+      // probe_truss_support_{oriented,unoriented}: ONE support pass over
+      // the DENSIFIED minSupport=2 graph (the raw gates' derivation at
+      // 10× — avg degree ~1.2k), comparing the r10 degree-ordered
+      // triangle enumeration against the r9 unoriented two-hop join.
+      // Orientation bounds wedge fan-out at Σ outdeg² = O(E^1.5); the
+      // unoriented join fans out Σ_e deg(a) — hub-quadratic.
+      case "probe_truss_support_oriented" =>
+        graft.operators.Graph.kTrussPeel(denseEdges(), k = 3, rounds = 1)
+      case "probe_truss_support_unoriented" =>
+        // same peel shape as kTrussPeel(k=3, rounds=1): support, filter,
+        // support — with the r9 unoriented two-hop support join
+        import org.apache.spark.sql.functions.{count => cnt, lit => l}
+        def support(g: org.apache.spark.sql.DataFrame) = {
+          val adj = g.select(col("a").as("s_"), col("b").as("d_"))
+            .unionAll(g.select(col("b").as("s_"), col("a").as("d_")))
+          g.join(adj.select(col("s_").as("a"), col("d_").as("w_")), "a")
+            .join(adj.select(col("s_").as("b"), col("d_").as("w_")),
+              Seq("b", "w_"))
+            .groupBy(col("a"), col("b"))
+            .agg(cnt(l(1)).as("support"))
+        }
+        val e1 = support(denseEdges()).where(col("support") >= 1)
+          .select(col("a"), col("b")).localCheckpoint()
+        support(e1)
       case "probe_graph_edges_rel" => relEdges()
       case "probe_ktruss_rel" =>
         graft.operators.Graph.kTrussPeel(relEdges(), k = 3, rounds = 3)

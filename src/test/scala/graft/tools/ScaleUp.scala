@@ -50,9 +50,15 @@ object ScaleUp {
 
     def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$in/$name.parquet")
-      val scaled = (0 until copies).map(k => xform(base, k))
-        .reduce(_ unionByName _)
-      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // write in ≤10-copy chunks: a single 100-arm union plan is one
+      // giant codegen stage re-scanning the input 100× concurrently and
+      // aborted transiently at copies=100 — chunked appends are the
+      // same rows with bounded per-job width
+      (0 until copies).grouped(10).zipWithIndex.foreach { case (ks, i) =>
+        val chunk = ks.map(k => xform(base, k)).reduce(_ unionByName _)
+        chunk.write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$out/$name.parquet")
+      }
       println(s"SCALED $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
@@ -65,9 +71,18 @@ object ScaleUp {
     }
 
     replicate("embeddings") { (df, k) =>
-      val rot = if (k == 0) col("embedding")
-      else concat(slice(col("embedding"), k + 1, 64 - k),
-        slice(col("embedding"), 1, k))
+      // rotation wraps mod dims: k >= 64 (copies > 64) made the slice
+      // length negative and aborted the write. A multiple-of-64 copy
+      // (r == 0) additionally flips the sign of the first component so
+      // no copy beyond the first is vector-identical to copy 0.
+      val r = k % 64
+      val rot =
+        if (k == 0) col("embedding")
+        else if (r == 0) concat(
+          array((col("embedding")(0) * lit(-1.0f)).cast("float")),
+          slice(col("embedding"), 2, 63))
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
       df.select((col("vec_id") + k * S).as("vec_id"),
         rot.as("embedding"), col("label"))
     }
