@@ -91,6 +91,30 @@ object ScaleSoak {
         println(s"PROBE probe_semantic_sized planes=$planes dir=$dir")
         graft.operators.Dedup.embeddingNearDupPairs(e, "embedding",
           "vec_id", minCosine = 0.3, planes = planes, seed = 7, dims = 64)
+      // probe_semantic_kmeans: BALANCED cells (pickCentroids + one Lloyd
+      // round, k = n/128) instead of RHP buckets — closes SCALE_NOTES'
+      // "occupancy-targeted, not guaranteed" caveat empirically. The
+      // trade under test: balanced occupancy kills the in-cell skew
+      // constant, but assignment is n·k cosines = n²/target — the
+      // quadratic moves from the pair stage to the assign stage unless
+      // centroid lookup is itself sublinear (centroid-ANN, not shipped).
+      case "probe_semantic_kmeans" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(2L, e.count() / 128L).toInt
+        println(s"PROBE probe_semantic_kmeans k=$k dir=$dir")
+        val c = graft.operators.Similarity.kmeansRefine(e, "embedding",
+          "vec_id", graft.operators.Similarity.pickCentroids(
+            e, "embedding", "vec_id", k), iters = 1)
+        val assigned = graft.operators.Similarity.ivfAssign(
+          e, "embedding", "vec_id", c)
+        val l = assigned.select(col("cell"), col("vec_id").as("a"),
+          col("embedding").as("va_"))
+        val r = assigned.select(col("cell"), col("vec_id").as("b"),
+          col("embedding").as("vb_"))
+        l.join(r, "cell").where(col("a") < col("b"))
+          .where(graft.functions.VectorFunctions.cosine(
+            col("va_"), col("vb_"), 64) >= 0.3)
+          .select(col("a"), col("b"))
       // probe_truss_support_{oriented,unoriented}: ONE support pass over
       // the DENSIFIED minSupport=2 graph (the raw gates' derivation at
       // 10× — avg degree ~1.2k), comparing the r10 degree-ordered
