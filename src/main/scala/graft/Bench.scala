@@ -59,10 +59,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
-    // 420s: the 240s budget left 90+ of the ~180 queries with a single
-    // (cold) sample in round 7, which both starves the min-of-two estimate
-    // and disables their regression flagging (warm-sample gate below)
-    val deadline = System.nanoTime() + 420L * 1000000000L
+    // 540s: the 240s budget left 90+ of the ~180 queries with a single
+    // (cold) sample in round 7; 420s still cut 21 of 387 in round 10
+    // (pass 1 alone runs ~419s at sf0.1). Single-sample queries can't
+    // flag regressions, so the rerun deadline should cover the suite.
+    val deadline = System.nanoTime() + 540L * 1000000000L
     // Re-measure EVERY successful query, slowest first: a 0.4 s query
     // stalled to 1.7 s by a noisy neighbor previously escaped the old
     // t > 2.0 re-run band and read as a 4x regression. Descending order

@@ -61,6 +61,14 @@ object ScaleSoak {
       .frequentPairs(spark.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minSupport = 2)
       .select(col("a"), col("b")).localCheckpoint()
+    // synthetic power-law stand-in: hub 0 — leaves 1..20000, plus a
+    // path 1-2-…-1000 (hub+path wedges close ~999 triangles)
+    def starEdges() = {
+      import org.apache.spark.sql.functions.lit
+      val hub = spark.range(1, 20001).select(lit(0L).as("a"), col("id").as("b"))
+      val path = spark.range(1, 1000).select(col("id").as("a"), (col("id") + 1).as("b"))
+      hub.unionAll(path).localCheckpoint()
+    }
     def run(name: String): org.apache.spark.sql.DataFrame = name match {
       case "probe_embedding_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -115,6 +123,29 @@ object ScaleSoak {
           .where(graft.functions.VectorFunctions.cosine(
             col("va_"), col("vb_"), 64) >= 0.3)
           .select(col("a"), col("b"))
+      // probe_truss_star_{oriented,unoriented}: the skew case the
+      // orientation exists for — a hub of degree 20k plus a 1k-edge
+      // path (so some triangles exist via hub+path wedges). The
+      // unoriented two-hop join fans the hub out as deg(hub)² ≈ 4×10⁸
+      // wedge rows; orientation points every hub edge AT the hub
+      // (leaves have the smaller degree), so no wedge is ever centered
+      // on it and total wedge work is Σ outdeg² ≈ 2 per leaf.
+      case "probe_truss_star_oriented" =>
+        graft.operators.Graph.kTrussPeel(starEdges(), k = 3, rounds = 1)
+      case "probe_truss_star_unoriented" =>
+        import org.apache.spark.sql.functions.{count => cnt, lit => l}
+        def support(g: org.apache.spark.sql.DataFrame) = {
+          val adj = g.select(col("a").as("s_"), col("b").as("d_"))
+            .unionAll(g.select(col("b").as("s_"), col("a").as("d_")))
+          g.join(adj.select(col("s_").as("a"), col("d_").as("w_")), "a")
+            .join(adj.select(col("s_").as("b"), col("d_").as("w_")),
+              Seq("b", "w_"))
+            .groupBy(col("a"), col("b"))
+            .agg(cnt(l(1)).as("support"))
+        }
+        val e1 = support(starEdges()).where(col("support") >= 1)
+          .select(col("a"), col("b")).localCheckpoint()
+        support(e1)
       // probe_truss_support_{oriented,unoriented}: ONE support pass over
       // the DENSIFIED minSupport=2 graph (the raw gates' derivation at
       // 10× — avg degree ~1.2k), comparing the r10 degree-ordered
