@@ -69,6 +69,21 @@ class GraphRankSpec extends SparkSpec {
     assert(Graph.kTrussPeel(star, k = 3, rounds = 1).isEmpty)
   }
 
+  test("kTrussPeel: exact supports on a hub-skewed graph (oriented enumeration)") {
+    // hub 0 — leaves 1..10, plus path edges (1,2) and (2,3): triangles
+    // (0,1,2) and (0,2,3) close THROUGH the hub, so the oriented
+    // enumeration (which never centers a wedge on the hub) must still
+    // count every hub edge's support exactly; degree ties (1 vs 3 both
+    // deg 2) exercise the id tie-break
+    val g = ((1L to 10L).map(i => (0L, i)) ++ Seq((1L, 2L), (2L, 3L)))
+      .toDF("a", "b")
+    val t = Graph.kTrussPeel(g, k = 3, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t == Map(
+      (0L, 1L) -> 1L, (0L, 2L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 2L) -> 1L, (2L, 3L) -> 1L))
+  }
+
   test("assortativity of a perfect star is -1") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val r = Graph.assortativity(star).collect()(0)

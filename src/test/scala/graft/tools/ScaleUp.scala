@@ -97,6 +97,38 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + k * S)
     }
 
+    // customer/orders: FRESH population per copy (the events model) —
+    // custkeys shift by the stride and names are re-derived from the
+    // NEW key, so cross-copy name similarity is exactly the within-copy
+    // ambient level (re-using the old names verbatim would hand every
+    // ER probe k-cliques of perfect matches — the round-9 weak-
+    // perturbation lesson). Orders keep their copy's customers and
+    // order keys aligned with lineitem's stride.
+    replicate("customer") { (df, k) =>
+      // the name's number lives in a per-copy million-block so the
+      // 9-digit "Customer#%09d" format (and with it the within-copy
+      // JW-similarity ambient level) is IDENTICAL to the unscaled
+      // corpus at every k, including k = 0
+      df.select((col("c_custkey") + k * S).as("c_custkey"),
+        concat(lit("Customer#"),
+          lpad((col("c_custkey") + k * 1000000L).cast("string"), 9, "0"))
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }
+
+    replicate("orders") { (df, k) =>
+      df.select((col("o_orderkey") + k * S).as("o_orderkey"),
+        (col("o_custkey") + k * S).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+
+    // fixed catalogs (lineitem keeps its part/supp keys): copied once,
+    // unreplicated, so FK-profile gates can run against this directory
+    for (t <- Seq("part", "supplier", "nation", "region"))
+      spark.read.parquet(s"$in/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
     spark.stop()
   }
 }
