@@ -65,6 +65,39 @@ object EntityResolution {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** Prefix length (in characters) for EXTENDING an under-discriminating
+    * block key — the statistics-derived-parameter rule (planesFor /
+    * hubMaxFor / frequentPairsRelative family) for hash blocking.
+    *
+    * Natural low-cardinality keys (country, segment, zip prefix) have a
+    * FIXED block count, so occupancy grows with the corpus and in-block
+    * pair work grows quadratically — measured 51.7× candidate growth on
+    * a 10× corpus over the 125 nation×segment blocks (SCALE_NOTES r10).
+    * `blockMax` cannot save this shape: at scale EVERY natural block is
+    * oversized, so purging collapses recall to zero. The scalable cure
+    * is widening the key with a name PREFIX sub-key: true near-matches
+    * differ in their trailing characters far more often than their
+    * leading ones (the prefix-blocking assumption, same premise as
+    * Jaro-Winkler's prefix bonus), so co-blocking of matches survives
+    * while occupancy drops 10× per prefix character.
+    *
+    * Rule: the shortest prefix length that brings expected occupancy
+    * n / (naturalBlocks · alphabet^len) under `targetBlockSize`,
+    * assuming ~`alphabet` effective symbols per position (10 for the
+    * digit-tail names this repo blocks on; pass 26 for alphabetic).
+    * Work is then ≤ targetBlockSize · n at any corpus size — linear,
+    * with the recall trade measured by [[blockingAudit]] rather than
+    * asserted.
+    */
+  def prefixLenFor(n: Long, naturalBlocks: Long,
+      targetBlockSize: Long = 128, alphabet: Int = 10): Int = {
+    require(n >= 0 && naturalBlocks >= 1 && targetBlockSize >= 1 &&
+      alphabet >= 2)
+    val occupancy = n.toDouble / (naturalBlocks * targetBlockSize)
+    if (occupancy <= 1.0) 0
+    else math.ceil(math.log(occupancy) / math.log(alphabet)).toInt
+  }
+
   /** Entity ids: every record labeled with the minimum record id of its
     * connected component in the >= minSim pair graph (singletons label
     * themselves). Output: (id, component).

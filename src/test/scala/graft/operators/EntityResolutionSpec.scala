@@ -67,4 +67,17 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => a >= 21L && b >= 21L })
   }
+
+  test("prefixLenFor: shortest prefix bringing expected occupancy under target") {
+    // sf0.1 customers over 125 nation×segment blocks: occupancy 0.94 → 0
+    assert(EntityResolution.prefixLenFor(15000L, 125L) == 0)
+    // 10×: occupancy 9.4 → one digit (10 sub-blocks)
+    assert(EntityResolution.prefixLenFor(150000L, 125L) == 1)
+    // 100×: occupancy 94 → two digits
+    assert(EntityResolution.prefixLenFor(1500000L, 125L) == 2)
+    // alphabetic names discriminate ~26× per character
+    assert(EntityResolution.prefixLenFor(1500000L, 125L, alphabet = 26) == 2)
+    assert(EntityResolution.prefixLenFor(416000L, 125L, alphabet = 26) == 1)
+    assert(EntityResolution.prefixLenFor(0L, 125L) == 0)
+  }
 }

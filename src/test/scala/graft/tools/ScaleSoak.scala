@@ -123,6 +123,31 @@ object ScaleSoak {
           .where(graft.functions.VectorFunctions.cosine(
             col("va_"), col("vb_"), 64) >= 0.3)
           .select(col("a"), col("b"))
+      // probe_er_prefix_blocked: er_scored_pairs' natural
+      // nation×segment key has a FIXED 125-block space, so in-block
+      // pairs grow quadratically (51.7× at 10× — SCALE_NOTES r10). The
+      // cure is EXTENDING the key with a name-prefix sub-key sized by
+      // prefixLenFor: true matches share their leading characters, so
+      // they stay co-blocked while occupancy drops 10× per character.
+      case "probe_er_prefix_blocked" =>
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+        val len = graft.operators.EntityResolution.prefixLenFor(
+          c.count(), naturalBlocks = 125L)
+        println(s"PROBE probe_er_prefix_blocked prefixLen=$len dir=$dir")
+        // the 9-digit number starts at char 10 of "Customer#%09d"; the
+        // lpad ZEROS carry no entropy, so the prefix is taken from the
+        // significant digits (first probe run took len chars of "0" and
+        // discriminated nothing — kept as a lesson: prefix blocking
+        // keys on the most-significant VARYING characters)
+        import org.apache.spark.sql.functions.{lit => flit, substring => fsub, regexp_replace}
+        val keyed =
+          if (len == 0) c.withColumn("pfx", flit(""))
+          else c.withColumn("pfx",
+            fsub(regexp_replace(fsub(col("c_name"), 10, 9), "^0+", ""),
+              1, len))
+        graft.operators.EntityResolution.scoredPairs(keyed, "c_custkey",
+          "c_name", Seq("c_nationkey", "c_mktsegment", "pfx"),
+          minSim = 0.97)
       // probe_truss_star_{oriented,unoriented}: the skew case the
       // orientation exists for — a hub of degree 20k plus a 1k-edge
       // path (so some triangles exist via hub+path wedges). The
