@@ -159,8 +159,14 @@ object Bench {
         // still the flagging sample), the honest verdict is
         // "unadjudicated" — round-9 emitted 10 plan_suspects whose
         // ab_min == cur, i.e. zero new samples behind the accusation.
+        // Clearing bar matches the flag bar per-gate: sub-second gates
+        // flag only at >=3.0x (ambient same-code drift is 2-3x), so a
+        // sub-second A/B min settling at e.g. 1.8x is cleared, not
+        // escalated — a flat 1.4x bar would re-admit the noise class
+        // the 3.0x flag threshold was added to kill.
+        val clearBar = if (p >= 1.0) 1.4 else 3.0
         val verdict =
-          if (bestQ / p < 1.4) "cleared"
+          if (bestQ / p < clearBar) "cleared"
           else if (round == 0) "unadjudicated"
           else if (normRatio <= 1.15) "drift"
           else "plan_suspect"

@@ -161,13 +161,16 @@ final class OnnxTextEmbedder(modelPath: String, vocabPath: String,
     // must be closed in the same finally that closes the run result, or
     // a long embedding job leaks one batch of native buffers per call
     val feeds = new java.util.HashMap[String, AnyRef]()
-    feeds.put("input_ids", longTensor(ids))
-    feeds.put("attention_mask", longTensor(mask))
-    if (inputNames.contains("token_type_ids"))
-      feeds.put("token_type_ids",
-        longTensor(ids.map(r => Array.fill(r.length)(0L))))
     var result: AnyRef = null
     try {
+      // tensors are created INSIDE the try: if the 2nd/3rd allocation
+      // throws (native OOM), the finally's feeds-close loop still
+      // covers the partially-built feed set
+      feeds.put("input_ids", longTensor(ids))
+      feeds.put("attention_mask", longTensor(mask))
+      if (inputNames.contains("token_type_ids"))
+        feeds.put("token_type_ids",
+          longTensor(ids.map(r => Array.fill(r.length)(0L))))
       result = session.getClass
         .getMethod("run", classOf[java.util.Map[String, _]])
         .invoke(session, feeds)

@@ -47,6 +47,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val S = 10000000L
+    // fixed-width name pad: wide enough for the largest per-copy block
+    // number at THIS copies count, never narrower than the unscaled
+    // corpus's 9 digits (so k=0 names match sf0.1 verbatim)
+    val nameW = math.max(9, (copies.toLong * S).toString.length)
 
     def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$in/$name.parquet")
@@ -76,11 +80,17 @@ object ScaleUp {
       // (r == 0) additionally flips the sign of the first component so
       // no copy beyond the first is vector-identical to copy 0.
       val r = k % 64
+      // the flipped component varies with k (component (k/64) % 64, not
+      // always 0) so two multiple-of-64 copies (k=64, 128, ...) are not
+      // vector-identical to EACH OTHER — a fixed flip would seed
+      // artificial exact-dup cliques in the ANN probes at copies > 128
+      val f = (k / 64) % 64
       val rot =
         if (k == 0) col("embedding")
         else if (r == 0) concat(
-          array((col("embedding")(0) * lit(-1.0f)).cast("float")),
-          slice(col("embedding"), 2, 63))
+          slice(col("embedding"), 1, f),
+          array((col("embedding")(f) * lit(-1.0f)).cast("float")),
+          slice(col("embedding"), f + 2, 63 - f))
         else concat(slice(col("embedding"), r + 1, 64 - r),
           slice(col("embedding"), 1, r))
       df.select((col("vec_id") + k * S).as("vec_id"),
@@ -105,13 +115,18 @@ object ScaleUp {
     // perturbation lesson). Orders keep their copy's customers and
     // order keys aligned with lineitem's stride.
     replicate("customer") { (df, k) =>
-      // the name's number lives in a per-copy million-block so the
-      // 9-digit "Customer#%09d" format (and with it the within-copy
+      // the name's number lives in a per-copy block so the fixed-width
+      // "Customer#%0Nd" format (and with it the within-copy
       // JW-similarity ambient level) is IDENTICAL to the unscaled
-      // corpus at every k, including k = 0
+      // corpus at every k, including k = 0. The block stride is the
+      // SAME S used for the keys — a fixed 1e6 block would collide
+      // names across copies once base custkeys reach 1e6 (sf10+),
+      // seeding exactly the perfect-match cliques this scheme avoids.
+      // Width grows with the largest possible number so lpad never
+      // truncates.
       df.select((col("c_custkey") + k * S).as("c_custkey"),
         concat(lit("Customer#"),
-          lpad((col("c_custkey") + k * 1000000L).cast("string"), 9, "0"))
+          lpad((col("c_custkey") + k * S).cast("string"), nameW, "0"))
           .as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }

@@ -14,7 +14,10 @@ summary {"pass": N, "fail": N, "slowest": [...], "queries": {name:
 the round artifact can never silently zero — round 9's CORRECTNESS came
 back `{}` because one oracle (search_nsw_recall_wide, pre-MATERIALIZED)
 ran 667 s and blew the driver's wall budget. Any oracle >30 s is flagged
-SLOW in the output and counts as a budget failure in the exit code.
+SLOW in the output. Exit codes: 0 = all pass within budget, 1 = any
+correctness failure, 2 = all correct but some oracle over the 30 s
+budget — so callers treating nonzero as "wrong results" never misread a
+slow-but-correct run.
 """
 import sys, json, glob, math, time
 import duckdb
@@ -129,7 +132,11 @@ def main():
                 "queries": report,
             }, f, indent=1, sort_keys=True)
         print(f"summary -> {summary_path}")
-    sys.exit(1 if (n_fail or over) else 0)
+    # exit contract: 0 = all pass within budget, 1 = correctness
+    # failure, 2 = all correct but >=1 oracle over the time budget.
+    # The distinct code keeps budget-only failures distinguishable for
+    # callers that treat nonzero as a correctness failure.
+    sys.exit(1 if n_fail else (2 if over else 0))
 
 if __name__ == "__main__":
     main()
