@@ -178,4 +178,30 @@ object TextFunctions {
     */
   def wordShingles(text: Column, k: Int): Column =
     shinglesFromTokens(tokens(text), k)
+
+  /** Simplified-Soundex phonetic block key — the third ER blocking
+    * family (after hash/prefix and sorted-neighborhood): first retained
+    * letter + the first three consonant-class digits, so variant
+    * spellings that SOUND alike co-block ("Smith"/"Smyth" → S53).
+    * A pure Column tree both engines express identically:
+    * letters-only uppercase → 1:1 `translate` to class digits
+    * (vowels+HWY→0, BFPV→1, CGJKQSXZ→2, DT→3, L→4, MN→5, R→6) → runs
+    * of the same digit collapsed by seven chained `regexp_replace`
+    * rules (RE2-safe: no backreferences — DuckDB's regexp engine has
+    * none) → zeros dropped → first 3, zero-padded. Simplification vs
+    * classic Soundex: the first letter's own class is not deduplicated
+    * against the following code, and H/W separators reset runs —
+    * consistent on both engines, which is what a block key needs.
+    * Empty / letterless input → "000".
+    */
+  def phoneticKey(name: Column): Column = {
+    val up = upper(regexp_replace(name, "[^A-Za-z]", ""))
+    val coded = translate(substring(up, 2, 1000000),
+      "AEIOUYHWBFPVCGJKQSXZDTLMNR",
+      "00000000111122222222334556")
+    val collapsed = (0 to 6).foldLeft(coded)((e, d) =>
+      regexp_replace(e, s"$d+", d.toString))
+    concat(substring(up, 1, 1),
+      rpad(substring(regexp_replace(collapsed, "0", ""), 1, 3), 3, "0"))
+  }
 }

@@ -136,6 +136,25 @@ object EntityResolution {
       .withColumn("conflict", col("n_strong_values") > 1)
   }
 
+  /** Multi-pass blocking (the other half of Hernández & Stolfo 1995):
+    * the DISTINCT union of [[scoredPairs]] over several cheap block-key
+    * sets. Each pass is linear (Σ block² within its own key) and a true
+    * match survives if ANY pass co-blocks it — the standard cure for
+    * single-key retention loss (a prefix pass keeps matches that agree
+    * in their LEADING characters; a suffix pass catches the
+    * leading-character edits the prefix pass drops; a phonetic pass
+    * catches respellings). Candidate volume is at most the SUM of the
+    * passes — still linear — and the rounded JW score is identical
+    * across passes, so `distinct` collapses multi-blocked pairs exactly.
+    */
+  def multiPassPairs(df: DataFrame, idCol: String, nameCol: String,
+      passes: Seq[Seq[String]], minSim: Double): DataFrame = {
+    require(passes.nonEmpty && passes.forall(_.nonEmpty))
+    passes.map(cols => scoredPairs(df, idCol, nameCol, cols, minSim))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
     * classical blocking family: rank records by a sort key and compare
     * each to its next `windowSize−1` neighbors. Catches near-matches

@@ -71,6 +71,67 @@ object Similarity {
     vecs.join(best, idCol)
   }
 
+  /** Centroid-ANN cell assignment — [[ivfAssign]]'s scale path (the
+    * balanced-cells corner SCALE_NOTES r10 named): exact assign probes
+    * every vector against ALL k centroids, n·k cosines — quadratic when
+    * k itself grows with the corpus (k = n/target in balanced-kmeans
+    * SemDeDup). Here the CENTROIDS are RHP-bucketed (buckets computed
+    * driver-side — the table is broadcast-sized by construction) and
+    * each vector probes only the centroids sharing one of its per-seed
+    * buckets: expected probes/vector ≈ |seeds| · k/2^planes, constant
+    * when `planes` is [[graft.operators.Dedup.planesFor]]-sized from k.
+    * Multi-seed tables recover the recall a single hash table loses
+    * (the [[graft.operators.Dedup.embeddingNearDupPairsMultiTable]]
+    * pattern applied to the quantizer itself). Vectors whose buckets
+    * hold no centroid in ANY table fall back to the smallest cell id —
+    * a bounded, deterministic miss the recall probe measures rather
+    * than hides. Same (sim, cell) argmax tie-break as [[ivfAssign]], so
+    * agreement with exact assign is a clean equality census.
+    */
+  def ivfAssignAnn(vecs: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[(Int, Seq[Double])], planes: Int,
+      seeds: Seq[Int]): DataFrame = {
+    require(planes >= 1 && planes <= 62 && seeds.nonEmpty &&
+      seeds.distinct == seeds)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dims = centroids.head._2.length
+    // same sign derivation and summation order as the engine-side
+    // rhpBucket, so a centroid lands in exactly the bucket a vector
+    // with its coordinates would
+    val centRows = for {
+      sd <- seeds
+      signs = VectorFunctions.hyperplaneSigns(planes, dims, sd)
+      (cell, cv) <- centroids
+    } yield {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < dims) { dot += cv(i) * signs(p)(i); i += 1 }
+        if (dot >= 0) bucket |= 1L << p
+        p += 1
+      }
+      (sd, bucket, cell, cv)
+    }
+    val cdf = broadcast(centRows.toDF("seed", "bucket", "cell", "cvec"))
+    val best = vecs.select(col(idCol), col(vecCol))
+      .withColumn("sb", explode(array(seeds.map(sd =>
+        struct(lit(sd).as("seed"),
+          VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims)
+            .as("bucket"))): _*)))
+      .select(col(idCol), col(vecCol),
+        col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .join(cdf, Seq("seed", "bucket"))
+      .withColumn("sim", VectorFunctions.cosine(col(vecCol), col("cvec"), dims))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
+    vecs.join(best, Seq(idCol), "left")
+      .withColumn("cell",
+        coalesce(col("cell"), lit(centroids.map(_._1).min)))
+  }
+
   /** Deterministic centroid pick: the `numCells` vectors with the smallest
     * ids (a seeded-sample stand-in that keeps runs reproducible; refine
     * with [[kmeansRefine]] for trained cells — the probe-side plan is

@@ -80,4 +80,44 @@ class EntityResolutionSpec extends SparkSpec {
     assert(EntityResolution.prefixLenFor(416000L, 125L, alphabet = 26) == 1)
     assert(EntityResolution.prefixLenFor(0L, 125L) == 0)
   }
+
+  test("phoneticKey: respellings co-key, distinct names separate, degenerate input -> 000") {
+    val got = Seq("Smith", "Smyth", "Robert", "Rupert", "Ashcraft",
+      "Zenith Holdings", "", "42")
+      .toDF("name")
+      .select(graft.functions.TextFunctions.phoneticKey(col("name")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "S530" && got(1) == "S530") // classic Soundex pair
+    assert(got(2) == "R163" && got(3) == "R163")
+    // classic Soundex gives A261 (H/W are non-separators there); the
+    // simplified key's documented deviation keeps the H-separated 2s
+    assert(got(4) == "A226")
+    assert(got(5) != got(0)) // unrelated name keys apart
+    assert(got(6) == "000" && got(7) == "000") // empty / letterless
+  }
+
+  test("multiPassPairs: union of passes, distinct, either-end recall") {
+    // pass1 blocks on blkA (finds 1-2 only); pass2 on blkB (finds 4-5
+    // only); 5-6 co-block in BOTH passes and must appear exactly once
+    val df = Seq(
+      (1L, "Acme Corporation", "p", "q1"),
+      (2L, "Acme Corporatoin", "p", "q2"),
+      (4L, "Jane Smith", "r1", "s"),
+      (5L, "Jane Smyth", "r2", "s"),
+      (6L, "Jane Smythe", "r2", "s")
+    ).toDF("id", "name", "blkA", "blkB")
+    val rows = EntityResolution.multiPassPairs(df, "id", "name",
+      Seq(Seq("blkA"), Seq("blkB")), minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length) // distinct collapsed
+    val pairs = rows.toSet
+    assert(pairs.contains((1L, 2L))) // only pass 1 finds it
+    assert(pairs.contains((4L, 5L))) // only pass 2 finds it
+    assert(pairs.contains((5L, 6L))) // both passes; exactly once
+    // the union is EXACTLY what the individual passes find — no more
+    val single = Seq(Seq("blkA"), Seq("blkB")).flatMap(cols =>
+      EntityResolution.scoredPairs(df, "id", "name", cols, minSim = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))).toSet
+    assert(pairs == single)
+  }
 }

@@ -42,6 +42,27 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(got.head == 0L)
   }
 
+  test("ivfAssignAnn: centroid-coincident vectors assign exactly; empty buckets fall back") {
+    val centroids = Similarity.pickCentroids(vecs, "embedding", "vec_id", numCells = 2)
+    val ann = Similarity.ivfAssignAnn(vecs, "embedding", "vec_id",
+      centroids, planes = 2, seeds = Seq(7, 21))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(ann.size == 4 && ann.values.forall(c => c == 0 || c == 1))
+    // a vector with a centroid's exact coordinates co-buckets with it
+    // (identical signs, identical sums) and cosine 1 wins the argmax
+    assert(ann(0L) == 0)
+    assert(ann(1L) == 1)
+    // a vector OPPOSITE the only centroid never co-buckets with it
+    // under one plane (signs flip with the dot), so the deterministic
+    // min-cell fallback fires instead of dropping the row
+    import spark.implicits._
+    val lone = Seq((9L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val fb = Similarity.ivfAssignAnn(lone, "embedding", "vec_id",
+      Seq((5, Seq(1.0, 0.0, 0.0))), planes = 1, seeds = Seq(7))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(fb(9L) == 5)
+  }
+
   test("PQ: encode groups clustered vectors, ADC ranks the query's cluster first") {
     import spark.implicits._
     // two tight clusters in 8 dims (axis-aligned); m=2 subspaces of 4

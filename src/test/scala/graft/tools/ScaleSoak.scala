@@ -123,6 +123,62 @@ object ScaleSoak {
           .where(graft.functions.VectorFunctions.cosine(
             col("va_"), col("vb_"), 64) >= 0.3)
           .select(col("a"), col("b"))
+      // probe_semantic_kmeans_ann: probe_semantic_kmeans with the
+      // assign stage routed through the RHP-bucketed centroid lookup
+      // (Similarity.ivfAssignAnn) — probes/vector ≈ seeds·k/2^planes
+      // stays ~constant when planes is planesFor-sized FROM k, so the
+      // balanced-cells corner is linear end-to-end (assign AND pairs);
+      // closes SCALE_NOTES r10's "quadratic moves to the assign stage"
+      // caveat. Recall vs exact assign measured by the _recall probe.
+      case "probe_semantic_kmeans_ann" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(2L, e.count() / 128L).toInt
+        val cents = graft.operators.Similarity.kmeansRefine(e, "embedding",
+          "vec_id", graft.operators.Similarity.pickCentroids(
+            e, "embedding", "vec_id", k), iters = 1)
+        val planes = graft.operators.Dedup.planesFor(cents.size.toLong,
+          targetBucketSize = 16)
+        println(s"PROBE probe_semantic_kmeans_ann k=${cents.size} " +
+          s"planes=$planes dir=$dir")
+        val assigned = graft.operators.Similarity.ivfAssignAnn(
+          e, "embedding", "vec_id", cents, planes, Seq(7, 21))
+        val l = assigned.select(col("cell"), col("vec_id").as("a"),
+          col("embedding").as("va_"))
+        val r = assigned.select(col("cell"), col("vec_id").as("b"),
+          col("embedding").as("vb_"))
+        l.join(r, "cell").where(col("a") < col("b"))
+          .where(graft.functions.VectorFunctions.cosine(
+            col("va_"), col("vb_"), 64) >= 0.3)
+          .select(col("a"), col("b"))
+      // probe_kmeans_ann_recall: agreement census of ANN assign vs the
+      // exact n·k assign — run at the two smaller decades only (at 100×
+      // the exact side IS the quadratic being avoided).
+      case "probe_kmeans_ann_recall" =>
+        import org.apache.spark.sql.functions.{count => cnt, lit => l2,
+          sum => fsum, when => fwhen}
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(2L, e.count() / 128L).toInt
+        val cents = graft.operators.Similarity.kmeansRefine(e, "embedding",
+          "vec_id", graft.operators.Similarity.pickCentroids(
+            e, "embedding", "vec_id", k), iters = 1)
+        val planes = graft.operators.Dedup.planesFor(cents.size.toLong,
+          targetBucketSize = 16)
+        val exact = graft.operators.Similarity.ivfAssign(
+          e, "embedding", "vec_id", cents)
+          .select(col("vec_id"), col("cell").as("cell_exact"))
+        val ann = graft.operators.Similarity.ivfAssignAnn(
+          e, "embedding", "vec_id", cents, planes, Seq(7, 21))
+          .select(col("vec_id"), col("cell").as("cell_ann"))
+        val census = exact.join(ann, "vec_id")
+          .agg(cnt(l2(1)).as("n"),
+            fsum(fwhen(col("cell_exact") === col("cell_ann"), 1L)
+              .otherwise(0L)).as("agree"))
+        census.collect().foreach(row => println(
+          s"PROBE probe_kmeans_ann_recall n=${row.getLong(0)} " +
+            s"agree=${row.getLong(1)} " +
+            f"recall=${row.getLong(1).toDouble / row.getLong(0)}%.4f " +
+            s"k=${cents.size} planes=$planes dir=$dir"))
+        census
       // probe_er_prefix_blocked: er_scored_pairs' natural
       // nation×segment key has a FIXED 125-block space, so in-block
       // pairs grow quadratically (51.7× at 10× — SCALE_NOTES r10). The
