@@ -1,0 +1,106 @@
+package graft.sink
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Qdrant REST transport for [[VectorIndexSink.VectorIndexClient]] — the
+  * wire format of the "batch vector indexing to Qdrant" north star,
+  * pinned without a live server (an in-process HTTP fake asserts every
+  * serialized payload in QdrantWireSpec).
+  *
+  * Endpoint/body shapes follow Qdrant's public REST API, matching what
+  * the reference's client calls produce (storage.py:56-68 create
+  * collection, 71-111 payload indexes, 194-199 upsert):
+  *
+  *  - `GET /collections` → `result.collections[].name`
+  *  - `PUT /collections/{c}` body
+  *    `{"vectors":{"size":N,"distance":"Cosine"}}`
+  *  - `GET /collections/{c}` → `result.payload_schema` keys = the
+  *    existing payload indexes (what the idempotent diff consults)
+  *  - `PUT /collections/{c}/index` body
+  *    `{"field_name":f,"field_schema":kind}`
+  *  - `PUT /collections/{c}/points?wait=true` body
+  *    `{"points":[{"id":…,"vector":[…],"payload":{…}}]}`
+  *
+  * One instance per partition (built executor-side via the factory
+  * closure — [[VectorIndexSink.indexBatch]]); `java.net.http.HttpClient`
+  * keeps a connection pool per instance, so the gRPC-channel shape of
+  * storage.py:33-38 carries over. Non-2xx responses throw with the
+  * response body — a failed upsert must fail the Spark task (and retry
+  * idempotently, ids being stable) rather than drop points silently.
+  */
+final class QdrantHttpClient(baseUrl: String,
+    timeout: Duration = Duration.ofSeconds(30))
+    extends VectorIndexSink.VectorIndexClient {
+  import VectorIndexSink.Point
+
+  private val http = HttpClient.newBuilder().connectTimeout(timeout).build()
+  private val mapper = new ObjectMapper()
+
+  private def request(method: String, path: String, body: String): String = {
+    val b = HttpRequest.newBuilder(URI.create(baseUrl + path)).timeout(timeout)
+    val req = (method match {
+      case "GET" => b.GET()
+      case "PUT" => b.header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString(body))
+      case other => throw new IllegalArgumentException(other)
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(
+        s"$method $path -> HTTP ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  override def listCollections(): Seq[String] = {
+    val root = mapper.readTree(request("GET", "/collections", null))
+    val arr = root.path("result").path("collections")
+    (0 until arr.size()).map(i => arr.get(i).path("name").asText())
+  }
+
+  override def createCollection(name: String, vectorSize: Int,
+      distance: String): Unit = {
+    val body = mapper.createObjectNode()
+    val vectors = body.putObject("vectors")
+    vectors.put("size", vectorSize)
+    vectors.put("distance", distance)
+    request("PUT", s"/collections/$name", mapper.writeValueAsString(body))
+  }
+
+  override def listIndexes(collection: String): Seq[String] = {
+    val root = mapper.readTree(request("GET", s"/collections/$collection", null))
+    val schema = root.path("result").path("payload_schema")
+    val it = schema.fieldNames()
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  override def createIndex(collection: String, field: String,
+      kind: String): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("field_name", field)
+    body.put("field_schema", kind)
+    request("PUT", s"/collections/$collection/index",
+      mapper.writeValueAsString(body))
+  }
+
+  override def upsertBatch(collection: String, points: Seq[Point]): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("points")
+    points.foreach { p =>
+      val pn = arr.addObject()
+      pn.put("id", p.id)
+      val vec = pn.putArray("vector")
+      p.vector.foreach(v => vec.add(v))
+      val pl = pn.putObject("payload")
+      // sorted keys: a deterministic body byte-for-byte, so retries and
+      // the wire spec compare exact serializations
+      p.payload.toSeq.sortBy(_._1).foreach { case (k, v) => pl.put(k, v) }
+    }
+    request("PUT", s"/collections/$collection/points?wait=true",
+      mapper.writeValueAsString(body))
+  }
+}
