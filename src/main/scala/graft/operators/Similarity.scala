@@ -80,19 +80,29 @@ object Similarity {
     * each vector probes only the centroids sharing one of its per-seed
     * buckets: expected probes/vector ≈ |seeds| · k/2^planes, constant
     * when `planes` is [[graft.operators.Dedup.planesFor]]-sized from k.
-    * Multi-seed tables recover the recall a single hash table loses
-    * (the [[graft.operators.Dedup.embeddingNearDupPairsMultiTable]]
-    * pattern applied to the quantizer itself). Vectors whose buckets
-    * hold no centroid in ANY table fall back to the smallest cell id —
-    * a bounded, deterministic miss the recall probe measures rather
-    * than hides. Same (sim, cell) argmax tie-break as [[ivfAssign]], so
-    * agreement with exact assign is a clean equality census.
+    * Multi-seed tables recover part of the recall a single hash table
+    * loses (the [[graft.operators.Dedup.embeddingNearDupPairsMultiTable]]
+    * pattern applied to the quantizer itself); `probeHamming = 1` adds
+    * MULTI-PROBE (Lv et al. 2007, VLDB): each vector also probes every
+    * bucket one flipped plane away — the nearest centroid's most likely
+    * miss mode is a single near-boundary hyperplane, so Hamming-1
+    * probing multiplies per-table recall several-fold for a
+    * (planes+1)× probe cost that stays sublinear in k while planes ~
+    * log₂ k. Vectors whose probed buckets hold no centroid in ANY
+    * table fall back to a deterministic id-hash spread over ALL cells —
+    * NOT a single collector cell, which would re-grow the quadratic
+    * this operator exists to kill (a 10% miss rate pooled into one
+    * cell is a (0.1·n)² pair stage; spread, the same misses add ≤
+    * miss-rate·occupancy rows per cell). The miss is bounded and the
+    * recall probe measures it rather than hides it. Same (sim, cell)
+    * argmax tie-break as [[ivfAssign]], so agreement with exact assign
+    * is a clean equality census.
     */
   def ivfAssignAnn(vecs: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[(Int, Seq[Double])], planes: Int,
-      seeds: Seq[Int]): DataFrame = {
+      seeds: Seq[Int], probeHamming: Int = 1): DataFrame = {
     require(planes >= 1 && planes <= 62 && seeds.nonEmpty &&
-      seeds.distinct == seeds)
+      seeds.distinct == seeds && probeHamming >= 0 && probeHamming <= 1)
     val spark = vecs.sparkSession
     import spark.implicits._
     val dims = centroids.head._2.length
@@ -116,20 +126,32 @@ object Similarity {
       (sd, bucket, cell, cv)
     }
     val cdf = broadcast(centRows.toDF("seed", "bucket", "cell", "cvec"))
+    // per-seed base bucket, then the multi-probe expansion: the base
+    // bucket plus (at radius 1) every single-plane flip of it
+    def probesOf(bucket: Column): Seq[Column] =
+      if (probeHamming == 0) Seq(bucket)
+      else bucket +: (0 until planes).map(p =>
+        bucket.bitwiseXOR(lit(1L << p)))
     val best = vecs.select(col(idCol), col(vecCol))
-      .withColumn("sb", explode(array(seeds.map(sd =>
-        struct(lit(sd).as("seed"),
-          VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims)
-            .as("bucket"))): _*)))
+      .withColumn("sb", explode(array(seeds.flatMap { sd =>
+        val base = VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims)
+        probesOf(base).map(b =>
+          struct(lit(sd).as("seed"), b.as("bucket")))
+      }: _*)))
       .select(col(idCol), col(vecCol),
         col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .join(cdf, Seq("seed", "bucket"))
       .withColumn("sim", VectorFunctions.cosine(col(vecCol), col("cvec"), dims))
       .groupBy(col(idCol))
       .agg(max(struct(col("sim"), col("cell"))).getField("cell").as("cell"))
+    // typedLit: ONE constant array in the plan — array(lit, lit, …)
+    // would rebuild a k-element array per row and blow codegen at
+    // thousand-cell scale
+    val cellIds = centroids.map(_._1)
+    val spread = element_at(typedLit(cellIds),
+      (pmod(xxhash64(col(idCol)), lit(cellIds.size)) + 1).cast("int"))
     vecs.join(best, Seq(idCol), "left")
-      .withColumn("cell",
-        coalesce(col("cell"), lit(centroids.map(_._1).min)))
+      .withColumn("cell", coalesce(col("cell"), spread))
   }
 
   /** Deterministic centroid pick: the `numCells` vectors with the smallest

@@ -53,14 +53,19 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(ann(0L) == 0)
     assert(ann(1L) == 1)
     // a vector OPPOSITE the only centroid never co-buckets with it
-    // under one plane (signs flip with the dot), so the deterministic
-    // min-cell fallback fires instead of dropping the row
+    // under one plane (signs flip with the dot): at probeHamming = 0
+    // the deterministic min-cell fallback fires instead of dropping
+    // the row; at radius 1 the flipped-plane probe reaches the
+    // centroid's bucket and assigns through the argmax instead
     import spark.implicits._
     val lone = Seq((9L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val fb = Similarity.ivfAssignAnn(lone, "embedding", "vec_id",
-      Seq((5, Seq(1.0, 0.0, 0.0))), planes = 1, seeds = Seq(7))
-      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
-    assert(fb(9L) == 5)
+    Seq(0, 1).foreach { radius =>
+      val fb = Similarity.ivfAssignAnn(lone, "embedding", "vec_id",
+        Seq((5, Seq(1.0, 0.0, 0.0))), planes = 1, seeds = Seq(7),
+        probeHamming = radius)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      assert(fb(9L) == 5)
+    }
   }
 
   test("PQ: encode groups clustered vectors, ADC ranks the query's cluster first") {

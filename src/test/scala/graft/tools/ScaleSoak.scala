@@ -150,6 +150,35 @@ object ScaleSoak {
           .where(graft.functions.VectorFunctions.cosine(
             col("va_"), col("vb_"), 64) >= 0.3)
           .select(col("a"), col("b"))
+      // probe_kmeans_assign_ab: the ASSIGN stage isolated — the probe
+      // totals are dominated by the shared exact Lloyd refine pass
+      // (training cost, amortized in production where centroids are a
+      // stored model artifact); this A/B times exact n·k assign vs the
+      // bucketed lookup over the SAME centroids, nothing else.
+      case "probe_kmeans_assign_ab" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .localCheckpoint()
+        val k = math.max(2L, e.count() / 128L).toInt
+        val cents = graft.operators.Similarity.kmeansRefine(e, "embedding",
+          "vec_id", graft.operators.Similarity.pickCentroids(
+            e, "embedding", "vec_id", k), iters = 1)
+        val planes = graft.operators.Dedup.planesFor(cents.size.toLong,
+          targetBucketSize = 16)
+        def time(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          var best = Double.MaxValue
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            df.count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"PROBE probe_kmeans_assign_ab $label sec=$best%.2f " +
+            s"k=${cents.size} planes=$planes dir=$dir")
+        }
+        time("exact", graft.operators.Similarity.ivfAssign(
+          e, "embedding", "vec_id", cents))
+        time("ann", graft.operators.Similarity.ivfAssignAnn(
+          e, "embedding", "vec_id", cents, planes, Seq(7, 21)))
+        e.limit(1)
       // probe_kmeans_ann_recall: agreement census of ANN assign vs the
       // exact n·k assign — run at the two smaller decades only (at 100×
       // the exact side IS the quadratic being avoided).
@@ -166,19 +195,26 @@ object ScaleSoak {
         val exact = graft.operators.Similarity.ivfAssign(
           e, "embedding", "vec_id", cents)
           .select(col("vec_id"), col("cell").as("cell_exact"))
-        val ann = graft.operators.Similarity.ivfAssignAnn(
-          e, "embedding", "vec_id", cents, planes, Seq(7, 21))
-          .select(col("vec_id"), col("cell").as("cell_ann"))
-        val census = exact.join(ann, "vec_id")
-          .agg(cnt(l2(1)).as("n"),
-            fsum(fwhen(col("cell_exact") === col("cell_ann"), 1L)
-              .otherwise(0L)).as("agree"))
-        census.collect().foreach(row => println(
-          s"PROBE probe_kmeans_ann_recall n=${row.getLong(0)} " +
-            s"agree=${row.getLong(1)} " +
-            f"recall=${row.getLong(1).toDouble / row.getLong(0)}%.4f " +
-            s"k=${cents.size} planes=$planes dir=$dir"))
-        census
+          .localCheckpoint()
+        // recall/cost curve: 2 and 4 hash tables, Hamming-1 multi-probe
+        // in both — probes/vector = tables·(planes+1)·k/2^planes
+        var last: org.apache.spark.sql.DataFrame = null
+        Seq(Seq(7, 21), Seq(7, 21, 35, 49)).foreach { seeds =>
+          val ann = graft.operators.Similarity.ivfAssignAnn(
+            e, "embedding", "vec_id", cents, planes, seeds)
+            .select(col("vec_id"), col("cell").as("cell_ann"))
+          val census = exact.join(ann, "vec_id")
+            .agg(cnt(l2(1)).as("n"),
+              fsum(fwhen(col("cell_exact") === col("cell_ann"), 1L)
+                .otherwise(0L)).as("agree"))
+          census.collect().foreach(row => println(
+            s"PROBE probe_kmeans_ann_recall n=${row.getLong(0)} " +
+              s"agree=${row.getLong(1)} " +
+              f"recall=${row.getLong(1).toDouble / row.getLong(0)}%.4f " +
+              s"k=${cents.size} planes=$planes tables=${seeds.size} dir=$dir"))
+          last = census
+        }
+        last
       // probe_er_prefix_blocked: er_scored_pairs' natural
       // nation×segment key has a FIXED 125-block space, so in-block
       // pairs grow quadratically (51.7× at 10× — SCALE_NOTES r10). The
