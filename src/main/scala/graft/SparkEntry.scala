@@ -4244,6 +4244,51 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // pHash near-dup pairs over GENUINELY DECODED pixels — the
+    // end-to-end consumer of the decode gate above: banded Hamming
+    // candidate join (11 six-bit bands; pigeonhole guarantees every
+    // radius-≤10 pair shares an untouched band — the dedup_simhash
+    // band pattern, so the same plan scales to a sharded image corpus)
+    // then exact bit_count verify. The oracle recomputes the pairs by
+    // brute force from the SAME pinned phash literals the decode gate
+    // certifies — banding is candidate-complete within the radius, so
+    // the two derivations must agree exactly. Twins land at ≤ 8 bits,
+    // distinct bases at ≥ 18: the filter separates them with margin.
+    "multimodal_phash_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 12).as[Long].map { id =>
+        val base = id % 6
+        val png = ImageIo.pngBytes(ImageIo.syntheticImage(base,
+          w = 48 + 16 * (base % 3).toInt, h = 36 + 12 * (base % 4).toInt,
+          perturb = if (id >= 6) 3 else 0))
+        (id, "image", png)
+      }.toDF("media_id", "kind", "bytes")
+      val hashed = Multimodal.extractFeatures(media, dims = 64,
+        batchSize = 5, decoder = new ImageIo.ImageIoDecoder())
+        .select(col("media_id"), col("features"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, f) => (id, ImageIo.phashBits(f)) }
+        .toDF("media_id", "phash")
+      val bands = (0 until 11).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("phash"), i * 6).bitwiseAND(lit(63L))
+            .as("bv"))
+      }
+      val b = hashed.withColumn("bb", explode(array(bands: _*)))
+        .select(col("media_id"), col("phash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val l = b.select(col("band"), col("bv"), col("media_id").as("a"),
+        col("phash").as("ha"))
+      val r = b.select(col("band"), col("bv"), col("media_id").as("b"),
+        col("phash").as("hb"))
+      l.join(r, Seq("band", "bv")).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 10)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- Streaming-shaped batch equivalents over events ----
 
     "events_hourly_rollup" -> ((s, d) => {
@@ -8141,6 +8186,28 @@ object SparkEntry {
       |    parameters:
       |      Mood: ""
       |""".stripMargin
+
+  /** Pixel-derived pinned rows for the image-decode gates — the shared-
+    * constant pattern (SearchDims): ONE Scala literal feeds both the
+    * `multimodal_image_phash` expected-values oracle and the
+    * `multimodal_phash_near_dup` pair recomputation, so the two oracles
+    * cannot drift apart. Values are bit-reproducible pixel functions
+    * (lossless PNG roundtrip, integer luma/downscale, StrictMath DCT);
+    * the engine recomputes them from freshly encoded+decoded bytes on
+    * every run. */
+  private val ImagePhashPinned: Seq[(Int, Long, Double, Double, Double, Double)] = Seq(
+    (0, 2476736662102956564L, 4016.335938, -568.464302, -979.145559, -65.613915),
+    (1, 6143144269675451924L, 4118.539063, -272.243995, -162.735854, -140.22621),
+    (2, 8217027941507161284L, 4051.442708, -3.062742, 370.726853, -6.173621),
+    (3, 6209010872367518436L, 4063.971354, -52.853501, 489.585926, -45.126562),
+    (4, 6161112230984337069L, 4154.15625, 142.443231, 714.680846, -126.755065),
+    (5, 170330772075338761L, 4044.028646, 373.92856, -839.67908, -9.763891),
+    (6, 23963715181181460L, 4063.148438, -502.657874, -913.858721, 26.162714),
+    (7, 6143144269675451924L, 4135.867188, -247.84585, -138.375968, -105.927287),
+    (8, 2450168653035756996L, 4068.013021, 20.287091, 394.021033, 26.651059),
+    (9, 6200003673112779492L, 4077.963542, -33.183661, 509.287648, -17.430412),
+    (10, 6161110031961085613L, 4176.65625, 174.123534, 746.063471, -82.56791),
+    (11, 26215652718959625L, 4059.096354, 395.160979, -818.496964, 20.084548))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -12518,24 +12585,37 @@ object SparkEntry {
     // check. The ids 6-11 rows double as the perceptual-property
     // evidence: each is ≤ 8 pHash bits from its unperturbed twin (0-5)
     // while distinct bases sit ≥ 18 bits apart.
-    "multimodal_image_phash" ->
-      """SELECT CAST(media_id AS BIGINT) AS media_id,
-        |  CAST(phash AS BIGINT) AS phash, dc, c01, c10, c11
-        |FROM (VALUES
-        |  (0, 2476736662102956564, 4016.335938, -568.464302, -979.145559, -65.613915),
-        |  (1, 6143144269675451924, 4118.539063, -272.243995, -162.735854, -140.22621),
-        |  (2, 8217027941507161284, 4051.442708, -3.062742, 370.726853, -6.173621),
-        |  (3, 6209010872367518436, 4063.971354, -52.853501, 489.585926, -45.126562),
-        |  (4, 6161112230984337069, 4154.15625, 142.443231, 714.680846, -126.755065),
-        |  (5, 170330772075338761, 4044.028646, 373.92856, -839.67908, -9.763891),
-        |  (6, 23963715181181460, 4063.148438, -502.657874, -913.858721, 26.162714),
-        |  (7, 6143144269675451924, 4135.867188, -247.84585, -138.375968, -105.927287),
-        |  (8, 2450168653035756996, 4068.013021, 20.287091, 394.021033, 26.651059),
-        |  (9, 6200003673112779492, 4077.963542, -33.183661, 509.287648, -17.430412),
-        |  (10, 6161110031961085613, 4176.65625, 174.123534, 746.063471, -82.56791),
-        |  (11, 26215652718959625, 4059.096354, 395.160979, -818.496964, 20.084548)
-        |) AS t(media_id, phash, dc, c01, c10, c11)
-        |ORDER BY media_id""".stripMargin,
+    "multimodal_image_phash" -> {
+      val rows = ImagePhashPinned.map { case (id, ph, dc, c01, c10, c11) =>
+        s"  ($id, ${ph}, $dc, $c01, $c10, $c11)"
+      }.mkString(",\n")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  CAST(phash AS BIGINT) AS phash, dc, c01, c10, c11
+         |FROM (VALUES
+         |$rows
+         |) AS t(media_id, phash, dc, c01, c10, c11)
+         |ORDER BY media_id""".stripMargin
+    },
+
+    // brute-force pair recomputation from the SAME pinned phashes the
+    // decode gate certifies — the engine's banded candidate join is
+    // complete within the radius (pigeonhole), so both derivations
+    // agree exactly
+    "multimodal_phash_near_dup" -> {
+      val rows = ImagePhashPinned.map { case (id, ph, _, _, _, _) =>
+        s"  ($id, ${ph})"
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+         |    CAST(phash AS BIGINT) AS phash
+         |  FROM (VALUES
+         |$rows
+         |  ) AS t(media_id, phash))
+         |SELECT a.media_id AS a, b.media_id AS b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM v a JOIN v b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 10
+         |ORDER BY a, b""".stripMargin
+    },
 
     "multimodal_features" -> {
       def f(d: Int) =
