@@ -2922,6 +2922,28 @@ object SparkEntry {
       dbscanAssign(e, pairs)
     }),
 
+    // The DENSITY-scaled twin: planesFor bounds the candidate stage,
+    // but a FIXED τ admits a constant FRACTION of pairs, so the ε-graph
+    // itself — the answer every downstream edge-linear stage walks —
+    // grows as n²·P(cos ≥ τ) (measured 12/15/30 edges per vector across
+    // the three decades at τ=0.2, SCALE_NOTES r11; no candidate pruning
+    // can remove a semantics-level quadratic). tauForNeighbors derives τ
+    // from the corpus as the exact order statistic that keeps expected
+    // neighbors/vector ~constant; the oracle computes the IDENTICAL
+    // order statistic over the same deterministic 500-vector sample, so
+    // both engines derive τ — like the plane count — from the data.
+    "cluster_dbscan_adaptive" -> ((s, d) => {
+      val e = embs(s, d)
+      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val tau = Dedup.tauForNeighbors(e, "embedding", "vec_id",
+        targetNeighbors = 12, dims = 64)
+      val pairs = Dedup.embeddingNearDupPairsMultiTable(e, "embedding",
+        "vec_id", minCosine = tau, planes = planes, seeds = Seq(7, 21),
+        dims = 64)
+        .select(col("a"), col("b")).localCheckpoint()
+      dbscanAssign(e, pairs)
+    }),
+
     // Cluster resolution over LSH candidate pairs: min-label propagation
     // (one shuffle per round) -> canonical keeper per near-dup cluster.
     "dedup_components" -> ((s, d) => {
@@ -10308,6 +10330,77 @@ object SparkEntry {
          |pairs AS (SELECT c.a, c.b FROM cand c
          |  JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
          |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2),
+         |deg AS (SELECT nv, COUNT(*) AS deg FROM (
+         |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
+         |  GROUP BY 1),
+         |core AS (SELECT nv FROM deg WHERE deg >= 3),
+         |ce AS (SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON p.a = ca.nv JOIN core cb ON p.b = cb.nv),
+         |edges AS (SELECT a AS src, b AS dst FROM ce
+         |  UNION ALL SELECT b, a FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |mins AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY 1),
+         |comp AS (SELECT c.nv AS id,
+         |    LEAST(c.nv, COALESCE(m.mn, c.nv)) AS component
+         |  FROM core c LEFT JOIN mins m ON c.nv = m.src),
+         |border AS (SELECT n.v AS vec_id, MIN(comp.component) AS cluster
+         |  FROM (SELECT a AS v, b AS u FROM pairs
+         |    UNION ALL SELECT b, a FROM pairs) n
+         |  JOIN comp ON n.u = comp.id
+         |  WHERE n.v NOT IN (SELECT nv FROM core) GROUP BY 1),
+         |assigned AS (
+         |  SELECT id AS vec_id, 'core' AS role, component AS cluster FROM comp
+         |  UNION ALL SELECT vec_id, 'border', cluster FROM border)
+         |SELECT e.vec_id, COALESCE(a2.role, 'noise') AS role, a2.cluster
+         |FROM e LEFT JOIN assigned a2 USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // cluster_dbscan_sized's oracle with τ ALSO derived in SQL: the
+    // exact (1−f)-order statistic (f = 12/(n−1)) of the rounded
+    // pairwise cosines over the 500 smallest-id vectors — ROW_NUMBER
+    // rank equals the engine's sort-limit-max index, and rounding
+    // BEFORE ranking makes ties engine-stable
+    "cluster_dbscan_adaptive" -> {
+      def bucketExpr(seed: Int) = sqlSigns(planes = 16, dims = 64, seed = seed)
+        .zipWithIndex.map { case (sg, p) =>
+          s"(CASE WHEN $p < pl.planes AND list_dot_product(v, $sg) >= 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n    ")
+      s"""WITH RECURSIVE nc AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pl AS (SELECT LEAST(GREATEST(
+         |    CASE WHEN CAST(n AS DOUBLE) / 128 <= 1.0 THEN 0
+         |      ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 128) / LN(2)) AS INT)
+         |    END, 4), 62) AS planes FROM nc),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |samp AS MATERIALIZED (SELECT vec_id, v FROM e
+         |  ORDER BY vec_id LIMIT 500),
+         |sc AS MATERIALIZED (
+         |  SELECT ROUND(list_cosine_similarity(a.v, b.v), 6) AS c
+         |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id),
+         |tt AS (SELECT c AS tau FROM
+         |    (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM sc) q
+         |  WHERE rn = (SELECT CAST(LEAST(cnt - 1, FLOOR(
+         |      (1.0 - LEAST(1.0, 12.0 / GREATEST(1, n - 1))) * cnt))
+         |      AS BIGINT) + 1
+         |    FROM (SELECT COUNT(*) AS cnt FROM sc), nc)),
+         |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e, pl),
+         |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e, pl),
+         |cand AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT l.vec_id AS a, r.vec_id AS b
+         |    FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |    UNION ALL
+         |    SELECT l.vec_id, r.vec_id
+         |    FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)),
+         |pairs AS MATERIALIZED (SELECT c.a, c.b FROM cand c
+         |  JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+         |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >=
+         |    (SELECT tau FROM tt)),
          |deg AS (SELECT nv, COUNT(*) AS deg FROM (
          |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
          |  GROUP BY 1),

@@ -509,6 +509,48 @@ object Dedup {
     math.min(math.max(p, minPlanes), 62)
   }
 
+  /** Derive the ε-threshold (minimum cosine) from the corpus so the
+    * expected neighbor count per vector stays ~`targetNeighbors` at ANY
+    * corpus size — the density knob of the statistics-derived-parameter
+    * family ([[planesFor]] bounds the CANDIDATE stage; this bounds the
+    * ANSWER). A fixed τ over a densifying corpus admits a constant
+    * FRACTION of pairs, so the ε-graph — and with it every downstream
+    * edge-linear stage (degree census, connected components, border
+    * adoption) — grows as n²·P(cos ≥ τ): measured 12/15/30 edges per
+    * vector across sf0.1/10×/100× at τ=0.2 (SCALE_NOTES r11), a
+    * semantics-level quadratic no candidate pruning can remove.
+    *
+    * Rule: admissible pair fraction f = targetNeighbors / (n−1); τ is
+    * the exact (1−f)-order statistic of the ROUNDED pairwise cosines of
+    * the `sampleSize` smallest-id vectors (deterministic sample, exact
+    * sort index — both engines compute the identical value; rounding
+    * first makes ties engine-stable). Sample pair count is bounded by
+    * construction (sampleSize²/2, ~125k at the default) — the one
+    * driver-side value is a single max over a limit, not a collect.
+    */
+  def tauForNeighbors(e: DataFrame, vecCol: String, idCol: String,
+      targetNeighbors: Int, dims: Int, sampleSize: Int = 500): Double = {
+    require(targetNeighbors >= 1 && sampleSize >= 2)
+    val n = e.count()
+    val m = math.min(sampleSize.toLong, n).toInt
+    val s = e.orderBy(col(idCol)).limit(m)
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .localCheckpoint()
+    val l = s.select(col("sid").as("ida"), col("sv").as("va"))
+    val r = s.select(col("sid").as("idb"), col("sv").as("vb"))
+    val cosines = l.crossJoin(r).where(col("ida") < col("idb"))
+      .select(round(graft.functions.VectorFunctions
+        .cosine(col("va"), col("vb"), dims), 6).as("c"))
+    val pairCount = m.toLong * (m - 1) / 2
+    val f = math.min(1.0, targetNeighbors.toDouble / math.max(1L, n - 1))
+    // 0-based index j of the (1-f) order statistic; limit(j+1) ascending
+    // then max = the exact j-th smallest — no quantile interpolation
+    val j = math.min(pairCount - 1,
+      math.floor((1.0 - f) * pairCount).toLong)
+    cosines.orderBy(col("c")).limit((j + 1).toInt)
+      .agg(max(col("c"))).head().getDouble(0)
+  }
+
   /** End-to-end canonical dedup map: minhash signatures → banded
     * candidate pairs → connected components → one deterministic keeper
     * per cluster (longest text by `sizeCol`, then smallest id, via a

@@ -234,4 +234,37 @@ class DedupSpec extends SparkSpec {
     assert(r((1L, 2L)) == 0.25)
     assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("tauForNeighbors: exact order statistic, rises with corpus size at fixed target") {
+    import spark.implicits._
+    // 40 deterministic 4-dim unit-ish vectors
+    def vec(i: Long) = Seq(
+      math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+      math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)
+    val e = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tau = Dedup.tauForNeighbors(e, "embedding", "vec_id",
+      targetNeighbors = 4, dims = 4, sampleSize = 40)
+    // recompute by hand: f = 4/39, j = floor((1-f)*780), tau = sorted(j)
+    val vs = (0L until 40L).map(vec)
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val all = (for (a <- 0 until 40; b <- a + 1 until 40)
+      yield cos(vs(a), vs(b))).sorted
+    val f = 4.0 / 39
+    val j = math.min(all.size - 1, math.floor((1 - f) * all.size).toInt)
+    assert(tau == all(j))
+    // a vector's expected neighbors at tau ~ target (loose: within 3x)
+    val admitted = all.count(_ >= tau)
+    assert(admitted * 2.0 / 40 >= 1.0 && admitted * 2.0 / 40 <= 12.0)
+    // same target over a LARGER corpus (denser space) -> tau NOT lower
+    val e2 = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tau2 = Dedup.tauForNeighbors(e2, "embedding", "vec_id",
+      targetNeighbors = 4, dims = 4, sampleSize = 40)
+    assert(tau2 >= tau)
+  }
 }

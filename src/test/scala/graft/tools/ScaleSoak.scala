@@ -92,6 +92,22 @@ object ScaleSoak {
         graft.operators.Dedup.embeddingNearDupPairsMultiTable(e,
           "embedding", "vec_id", minCosine = 0.2, planes = planes,
           seeds = Seq(7, 21), dims = 64)
+      // probe_dbscan_adaptive: the ANSWER-bounding knob measured —
+      // planesFor bounds candidates, tauForNeighbors bounds the ε-graph
+      // itself (fixed τ=0.2 measured 12/15/30 edges/vector across the
+      // decades: a semantics-level quadratic). With τ derived from the
+      // corpus the edges/vector column should hold ~targetNeighbors at
+      // every decade, making the dbscan tail edge-linear.
+      case "probe_dbscan_adaptive" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val planes = graft.operators.Dedup.planesFor(e.count(),
+          targetBucketSize = 128)
+        val tau = graft.operators.Dedup.tauForNeighbors(e, "embedding",
+          "vec_id", targetNeighbors = 12, dims = 64)
+        println(s"PROBE probe_dbscan_adaptive planes=$planes tau=$tau dir=$dir")
+        graft.operators.Dedup.embeddingNearDupPairsMultiTable(e,
+          "embedding", "vec_id", minCosine = tau, planes = planes,
+          seeds = Seq(7, 21), dims = 64)
       case "probe_semantic_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         val planes = graft.operators.Dedup.planesFor(e.count(),

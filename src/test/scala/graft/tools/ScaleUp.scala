@@ -75,26 +75,34 @@ object ScaleUp {
     }
 
     replicate("embeddings") { (df, k) =>
-      // rotation wraps mod dims: k >= 64 (copies > 64) made the slice
-      // length negative and aborted the write. A multiple-of-64 copy
-      // (r == 0) additionally flips the sign of the first component so
-      // no copy beyond the first is vector-identical to copy 0.
+      // rotation wraps mod dims, so copies k and k+64 share a rotation —
+      // IDENTICAL vectors, 36 clone-copy pairs at copies=100 (measured:
+      // the clones ~double the ε-graph density of the 100× dbscan soak,
+      // SCALE_NOTES r11). The cure is a per-GENERATION (g = k/64)
+      // deterministic sign pattern applied after the rotation: flipping
+      // a fixed component set is an orthogonal transform (within-copy
+      // cosines untouched) that decorrelates the generations. g = 0
+      // keeps the identity so corpora at copies <= 64 are bit-identical
+      // to the historical ones.
       val r = k % 64
-      // the flipped component varies with k (component (k/64) % 64, not
-      // always 0) so two multiple-of-64 copies (k=64, 128, ...) are not
-      // vector-identical to EACH OTHER — a fixed flip would seed
-      // artificial exact-dup cliques in the ANN probes at copies > 128
-      val f = (k / 64) % 64
+      val g = k / 64
       val rot =
-        if (k == 0) col("embedding")
-        else if (r == 0) concat(
-          slice(col("embedding"), 1, f),
-          array((col("embedding")(f) * lit(-1.0f)).cast("float")),
-          slice(col("embedding"), f + 2, 63 - f))
+        if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, 64 - r),
           slice(col("embedding"), 1, r))
+      val decorrelated =
+        if (k == 0) col("embedding")
+        else if (g == 0) rot
+        else {
+          // signs from the same md5 family as the engine's hyperplanes;
+          // seeded by generation so every g gets an independent pattern
+          val signs = (0 until 64).map(i =>
+            if (graft.functions.HashFunctions
+              .hash64Jvm(s"scaleup-gen#$g#$i") % 2 == 0) 1.0f else -1.0f)
+          zip_with(rot, typedLit(signs), (a, s) => (a * s).cast("float"))
+        }
       df.select((col("vec_id") + k * S).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        decorrelated.as("embedding"), col("label"))
     }
 
     replicate("events") { (df, k) =>
