@@ -92,6 +92,32 @@ class ImageIoSpec extends SparkSpec {
     assert(nearD < farD)
   }
 
+  test("JPEG payloads decode through the same seam (lossy: near, not pinned)") {
+    // JPEG decode output is NOT bit-pinned across JVMs (IDCT variants),
+    // which is why the oracle gates stay on PNG — but the decoder must
+    // accept JPEG bytes and produce features from the real pixels:
+    // the DC term (mean luma × dctSize) of the lossy roundtrip must sit
+    // within a few percent of the lossless one, and the pHash within a
+    // small Hamming radius — both impossible for the digest fallback.
+    val img = ImageIo.syntheticImage(2L, w = 64, h = 48)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos),
+      "JDK JPEG writer unavailable")
+    val dec = new ImageIo.ImageIoDecoder()
+    val rows = dec.decodeBatch(Seq(
+      Multimodal.MediaRow(1L, "image", ImageIo.pngBytes(img)),
+      Multimodal.MediaRow(2L, "image", bos.toByteArray)), dims = 64)
+    val (png, jpg) = (rows(0).features, rows(1).features)
+    assert(math.abs(png.head - jpg.head) / math.abs(png.head) < 0.05,
+      s"JPEG DC ${jpg.head} strays >5% from lossless ${png.head}")
+    val ham = hamming(ImageIo.phashBits(png), ImageIo.phashBits(jpg))
+    assert(ham <= 10, s"JPEG roundtrip moved $ham pHash bits")
+    // and it is NOT the digest fallback output
+    val fb = Multimodal.DigestDecoder.decodeBatch(
+      Seq(Multimodal.MediaRow(2L, "image", bos.toByteArray)), 64).head
+    assert(jpg != fb.features)
+  }
+
   test("extractFeatures plumbing carries the real decoder end-to-end") {
     import spark.implicits._
     val media = spark.range(0, 4).as[Long].map { id =>
