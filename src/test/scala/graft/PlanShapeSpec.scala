@@ -428,4 +428,49 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("bloom_filter_agg"), p.take(3000))
     } finally { spark.conf.set(bKey, prevB); spark.conf.set(tKey, prevT) }
   }
+
+  test("er multipass + phonetic: sub-keys are JOIN keys, zero cartesians") {
+    def cartesians(p: String): Int = p.linesIterator.count(l =>
+      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoop"))
+    // sf0.01, not the spec default: at sf0.001 the 150-customer corpus
+    // derives prefix length 0, and Catalyst correctly constant-folds
+    // the empty sub-key out of the join — the assertion needs the
+    // scale where the occupancy rule ENGAGES
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .queryExecution.executedPlan.toString
+    val multi = plan("er_multipass_blocked")
+    assert(multi.linesIterator.exists(l => l.contains("Join") && l.contains("pfx")),
+      multi.take(800))
+    assert(multi.linesIterator.exists(l => l.contains("Join") && l.contains("sfx")),
+      multi.take(800))
+    assert(cartesians(multi) == 0)
+    val phon = plan("er_phonetic_blocked")
+    assert(phon.linesIterator.exists(l => l.contains("Join") && l.contains("pkey")),
+      phon.take(800))
+    assert(cartesians(phon) == 0)
+  }
+
+  test("multimodal_phash_near_dup: banded (band, bv) join, never all-pairs") {
+    val p = plan("multimodal_phash_near_dup")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("band") && l.contains("bv")), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
+  test("ivfAssignAnn: centroid lookup is a broadcast hash join on (seed, bucket)") {
+    import spark.implicits._
+    val vecs = (0L until 32L)
+      .map(i => (i, Seq.tabulate(8)(j => ((i + j) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0, 0, 0, 0, 0, 0, 0)),
+      (1, Seq(0.0, 1.0, 0, 0, 0, 0, 0, 0)))
+    val p = operators.Similarity.ivfAssignAnn(vecs, "embedding", "vec_id",
+      cents, planes = 3, seeds = Seq(7, 21))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("seed") && l.contains("bucket")), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
