@@ -181,18 +181,48 @@ object Similarity {
       centroids: Seq[(Int, Seq[Double])], iters: Int = 1): Seq[(Int, Seq[Double])] = {
     var c = centroids
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(vecs, vecCol, idCol, c)
-      val sums = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(sum(col("x").cast("decimal(28,8)")).cast("double"), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
-        .collect()
-      c = sums.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      c = lloydMeans(ivfAssign(vecs, vecCol, idCol, c), vecCol)
     }
     c
+  }
+
+  /** [[kmeansRefine]] with the assignment step routed through the
+    * bucketed centroid lookup ([[ivfAssignAnn]]) — removes the LAST
+    * exact n·k stage of the balanced-cells SemDeDup pipeline (the
+    * training pass; the assign pass was cured in the same round). With
+    * planes=1 and Hamming-1 multi-probe every bucket is probed, so the
+    * result degenerates to [[kmeansRefine]] exactly — the spec's
+    * equivalence anchor; at planesFor-sized planes the means drift only
+    * where a vector's argmax centroid was missed, a bounded effect the
+    * train A/B probe measures per decade. Same decimal-summed,
+    * bit-reproducible mean computation.
+    */
+  def kmeansRefineAnn(vecs: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[(Int, Seq[Double])], planes: Int,
+      seeds: Seq[Int], iters: Int = 1): Seq[(Int, Seq[Double])] = {
+    var c = centroids
+    for (_ <- 1 to iters) {
+      c = lloydMeans(ivfAssignAnn(vecs, vecCol, idCol, c, planes, seeds),
+        vecCol)
+    }
+    c
+  }
+
+  /** One Lloyd mean step over an assigned (cell, vector) relation:
+    * per-(cell, dim) decimal sums (bit-reproducible across partitionings)
+    * reassembled into per-cell mean vectors. Driver collect is bounded by
+    * the centroid count — cells × dims doubles. */
+  private def lloydMeans(assigned: DataFrame,
+      vecCol: String): Seq[(Int, Seq[Double])] = {
+    assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(28,8)")).cast("double"), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
   }
 
   /** Product-quantization codebooks for cosine/MIPS ANN: split the vector

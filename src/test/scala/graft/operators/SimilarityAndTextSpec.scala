@@ -68,6 +68,17 @@ class SimilarityAndTextSpec extends SparkSpec {
     }
   }
 
+  test("kmeansRefineAnn: degenerates to exact refine when every bucket is probed") {
+    val cents = Similarity.pickCentroids(vecs, "embedding", "vec_id", numCells = 2)
+    val exact = Similarity.kmeansRefine(vecs, "embedding", "vec_id", cents, iters = 2)
+    // planes=1 with Hamming-1 multi-probe covers BOTH buckets — the ANN
+    // assignment equals the exact argmax, so the refined centroids are
+    // bit-identical across both Lloyd rounds
+    val ann = Similarity.kmeansRefineAnn(vecs, "embedding", "vec_id", cents,
+      planes = 1, seeds = Seq(7), iters = 2)
+    assert(ann == exact)
+  }
+
   test("PQ: encode groups clustered vectors, ADC ranks the query's cluster first") {
     import spark.implicits._
     // two tight clusters in 8 dims (axis-aligned); m=2 subspaces of 4

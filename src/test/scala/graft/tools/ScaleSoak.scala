@@ -195,6 +195,50 @@ object ScaleSoak {
         time("ann", graft.operators.Similarity.ivfAssignAnn(
           e, "embedding", "vec_id", cents, planes, Seq(7, 21)))
         e.limit(1)
+      // probe_kmeans_train_ab: the TRAINING pass isolated (the r11
+      // SCALE_NOTES closer named it the one remaining exact n·k stage):
+      // one Lloyd round, exact assign vs bucketed-lookup assign over
+      // the same pickCentroids init. Prints wall for each arm plus the
+      // centroid drift (per-cell cosine between the two refined sets,
+      // min/mean) so the speed/fidelity trade is measured, not asserted.
+      case "probe_kmeans_train_ab" =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .localCheckpoint()
+        val k = math.max(2L, e.count() / 128L).toInt
+        val init = graft.operators.Similarity.pickCentroids(
+          e, "embedding", "vec_id", k)
+        val planes = graft.operators.Dedup.planesFor(init.size.toLong,
+          targetBucketSize = 16)
+        def timeTrain(label: String,
+            f: () => Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+          var best = Double.MaxValue
+          var out: Seq[(Int, Seq[Double])] = Nil
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            out = f()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"PROBE probe_kmeans_train_ab $label sec=$best%.2f " +
+            s"k=${init.size} planes=$planes dir=$dir")
+          out
+        }
+        val ex = timeTrain("exact", () => graft.operators.Similarity
+          .kmeansRefine(e, "embedding", "vec_id", init))
+        val an = timeTrain("ann", () => graft.operators.Similarity
+          .kmeansRefineAnn(e, "embedding", "vec_id", init, planes, Seq(7, 21)))
+        val exm = ex.toMap
+        val drifts = an.flatMap { case (cell, v) =>
+          exm.get(cell).map { u =>
+            val dot = u.zip(v).map { case (a, b) => a * b }.sum
+            val nu = math.sqrt(u.map(x => x * x).sum)
+            val nv = math.sqrt(v.map(x => x * x).sum)
+            if (nu == 0 || nv == 0) 1.0 else dot / (nu * nv)
+          }
+        }
+        println(f"PROBE probe_kmeans_train_ab drift cells=${drifts.size} " +
+          f"minCos=${drifts.min}%.4f meanCos=${drifts.sum / drifts.size}%.4f " +
+          s"dir=$dir")
+        e.limit(1)
       // probe_kmeans_ann_recall: agreement census of ANN assign vs the
       // exact n·k assign — run at the two smaller decades only (at 100×
       // the exact side IS the quadratic being avoided).
