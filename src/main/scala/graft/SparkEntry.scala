@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Embedder, HashFunctions, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
-import graft.multimodal.{ImageIo, Multimodal}
+import graft.multimodal.{AudioIo, ImageIo, Multimodal}
 import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
 import graft.search.{Filters, Search, SearchRequest}
 import graft.streaming.StreamingIngest
@@ -4263,6 +4263,39 @@ object SparkEntry {
           (id, ImageIo.phashBits(f), r6(f(0)), r6(f(1)), r6(f(8)), r6(f(9)))
         }
         .toDF("media_id", "phash", "dc", "c01", "c10", "c11")
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL audio decode — the WAV sibling of the image gate: 8 clips
+    // authored in-engine (ids 4-7 are first-window click perturbations
+    // of 0-3), hand-rolled RIFF/PCM container, GENUINELY parsed back by
+    // the JDK's javax.sound.sampled codec through the same
+    // Multimodal.Decoder seam, then 32-window RMS + zero-crossing
+    // features. Uncompressed PCM roundtrips bit-exact (the reason the
+    // oracle pins WAV, never a lossy codec), StrictMath synthesis and
+    // sqrt are JVM-reproducible, ZCR is pure integer — so the pinned
+    // values are sample-derived, recomputed from fresh encode+decode on
+    // every run. The perturbed twins pin the perceptual property: rms0
+    // moves, rms31/zcr31 hold.
+    "multimodal_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 8).as[Long].map { id =>
+        val base = id % 4
+        val wav = AudioIo.wavBytes(AudioIo.syntheticPcm(base,
+          samples = 1600 + 320 * (base % 3).toInt,
+          perturb = if (id >= 4) 60 else 0))
+        (id, "audio", wav)
+      }.toDF("media_id", "kind", "bytes")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Multimodal.extractFeatures(media, dims = 64,
+        batchSize = 3, decoder = new AudioIo.WavDecoder())
+        .select(col("media_id"), col("features"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, f) =>
+          (id, r6(f(0)), r6(f(15)), r6(f(31)), f(32), f(47), f(63))
+        }
+        .toDF("media_id", "rms0", "rms15", "rms31", "zcr0", "zcr15", "zcr31")
         .orderBy(col("media_id"))
     }),
 
@@ -12689,6 +12722,30 @@ object SparkEntry {
          |) AS t(media_id, phash, dc, c01, c10, c11)
          |ORDER BY media_id""".stripMargin
     },
+
+    // sample-derived pinned rows (the image-gate form): DuckDB cannot
+    // parse WAV, so recomputation happens engine-side from fresh
+    // encode+decode and the pinned vector IS the cross-engine check.
+    // Rows 4-7 are the click-perturbed twins of 0-3: rms15/rms31/zcr15/
+    // zcr31 match their base EXACTLY (uncompressed roundtrip + windowed
+    // locality) while the clicked window-0 columns move — clip 4's
+    // 50-sample window is pure ±16384 clicks (rms exactly 16384,
+    // 49 crossings), clip 6's 70-sample window still holds 10 sine
+    // samples (rms 15323).
+    "multimodal_audio_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  rms0, rms15, rms31, zcr0, zcr15, zcr31
+        |FROM (VALUES
+        |  (0, 8088.366543, 8184.238378, 8184.238378, 4.0, 4.0, 4.0),
+        |  (1, 7790.08016, 7737.129654, 7549.472078, 5.0, 4.0, 4.0),
+        |  (2, 7598.16232, 7847.653662, 7908.612266, 6.0, 5.0, 5.0),
+        |  (3, 7640.733973, 7733.825576, 7803.558252, 6.0, 4.0, 4.0),
+        |  (4, 16384.0, 8184.238378, 8184.238378, 49.0, 4.0, 4.0),
+        |  (5, 16384.0, 7737.129654, 7549.472078, 59.0, 4.0, 4.0),
+        |  (6, 15323.141544, 7847.653662, 7908.612266, 60.0, 5.0, 5.0),
+        |  (7, 16384.0, 7733.825576, 7803.558252, 49.0, 4.0, 4.0)
+        |) AS t(media_id, rms0, rms15, rms31, zcr0, zcr15, zcr31)
+        |ORDER BY media_id""".stripMargin,
 
     // brute-force pair recomputation from the SAME pinned phashes the
     // decode gate certifies — the engine's banded candidate join is
