@@ -4344,6 +4344,51 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Video via frame sampling with REAL per-frame decode: a production
+    // video featurizer is demux (ffmpeg — absent, honestly stubbed by
+    // authoring the frames directly) followed by per-frame image decode
+    // and temporal pooling — and those two stages ARE real here: every
+    // frame is a PNG genuinely decoded by javax.imageio through the
+    // ImageIoDecoder, and the pool is the decimal-summed per-dimension
+    // mean (partitioning-independent, the kmeansRefine trick). 4 clips
+    // × 5 frames; frames drift per index (the id advances the gradient
+    // pattern) so the pooled signature is a true temporal average, and
+    // clip 3 reuses clip 0's frames SHIFTED by one (4/5 frames shared) —
+    // the pinned rows show its pooled DC within 0.5 of clip 0's while
+    // the AC terms move with the two boundary frames, exactly the
+    // temporal-mean behavior. The fold is one keyed aggregation over
+    // (clip, dim):
+    // at scale this is the exact shuffle shape of the existing
+    // multimodal_frame_pooled gate, with real pixels underneath.
+    "multimodal_video_frame_phash" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 20).as[Long].map { fid =>
+        val clip = fid / 5
+        val frame = fid % 5
+        // clip 3 = clip 0's frames shifted by one (frame f shows what
+        // clip 0's frame f+1 shows; its last frame is new)
+        val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
+        val png = ImageIo.pngBytes(ImageIo.syntheticImage(imgId,
+          w = 48, h = 36))
+        (fid, clip, "image", png)
+      }.toDF("media_id", "clip_id", "kind", "bytes")
+      val feats = Multimodal.extractFeatures(
+        media.select(col("media_id"), col("kind"), col("bytes")),
+        dims = 64, batchSize = 4, decoder = new ImageIo.ImageIoDecoder())
+      feats.join(media.select(col("media_id"), col("clip_id")), "media_id")
+        .select(col("clip_id"), posexplode(col("features")).as(Seq("pos", "x")))
+        .groupBy(col("clip_id"), col("pos"))
+        .agg(round((sum(col("x").cast("decimal(28,8)")) /
+          count(lit(1))).cast("double"), 6).as("m"))
+        .where(col("pos").isin(0, 1, 8, 9))
+        .groupBy(col("clip_id"))
+        .pivot("pos", Seq(0, 1, 8, 9))
+        .agg(first(col("m")))
+        .select(col("clip_id"), col("0").as("p0"), col("1").as("p1"),
+          col("8").as("p8"), col("9").as("p9"))
+        .orderBy(col("clip_id"))
+    }),
+
     // ---- Streaming-shaped batch equivalents over events ----
 
     "events_hourly_rollup" -> ((s, d) => {
@@ -12746,6 +12791,20 @@ object SparkEntry {
         |  (7, 16384.0, 7733.825576, 7803.558252, 49.0, 4.0, 4.0)
         |) AS t(media_id, rms0, rms15, rms31, zcr0, zcr15, zcr31)
         |ORDER BY media_id""".stripMargin,
+
+    // frame-pooled pinned rows (pixel-derived: lossless PNG frames +
+    // bit-reproducible DCT + decimal-summed pooling); clip 3 shares 4/5
+    // frames with clip 0 — pooled DC within 0.5, AC terms carried by
+    // the boundary frames
+    "multimodal_video_frame_phash" ->
+      """SELECT CAST(clip_id AS BIGINT) AS clip_id, p0, p1, p8, p9
+        |FROM (VALUES
+        |  (0, 4083.723438, -158.009337, 62.02714, -91.343859),
+        |  (1, 4084.746875, 114.348539, 97.685034, -61.55257),
+        |  (2, 4067.995313, -15.600578, 76.482839, -51.724384),
+        |  (3, 4084.223438, 22.33152, 95.883159, -80.472879)
+        |) AS t(clip_id, p0, p1, p8, p9)
+        |ORDER BY clip_id""".stripMargin,
 
     // brute-force pair recomputation from the SAME pinned phashes the
     // decode gate certifies — the engine's banded candidate join is
