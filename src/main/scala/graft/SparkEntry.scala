@@ -4344,6 +4344,42 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Audio near-dup over GENUINELY decoded samples — the WAV sibling of
+    // the image near-dup gate: fresh encode → JDK codec decode → rounded
+    // 64-dim envelope features → the SAME RHP-bucketed multi-table
+    // candidate join the embedding dedup family uses (the oracle
+    // replicates the buckets via sqlSigns over the shared pinned
+    // vectors). Threshold 0.9 splits the click-perturbed twins
+    // (cos ≥ 0.933 — a click moves one window of 32) from every
+    // cross-clip pair (≤ 0.824, the id-keyed envelopes decorrelate).
+    // planes=1 × 3 tables: at 8 rows the bucket knob is recall, not
+    // occupancy — planes=2 deterministically split the (0,4) twin
+    // (the click tripling the dominant window-0 RMS flips a
+    // hyperplane in every table); the trade inverts at corpus scale,
+    // where planesFor sizes planes UP and recall is bought with
+    // tables, exactly as the dedup family's calibration gates measure.
+    "multimodal_audio_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 8).as[Long].map { id =>
+        val base = id % 4
+        val wav = AudioIo.wavBytes(AudioIo.syntheticPcm(base,
+          samples = 1600 + 320 * (base % 3).toInt,
+          perturb = if (id >= 4) 60 else 0))
+        (id, "audio", wav)
+      }.toDF("media_id", "kind", "bytes")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val feats = Multimodal.extractFeatures(media, dims = 64,
+        batchSize = 3, decoder = new AudioIo.WavDecoder())
+        .select(col("media_id"), col("features"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, f) => (id, f.map(r6)) }
+        .toDF("media_id", "feats")
+      Dedup.embeddingNearDupPairsMultiTable(feats, "feats", "media_id",
+        minCosine = 0.9, planes = 1, seeds = Seq(7, 21, 35), dims = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Video via frame sampling with REAL per-frame decode: a production
     // video featurizer is demux (ffmpeg — absent, honestly stubbed by
     // authoring the frames directly) followed by per-frame image decode
@@ -8308,6 +8344,22 @@ object SparkEntry {
     (9, 6200003673112779492L, 4077.963542, -33.183661, 509.287648, -17.430412),
     (10, 6161110031961085613L, 4176.65625, 174.123534, 746.063471, -82.56791),
     (11, 26215652718959625L, 4059.096354, 395.160979, -818.496964, 20.084548))
+
+  /** Sample-derived pinned 64-dim feature vectors for the audio gates —
+    * the shared-constant pattern again: ONE Scala literal feeds both the
+    * `multimodal_audio_features` expected-values oracle and the
+    * `multimodal_audio_near_dup` cosine recomputation. 32 RMS + 32 ZCR
+    * values per clip, rounded 6; the engine recomputes them from fresh
+    * WAV encode+decode on every run (generated by tools/AudioPin). */
+  private val AudioFeaturesPinned: Seq[(Int, Seq[Double])] = Seq(
+    (0, Seq(5228.687047, 6138.804529, 6973.848402, 7869.041423, 7882.02765, 6975.823187, 6013.352004, 4988.232428, 3607.687029, 2321.772969, 1440.18889, 910.127035, 869.212091, 1306.827364, 2231.179271, 3742.468629, 5228.687047, 6138.804529, 6973.848402, 7869.041423, 7882.02765, 6975.823187, 6013.352004, 4988.232428, 3607.687029, 2321.772969, 1440.18889, 910.127035, 869.212091, 1306.827364, 2231.179271, 3742.468629, 4.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 4.0, 4.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 4.0)),
+    (1, Seq(7498.911242, 7500.581363, 6723.262389, 5057.041512, 3006.260149, 1412.831837, 837.700881, 1539.925507, 3020.195537, 4780.465246, 6653.911114, 7773.311417, 7585.110663, 6234.393507, 4248.622028, 2251.569305, 1026.905489, 852.82078, 1818.05588, 3665.556827, 5754.696258, 7347.160231, 7814.804624, 6891.20795, 5350.686685, 3718.485317, 1975.619211, 916.29042, 1145.857466, 2538.486882, 4473.780232, 6110.255733, 5.0, 6.0, 4.0, 4.0, 4.0, 4.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 3.0, 4.0, 4.0, 4.0, 4.0, 3.0, 5.0, 4.0, 6.0, 6.0, 4.0, 4.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0)),
+    (2, Seq(6950.387672, 5015.900167, 2503.613571, 948.177184, 1654.696597, 3823.5275, 6143.551381, 7563.716732, 7187.7532, 4982.550496, 2336.821501, 901.130045, 1541.864632, 3706.621157, 6281.973388, 7709.374843, 7060.27379, 4854.817288, 2397.060533, 937.793733, 1557.805998, 3791.504833, 6217.362645, 7539.836584, 7116.117988, 5039.887384, 2431.905596, 917.069253, 1521.459192, 3605.999602, 6137.94712, 7744.051173, 6.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 7.0, 5.0, 5.0, 5.0, 5.0, 6.0, 5.0, 5.0, 5.0, 7.0, 7.0, 6.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 6.0, 5.0, 5.0, 5.0)),
+    (3, Seq(5090.856877, 3860.233141, 2598.930011, 1518.245448, 896.759053, 831.395429, 1284.087232, 2156.456093, 3319.918568, 4627.25105, 5976.404381, 7183.180499, 7833.863476, 7715.591038, 7138.759223, 6352.280128, 5226.71554, 3825.495333, 2493.565167, 1483.600061, 901.8437, 821.000536, 1248.256184, 2098.688328, 3319.113885, 4826.137994, 6245.472751, 7142.668375, 7535.789493, 7631.115399, 7290.317827, 6389.184134, 6.0, 4.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 7.0, 4.0, 4.0, 4.0, 4.0, 4.0, 5.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0)),
+    (4, Seq(16384.0, 9385.162479, 6973.848402, 7869.041423, 7882.02765, 6975.823187, 6013.352004, 4988.232428, 3607.687029, 2321.772969, 1440.18889, 910.127035, 869.212091, 1306.827364, 2231.179271, 3742.468629, 5228.687047, 6138.804529, 6973.848402, 7869.041423, 7882.02765, 6975.823187, 6013.352004, 4988.232428, 3607.687029, 2321.772969, 1440.18889, 910.127035, 869.212091, 1306.827364, 2231.179271, 3742.468629, 49.0, 11.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 4.0, 4.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 3.0, 4.0)),
+    (5, Seq(16384.0, 7500.581363, 6723.262389, 5057.041512, 3006.260149, 1412.831837, 837.700881, 1539.925507, 3020.195537, 4780.465246, 6653.911114, 7773.311417, 7585.110663, 6234.393507, 4248.622028, 2251.569305, 1026.905489, 852.82078, 1818.05588, 3665.556827, 5754.696258, 7347.160231, 7814.804624, 6891.20795, 5350.686685, 3718.485317, 1975.619211, 916.29042, 1145.857466, 2538.486882, 4473.780232, 6110.255733, 59.0, 6.0, 4.0, 4.0, 4.0, 4.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 3.0, 4.0, 4.0, 4.0, 4.0, 3.0, 5.0, 4.0, 6.0, 6.0, 4.0, 4.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0)),
+    (6, Seq(15272.244663, 5015.900167, 2503.613571, 948.177184, 1654.696597, 3823.5275, 6143.551381, 7563.716732, 7187.7532, 4982.550496, 2336.821501, 901.130045, 1541.864632, 3706.621157, 6281.973388, 7709.374843, 7060.27379, 4854.817288, 2397.060533, 937.793733, 1557.805998, 3791.504833, 6217.362645, 7539.836584, 7116.117988, 5039.887384, 2431.905596, 917.069253, 1521.459192, 3605.999602, 6137.94712, 7744.051173, 60.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 7.0, 5.0, 5.0, 5.0, 5.0, 6.0, 5.0, 5.0, 5.0, 7.0, 7.0, 6.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 6.0, 5.0, 5.0, 5.0)),
+    (7, Seq(16384.0, 8035.559145, 2598.930011, 1518.245448, 896.759053, 831.395429, 1284.087232, 2156.456093, 3319.918568, 4627.25105, 5976.404381, 7183.180499, 7833.863476, 7715.591038, 7138.759223, 6352.280128, 5226.71554, 3825.495333, 2493.565167, 1483.600061, 901.8437, 821.000536, 1248.256184, 2098.688328, 3319.113885, 4826.137994, 6245.472751, 7142.668375, 7535.789493, 7631.115399, 7290.317827, 6389.184134, 49.0, 14.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 7.0, 4.0, 4.0, 4.0, 4.0, 4.0, 5.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0)))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -12777,20 +12829,57 @@ object SparkEntry {
     // 50-sample window is pure ±16384 clicks (rms exactly 16384,
     // 49 crossings), clip 6's 70-sample window still holds 10 sine
     // samples (rms 15323).
-    "multimodal_audio_features" ->
-      """SELECT CAST(media_id AS BIGINT) AS media_id,
-        |  rms0, rms15, rms31, zcr0, zcr15, zcr31
-        |FROM (VALUES
-        |  (0, 8088.366543, 8184.238378, 8184.238378, 4.0, 4.0, 4.0),
-        |  (1, 7790.08016, 7737.129654, 7549.472078, 5.0, 4.0, 4.0),
-        |  (2, 7598.16232, 7847.653662, 7908.612266, 6.0, 5.0, 5.0),
-        |  (3, 7640.733973, 7733.825576, 7803.558252, 6.0, 4.0, 4.0),
-        |  (4, 16384.0, 8184.238378, 8184.238378, 49.0, 4.0, 4.0),
-        |  (5, 16384.0, 7737.129654, 7549.472078, 59.0, 4.0, 4.0),
-        |  (6, 15323.141544, 7847.653662, 7908.612266, 60.0, 5.0, 5.0),
-        |  (7, 16384.0, 7733.825576, 7803.558252, 49.0, 4.0, 4.0)
-        |) AS t(media_id, rms0, rms15, rms31, zcr0, zcr15, zcr31)
-        |ORDER BY media_id""".stripMargin,
+    "multimodal_audio_features" -> {
+      val rows = AudioFeaturesPinned.map { case (id, f) =>
+        s"  ($id, ${f(0)}, ${f(15)}, ${f(31)}, ${f(32)}, ${f(47)}, ${f(63)})"
+      }.mkString(",\n")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  rms0, rms15, rms31, zcr0, zcr15, zcr31
+         |FROM (VALUES
+         |$rows
+         |) AS t(media_id, rms0, rms15, rms31, zcr0, zcr15, zcr31)
+         |ORDER BY media_id""".stripMargin
+    },
+
+    // cosine pairs over the SAME pinned 64-dim feature vectors the
+    // features gate certifies (shared Scala constant → both oracles);
+    // the engine recomputes features from fresh encode+decode and runs
+    // the identical RHP-bucketed candidate join the oracle replicates
+    // via sqlSigns — threshold 0.9 splits the click-perturbed twins
+    // (cos ≥ 0.933) from every cross-clip pair (≤ 0.824) with margin
+    "multimodal_audio_near_dup" -> {
+      def bucketExpr(seed: Int) = sqlSigns(planes = 1, dims = 64, seed = seed)
+        .zipWithIndex.map { case (sg, p) =>
+          s"(CASE WHEN list_dot_product(v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+      val rows = AudioFeaturesPinned.map { case (id, f) =>
+        s"  ($id, [${f.mkString(", ")}])"
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+         |    CAST(feats AS DOUBLE[]) AS v
+         |  FROM (VALUES
+         |$rows
+         |  ) AS t(media_id, feats)),
+         |b1 AS (SELECT media_id, v, ${bucketExpr(7)} AS bucket FROM v),
+         |b2 AS (SELECT media_id, v, ${bucketExpr(21)} AS bucket FROM v),
+         |b3 AS (SELECT media_id, v, ${bucketExpr(35)} AS bucket FROM v),
+         |cand AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT l.media_id AS a, r.media_id AS b
+         |    FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.media_id < r.media_id
+         |    UNION ALL
+         |    SELECT l.media_id, r.media_id
+         |    FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.media_id < r.media_id
+         |    UNION ALL
+         |    SELECT l.media_id, r.media_id
+         |    FROM b3 l JOIN b3 r ON l.bucket = r.bucket AND l.media_id < r.media_id)),
+         |p AS (SELECT c.a, c.b,
+         |    ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+         |  FROM cand c JOIN v va ON c.a = va.media_id
+         |  JOIN v vb ON c.b = vb.media_id)
+         |SELECT a, b, cosine FROM p WHERE cosine >= 0.9
+         |ORDER BY a, b""".stripMargin
+    },
 
     // frame-pooled pinned rows (pixel-derived: lossless PNG frames +
     // bit-reproducible DCT + decimal-summed pooling); clip 3 shares 4/5

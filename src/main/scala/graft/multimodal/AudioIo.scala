@@ -43,10 +43,19 @@ object AudioIo {
     val i = (id % 1000003L).toInt
     val f1 = 2.0 * StrictMath.PI * (220 + 37 * (i % 8)) / 8000.0
     val f2 = 2.0 * StrictMath.PI * (550 + 91 * (i % 5)) / 8000.0
+    // id-keyed amplitude envelope (slow sine, 2-4 cycles per clip with
+    // an id phase): steady tones have FLAT per-window RMS profiles —
+    // every clip's envelope vector would be near-constant and cosine
+    // similarity couldn't discriminate clips; the modulation gives each
+    // clip a distinctive energy CONTOUR, which is what envelope
+    // features are for
+    val fe = 2.0 * StrictMath.PI * (2 + i % 3) / samples
+    val pe = 2.0 * StrictMath.PI * (i % 7) / 7.0
     val out = new Array[Short](samples)
     var t = 0
     while (t < samples) {
-      val v = 0.6 * StrictMath.sin(f1 * t) + 0.3 * StrictMath.sin(f2 * t)
+      val env = 0.55 + 0.45 * StrictMath.sin(fe * t + pe)
+      val v = env * (0.6 * StrictMath.sin(f1 * t) + 0.3 * StrictMath.sin(f2 * t))
       out(t) = StrictMath.rint(v * 16384.0).toShort
       t += 1
     }
