@@ -12828,7 +12828,7 @@ object SparkEntry {
     // locality) while the clicked window-0 columns move — clip 4's
     // 50-sample window is pure ±16384 clicks (rms exactly 16384,
     // 49 crossings), clip 6's 70-sample window still holds 10 sine
-    // samples (rms 15323).
+    // samples (rms 15272).
     "multimodal_audio_features" -> {
       val rows = AudioFeaturesPinned.map { case (id, f) =>
         s"  ($id, ${f(0)}, ${f(15)}, ${f(31)}, ${f(32)}, ${f(47)}, ${f(63)})"
