@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Embedder, HashFunctions, TextFunctions, VectorFunctions}
 import graft.model.MemoryModel
-import graft.multimodal.{AudioIo, ImageIo, Multimodal}
+import graft.multimodal.{AudioIo, ImageIo, Multimodal, VideoIo}
 import graft.operators.{Components, Dedup, Similarity, TextAnalysis, TopK}
 import graft.search.{Filters, Search, SearchRequest}
 import graft.streaming.StreamingIngest
@@ -2436,7 +2436,11 @@ object SparkEntry {
     // ivfAssign reuse as search_centroid_assign; unsupervised kmeans cells
     // drop in unchanged); components over the τ-threshold pair graph,
     // keeper = smallest id per component (= the component label itself).
-    "dedup_semantic" -> ((s, d) => {
+    // `_fixed` REGRESSION TWIN, audit-only: the FIXED label-centroid cell
+    // count makes occupancy — and the within-cell quadratic — grow
+    // linearly with the corpus (SCALE_NOTES r10); reach for the
+    // unsuffixed `dedup_semantic`, whose cells size from COUNT(*).
+    "dedup_semantic_fixed" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.centroidsFromLong(
         Similarity.labelCentroids(e, "embedding", "label"))
@@ -2458,17 +2462,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
-    // The scale-safe twin of dedup_semantic: cells are planesFor-sized
-    // RHP buckets instead of the FIXED label centroids — cell count
-    // grows log2(n/target) with the corpus, so occupancy (and with it
-    // the within-cell quadratic pair stage) stays ~constant at any
-    // scale. This is the r10 SCALE_NOTES cure (probe_semantic_sized,
-    // linear across two decades) promoted to a first-class oracle gate;
-    // dedup_semantic above stays as the fixed-cell regression twin. The
-    // oracle derives the SAME plane count from COUNT(*) with the same
-    // clamped-log rule, so both engines size from the corpus rather
-    // than from an interpolated constant.
-    "dedup_semantic_sized" -> ((s, d) => {
+    // THE default semantic-dedup gate (r11 VERDICT ask #1: the sized
+    // form owns the unsuffixed name; the fixed-cell form above is the
+    // `_fixed` regression twin): cells are planesFor-sized RHP buckets
+    // instead of FIXED label centroids — cell count grows log2(n/target)
+    // with the corpus, so occupancy (and with it the within-cell
+    // quadratic pair stage) stays ~constant at any scale. This is the
+    // r10 SCALE_NOTES cure (probe_semantic_sized, linear across two
+    // decades). The oracle derives the SAME plane count from COUNT(*)
+    // with the same integer rule, so both engines size from the corpus
+    // rather than from an interpolated constant.
+    "dedup_semantic" -> ((s, d) => {
       val e = embs(s, d)
       val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
       val pairs = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
@@ -2512,21 +2516,30 @@ object SparkEntry {
 
     // The honest cost of SemDeDup's cell bounding: pairs crossing a cell
     // boundary are never compared. This audit counts the τ-threshold pair
-    // graph both ways — exact all-pairs vs cell-bounded — and reports the
-    // edge recall (the X137-X139 discipline: measure the tier before
-    // trusting it; at 100 TB the exact side runs on a sample).
+    // graph both ways — exact vs cell-bounded — and reports the edge
+    // recall (the X137-X139 discipline: measure the tier before trusting
+    // it). PANEL-BOUNDED (r11 VERDICT ask #2): both sides are restricted
+    // to the 500 smallest-id vectors — the er_blocking_truth_audit
+    // discipline, and the same deterministic sample tauForNeighbors
+    // already draws — so the exact-truth cross-join is panel² (125k
+    // pairs) BY CONSTRUCTION at any corpus size, never corpus². Cell
+    // recall is pair-exchangeable, so a fixed panel estimates it; at
+    // sf0.01 (≤500 vectors) the panel IS the corpus and the audit is
+    // exact. Centroids still train on the full corpus (model-sized).
     "dedup_semantic_recall" -> ((s, d) => {
       val e = embs(s, d)
       val tau = 0.3
-      val exact = e.select(col("vec_id").as("a"), col("embedding").as("va_"))
+      val panel = e.orderBy(col("vec_id")).limit(500)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val exact = panel.select(col("vec_id").as("a"), col("embedding").as("va_"))
         .crossJoin(broadcast(
-          e.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
+          panel.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
         .where(col("a") < col("b"))
         .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
         .select(col("a"), col("b"))
       val cents = Similarity.centroidsFromLong(
         Similarity.labelCentroids(e, "embedding", "label"))
-      val assigned = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+      val assigned = Similarity.ivfAssign(panel, "embedding", "vec_id", cents)
       val l = assigned.select(col("cell"), col("vec_id").as("a"),
         col("embedding").as("va_"))
       val r = assigned.select(col("cell"), col("vec_id").as("b"),
@@ -2548,9 +2561,13 @@ object SparkEntry {
     "dedup_semantic_recall_multi" -> ((s, d) => {
       val e = embs(s, d)
       val tau = 0.3
-      val exact = e.select(col("vec_id").as("a"), col("embedding").as("va_"))
+      // same ≤500-smallest-id panel bound as dedup_semantic_recall: the
+      // exact-truth side is panel², never corpus²
+      val panel = e.orderBy(col("vec_id")).limit(500)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val exact = panel.select(col("vec_id").as("a"), col("embedding").as("va_"))
         .crossJoin(broadcast(
-          e.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
+          panel.select(col("vec_id").as("b"), col("embedding").as("vb_"))))
         .where(col("a") < col("b"))
         .where(round(VectorFunctions.cosine(col("va_"), col("vb_"), 64), 6) >= tau)
         .select(col("a"), col("b"))
@@ -2563,7 +2580,7 @@ object SparkEntry {
       val byVec = Window.partitionBy(col("vec_id"))
         .orderBy(round(VectorFunctions.cosine(col("embedding"), col("cvec"), 64), 6).desc,
           col("cell").desc)
-      val assigned = e.select(col("vec_id"), col("embedding"))
+      val assigned = panel.select(col("vec_id"), col("embedding"))
         .crossJoin(cdf)
         .withColumn("rn_", row_number().over(byVec))
         .where(col("rn_") <= 2)
@@ -2896,7 +2913,12 @@ object SparkEntry {
     // its MINIMUM core neighbor's cluster, the rest noise. The
     // canonical density clusterer composed entirely from audited
     // pieces; every tie rule pinned so the unrolled oracle matches.
-    "cluster_dbscan" -> ((s, d) => {
+    // `_fixed` REGRESSION TWIN, audit-only: fixed planes=6 AND fixed
+    // τ=0.2 are both quadratic over a densifying corpus (94× within-cell
+    // shuffle at 10×, SCALE_NOTES r10; 12→30 edges/vector over two
+    // decades, r11) — reach for the unsuffixed `cluster_dbscan`, which
+    // derives both from the corpus.
+    "cluster_dbscan_fixed" -> ((s, d) => {
       val e = embs(s, d)
       val pairs = Dedup.embeddingNearDupPairsMultiTable(e, "embedding",
         "vec_id", minCosine = 0.2, planes = 6, seeds = Seq(7, 21), dims = 64)
@@ -2904,13 +2926,14 @@ object SparkEntry {
       dbscanAssign(e, pairs)
     }),
 
-    // The scale-safe twin of cluster_dbscan: the ε-neighbor candidate
+    // Sizing twin (candidate stage only): the ε-neighbor candidate
     // stage sizes its RHP plane count from the corpus (planesFor — cells
     // grow, occupancy stays ~constant) instead of the fixed planes=6
     // whose within-cell shuffle grew 94× at 10× (SCALE_NOTES r10;
-    // probe_dbscan_sized measured the cure linear). Same seeds, same τ,
-    // same core/border/noise tie rules; the fixed-plane form above stays
-    // as the regression twin. The oracle computes the identical plane
+    // probe_dbscan_sized measured the cure linear). Same seeds, FIXED
+    // τ=0.2, same core/border/noise tie rules — the τ-quadratic remains
+    // (see the unsuffixed gate); kept as the regression twin isolating
+    // the plane-sizing step. The oracle computes the identical plane
     // count from COUNT(*) and masks the 16-plane sign set down to it.
     "cluster_dbscan_sized" -> ((s, d) => {
       val e = embs(s, d)
@@ -2922,17 +2945,20 @@ object SparkEntry {
       dbscanAssign(e, pairs)
     }),
 
-    // The DENSITY-scaled twin: planesFor bounds the candidate stage,
-    // but a FIXED τ admits a constant FRACTION of pairs, so the ε-graph
-    // itself — the answer every downstream edge-linear stage walks —
-    // grows as n²·P(cos ≥ τ) (measured 12/15/30 edges per vector across
-    // the three decades at τ=0.2, SCALE_NOTES r11; no candidate pruning
-    // can remove a semantics-level quadratic). tauForNeighbors derives τ
-    // from the corpus as the exact order statistic that keeps expected
-    // neighbors/vector ~constant; the oracle computes the IDENTICAL
-    // order statistic over the same deterministic 500-vector sample, so
-    // both engines derive τ — like the plane count — from the data.
-    "cluster_dbscan_adaptive" -> ((s, d) => {
+    // THE default DBSCAN gate (r11 VERDICT ask #1: the fully-adaptive
+    // form owns the unsuffixed name; fixed planes+τ live on as
+    // `cluster_dbscan_fixed`): planesFor bounds the candidate stage,
+    // and tauForNeighbors bounds the ANSWER — a FIXED τ admits a
+    // constant FRACTION of pairs, so the ε-graph every downstream
+    // edge-linear stage walks grows as n²·P(cos ≥ τ) (measured 12/15/30
+    // edges per vector across three decades at τ=0.2, SCALE_NOTES r11;
+    // no candidate pruning can remove a semantics-level quadratic).
+    // tauForNeighbors derives τ from the corpus as the exact order
+    // statistic that keeps expected neighbors/vector ~constant; the
+    // oracle computes the IDENTICAL order statistic over the same
+    // deterministic 500-vector sample, so both engines derive τ — like
+    // the plane count — from the data.
+    "cluster_dbscan" -> ((s, d) => {
       val e = embs(s, d)
       val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
       val tau = Dedup.tauForNeighbors(e, "embedding", "vec_id",
@@ -3301,32 +3327,37 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour"))
     }),
 
-    // Entity resolution over the customer dim: (nation, segment) blocks
-    // → native codegen'd Jaro-Winkler per candidate pair → 0.97 cut on
-    // the ROUNDED score. Pair volume is Σ block², never N².
-    "er_scored_pairs" -> ((s, d) => {
+    // `_fixed` REGRESSION TWIN, audit-only: entity resolution over the
+    // customer dim with the RAW (nation, segment) 125-block key —
+    // native codegen'd Jaro-Winkler per candidate pair, 0.97 cut on the
+    // ROUNDED score. Pair volume is Σ block², and with a FIXED block
+    // count that is quadratic in the corpus (51.7× at 10×, SCALE_NOTES
+    // r10) — reach for the unsuffixed `er_scored_pairs`, whose block
+    // key is extended by a corpus-sized prefix.
+    "er_scored_pairs_fixed" -> ((s, d) => {
       operators.EntityResolution.scoredPairs(Tables.customer(s, d),
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
         minSim = 0.97)
         .orderBy(col("a"), col("b"))
     }),
 
-    // The scale-safe twin of er_scored_pairs: the natural 125-block
-    // nation×segment key is EXTENDED by a name-prefix sub-key whose
-    // length prefixLenFor derives from the corpus (shortest prefix
-    // bringing expected occupancy under the target) — in-block pair work
-    // stays ≤ target·n at any corpus size, vs the 51.7× quadratic the
-    // fixed key measured at 10× (SCALE_NOTES r10; probe_er_prefix_blocked
-    // measured the cure linear over two decades). Promoted from soak
-    // probe to oracle gate; the raw gate above stays as the regression
-    // twin. Gate-scale target = 8 so the rule ENGAGES at the sf0.01
-    // oracle corpus (1500 records / 125 blocks → len 1); the production
-    // default target of 128 only engages past ~16k records. The prefix
-    // is taken from the name's significant digits ("Customer#%09d" —
-    // the lpad zeros carry no entropy; keying on them was the probe's
-    // kept first-run lesson). The oracle derives the SAME length from
-    // COUNT(*) with the same occupancy rule.
-    "er_prefix_blocked" -> ((s, d) => {
+    // THE default ER gate (r11 VERDICT ask #1: the sized form owns the
+    // unsuffixed name — formerly `er_prefix_blocked`; the raw-key form
+    // above is the `_fixed` twin): the natural 125-block nation×segment
+    // key is EXTENDED by a name-prefix sub-key whose length prefixLenFor
+    // derives from the corpus (shortest prefix bringing expected
+    // occupancy under the target) — in-block pair work stays
+    // ≤ target·n at any corpus size, vs the 51.7× quadratic the fixed
+    // key measured at 10× (SCALE_NOTES r10; probe_er_prefix_blocked
+    // measured the cure linear over two decades). Gate-scale target = 8
+    // so the rule ENGAGES at the sf0.01 oracle corpus (1500 records /
+    // 125 blocks → len 1); the production default target of 128 only
+    // engages past ~16k records. The prefix is taken from the name's
+    // significant digits ("Customer#%09d" — the lpad zeros carry no
+    // entropy; keying on them was the probe's kept first-run lesson).
+    // The oracle derives the SAME length from COUNT(*) with the same
+    // integer occupancy rule.
+    "er_scored_pairs" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val len = operators.EntityResolution.prefixLenFor(c.count(),
         naturalBlocks = 125L, targetBlockSize = 8)
@@ -4380,34 +4411,43 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    // Video via frame sampling with REAL per-frame decode: a production
-    // video featurizer is demux (ffmpeg — absent, honestly stubbed by
-    // authoring the frames directly) followed by per-frame image decode
-    // and temporal pooling — and those two stages ARE real here: every
-    // frame is a PNG genuinely decoded by javax.imageio through the
-    // ImageIoDecoder, and the pool is the decimal-summed per-dimension
-    // mean (partitioning-independent, the kmeansRefine trick). 4 clips
-    // × 5 frames; frames drift per index (the id advances the gradient
-    // pattern) so the pooled signature is a true temporal average, and
-    // clip 3 reuses clip 0's frames SHIFTED by one (4/5 frames shared) —
-    // the pinned rows show its pooled DC within 0.5 of clip 0's while
-    // the AC terms move with the two boundary frames, exactly the
-    // temporal-mean behavior. The fold is one keyed aggregation over
-    // (clip, dim):
-    // at scale this is the exact shuffle shape of the existing
-    // multimodal_frame_pooled gate, with real pixels underneath.
+    // Video CONTAINER-IN, features-out — all three stages REAL (r11
+    // VERDICT ask #3 closed the demux stub): each clip is an authored
+    // RIFF/AVI byte stream (motion-PNG codec — losslessly pinnable
+    // frames; an ffmpeg MJPEG AVI walks the same parser), demuxed by the
+    // hand-rolled VideoIo.demuxFrames RIFF chunk walk (the AudioIo WAV
+    // pattern — same RIFF family), every extracted frame genuinely
+    // decoded by javax.imageio through the ImageIoDecoder, and the pool
+    // is the decimal-summed per-dimension mean (partitioning-
+    // independent, the kmeansRefine trick). 4 clips × 5 frames; frames
+    // drift per index (the id advances the gradient pattern) so the
+    // pooled signature is a true temporal average, and clip 3 reuses
+    // clip 0's frames SHIFTED by one (4/5 frames shared) — the pinned
+    // rows show its pooled DC within 0.5 of clip 0's while the AC terms
+    // move with the two boundary frames, exactly the temporal-mean
+    // behavior. Demux is a per-row flatMap (no shuffle); the fold is one
+    // keyed aggregation over (clip, dim): at scale this is the exact
+    // shuffle shape of the existing multimodal_frame_pooled gate, with
+    // real containers and real pixels underneath.
     "multimodal_video_frame_phash" -> ((s, d) => {
       import s.implicits._
-      val media = s.range(0, 20).as[Long].map { fid =>
-        val clip = fid / 5
-        val frame = fid % 5
-        // clip 3 = clip 0's frames shifted by one (frame f shows what
-        // clip 0's frame f+1 shows; its last frame is new)
-        val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
-        val png = ImageIo.pngBytes(ImageIo.syntheticImage(imgId,
-          w = 48, h = 36))
-        (fid, clip, "image", png)
-      }.toDF("media_id", "clip_id", "kind", "bytes")
+      val clips = s.range(0, 4).as[Long].map { clip =>
+        val frames = (0 until 5).map { frame =>
+          // clip 3 = clip 0's frames shifted by one (frame f shows what
+          // clip 0's frame f+1 shows; its last frame is new)
+          val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
+          ImageIo.pngBytes(ImageIo.syntheticImage(imgId.toLong, w = 48, h = 36))
+        }
+        (clip, "video", VideoIo.aviBytes(frames, w = 48, h = 36))
+      }.toDF("clip_id", "kind", "bytes").localCheckpoint()
+      // REAL demux: AVI container bytes → frame rows
+      val media = clips.select(col("clip_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (clip, avi) =>
+          VideoIo.demuxFrames(avi).zipWithIndex.map { case (f, i) =>
+            (clip * 5 + i, clip, "image", f)
+          }
+        }.toDF("media_id", "clip_id", "kind", "bytes")
       val feats = Multimodal.extractFeatures(
         media.select(col("media_id"), col("kind"), col("bytes")),
         dims = 64, batchSize = 4, decoder = new ImageIo.ImageIoDecoder())
@@ -10384,7 +10424,7 @@ object SparkEntry {
 
     // same multitable candidates + τ filter, degree census, core-core
     // recursive reach with min-id labels, min-cluster border adoption
-    "cluster_dbscan" -> {
+    "cluster_dbscan_fixed" -> {
       def bucketExpr(seed: Int) = sqlSigns(planes = 6, dims = 64, seed = seed)
         .zipWithIndex.map { case (sg, p) =>
           s"(CASE WHEN list_dot_product(v, $sg) >= 0 THEN ${1L << p} ELSE 0 END)"
@@ -10432,9 +10472,9 @@ object SparkEntry {
          |ORDER BY e.vec_id""".stripMargin
     },
 
-    // cluster_dbscan's oracle with the plane count computed from
-    // COUNT(*) (planesFor rule, dedup_semantic_sized's pl CTE) and both
-    // seeds' 16-plane sign sets masked down to it
+    // cluster_dbscan_fixed's oracle with the plane count computed from
+    // COUNT(*) (planesFor rule, dedup_semantic's pl CTE) and both
+    // seeds' 16-plane sign sets masked down to it; fixed τ=0.2
     "cluster_dbscan_sized" -> {
       def bucketExpr(seed: Int) = sqlSigns(planes = 16, dims = 64, seed = seed)
         .zipWithIndex.map { case (sg, p) =>
@@ -10442,10 +10482,9 @@ object SparkEntry {
             s" THEN ${1L << p} ELSE 0 END)"
         }.mkString(" +\n    ")
       s"""WITH RECURSIVE nc AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pl AS (SELECT LEAST(GREATEST(
-         |    CASE WHEN CAST(n AS DOUBLE) / 128 <= 1.0 THEN 0
-         |      ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 128) / LN(2)) AS INT)
-         |    END, 4), 62) AS planes FROM nc),
+         |pl AS (SELECT LEAST(GREATEST(CAST(pmin AS INT), 4), 62) AS planes
+         |  FROM (SELECT MIN(p) AS pmin FROM generate_series(0, 62) AS t(p), nc
+         |    WHERE (CAST(1 AS BIGINT) << p) >= (n + 127) // 128)),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e, pl),
@@ -10489,22 +10528,22 @@ object SparkEntry {
          |ORDER BY e.vec_id""".stripMargin
     },
 
-    // cluster_dbscan_sized's oracle with τ ALSO derived in SQL: the
+    // THE default dbscan oracle — cluster_dbscan_sized's with τ ALSO
+    // derived in SQL: the
     // exact (1−f)-order statistic (f = 12/(n−1)) of the rounded
     // pairwise cosines over the 500 smallest-id vectors — ROW_NUMBER
     // rank equals the engine's sort-limit-max index, and rounding
     // BEFORE ranking makes ties engine-stable
-    "cluster_dbscan_adaptive" -> {
+    "cluster_dbscan" -> {
       def bucketExpr(seed: Int) = sqlSigns(planes = 16, dims = 64, seed = seed)
         .zipWithIndex.map { case (sg, p) =>
           s"(CASE WHEN $p < pl.planes AND list_dot_product(v, $sg) >= 0" +
             s" THEN ${1L << p} ELSE 0 END)"
         }.mkString(" +\n    ")
       s"""WITH RECURSIVE nc AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pl AS (SELECT LEAST(GREATEST(
-         |    CASE WHEN CAST(n AS DOUBLE) / 128 <= 1.0 THEN 0
-         |      ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 128) / LN(2)) AS INT)
-         |    END, 4), 62) AS planes FROM nc),
+         |pl AS (SELECT LEAST(GREATEST(CAST(pmin AS INT), 4), 62) AS planes
+         |  FROM (SELECT MIN(p) AS pmin FROM generate_series(0, 62) AS t(p), nc
+         |    WHERE (CAST(1 AS BIGINT) << p) >= (n + 127) // 128)),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |samp AS MATERIALIZED (SELECT vec_id, v FROM e
@@ -11003,7 +11042,7 @@ object SparkEntry {
     // DuckDB ships the same textbook Jaro-Winkler (empirically pinned:
     // 0-for-empty, integer half-transpositions, 0.7 boost gate, prefix
     // cap 4) — scores rounded to 6dp on BOTH sides before the threshold
-    "er_scored_pairs" ->
+    "er_scored_pairs_fixed" ->
       """SELECT a.c_custkey AS a, b.c_custkey AS b,
         |  ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS sim
         |FROM customer a JOIN customer b
@@ -11014,14 +11053,18 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
 
     // prefix length derived IN SQL from COUNT(*) with prefixLenFor's
-    // exact occupancy rule (n / (125 natural blocks × target 8); 0 when
-    // ≤ 1, else ceil(log10)) — both engines size from the corpus, so
-    // the gate stays valid at any sf without an interpolated constant
-    "er_prefix_blocked" ->
+    // exact occupancy rule in INTEGER arithmetic (smallest len with
+    // 1000·10^len >= n, via a powers-of-10 VALUES probe — no LN/CEIL, so
+    // no libm 1-ulp flip at boundary sizes n = 1000·10^k) — both engines
+    // size from the corpus, so the gate stays valid at any sf
+    "er_scored_pairs" ->
       """WITH nc AS (SELECT COUNT(*) AS n FROM customer),
-        |p AS (SELECT CASE WHEN CAST(n AS DOUBLE) / 1000 <= 1.0 THEN 0
-        |    ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 1000) / LN(10)) AS INT)
-        |    END AS len FROM nc),
+        |p AS (SELECT CAST(MIN(L) AS INT) AS len
+        |  FROM (VALUES (0, 1), (1, 10), (2, 100), (3, 1000), (4, 10000),
+        |    (5, 100000), (6, 1000000), (7, 10000000), (8, 100000000),
+        |    (9, 1000000000), (10, 10000000000), (11, 100000000000),
+        |    (12, 1000000000000)) pow(L, v), nc
+        |  WHERE CAST(v AS BIGINT) >= (n + 999) // 1000),
         |k AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
         |    CASE WHEN len = 0 THEN ''
         |      ELSE substr(regexp_replace(substr(c_name, 10, 9), '^0+', ''),
@@ -11043,9 +11086,12 @@ object SparkEntry {
     // collapse exactly
     "er_multipass_blocked" ->
       """WITH nc AS (SELECT COUNT(*) AS n FROM customer),
-        |p AS (SELECT CASE WHEN CAST(n AS DOUBLE) / 1000 <= 1.0 THEN 0
-        |    ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 1000) / LN(10)) AS INT)
-        |    END AS len FROM nc),
+        |p AS (SELECT CAST(MIN(L) AS INT) AS len
+        |  FROM (VALUES (0, 1), (1, 10), (2, 100), (3, 1000), (4, 10000),
+        |    (5, 100000), (6, 1000000), (7, 10000000), (8, 100000000),
+        |    (9, 1000000000), (10, 10000000000), (11, 100000000000),
+        |    (12, 1000000000000)) pow(L, v), nc
+        |  WHERE CAST(v AS BIGINT) >= (n + 999) // 1000),
         |k AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
         |    CASE WHEN len = 0 THEN ''
         |      ELSE substr(regexp_replace(substr(c_name, 10, 9), '^0+', ''),
@@ -11328,7 +11374,7 @@ object SparkEntry {
     // SemDeDup oracle: the label-centroid cell CTE (as the assign gates),
     // within-cell τ-threshold pairs, the dedup_components recursive
     // closure, min-id canonical per component
-    "dedup_semantic" ->
+    "dedup_semantic_fixed" ->
       """WITH RECURSIVE x AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
@@ -11371,22 +11417,22 @@ object SparkEntry {
         |ORDER BY c.vec_id""".stripMargin,
 
     // plane count derived IN SQL from COUNT(*) with planesFor's exact
-    // rule (buckets = max(1, n/128); ceil(log2); clamp [4, 62]); the
+    // rule in INTEGER arithmetic (smallest p with 128·2^p >= n via a
+    // bit-shift probe — no LN/CEIL 1-ulp boundary flips; clamp [4, 62]); the
     // bucket expression emits 16 planes' sign rows (hyperplaneSigns is
     // prefix-stable in the plane count) masked down to the computed
     // planes — valid to n ≈ 128·2^16 vectors, far past any oracle sf;
     // the engine itself is unbounded
-    "dedup_semantic_sized" -> {
+    "dedup_semantic" -> {
       val signs = sqlSigns(planes = 16, dims = 64, seed = 7)
       val bucket = signs.zipWithIndex.map { case (sg, p) =>
         s"(CASE WHEN $p < pl.planes AND list_dot_product(v, $sg) >= 0" +
           s" THEN ${1L << p} ELSE 0 END)"
       }.mkString(" +\n    ")
       s"""WITH RECURSIVE nc AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pl AS (SELECT LEAST(GREATEST(
-         |    CASE WHEN CAST(n AS DOUBLE) / 128 <= 1.0 THEN 0
-         |      ELSE CAST(CEIL(LN(CAST(n AS DOUBLE) / 128) / LN(2)) AS INT)
-         |    END, 4), 62) AS planes FROM nc),
+         |pl AS (SELECT LEAST(GREATEST(CAST(pmin AS INT), 4), 62) AS planes
+         |  FROM (SELECT MIN(p) AS pmin FROM generate_series(0, 62) AS t(p), nc
+         |    WHERE (CAST(1 AS BIGINT) << p) >= (n + 127) // 128)),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM e, pl),
          |pairs AS (
@@ -11477,7 +11523,9 @@ object SparkEntry {
         |  AND ROUND(list_cosine_similarity(n.v, c.v), 6) >= 0.3
         |ORDER BY new_id, corpus_id""".stripMargin,
 
-    // exact all-pairs τ-graph vs the cell-bounded graph, one edge-recall row
+    // panel-bounded edge-recall: exact τ-graph vs the cell-bounded graph
+    // over the 500 smallest-id vectors (at sf0.01 the panel is the whole
+    // corpus, so the audit is exact there)
     "dedup_semantic_recall" ->
       """WITH x AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -11491,16 +11539,18 @@ object SparkEntry {
         |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
         |  FROM cent0 GROUP BY label),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |samp AS MATERIALIZED (SELECT vec_id, v FROM e
+        |  ORDER BY vec_id LIMIT 500),
         |exact AS (
         |  SELECT l.vec_id AS a, r.vec_id AS b
-        |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+        |  FROM samp l JOIN samp r ON l.vec_id < r.vec_id
         |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3),
         |a AS (
         |  SELECT vec_id, cell, v FROM (
         |    SELECT e.vec_id, e.v, c.cell,
         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |    FROM samp e CROSS JOIN cent c) WHERE rn = 1),
         |cellp AS (
         |  SELECT l.vec_id AS a, r.vec_id AS b
         |  FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
@@ -11511,7 +11561,7 @@ object SparkEntry {
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
 
     // top-2 cells per vector (rounded-sim rank as the engine), shared-cell
-    // pairs de-duped before the τ filter
+    // pairs de-duped before the τ filter; same 500-smallest-id panel bound
     "dedup_semantic_recall_multi" ->
       """WITH x AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -11525,9 +11575,11 @@ object SparkEntry {
         |  SELECT CAST(label AS INTEGER) AS cell, list(c ORDER BY pos) AS cv
         |  FROM cent0 GROUP BY label),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |samp AS MATERIALIZED (SELECT vec_id, v FROM e
+        |  ORDER BY vec_id LIMIT 500),
         |exact AS (
         |  SELECT l.vec_id AS a, r.vec_id AS b
-        |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+        |  FROM samp l JOIN samp r ON l.vec_id < r.vec_id
         |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.3),
         |a AS (
         |  SELECT vec_id, cell, v FROM (
@@ -11535,7 +11587,7 @@ object SparkEntry {
         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |        ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
         |          c.cell DESC) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn <= 2),
+        |    FROM samp e CROSS JOIN cent c) WHERE rn <= 2),
         |cellp AS (
         |  SELECT a, b FROM (
         |    SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb

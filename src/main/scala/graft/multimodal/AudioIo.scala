@@ -89,23 +89,31 @@ object AudioIo {
   }
 
   /** REAL decode: the JDK's WAV parser → 16-bit little-endian samples.
-    * Returns null for payloads the codec rejects. */
+    * Returns null for payloads the codec rejects (unsupported/corrupt
+    * bytes only — OOM and linkage errors propagate, they are not
+    * "undecodable payload"). */
   def decodeWav(bytes: Array[Byte]): Array[Short] =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
-      else {
-        val raw = in.readAllBytes()
-        val bb = java.nio.ByteBuffer.wrap(raw).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
-        val out = new Array[Short](raw.length / 2)
-        var i = 0
-        while (i < out.length) { out(i) = bb.getShort(); i += 1 }
-        out
-      }
-    } catch { case _: Throwable => null }
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+        else {
+          val raw = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          out
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+      case scala.util.control.NonFatal(_) => null
+    }
 
   /** Windowed features: `windows` equal spans (floor boundaries — every
     * sample lands in exactly one window), per window the RMS energy

@@ -129,16 +129,27 @@ object ImageIo {
     out
   }
 
+  /** Per-size DCT basis cache: the n×n StrictMath.cos table and the two
+    * normalizers are pure functions of n, and [[dct2]] sits in the
+    * per-image hot path of [[ImageIoDecoder.decodeBatch]] — rebuild once
+    * per size, not once per decoded image. Values are deterministic, so
+    * a concurrent recompute race is harmless. */
+  private val dctBasisCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Array[Double]], Double, Double)]()
+
+  private def dctBasis(n: Int): (Array[Array[Double]], Double, Double) =
+    dctBasisCache.computeIfAbsent(n, { n =>
+      (Array.tabulate(n, n) { (u, x) =>
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n))
+      }, StrictMath.sqrt(1.0 / n), StrictMath.sqrt(2.0 / n))
+    })
+
   /** Orthonormal 2-D DCT-II (two separable 1-D passes, rows then
     * columns; fixed summation order; StrictMath.cos basis table). */
   def dct2(a: Array[Array[Double]]): Array[Array[Double]] = {
     val n = a.length
     require(n >= 1 && a.forall(_.length == n), "dct2 needs a square input")
-    val basis = Array.tabulate(n, n) { (u, x) =>
-      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n))
-    }
-    val c0 = StrictMath.sqrt(1.0 / n)
-    val c = StrictMath.sqrt(2.0 / n)
+    val (basis, c0, c) = dctBasis(n)
     def pass(in: Array[Array[Double]]): Array[Array[Double]] =
       // transforms each ROW of `in`, emitting the result TRANSPOSED so
       // two identical passes yield the full row+column transform
@@ -183,8 +194,12 @@ object ImageIo {
         s"dims must be a square <= $dctSize^2, got $dims")
       batch.map { m =>
         val img =
+          // undecodable payload → quarantine row; OOM/linkage propagate
           try ImageIO.read(new ByteArrayInputStream(m.bytes))
-          catch { case _: Throwable => null }
+          catch {
+            case _: java.io.IOException => null
+            case scala.util.control.NonFatal(_) => null
+          }
         if (img == null || img.getWidth < dctSize || img.getHeight < dctSize)
           Multimodal.DigestDecoder.decodeBatch(Seq(m), dims).head
         else {

@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * opaque `BINARY` columns with typed metadata, plus the decode /
   * feature-extract / resize / frame-sample plumbing.
   *
-  * The media codecs themselves are STUBBED (this environment has no
-  * image/audio libraries): the decode step emits deterministic fake
-  * features derived from the bytes' md5, clearly marked below. Everything
-  * around the stub — schema, batch shape, partitioning, explosion — is the
-  * real Spark plumbing a production decoder would use unchanged:
+  * REAL codecs plug into the [[Decoder]] seam where the JDK carries
+  * them: PNG/JPEG pixels via `javax.imageio` ([[ImageIo.ImageIoDecoder]]),
+  * WAV PCM via `javax.sound.sampled` ([[AudioIo.WavDecoder]]), and AVI
+  * container demux via the hand-rolled RIFF walk
+  * ([[VideoIo.demuxFrames]]). The [[DigestDecoder]] below is the
+  * clearly-marked STUB fallback for codecs absent from this environment
+  * (e.g. H.264): deterministic fake features from the bytes' md5.
+  * Everything around the seam — schema, batch shape, partitioning,
+  * explosion — is the real Spark plumbing a production decoder would use
+  * unchanged:
   *
   *  - per-row binary + metadata struct travel in the same row as the
   *    analytic columns (parquet stores the blob column contiguously;

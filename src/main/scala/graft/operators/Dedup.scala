@@ -420,9 +420,11 @@ object Dedup {
     * the result — they only admit extra rows into stage 2, where the
     * exact join discards them — so output is bit-identical to
     * [[contaminationPairs]] (false negatives don't exist in a bloom).
-    * The probe is a deserialized-sketch UDF: no codegen, but one long
-    * hash per shingle against broadcast bits — cheap, embarrassingly
-    * parallel, and the reason stage 2's shuffle is no longer data-scale.
+    * The probe is a native codegen expression
+    * ([[graft.functions.BloomMightContainLong]]) over the broadcast
+    * bits — the scan→explode→probe→partial-count prefilter stays inside
+    * ONE whole-stage-codegen span, and it is the reason stage 2's
+    * shuffle is no longer data-scale.
     */
   def contaminationPairsBloom(docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, benchIdCol: String,
@@ -441,12 +443,12 @@ object Dedup {
         benchGrams.stat.bloomFilter("gh", expected, fpp)
       } finally benchGrams.unpersist() // bounded lifetime, no session leak
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightHit = udf((gh: Long) => bc.value.mightContainLong(gh))
     val survivors = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks_"))
       .select(col(idCol), explode(array_distinct(
         TextFunctions.shinglesFromTokens(col("toks_"), k))).as("gram"))
-      .where(mightHit(HashFunctions.hash64(col("gram"))))
+      .where(graft.functions.BloomProbe.mightContainLong(
+        HashFunctions.hash64(col("gram")), bc))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("possible_"))
       .where(col("possible_") >= minHits)
@@ -504,8 +506,13 @@ object Dedup {
   def planesFor(corpusSize: Long, targetBucketSize: Long = 1024,
       minPlanes: Int = 4): Int = {
     require(corpusSize >= 0 && targetBucketSize >= 1)
-    val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
-    val p = math.ceil(math.log(buckets) / math.log(2)).toInt
+    // smallest p with targetBucketSize·2^p >= corpusSize, in INTEGER
+    // arithmetic (= ceil(log2(ceil(n/tb))) = bit length of q−1): libm ln
+    // is not identically rounded across runtimes, so the FP form can
+    // disagree with the oracle's SQL by one plane at exact boundary
+    // corpus sizes (n = tb·2^k) — the integer rule cannot
+    val q = math.max(1L, (corpusSize + targetBucketSize - 1) / targetBucketSize)
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(math.max(p, minPlanes), 62)
   }
 
@@ -530,8 +537,12 @@ object Dedup {
     */
   def tauForNeighbors(e: DataFrame, vecCol: String, idCol: String,
       targetNeighbors: Int, dims: Int, sampleSize: Int = 500): Double = {
-    require(targetNeighbors >= 1 && sampleSize >= 2)
+    // sampleSize cap: pairCount = m(m-1)/2 must stay an exact Int for the
+    // limit(j+1) below (65535*65534/2 < Int.MaxValue); larger samples add
+    // no τ precision and quadratic cost
+    require(targetNeighbors >= 1 && sampleSize >= 2 && sampleSize <= 65535)
     val n = e.count()
+    require(n >= 2, s"tauForNeighbors needs >= 2 vectors, got $n")
     val m = math.min(sampleSize.toLong, n).toInt
     val s = e.orderBy(col(idCol)).limit(m)
       .select(col(idCol).as("sid"), col(vecCol).as("sv"))

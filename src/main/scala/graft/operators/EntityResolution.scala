@@ -93,9 +93,22 @@ object EntityResolution {
       targetBlockSize: Long = 128, alphabet: Int = 10): Int = {
     require(n >= 0 && naturalBlocks >= 1 && targetBlockSize >= 1 &&
       alphabet >= 2)
-    val occupancy = n.toDouble / (naturalBlocks * targetBlockSize)
-    if (occupancy <= 1.0) 0
-    else math.ceil(math.log(occupancy) / math.log(alphabet)).toInt
+    // smallest len with denom·alphabet^len >= n, in INTEGER arithmetic
+    // (= ceil(log_a(ceil(n/denom)))): the FP ceil(ln/ln) form can flip by
+    // one at exact boundary sizes (n = denom·a^k) when libm rounding
+    // differs between the engine and the oracle runtime — the repeated-
+    // multiply rule is runtime-independent
+    val denom = naturalBlocks * targetBlockSize
+    val q = (n + denom - 1) / denom // ceil(n/denom)
+    var len = 0
+    var pw = 1L
+    while (pw < q) {
+      len += 1
+      // overflow guard: past MaxValue/alphabet the true product already
+      // exceeds any q, so saturating preserves the comparison
+      pw = if (pw > Long.MaxValue / alphabet) Long.MaxValue else pw * alphabet
+    }
+    len
   }
 
   /** Entity ids: every record labeled with the minimum record id of its

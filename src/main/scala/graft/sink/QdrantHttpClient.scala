@@ -30,9 +30,24 @@ import java.time.Duration
   * storage.py:33-38 carries over. Non-2xx responses throw with the
   * response body — a failed upsert must fail the Spark task (and retry
   * idempotently, ids being stable) rather than drop points silently.
+  *
+  * Wire typing rules Qdrant enforces server-side:
+  *
+  *  - payload values under an `integer`-kind index must be JSON numbers —
+  *    Qdrant indexes only type-matching values, so a string-serialized
+  *    `sequence_order` would silently fall out of every range/order
+  *    filter. `integerFields` (defaulting to the collection schema's
+  *    integer-kind fields) selects which payload keys serialize numeric.
+  *  - point ids must be unsigned integers or UUID strings; anything else
+  *    is rejected by the server. Numeric ids serialize as JSON numbers,
+  *    UUIDs as strings, and any other id fails the task up front with a
+  *    clear error instead of a partition-deep Qdrant 4xx. The reference's
+  *    memory ids are `str(uuid.uuid4())` (storage.py:171), so real ids
+  *    always pass.
   */
 final class QdrantHttpClient(baseUrl: String,
-    timeout: Duration = Duration.ofSeconds(30))
+    timeout: Duration = Duration.ofSeconds(30),
+    integerFields: Set[String] = VectorIndexSink.IntegerPayloadFields)
     extends VectorIndexSink.VectorIndexClient {
   import VectorIndexSink.Point
 
@@ -92,15 +107,51 @@ final class QdrantHttpClient(baseUrl: String,
     val arr = body.putArray("points")
     points.foreach { p =>
       val pn = arr.addObject()
-      pn.put("id", p.id)
+      p.id match {
+        case QdrantHttpClient.Unsigned(n) => pn.put("id", n)
+        case QdrantHttpClient.Uuid() => pn.put("id", p.id)
+        case other => throw new IllegalArgumentException(
+          s"Qdrant point ids must be unsigned integers or UUIDs, got '$other'")
+      }
       val vec = pn.putArray("vector")
       p.vector.foreach(v => vec.add(v))
       val pl = pn.putObject("payload")
       // sorted keys: a deterministic body byte-for-byte, so retries and
       // the wire spec compare exact serializations
-      p.payload.toSeq.sortBy(_._1).foreach { case (k, v) => pl.put(k, v) }
+      p.payload.toSeq.sortBy(_._1).foreach {
+        case (k, QdrantHttpClient.I64(n)) if integerFields(k) =>
+          pl.put(k, n) // numeric JSON: integer-indexed fields only index ints
+        case (k, v) => pl.put(k, v)
+      }
     }
     request("PUT", s"/collections/$collection/points?wait=true",
       mapper.writeValueAsString(body))
+  }
+}
+
+object QdrantHttpClient {
+  /** Matches a base-10 unsigned-long string and extracts its value. */
+  private object Unsigned {
+    def unapply(s: String): Option[Long] =
+      if (s.nonEmpty && s.length <= 19 && s.forall(_.isDigit))
+        try Some(java.lang.Long.parseLong(s)) catch {
+          case _: NumberFormatException => None
+        }
+      else None
+  }
+
+  /** Matches a signed i64 string (Qdrant integer payload range). */
+  private object I64 {
+    def unapply(s: String): Option[Long] =
+      try Some(java.lang.Long.parseLong(s)) catch {
+        case _: NumberFormatException => None
+      }
+  }
+
+  /** Matches an RFC-4122 textual UUID (what `str(uuid.uuid4())` emits). */
+  private object Uuid {
+    private val Re =
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}".r
+    def unapply(s: String): Boolean = Re.matches(s)
   }
 }

@@ -54,6 +54,15 @@ object VectorIndexSink {
     "sequence_order" -> "integer",
     "timestamp" -> "datetime")
 
+  /** Fields whose payload index kind is `integer` — these must reach the
+    * wire as JSON numbers, not strings: Qdrant silently skips indexing a
+    * value whose JSON type mismatches the declared index schema, so a
+    * string-serialized `sequence_order` would make every range/order
+    * filter on it return nothing (the reference stores it as an int,
+    * storage.py:178). */
+  val IntegerPayloadFields: Set[String] =
+    PayloadIndexes.collect { case (f, "integer") => f }.toSet
+
   /** Idempotent collection bootstrap (S3 + S4): create collection if
     * absent, then create only the indexes that do not exist yet. Driver-
     * side, once per job. */

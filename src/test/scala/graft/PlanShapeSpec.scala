@@ -473,4 +473,14 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("seed") && l.contains("bucket")), p.take(800))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("dedup_decontaminate_bloom: native codegen probe, no lambda UDF in the plan") {
+    val p = plan("dedup_decontaminate_bloom")
+    // the prefilter is BloomMightContainLong — whole-stage codegen keeps
+    // the scan→explode→probe→count pipeline in one span; a closure UDF
+    // would render as UDF(...) and fence codegen
+    assert(p.contains("bloom_might_contain_long"), p.take(2000))
+    assert(!p.contains("UDF("), p.take(2000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+  }
 }

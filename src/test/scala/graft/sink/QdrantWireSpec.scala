@@ -122,14 +122,19 @@ class QdrantWireSpec extends SparkSpec {
     } finally fake.stop()
   }
 
-  test("upsert serializes points with id, vector, and sorted string payload") {
+  // uuid4-shaped ids, the reference's memory_id form (storage.py:171)
+  private val U1 = "11111111-1111-4111-8111-111111111111"
+  private val U2 = "22222222-2222-4222-8222-222222222222"
+  private val U3 = "33333333-3333-4333-8333-333333333333"
+
+  test("upsert serializes UUID ids, numeric integer-indexed payload, sorted keys") {
     import spark.implicits._
     val fake = new FakeQdrant(Map("memories" -> Nil))
     try {
       val df = Seq(
-        ("m1", "s1", "click", 1),
-        ("m2", "s1", "view", 2),
-        ("m3", "s2", "click", 1))
+        (U1, "s1", "click", 1),
+        (U2, "s1", "view", 2),
+        (U3, "s2", "click", 1))
         .toDF("memory_id", "session_id", "tool", "sequence_order")
         .withColumn("embedding",
           Embedder.embed(col("memory_id"), 4).cast("array<float>"))
@@ -140,21 +145,54 @@ class QdrantWireSpec extends SparkSpec {
       val puts = fake.requests.asScala.toSeq
         .filter(_.path == "/collections/memories/points")
       assert(puts.size == 1 && puts.head.query == "wait=true")
-      // exact serialized payload object: string-typed values, sorted keys
+      // exact serialized payload object: sorted keys, and sequence_order as
+      // a JSON NUMBER — its payload index kind is 'integer' and Qdrant
+      // silently skips indexing type-mismatched values (storage.py:178)
       assert(puts.head.body.contains(
-        """"payload":{"sequence_order":"2","session_id":"s1","tool":"view"}"""))
+        """"payload":{"sequence_order":2,"session_id":"s1","tool":"view"}"""))
       val points = mapper.readTree(puts.head.body).path("points")
       assert(points.size() == 3)
       val byId = (0 until points.size()).map(points.get)
         .map(p => p.path("id").asText() -> p).toMap
-      assert(byId.keySet == Set("m1", "m2", "m3"))
-      val m2 = byId("m2")
+      assert(byId.keySet == Set(U1, U2, U3))
+      // UUID ids stay JSON strings (Qdrant's accepted string-id form)
+      assert(byId(U2).path("id").isTextual)
+      val m2 = byId(U2)
       assert(m2.path("vector").size() == 4)
       // vector values are the embedder's, serialized as JSON numbers
-      val expected = df.where(col("memory_id") === "m2")
+      val expected = df.where(col("memory_id") === U2)
         .select(col("embedding")).head().getSeq[Float](0)
       val got = (0 until 4).map(i => m2.path("vector").get(i).floatValue())
       assert(got == expected)
+    } finally fake.stop()
+  }
+
+  test("upsert emits numeric ids for unsigned-integer strings") {
+    val fake = new FakeQdrant(Map("memories" -> Nil))
+    try {
+      val client = new QdrantHttpClient(fake.baseUrl)
+      client.upsertBatch("memories",
+        Seq(Point("42", Seq(0.5f), Map("tool" -> "click"))))
+      import scala.jdk.CollectionConverters._
+      val put = fake.requests.asScala.toSeq
+        .find(_.path == "/collections/memories/points").get
+      val p0 = mapper.readTree(put.body).path("points").get(0)
+      assert(p0.path("id").isIntegralNumber && p0.path("id").asLong() == 42L)
+    } finally fake.stop()
+  }
+
+  test("upsert rejects point ids that are neither unsigned ints nor UUIDs") {
+    val fake = new FakeQdrant(Map("memories" -> Nil))
+    try {
+      val client = new QdrantHttpClient(fake.baseUrl)
+      val e = intercept[IllegalArgumentException] {
+        client.upsertBatch("memories",
+          Seq(Point("m1", Seq(0.5f), Map.empty)))
+      }
+      assert(e.getMessage.contains("m1"))
+      import scala.jdk.CollectionConverters._
+      // failed fast: nothing reached the wire
+      assert(!fake.requests.asScala.exists(_.path == "/collections/memories/points"))
     } finally fake.stop()
   }
 }

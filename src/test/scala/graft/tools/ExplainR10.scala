@@ -42,7 +42,7 @@ object ExplainR10 {
       .queryExecution.executedPlan.toString
     val keyed = er.linesIterator.exists(l =>
       l.contains("Join") && l.contains("pfx"))
-    println(s"AUDIT er_prefix_blocked prefixInJoinKeys=$keyed " +
+    println(s"AUDIT er_scored_pairs(prefix-sized) prefixInJoinKeys=$keyed " +
       s"cartesian=${er.linesIterator.count(_.contains("CartesianProduct"))}")
     assert(keyed, "the prefix sub-key must be a JOIN key, not a filter")
     println("EXPLAIN_R10 OK")

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *    phonetic key (pkey a JOIN key, not a post-filter); no cartesian.
   *  - multimodal_phash_near_dup: the candidate stage is a keyed join on
   *    (band, bv) — a banded Hamming join, never an all-pairs product.
-  *  - cluster_dbscan_adaptive: exactly ONE cartesian in the whole plan,
+  *  - cluster_dbscan (the adaptive default; named cluster_dbscan_adaptive
+  *    when this audit was written): exactly ONE cartesian in the whole plan,
   *    and it is the τ-derivation sample cross-join, bounded at
   *    sampleSize²/2 pairs BY CONSTRUCTION (500² = 125k at the default —
   *    independent of corpus size); the ε-candidate stage itself joins
