@@ -2958,6 +2958,11 @@ object SparkEntry {
     // oracle computes the IDENTICAL order statistic over the same
     // deterministic 500-vector sample, so both engines derive τ — like
     // the plane count — from the data.
+    // Candidate-stage knobs (SCALE_NOTES r12 A/B): target=128 with 2
+    // tables is the best recall-per-candidate line (depth beats width —
+    // recall ≈ T·c^planes, validated ±20%); TABLES are the recall
+    // budget, and holding recall across decades costs T ∝ n^0.67 — for
+    // high-recall neighbor graphs at scale, use the NSW graph-ANN tier.
     "cluster_dbscan" -> ((s, d) => {
       val e = embs(s, d)
       val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
@@ -4463,6 +4468,39 @@ object SparkEntry {
         .select(col("clip_id"), col("0").as("p0"), col("1").as("p1"),
           col("8").as("p8"), col("9").as("p9"))
         .orderBy(col("clip_id"))
+    }),
+
+    // Per-frame demux census — the ORDER-preserving companion of the
+    // pooled gate above: each demuxed frame's DCT signature is pinned
+    // INDIVIDUALLY, so the oracle certifies the demux returns exactly
+    // the authored frames in stream order (clip 3's frame f carries
+    // clip 0's frame f+1 pins row-for-row — a swapped, dropped, or
+    // duplicated frame flips specific rows, which the pooled mean
+    // cannot localize). Same flatMap demux, same real ImageIO decode;
+    // 20 rows.
+    "multimodal_video_demux_frames" -> ((s, d) => {
+      import s.implicits._
+      val clips = s.range(0, 4).as[Long].map { clip =>
+        val frames = (0 until 5).map { frame =>
+          val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
+          ImageIo.pngBytes(ImageIo.syntheticImage(imgId.toLong, w = 48, h = 36))
+        }
+        (clip, VideoIo.aviBytes(frames, w = 48, h = 36))
+      }.toDF("clip_id", "bytes")
+      val media = clips.as[(Long, Array[Byte])]
+        .flatMap { case (clip, avi) =>
+          VideoIo.demuxFrames(avi).zipWithIndex.map { case (f, i) =>
+            (clip * 5 + i, "image", f)
+          }
+        }.toDF("media_id", "kind", "bytes")
+      Multimodal.extractFeatures(media, dims = 64, batchSize = 4,
+        decoder = new ImageIo.ImageIoDecoder())
+        .select(floor(col("media_id") / 5).cast("long").as("clip_id"),
+          (col("media_id") % 5).cast("int").as("frame_no"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 9), 6).as("f8"))
+        .orderBy(col("clip_id"), col("frame_no"))
     }),
 
     // ---- Streaming-shaped batch equivalents over events ----
@@ -8384,6 +8422,37 @@ object SparkEntry {
     (9, 6200003673112779492L, 4077.963542, -33.183661, 509.287648, -17.430412),
     (10, 6161110031961085613L, 4176.65625, 174.123534, 746.063471, -82.56791),
     (11, 26215652718959625L, 4059.096354, 395.160979, -818.496964, 20.084548))
+
+  /** Pixel-derived pinned PER-FRAME rows for the video demux gate
+    * (clip_id, frame_no, f0, f1, f8 — DCT coefficients of each demuxed
+    * 48×36 frame, rounded 6): the order-preserving companion of the
+    * pooled video pins. Clip 3's frame f equals clip 0's frame f+1 by
+    * construction, and the pins SHOW it row-for-row — an order bug in
+    * the demux (swapped/dropped/duplicated frames) flips specific rows,
+    * which no pooled statistic can localize. Generated by tools/PinR12;
+    * the engine recomputes every value through mux → demux → ImageIO
+    * decode → DCT on each run. */
+  private val VideoFramePinned: Seq[(Long, Int, Double, Double, Double)] = Seq(
+    (0L, 0, 4016.335938, -568.464302, -979.145559),
+    (0L, 1, 4134.65625, -243.827951, -276.516026),
+    (0L, 2, 4034.585938, -4.199664, 358.011828),
+    (0L, 3, 4072.117188, -106.026593, 486.762819),
+    (0L, 4, 4160.921875, 132.471825, 721.022636),
+    (1L, 0, 4140.4375, -166.359702, -266.156301),
+    (1L, 1, 4038.554688, 130.861017, 369.819904),
+    (1L, 2, 4092.640625, -44.397744, 494.773528),
+    (1L, 3, 4173.617188, 202.5376, 707.376408),
+    (1L, 4, 3978.484375, 449.101522, -817.388368),
+    (2L, 0, 4036.570313, 258.833873, 362.787628),
+    (2L, 1, 4089.960938, 95.736317, 483.827622),
+    (2L, 2, 4140.492187, 322.182764, 718.226793),
+    (2L, 3, 4009.242188, -325.776336, -810.013392),
+    (2L, 4, 4063.710938, -428.97951, -372.414457),
+    (3L, 0, 4134.65625, -243.827951, -276.516026),
+    (3L, 1, 4034.585938, -4.199664, 358.011828),
+    (3L, 2, 4072.117188, -106.026593, 486.762819),
+    (3L, 3, 4160.921875, 132.471825, 721.022636),
+    (3L, 4, 4018.835937, 333.239985, -809.865461))
 
   /** Sample-derived pinned 64-dim feature vectors for the audio gates —
     * the shared-constant pattern again: ONE Scala literal feeds both the
@@ -12946,6 +13015,20 @@ object SparkEntry {
         |  (3, 4084.223438, 22.33152, 95.883159, -80.472879)
         |) AS t(clip_id, p0, p1, p8, p9)
         |ORDER BY clip_id""".stripMargin,
+
+    // per-frame pins from the shared VideoFramePinned constant — the
+    // engine recomputes each row via mux → RIFF demux → ImageIO decode
+    "multimodal_video_demux_frames" -> {
+      val rows = VideoFramePinned.map { case (c, fno, a, b, e) =>
+        s"  ($c, $fno, $a, $b, $e)"
+      }.mkString(",\n")
+      s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+         |  CAST(frame_no AS INT) AS frame_no, f0, f1, f8
+         |FROM (VALUES
+         |$rows
+         |) AS t(clip_id, frame_no, f0, f1, f8)
+         |ORDER BY clip_id, frame_no""".stripMargin
+    },
 
     // brute-force pair recomputation from the SAME pinned phashes the
     // decode gate certifies — the engine's banded candidate join is

@@ -108,6 +108,89 @@ object ScaleSoak {
         graft.operators.Dedup.embeddingNearDupPairsMultiTable(e,
           "embedding", "vec_id", minCosine = tau, planes = planes,
           seeds = Seq(7, 21), dims = 64)
+      // probe_dbscan_occ_ab: the LAST dbscan lever A/B'd — planesFor's
+      // occupancy target controls the τ-INDEPENDENT candidate stage
+      // (the bucket join emits co-bucket pairs before any filter; 86M
+      // shuffle recs at 100× under target=128). Smaller target → more
+      // planes → smaller buckets → fewer candidate pairs, at a recall
+      // price the panel census measures (exact τ-pairs over the 500
+      // smallest ids vs the candidates that survive). τ is derived once
+      // (tauForNeighbors) and shared across arms so the A/B isolates
+      // the candidate knob.
+      case "probe_dbscan_occ_ab" =>
+        import org.apache.spark.sql.functions.{broadcast => bcast,
+          explode => fexplode, array => farr, struct => fstruct,
+          lit => flit, round => frnd}
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .localCheckpoint()
+        val n = e.count()
+        val tau = graft.operators.Dedup.tauForNeighbors(e, "embedding",
+          "vec_id", targetNeighbors = 12, dims = 64)
+        val panel = e.orderBy(col("vec_id")).limit(500)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val truth = panel
+          .select(col("vec_id").as("a"), col("embedding").as("va_"))
+          .crossJoin(bcast(panel
+            .select(col("vec_id").as("b"), col("embedding").as("vb_"))))
+          .where(col("a") < col("b"))
+          .where(frnd(graft.functions.VectorFunctions.cosine(
+            col("va_"), col("vb_"), 64), 6) >= tau)
+          .select(col("a"), col("b")).localCheckpoint()
+        val nTruth = truth.count()
+        // arms: occupancy target × table count. Per-table pair-collide
+        // probability is (1-θ/π)^planes, so recall at DEEPER codes must
+        // be bought with tables — the A/B measures both axes so the
+        // knee is a (target, tables) point, not a target alone.
+        val allSeeds = Seq(7, 21, 35, 49, 63, 77, 91, 105)
+        for ((target, nTables) <- Seq((2048L, 2), (512L, 2), (512L, 4),
+            (128L, 2), (128L, 8))) try {
+          val planes = graft.operators.Dedup.planesFor(n,
+            targetBucketSize = target)
+          // candidate stage ONLY: the co-bucket join before the τ
+          // filter, exactly embeddingNearDupPairsMultiTable's cand step
+          val seeds = allSeeds.take(nTables)
+          val tables = e
+            .withColumn("sb", fexplode(farr(seeds.map(sd =>
+              fstruct(flit(sd).as("seed"),
+                graft.functions.VectorFunctions.rhpBucket(
+                  col("embedding"), planes, sd, 64).as("bucket"))): _*)))
+            .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"),
+              col("vec_id"))
+          val cand = tables.select(col("seed"), col("bucket"),
+              col("vec_id").as("a"))
+            .join(tables.select(col("seed"), col("bucket"),
+              col("vec_id").as("b")), Seq("seed", "bucket"))
+            .where(col("a") < col("b"))
+            .select(col("a"), col("b")).distinct()
+          var bestSec = Double.MaxValue
+          var bestR = -1L
+          var candRows = 0L
+          for (_ <- 1 to 2) {
+            Thread.sleep(300)
+            shufRecs.set(0L)
+            val t0 = System.nanoTime()
+            candRows = cand.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300)
+            if (sec < bestSec) { bestSec = sec; bestR = shufRecs.get() }
+          }
+          val pairs = graft.operators.Dedup.embeddingNearDupPairsMultiTable(
+            e, "embedding", "vec_id", minCosine = tau, planes = planes,
+            seeds = seeds, dims = 64).select(col("a"), col("b"))
+          val hit = pairs.join(truth, Seq("a", "b")).count()
+          println(f"PROBE probe_dbscan_occ_ab target=$target " +
+            f"tables=$nTables planes=$planes " +
+            f"tau=$tau%.6f cand=$candRows sec=$bestSec%.2f " +
+            f"shuffle_recs=$bestR panelHit=$hit panelTruth=$nTruth " +
+            f"recall=${if (nTruth == 0) 1.0 else hit.toDouble / nTruth}%.4f " +
+            s"dir=$dir")
+        } catch {
+          case ex: Throwable => println(
+            s"PROBE probe_dbscan_occ_ab target=$target tables=$nTables " +
+              s"ERROR ${ex.getClass.getSimpleName}: " +
+              s"${Option(ex.getMessage).getOrElse("").take(300)} dir=$dir")
+        }
+        e.limit(1)
       case "probe_semantic_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         val planes = graft.operators.Dedup.planesFor(e.count(),
