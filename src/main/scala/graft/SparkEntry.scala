@@ -2975,6 +2975,38 @@ object SparkEntry {
       dbscanAssign(e, pairs)
     }),
 
+    // kNN-graph DBSCAN — the WORST-CASE-bounded sibling of the adaptive
+    // default: tauForNeighbors bounds the EXPECTED ε-degree, but the
+    // mutual-kNN cap bounds EVERY vector's degree at k by construction,
+    // so the neighbor graph is ≤ k·n/2 edges at ANY density — what an
+    // edge-linear tail (degree census, CC, border adoption) must
+    // provision for at 100 TB. Exact top-k core (the oracle replays the
+    // n² rank — this is the audit form, quadratic by construction);
+    // the production candidate stage is the _sized twin below.
+    "cluster_dbscan_knn" -> ((s, d) => {
+      val e = embs(s, d)
+      val pairs = Similarity.mutualKnnPairs(e, "embedding", "vec_id",
+        k = 12, minCosine = 0.2, dims = 64)
+        .select(col("a"), col("b")).localCheckpoint()
+      dbscanAssign(e, pairs)
+    }),
+
+    // The scale path of the kNN-graph form: neighbor candidates from
+    // the planesFor-sized multi-table RHP co-bucket join (bounded at
+    // tables·n·occupancy), top-k ranked WITHIN candidates, mutual
+    // filter, same tail. Fully deterministic, so the oracle replays it
+    // exactly — candidates AND answer both bounded by construction;
+    // tables are the recall knob (SCALE_NOTES r12 law).
+    "cluster_dbscan_knn_sized" -> ((s, d) => {
+      val e = embs(s, d)
+      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val pairs = Similarity.mutualKnnPairsBucketed(e, "embedding",
+        "vec_id", k = 12, minCosine = 0.2, planes = planes,
+        seeds = Seq(7, 21), dims = 64)
+        .select(col("a"), col("b")).localCheckpoint()
+      dbscanAssign(e, pairs)
+    }),
+
     // Cluster resolution over LSH candidate pairs: min-label propagation
     // (one shuffle per round) -> canonical keeper per near-dup cluster.
     "dedup_components" -> ((s, d) => {
@@ -10639,6 +10671,114 @@ object SparkEntry {
          |  JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
          |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >=
          |    (SELECT tau FROM tt)),
+         |deg AS (SELECT nv, COUNT(*) AS deg FROM (
+         |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
+         |  GROUP BY 1),
+         |core AS (SELECT nv FROM deg WHERE deg >= 3),
+         |ce AS (SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON p.a = ca.nv JOIN core cb ON p.b = cb.nv),
+         |edges AS (SELECT a AS src, b AS dst FROM ce
+         |  UNION ALL SELECT b, a FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |mins AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY 1),
+         |comp AS (SELECT c.nv AS id,
+         |    LEAST(c.nv, COALESCE(m.mn, c.nv)) AS component
+         |  FROM core c LEFT JOIN mins m ON c.nv = m.src),
+         |border AS (SELECT n.v AS vec_id, MIN(comp.component) AS cluster
+         |  FROM (SELECT a AS v, b AS u FROM pairs
+         |    UNION ALL SELECT b, a FROM pairs) n
+         |  JOIN comp ON n.u = comp.id
+         |  WHERE n.v NOT IN (SELECT nv FROM core) GROUP BY 1),
+         |assigned AS (
+         |  SELECT id AS vec_id, 'core' AS role, component AS cluster FROM comp
+         |  UNION ALL SELECT vec_id, 'border', cluster FROM border)
+         |SELECT e.vec_id, COALESCE(a2.role, 'noise') AS role, a2.cluster
+         |FROM e LEFT JOIN assigned a2 USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // exact mutual-kNN graph (n² rank — the audit form): ROW_NUMBER
+    // over (rounded cosine DESC, id ASC) per query, rank ≤ 12,
+    // mutual = both directed edges present, then the shared dbscan tail
+    "cluster_dbscan_knn" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |sc AS (SELECT l.vec_id AS q, r.vec_id AS b,
+        |    ROUND(list_cosine_similarity(l.v, r.v), 6) AS s
+        |  FROM e l JOIN e r ON l.vec_id <> r.vec_id
+        |  WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.2),
+        |knn AS MATERIALIZED (SELECT q, b FROM (
+        |    SELECT q, b, ROW_NUMBER() OVER (PARTITION BY q
+        |      ORDER BY s DESC, b) AS rn FROM sc) WHERE rn <= 12),
+        |pairs AS MATERIALIZED (SELECT k1.q AS a, k1.b
+        |  FROM knn k1 JOIN knn k2 ON k1.q = k2.b AND k1.b = k2.q
+        |  WHERE k1.q < k1.b),
+        |deg AS (SELECT nv, COUNT(*) AS deg FROM (
+        |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
+        |  GROUP BY 1),
+        |core AS (SELECT nv FROM deg WHERE deg >= 3),
+        |ce AS (SELECT p.a, p.b FROM pairs p
+        |  JOIN core ca ON p.a = ca.nv JOIN core cb ON p.b = cb.nv),
+        |edges AS (SELECT a AS src, b AS dst FROM ce
+        |  UNION ALL SELECT b, a FROM ce),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |mins AS (SELECT src, MIN(dst) AS mn FROM reach GROUP BY 1),
+        |comp AS (SELECT c.nv AS id,
+        |    LEAST(c.nv, COALESCE(m.mn, c.nv)) AS component
+        |  FROM core c LEFT JOIN mins m ON c.nv = m.src),
+        |border AS (SELECT n.v AS vec_id, MIN(comp.component) AS cluster
+        |  FROM (SELECT a AS v, b AS u FROM pairs
+        |    UNION ALL SELECT b, a FROM pairs) n
+        |  JOIN comp ON n.u = comp.id
+        |  WHERE n.v NOT IN (SELECT nv FROM core) GROUP BY 1),
+        |assigned AS (
+        |  SELECT id AS vec_id, 'core' AS role, component AS cluster FROM comp
+        |  UNION ALL SELECT vec_id, 'border', cluster FROM border)
+        |SELECT e.vec_id, COALESCE(a2.role, 'noise') AS role, a2.cluster
+        |FROM e LEFT JOIN assigned a2 USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
+
+    // the sized twin's oracle: candidates from the two masked 16-plane
+    // sign tables (planesFor's integer rule in the pl CTE), DIRECTED
+    // co-bucket pairs, top-12 rank within candidates, mutual filter,
+    // same tail
+    "cluster_dbscan_knn_sized" -> {
+      def bucketExpr(seed: Int) = sqlSigns(planes = 16, dims = 64, seed = seed)
+        .zipWithIndex.map { case (sg, p) =>
+          s"(CASE WHEN $p < pl.planes AND list_dot_product(v, $sg) >= 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n    ")
+      s"""WITH RECURSIVE nc AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pl AS (SELECT LEAST(GREATEST(CAST(pmin AS INT), 4), 62) AS planes
+         |  FROM (SELECT MIN(p) AS pmin FROM generate_series(0, 62) AS t(p), nc
+         |    WHERE (CAST(1 AS BIGINT) << p) >= (n + 127) // 128)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e, pl),
+         |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e, pl),
+         |cand AS MATERIALIZED (SELECT DISTINCT q, b FROM (
+         |  SELECT l.vec_id AS q, r.vec_id AS b
+         |  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |  UNION ALL
+         |  SELECT l.vec_id, r.vec_id
+         |  FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)),
+         |sc AS (SELECT c.q, c.b,
+         |    ROUND(list_cosine_similarity(eq.v, eb.v), 6) AS s
+         |  FROM cand c JOIN e eq ON c.q = eq.vec_id
+         |  JOIN e eb ON c.b = eb.vec_id
+         |  WHERE ROUND(list_cosine_similarity(eq.v, eb.v), 6) >= 0.2),
+         |knn AS MATERIALIZED (SELECT q, b FROM (
+         |    SELECT q, b, ROW_NUMBER() OVER (PARTITION BY q
+         |      ORDER BY s DESC, b) AS rn FROM sc) WHERE rn <= 12),
+         |pairs AS MATERIALIZED (SELECT k1.q AS a, k1.b
+         |  FROM knn k1 JOIN knn k2 ON k1.q = k2.b AND k1.b = k2.q
+         |  WHERE k1.q < k1.b),
          |deg AS (SELECT nv, COUNT(*) AS deg FROM (
          |    SELECT a AS nv FROM pairs UNION ALL SELECT b FROM pairs)
          |  GROUP BY 1),

@@ -1046,4 +1046,93 @@ object Similarity {
     visited.orderBy(col("s").desc, col("id")).limit(k)
       .select(col("id").as(idCol), col("s").as("score"))
   }
+
+  /** Mutual-kNN neighbor graph — the ANSWER-bounded alternative to the
+    * ε-threshold pair graph: each vector keeps its top-`k` neighbors by
+    * (rounded cosine DESC, id ASC — ties pinned), an undirected edge
+    * survives only if BOTH endpoints keep each other, so the graph has
+    * ≤ k·n/2 edges BY CONSTRUCTION at any corpus size or density. The
+    * ε-graph at a fixed τ grows n²·P(cos ≥ τ) and even the density-
+    * scaled τ ([[graft.operators.Dedup.tauForNeighbors]]) only bounds
+    * the EXPECTED degree — the kNN cap bounds the worst case, which is
+    * what a downstream edge-linear stage must provision for.
+    *
+    * This exact form scores all n² ordered pairs — the oracle-checkable
+    * core and the ground-truth side of audits; the production shape is
+    * [[mutualKnnPairsBucketed]]. `minCosine` floors the neighbor list
+    * (a vector with < minPts genuinely-close neighbors should become
+    * noise, not adopt far ones). Output: (a, b, s) with a < b.
+    */
+  def mutualKnnPairs(vecs: DataFrame, vecCol: String, idCol: String,
+      k: Int, minCosine: Double, dims: Int): DataFrame = {
+    require(k >= 1 && dims > 0)
+    val l = vecs.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val r = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
+    val scored = l.crossJoin(r).where(col("q") =!= col("b"))
+      .withColumn("s",
+        round(VectorFunctions.cosine(col("qv"), col("bv"), dims), 6))
+      .where(col("s") >= minCosine)
+    val w = Window.partitionBy(col("q")).orderBy(col("s").desc, col("b"))
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("b"), col("s"))
+    val directed = knn.select(col("q"), col("b"))
+    directed
+      .join(directed.select(col("b").as("q"), col("q").as("b")), Seq("q", "b"))
+      .where(col("q") < col("b"))
+      .join(knn, Seq("q", "b"))
+      .select(col("q").as("a"), col("b"), col("s"))
+  }
+
+  /** [[mutualKnnPairs]]'s scale path: neighbor candidates come from the
+    * multi-table RHP co-bucket join (the [[graft.operators.Dedup]]
+    * banding machinery — candidates bounded by tables·n·occupancy with
+    * occupancy held ~constant by `planesFor`), each vector ranks its
+    * top-`k` WITHIN its candidates, and the mutual filter runs as in
+    * the exact form. Fully deterministic (seeded hyperplanes, rounded
+    * scores, id tie-breaks), so the oracle replays it exactly — no
+    * recall hand-wave at gate scale; at corpus scale the miss mode is
+    * the X150 cross-bucket one and tables are the recall knob
+    * (SCALE_NOTES r12 law: recall ≈ T·c^planes).
+    *
+    * Physical shape at 100 TB: ONE corpus scan per side of the bucket
+    * join (shuffle on (seed, bucket)), candidate dedup, two id-equi
+    * join-backs for vectors, ONE window shuffle on the query id, one
+    * self-join for mutuality — every stage keyed, nothing all-pairs,
+    * answer ≤ k·n/2 edges by construction.
+    */
+  def mutualKnnPairsBucketed(vecs: DataFrame, vecCol: String, idCol: String,
+      k: Int, minCosine: Double, planes: Int, seeds: Seq[Int],
+      dims: Int): DataFrame = {
+    require(k >= 1 && planes >= 1 && seeds.nonEmpty && dims > 0)
+    val base = vecs.select(col(idCol), col(vecCol))
+    val tables = base
+      .withColumn("sb", explode(array(seeds.map(sd =>
+        struct(lit(sd).as("seed"),
+          VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims)
+            .as("bucket"))): _*)))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"),
+        col(idCol))
+    val cand = tables.select(col("seed"), col("bucket"), col(idCol).as("q"))
+      .join(tables.select(col("seed"), col("bucket"), col(idCol).as("b")),
+        Seq("seed", "bucket"))
+      .where(col("q") =!= col("b"))
+      .select(col("q"), col("b")).distinct()
+    val scored = cand
+      .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
+      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b"))
+      .withColumn("s",
+        round(VectorFunctions.cosine(col("qv"), col("bv"), dims), 6))
+      .where(col("s") >= minCosine)
+    val w = Window.partitionBy(col("q")).orderBy(col("s").desc, col("b"))
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("b"), col("s"))
+    val directed = knn.select(col("q"), col("b"))
+    directed
+      .join(directed.select(col("b").as("q"), col("q").as("b")), Seq("q", "b"))
+      .where(col("q") < col("b"))
+      .join(knn, Seq("q", "b"))
+      .select(col("q").as("a"), col("b"), col("s"))
+  }
 }

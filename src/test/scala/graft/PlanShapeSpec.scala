@@ -474,6 +474,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("mutualKnnPairsBucketed: every stage keyed, no cartesian anywhere") {
+    import spark.implicits._
+    val vecs = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(j => ((i + j) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = operators.Similarity.mutualKnnPairsBucketed(vecs, "embedding",
+      "vec_id", k = 4, minCosine = 0.1, planes = 3, seeds = Seq(7, 21),
+      dims = 8).queryExecution.executedPlan.toString
+    // candidate join on (seed, bucket); mutual join on (q, b); top-k is
+    // one window — the ONLY data-scale shuffles; never an all-pairs plan
+    assert(p.linesIterator.exists(l => l.contains("Join") &&
+      l.contains("seed") && l.contains("bucket")), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
+
   test("dedup_decontaminate_bloom: native codegen probe, no lambda UDF in the plan") {
     val p = plan("dedup_decontaminate_bloom")
     // the prefilter is BloomMightContainLong — whole-stage codegen keeps
