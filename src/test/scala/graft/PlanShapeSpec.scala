@@ -474,6 +474,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("er_scored_pairs: the sized prefix sub-key is a JOIN key at sf0.01") {
+    // at sf0.001 prefixLenFor derives 0 and the constant pfx folds out of
+    // the join — assert at the scale where the rule ENGAGES (len 1)
+    val p = SparkEntry.queries("er_scored_pairs")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("pfx")),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("mutualKnnPairsBucketed: every stage keyed, no cartesian anywhere") {
     import spark.implicits._
     val vecs = (0L until 64L)

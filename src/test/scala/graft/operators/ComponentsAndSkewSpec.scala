@@ -80,4 +80,16 @@ class ComponentsAndSkewSpec extends SparkSpec {
     // 100 TB-ish corpora stay within the signed-long bucket id
     assert(Dedup.planesFor(Long.MaxValue, targetBucketSize = 1) == 62)
   }
+
+  test("planesFor: exact at every power-of-two boundary (integer rule)") {
+    // the class of input the FP ceil(ln/ln2) form could flip by one ulp:
+    // n exactly at target·2^k must give k, n+1 must give k+1 (above the
+    // minPlanes floor; 62 cap past k=62)
+    for (k <- 5 to 40) {
+      assert(Dedup.planesFor(128L << k, targetBucketSize = 128) == k,
+        s"boundary k=$k")
+      assert(Dedup.planesFor((128L << k) + 1, targetBucketSize = 128) == k + 1,
+        s"boundary+1 k=$k")
+    }
+  }
 }

@@ -81,6 +81,23 @@ class EntityResolutionSpec extends SparkSpec {
     assert(EntityResolution.prefixLenFor(0L, 125L) == 0)
   }
 
+  test("prefixLenFor: exact at every power-of-alphabet boundary (integer rule)") {
+    // the class of input the FP ceil(ln/ln) form could flip by one ulp:
+    // n exactly at denom·a^k must give k, n+1 must give k+1
+    val denom = 125L * 8L // naturalBlocks × default-ish target 8
+    var pw = 1L
+    for (k <- 0 to 15) {
+      assert(EntityResolution.prefixLenFor(denom * pw, 125L,
+        targetBlockSize = 8) == k, s"boundary k=$k")
+      assert(EntityResolution.prefixLenFor(denom * pw + 1, 125L,
+        targetBlockSize = 8) == k + 1, s"boundary+1 k=$k")
+      pw *= 10
+    }
+    // overflow-safe saturation: astronomically large n stays finite
+    assert(EntityResolution.prefixLenFor(Long.MaxValue, 1L,
+      targetBlockSize = 1) == 19)
+  }
+
   test("phoneticKey: respellings co-key, distinct names separate, degenerate input -> 000") {
     val got = Seq("Smith", "Smyth", "Robert", "Rupert", "Ashcraft",
       "Zenith Holdings", "", "42")
