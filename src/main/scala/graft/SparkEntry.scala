@@ -4468,15 +4468,10 @@ object SparkEntry {
     // real containers and real pixels underneath.
     "multimodal_video_frame_phash" -> ((s, d) => {
       import s.implicits._
-      val clips = s.range(0, 4).as[Long].map { clip =>
-        val frames = (0 until 5).map { frame =>
-          // clip 3 = clip 0's frames shifted by one (frame f shows what
-          // clip 0's frame f+1 shows; its last frame is new)
-          val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
-          ImageIo.pngBytes(ImageIo.syntheticImage(imgId.toLong, w = 48, h = 36))
-        }
-        (clip, "video", VideoIo.aviBytes(frames, w = 48, h = 36))
-      }.toDF("clip_id", "kind", "bytes").localCheckpoint()
+      // clip 3 = clip 0's frames shifted by one (frame f shows what
+      // clip 0's frame f+1 shows; its last frame is new) — the rule
+      // lives ONCE in videoClipAvis, shared with the demux gate + pins
+      val clips = videoClipAvis.toDF("clip_id", "bytes").localCheckpoint()
       // REAL demux: AVI container bytes → frame rows
       val media = clips.select(col("clip_id"), col("bytes"))
         .as[(Long, Array[Byte])]
@@ -4512,13 +4507,7 @@ object SparkEntry {
     // 20 rows.
     "multimodal_video_demux_frames" -> ((s, d) => {
       import s.implicits._
-      val clips = s.range(0, 4).as[Long].map { clip =>
-        val frames = (0 until 5).map { frame =>
-          val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
-          ImageIo.pngBytes(ImageIo.syntheticImage(imgId.toLong, w = 48, h = 36))
-        }
-        (clip, VideoIo.aviBytes(frames, w = 48, h = 36))
-      }.toDF("clip_id", "bytes")
+      val clips = videoClipAvis.toDF("clip_id", "bytes")
       val media = clips.as[(Long, Array[Byte])]
         .flatMap { case (clip, avi) =>
           VideoIo.demuxFrames(avi).zipWithIndex.map { case (f, i) =>
@@ -8464,6 +8453,19 @@ object SparkEntry {
     * which no pooled statistic can localize. Generated by tools/PinR12;
     * the engine recomputes every value through mux → demux → ImageIO
     * decode → DCT on each run. */
+  /** The shared 4-clip × 5-frame AVI fixture — ONE place owns the imgId
+    * rule (clip 3 = clip 0's frames shifted by one) so the pooled gate,
+    * the per-frame demux gate, and tools/PinR12 (which generates
+    * [[VideoFramePinned]]) can never drift onto different corpora. */
+  private[graft] def videoClipAvis: Seq[(Long, Array[Byte])] =
+    (0L until 4L).map { clip =>
+      val frames = (0 until 5).map { frame =>
+        val imgId = if (clip == 3) frame + 1 else clip * 16 + frame
+        ImageIo.pngBytes(ImageIo.syntheticImage(imgId.toLong, w = 48, h = 36))
+      }
+      (clip, VideoIo.aviBytes(frames, w = 48, h = 36))
+    }
+
   private val VideoFramePinned: Seq[(Long, Int, Double, Double, Double)] = Seq(
     (0L, 0, 4016.335938, -568.464302, -979.145559),
     (0L, 1, 4134.65625, -243.827951, -276.516026),

@@ -91,7 +91,12 @@ object AudioIo {
   /** REAL decode: the JDK's WAV parser → 16-bit little-endian samples.
     * Returns null for payloads the codec rejects (unsupported/corrupt
     * bytes only — OOM and linkage errors propagate, they are not
-    * "undecodable payload"). */
+    * "undecodable payload"). Unlike image decode (see
+    * [[ImageIo.readBounded]]'s decompression-bomb guard), a forged WAV
+    * header cannot inflate memory here: the stream is backed by the
+    * in-memory payload and PCM is stored 1:1, so `readAllBytes` is
+    * bounded by the payload length regardless of what the header
+    * declares. */
   def decodeWav(bytes: Array[Byte]): Array[Short] =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))

@@ -179,13 +179,49 @@ object ImageIo {
     bits
   }
 
+  /** Header-first bounded decode: read the image's DECLARED dimensions
+    * from the codec header (no pixel allocation), refuse anything whose
+    * pixel count exceeds `maxPixels`, then decode for real. This is the
+    * decompression-bomb guard a 100 TB media scan needs — a forged
+    * 100000×100000 PNG header would otherwise make `ImageIO.read`
+    * attempt a tens-of-GB allocation, and an OutOfMemoryError is not a
+    * per-row condition a `catch NonFatal` can quarantine: the task dies,
+    * retries hit the same row, the job fails. Bounding BEFORE the
+    * allocation keeps "quarantine, never abort" true without catching
+    * fatal errors. Returns null for undecodable, headerless, or
+    * oversized payloads.
+    */
+  def readBounded(bytes: Array[Byte], maxPixels: Long): BufferedImage =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (w < 1 || h < 1 || w * h > maxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      case _: java.io.IOException => null
+      case scala.util.control.NonFatal(_) => null
+    }
+
   /** The real-decode [[Multimodal.Decoder]]: ImageIO decode → grayscale →
     * `dctSize`² area-mean downscale → DCT → top-left √dims×√dims block
     * flattened row-major as the feature vector. Rows whose bytes do not
-    * decode as an image fall back to [[Multimodal.DigestDecoder]].
+    * decode as an image — or whose header declares more than `maxPixels`
+    * (the decompression-bomb bound, see [[readBounded]]) — fall back to
+    * [[Multimodal.DigestDecoder]].
     */
-  final class ImageIoDecoder(dctSize: Int = 32) extends Multimodal.Decoder {
-    require(dctSize >= 2 && dctSize <= 256)
+  final class ImageIoDecoder(dctSize: Int = 32,
+      maxPixels: Long = 64L * 1024 * 1024) extends Multimodal.Decoder {
+    require(dctSize >= 2 && dctSize <= 256 && maxPixels >= 1)
 
     override def decodeBatch(batch: Seq[Multimodal.MediaRow],
         dims: Int): Seq[Multimodal.DecodedRow] = {
@@ -193,13 +229,7 @@ object ImageIo {
       require(k * k == dims && k <= dctSize,
         s"dims must be a square <= $dctSize^2, got $dims")
       batch.map { m =>
-        val img =
-          // undecodable payload → quarantine row; OOM/linkage propagate
-          try ImageIO.read(new ByteArrayInputStream(m.bytes))
-          catch {
-            case _: java.io.IOException => null
-            case scala.util.control.NonFatal(_) => null
-          }
+        val img = readBounded(m.bytes, maxPixels)
         if (img == null || img.getWidth < dctSize || img.getHeight < dctSize)
           Multimodal.DigestDecoder.decodeBatch(Seq(m), dims).head
         else {

@@ -1068,7 +1068,16 @@ object Similarity {
     require(k >= 1 && dims > 0)
     val l = vecs.select(col(idCol).as("q"), col(vecCol).as("qv"))
     val r = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
-    val scored = l.crossJoin(r).where(col("q") =!= col("b"))
+    mutualTopK(l.crossJoin(r).where(col("q") =!= col("b")), k, minCosine, dims)
+  }
+
+  /** Shared tail of the exact and bucketed mutual-kNN forms — ONE place
+    * owns the score rounding, the floor, the (s DESC, id ASC) tie-break,
+    * and the mutual filter, so the audit form and the scale path cannot
+    * silently diverge. Input: directed candidate rows (q, b, qv, bv). */
+  private def mutualTopK(candidates: DataFrame, k: Int, minCosine: Double,
+      dims: Int): DataFrame = {
+    val scored = candidates
       .withColumn("s",
         round(VectorFunctions.cosine(col("qv"), col("bv"), dims), 6))
       .where(col("s") >= minCosine)
@@ -1118,21 +1127,9 @@ object Similarity {
         Seq("seed", "bucket"))
       .where(col("q") =!= col("b"))
       .select(col("q"), col("b")).distinct()
-    val scored = cand
+    mutualTopK(cand
       .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
-      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b"))
-      .withColumn("s",
-        round(VectorFunctions.cosine(col("qv"), col("bv"), dims), 6))
-      .where(col("s") >= minCosine)
-    val w = Window.partitionBy(col("q")).orderBy(col("s").desc, col("b"))
-    val knn = scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q"), col("b"), col("s"))
-    val directed = knn.select(col("q"), col("b"))
-    directed
-      .join(directed.select(col("b").as("q"), col("q").as("b")), Seq("q", "b"))
-      .where(col("q") < col("b"))
-      .join(knn, Seq("q", "b"))
-      .select(col("q").as("a"), col("b"), col("s"))
+      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+      k, minCosine, dims)
   }
 }

@@ -108,7 +108,11 @@ final class QdrantHttpClient(baseUrl: String,
     points.foreach { p =>
       val pn = arr.addObject()
       p.id match {
-        case QdrantHttpClient.Unsigned(n) => pn.put("id", n)
+        case QdrantHttpClient.Unsigned(n) =>
+          // u64 range: values past Long.MaxValue ride as BigInteger so
+          // Jackson still emits a JSON number, never a string
+          if (n.bitLength() <= 63) pn.put("id", n.longValueExact())
+          else pn.put("id", n)
         case QdrantHttpClient.Uuid() => pn.put("id", p.id)
         case other => throw new IllegalArgumentException(
           s"Qdrant point ids must be unsigned integers or UUIDs, got '$other'")
@@ -130,22 +134,38 @@ final class QdrantHttpClient(baseUrl: String,
 }
 
 object QdrantHttpClient {
-  /** Matches a base-10 unsigned-long string and extracts its value. */
+  private val U64Max = new java.math.BigInteger("18446744073709551615")
+
+  private def asciiDigits(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c >= '0' && c <= '9')
+
+  /** Matches a CANONICAL base-10 unsigned 64-bit id string. Strictness
+    * is deliberate: ASCII digits only (Character.isDigit/parseLong
+    * accept Unicode digits, which would coerce "١٢٣" to 123), no
+    * leading zeros ("007" as numeric 7 would silently alias a distinct
+    * string id "7" — better to fail fast with the clear error below),
+    * and the full u64 range (2^63..2^64−1 are legal Qdrant ids). */
   private object Unsigned {
-    def unapply(s: String): Option[Long] =
-      if (s.nonEmpty && s.length <= 19 && s.forall(_.isDigit))
+    def unapply(s: String): Option[java.math.BigInteger] =
+      if (asciiDigits(s) && s.length <= 20 &&
+          (s.length == 1 || s.charAt(0) != '0')) {
+        val v = new java.math.BigInteger(s)
+        if (v.compareTo(U64Max) <= 0) Some(v) else None
+      } else None
+  }
+
+  /** Matches a canonical signed i64 string (Qdrant integer payload
+    * range): ASCII digits, optional leading '-', no leading zeros. */
+  private object I64 {
+    def unapply(s: String): Option[Long] = {
+      val digits = if (s.startsWith("-")) s.substring(1) else s
+      if (asciiDigits(digits) &&
+          (digits.length == 1 || digits.charAt(0) != '0'))
         try Some(java.lang.Long.parseLong(s)) catch {
           case _: NumberFormatException => None
         }
       else None
-  }
-
-  /** Matches a signed i64 string (Qdrant integer payload range). */
-  private object I64 {
-    def unapply(s: String): Option[Long] =
-      try Some(java.lang.Long.parseLong(s)) catch {
-        case _: NumberFormatException => None
-      }
+    }
   }
 
   /** Matches an RFC-4122 textual UUID (what `str(uuid.uuid4())` emits). */

@@ -118,6 +118,40 @@ class ImageIoSpec extends SparkSpec {
     assert(jpg != fb.features)
   }
 
+  test("readBounded: decompression-bomb header quarantines before any pixel allocation") {
+    // hand-author a PNG whose IHDR declares 100000x100000 (40 GB of
+    // pixels) with a correct chunk CRC — the header parses, the decode
+    // must be refused by the bound, not attempted
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = java.nio.ByteBuffer.allocate(4 + 4 + 13 + 4)
+    ihdr.putInt(13)
+    val body = java.nio.ByteBuffer.allocate(4 + 13)
+    body.put("IHDR".getBytes("US-ASCII"))
+      .putInt(100000).putInt(100000)           // width, height
+      .put(8.toByte).put(2.toByte)             // bit depth, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body.array())
+    ihdr.put(body.array()).putInt(crc.getValue.toInt)
+    bos.write(ihdr.array())
+    val bomb = bos.toByteArray
+    assert(ImageIo.readBounded(bomb, maxPixels = 64L * 1024 * 1024) == null)
+    // the same guard passes a real image through bit-identically
+    val png = ImageIo.pngBytes(ImageIo.syntheticImage(5L, w = 40, h = 40))
+    val img = ImageIo.readBounded(png, maxPixels = 64L * 1024 * 1024)
+    assert(img != null && img.getWidth == 40)
+    assert(ImageIo.grayscale(img).flatten.toSeq ==
+      ImageIo.grayscale(ImageIo.syntheticImage(5L, w = 40, h = 40)).flatten.toSeq)
+    // and a legitimate image larger than the bound quarantines too
+    assert(ImageIo.readBounded(png, maxPixels = 100L) == null)
+    // the decoder routes the bomb to the digest fallback, not a crash
+    val out = new ImageIo.ImageIoDecoder().decodeBatch(
+      Seq(Multimodal.MediaRow(9L, "image", bomb)), 64).head
+    assert(out.features == Multimodal.DigestDecoder.decodeBatch(
+      Seq(Multimodal.MediaRow(9L, "image", bomb)), 64).head.features)
+  }
+
   test("extractFeatures plumbing carries the real decoder end-to-end") {
     import spark.implicits._
     val media = spark.range(0, 4).as[Long].map { id =>

@@ -181,6 +181,37 @@ class QdrantWireSpec extends SparkSpec {
     } finally fake.stop()
   }
 
+  test("upsert emits full-u64 numeric ids and rejects non-canonical digit strings") {
+    val fake = new FakeQdrant(Map("memories" -> Nil))
+    try {
+      val client = new QdrantHttpClient(fake.baseUrl)
+      // 2^63 — above Long.MaxValue, still a legal Qdrant unsigned id
+      client.upsertBatch("memories",
+        Seq(Point("9223372036854775808", Seq(0.5f), Map.empty)))
+      import scala.jdk.CollectionConverters._
+      val put = fake.requests.asScala.toSeq
+        .find(_.path == "/collections/memories/points").get
+      val p0 = mapper.readTree(put.body).path("points").get(0)
+      assert(p0.path("id").isIntegralNumber &&
+        p0.path("id").bigIntegerValue() ==
+          new java.math.BigInteger("9223372036854775808"))
+      // leading zeros would alias "007" with "7" — rejected, not coerced
+      intercept[IllegalArgumentException] {
+        client.upsertBatch("memories", Seq(Point("007", Seq(0.5f), Map.empty)))
+      }
+      // Unicode digits must not coerce to a numeric id
+      intercept[IllegalArgumentException] {
+        client.upsertBatch("memories",
+          Seq(Point("١٢٣", Seq(0.5f), Map.empty)))
+      }
+      // past u64 range -> not an id form Qdrant accepts
+      intercept[IllegalArgumentException] {
+        client.upsertBatch("memories",
+          Seq(Point("18446744073709551616", Seq(0.5f), Map.empty)))
+      }
+    } finally fake.stop()
+  }
+
   test("upsert rejects point ids that are neither unsigned ints nor UUIDs") {
     val fake = new FakeQdrant(Map("memories" -> Nil))
     try {
