@@ -396,6 +396,65 @@ object SparkEntry {
     * greedy search from entry node 1 — the DuckDB twin of
     * [[graft.operators.Similarity.nswGraph]] + `nswSearch`. Ends with
     * `tier` = the search's top-10 (id, s). */
+  /** Shared CTE prefix for the NN-Descent oracles: planesFor's integer
+    * rule, the two masked 16-plane sign tables, the bucketed directed
+    * top-8 seed graph `g0`, and two unrolled descent rounds ending in
+    * `g2`. Plain WITH (no recursion); every multiply-referenced CTE is
+    * MATERIALIZED; floor/round/tie rules identical to the engine's
+    * `Similarity.directedTopK`. */
+  private lazy val knnDescentOracleCtes: String = {
+    def bucketExpr(seed: Int) = sqlSigns(planes = 16, dims = 64, seed = seed)
+      .zipWithIndex.map { case (sg, p) =>
+        s"(CASE WHEN $p < pl.planes AND list_dot_product(v, $sg) >= 0" +
+          s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n    ")
+    // one descent round: undirected two-hop closure of `prev`, union the
+    // existing edges, re-score, keep each q's top-8 — the engine's
+    // knnGraphDescent loop body, unrolled
+    def descentRound(prev: String, out: String): String =
+      s"""nbr_$out AS MATERIALIZED (
+         |  SELECT q, b FROM $prev UNION ALL SELECT b, q FROM $prev),
+         |cand_$out AS (SELECT DISTINCT q, b FROM (
+         |  SELECT q, b FROM nbr_$out
+         |  UNION ALL
+         |  SELECT n1.q, n2.b FROM nbr_$out n1 JOIN nbr_$out n2 ON n1.b = n2.q
+         |  ) WHERE q <> b),
+         |$out AS MATERIALIZED (SELECT q, b, s FROM (
+         |    SELECT c.q, c.b,
+         |      ROUND(list_cosine_similarity(eq.v, eb.v), 6) AS s,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q ORDER BY
+         |        ROUND(list_cosine_similarity(eq.v, eb.v), 6) DESC, c.b) AS rn
+         |    FROM cand_$out c JOIN e eq ON c.q = eq.vec_id
+         |    JOIN e eb ON c.b = eb.vec_id
+         |    WHERE ROUND(list_cosine_similarity(eq.v, eb.v), 6) >= 0.2)
+         |  WHERE rn <= 8)"""
+    s"""WITH nc AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pl AS (SELECT LEAST(GREATEST(CAST(pmin AS INT), 4), 62) AS planes
+       |  FROM (SELECT MIN(p) AS pmin FROM generate_series(0, 62) AS t(p), nc
+       |    WHERE (CAST(1 AS BIGINT) << p) >= (n + 127) // 128)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |b1 AS (SELECT vec_id, ${bucketExpr(7)} AS bucket FROM e, pl),
+       |b2 AS (SELECT vec_id, ${bucketExpr(21)} AS bucket FROM e, pl),
+       |cand_g0 AS (SELECT DISTINCT q, b FROM (
+       |  SELECT l.vec_id AS q, r.vec_id AS b
+       |  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+       |  UNION ALL
+       |  SELECT l.vec_id, r.vec_id
+       |  FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)),
+       |g0 AS MATERIALIZED (SELECT q, b, s FROM (
+       |    SELECT c.q, c.b,
+       |      ROUND(list_cosine_similarity(eq.v, eb.v), 6) AS s,
+       |      ROW_NUMBER() OVER (PARTITION BY c.q ORDER BY
+       |        ROUND(list_cosine_similarity(eq.v, eb.v), 6) DESC, c.b) AS rn
+       |    FROM cand_g0 c JOIN e eq ON c.q = eq.vec_id
+       |    JOIN e eb ON c.b = eb.vec_id
+       |    WHERE ROUND(list_cosine_similarity(eq.v, eb.v), 6) >= 0.2)
+       |  WHERE rn <= 8),
+       |${descentRound("g0", "g1")},
+       |${descentRound("g1", "g2")}""".stripMargin
+  }
+
   private def nswOracleCte(m: Int = 8, beam: Int = 8,
       nRounds: Int = 3): String = {
     def bucketExpr(seed: Int) = sqlSigns(planes = 6, dims = 64, seed = seed)
@@ -2380,6 +2439,54 @@ object SparkEntry {
         k = 10, beam = 48, rounds = 6, entryId = 1L)
         .select(col("vec_id"))
       annRecall(exact, tier)
+    }),
+
+    // NN-Descent refined kNN graph (Dong et al., WWW'11): a neighbor of
+    // a neighbor is likely a neighbor — each round closes the UNDIRECTED
+    // current graph over two hops (forward + reverse edges, the paper's
+    // convergence ingredient), re-scores, keeps top-k per vector.
+    // Candidates per round ≤ n·(2k)² — LINEAR in n at fixed k — so
+    // descent buys back the recall the bucketed candidate stage trades
+    // away without going all-pairs. Fully deterministic (shared
+    // directedTopK rounding/tie rules), so the oracle replays BOTH
+    // unrolled rounds exactly.
+    "search_knn_graph_descent" -> ((s, d) => {
+      val e = embs(s, d)
+      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val g0 = Similarity.knnGraphBucketed(e, "embedding", "vec_id",
+        k = 8, minCosine = 0.2, planes = planes, seeds = Seq(7, 21),
+        dims = 64)
+      Similarity.knnGraphDescent(e, "embedding", "vec_id", g0,
+        k = 8, minCosine = 0.2, rounds = 2, dims = 64)
+        .orderBy(col("q"), col("b"))
+    }),
+
+    // The descent recall LADDER in one row — bucketed seed graph vs
+    // 2-round descent, each censused against the exact directed top-k
+    // over the 500-smallest-id panel (exact side is panel×n — linear,
+    // the audit-panel discipline; at sf0.01 the panel is the corpus).
+    // recall0 → recall2 is what two linear rounds buy.
+    "search_knn_graph_descent_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val g0 = Similarity.knnGraphBucketed(e, "embedding", "vec_id",
+        k = 8, minCosine = 0.2, planes = planes, seeds = Seq(7, 21),
+        dims = 64).localCheckpoint()
+      val g2 = Similarity.knnGraphDescent(e, "embedding", "vec_id", g0,
+        k = 8, minCosine = 0.2, rounds = 2, dims = 64)
+      val panel = e.orderBy(col("vec_id")).limit(500)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val exact = Similarity.knnGraphExact(e, "embedding", "vec_id",
+        panel, k = 8, minCosine = 0.2, dims = 64).localCheckpoint()
+      val hit0 = g0.join(exact.select(col("q"), col("b")), Seq("q", "b"))
+        .agg(count(lit(1)).as("hit0"))
+      val hit2 = g2.join(exact.select(col("q"), col("b")), Seq("q", "b"))
+        .agg(count(lit(1)).as("hit2"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit0).crossJoin(hit2)
+        .select(col("n_exact"), col("hit0"), col("hit2"),
+          round(col("hit0").cast("double") / col("n_exact"), 6).as("recall0"),
+          round(col("hit2").cast("double") / col("n_exact"), 6).as("recall2"))
     }),
 
     // SQ8 tier MRR audit: per query (5 of them), the rank at which the
@@ -10024,6 +10131,35 @@ object SparkEntry {
         |  (SELECT n FROM f) AS n_found,
         |  ROUND(CAST((SELECT n FROM f) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin),
+
+    // NN-Descent unrolled: bucketed directed top-8 seed graph, then two
+    // rounds of (undirected two-hop closure -> re-score -> top-8), every
+    // rounding/floor/tie rule identical to the engine's directedTopK
+    "search_knn_graph_descent" ->
+      (knnDescentOracleCtes + """
+        |SELECT q, b, s FROM g2 ORDER BY q, b""".stripMargin),
+
+    // the recall ladder row: g0 and g2 censused against the exact
+    // directed top-8 over the 500-smallest-id panel (panel×n — linear)
+    "search_knn_graph_descent_recall" ->
+      (knnDescentOracleCtes + """,
+        |samp AS MATERIALIZED (SELECT vec_id, v FROM e
+        |  ORDER BY vec_id LIMIT 500),
+        |exact AS MATERIALIZED (SELECT q, b FROM (
+        |    SELECT sp.vec_id AS q, t.vec_id AS b,
+        |      ROW_NUMBER() OVER (PARTITION BY sp.vec_id ORDER BY
+        |        ROUND(list_cosine_similarity(sp.v, t.v), 6) DESC,
+        |        t.vec_id) AS rn
+        |    FROM samp sp JOIN e t ON sp.vec_id <> t.vec_id
+        |    WHERE ROUND(list_cosine_similarity(sp.v, t.v), 6) >= 0.2)
+        |  WHERE rn <= 8),
+        |h0 AS (SELECT COUNT(*) AS hit0 FROM g0 JOIN exact USING (q, b)),
+        |h2 AS (SELECT COUNT(*) AS hit2 FROM g2 JOIN exact USING (q, b)),
+        |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
+        |SELECT n_exact, hit0, hit2,
+        |  ROUND(CAST(hit0 AS DOUBLE) / n_exact, 6) AS recall0,
+        |  ROUND(CAST(hit2 AS DOUBLE) / n_exact, 6) AS recall2
+        |FROM ne, h0, h2""".stripMargin),
 
     // same exact-NN relevance, same dequantized tier ranking, same
     // rational reciprocal rank

@@ -1071,20 +1071,29 @@ object Similarity {
     mutualTopK(l.crossJoin(r).where(col("q") =!= col("b")), k, minCosine, dims)
   }
 
-  /** Shared tail of the exact and bucketed mutual-kNN forms — ONE place
-    * owns the score rounding, the floor, the (s DESC, id ASC) tie-break,
-    * and the mutual filter, so the audit form and the scale path cannot
-    * silently diverge. Input: directed candidate rows (q, b, qv, bv). */
-  private def mutualTopK(candidates: DataFrame, k: Int, minCosine: Double,
+  /** Directed top-k over candidate rows (q, b, qv, bv) — ONE place owns
+    * the score rounding, the floor, and the (s DESC, id ASC) tie-break
+    * for every kNN-graph form (exact, bucketed, descent-refined), so
+    * the audit forms and the scale paths cannot silently diverge.
+    * Output: (q, b, s), ≤ k rows per q. */
+  private def directedTopK(candidates: DataFrame, k: Int, minCosine: Double,
       dims: Int): DataFrame = {
     val scored = candidates
       .withColumn("s",
         round(VectorFunctions.cosine(col("qv"), col("bv"), dims), 6))
       .where(col("s") >= minCosine)
     val w = Window.partitionBy(col("q")).orderBy(col("s").desc, col("b"))
-    val knn = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q"), col("b"), col("s"))
+  }
+
+  /** Shared tail of the exact and bucketed mutual-kNN forms: directed
+    * top-k then the mutual filter. Input: directed candidate rows
+    * (q, b, qv, bv). */
+  private def mutualTopK(candidates: DataFrame, k: Int, minCosine: Double,
+      dims: Int): DataFrame = {
+    val knn = directedTopK(candidates, k, minCosine, dims)
     val directed = knn.select(col("q"), col("b"))
     directed
       .join(directed.select(col("b").as("q"), col("q").as("b")), Seq("q", "b"))
@@ -1131,5 +1140,97 @@ object Similarity {
       .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
       .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
       k, minCosine, dims)
+  }
+
+  /** Exact DIRECTED top-k for a bounded query set: every (query, corpus)
+    * pair scored — |queries|·n cosine evals, LINEAR in the corpus when
+    * the query side is a fixed audit panel — under the same
+    * [[directedTopK]] rounding/floor/tie rules as every other kNN form,
+    * so it is the drop-in ground-truth side of graph-recall audits.
+    * `queries` carries the same (idCol, vecCol) columns as `vecs`.
+    * Output: (q, b, s), ≤ k per query.
+    */
+  def knnGraphExact(vecs: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, minCosine: Double, dims: Int): DataFrame = {
+    require(k >= 1 && dims > 0)
+    val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
+    directedTopK(b.crossJoin(broadcast(q)).where(col("q") =!= col("b")),
+      k, minCosine, dims)
+  }
+
+  /** DIRECTED kNN graph from bucketed candidates — the seed graph for
+    * [[knnGraphDescent]] and the building block of graph-ANN indexes:
+    * each vector's top-`k` among its multi-table RHP co-bucket
+    * candidates, by (rounded cosine DESC, id ASC). Deterministic, ≤ k
+    * rows per vector. Output: (q, b, s).
+    */
+  def knnGraphBucketed(vecs: DataFrame, vecCol: String, idCol: String,
+      k: Int, minCosine: Double, planes: Int, seeds: Seq[Int],
+      dims: Int): DataFrame = {
+    require(k >= 1 && planes >= 1 && seeds.nonEmpty && dims > 0)
+    val base = vecs.select(col(idCol), col(vecCol))
+    val tables = base
+      .withColumn("sb", explode(array(seeds.map(sd =>
+        struct(lit(sd).as("seed"),
+          VectorFunctions.rhpBucket(col(vecCol), planes, sd, dims)
+            .as("bucket"))): _*)))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"),
+        col(idCol))
+    val cand = tables.select(col("seed"), col("bucket"), col(idCol).as("q"))
+      .join(tables.select(col("seed"), col("bucket"), col(idCol).as("b")),
+        Seq("seed", "bucket"))
+      .where(col("q") =!= col("b"))
+      .select(col("q"), col("b")).distinct()
+    directedTopK(cand
+      .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
+      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+      k, minCosine, dims)
+  }
+
+  /** NN-Descent refinement (Dong, Moses & Li, WWW'11 "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * simplified full-batch form): a neighbor of a neighbor is likely a
+    * neighbor, so each round proposes the two-hop closure of the
+    * UNDIRECTED current graph (forward + reverse edges — reverse
+    * neighbors are the paper's key convergence ingredient), re-scores,
+    * and keeps each vector's top-k. Candidates per round are ≤ n·(2k)²
+    * — LINEAR in n at fixed k — so descent buys back the recall that
+    * bucketed candidate generation trades away without ever going
+    * all-pairs. Deterministic end-to-end (same rounding/tie rules as
+    * every kNN form — [[directedTopK]]), so an external engine replays
+    * every round exactly.
+    *
+    * Physical shape at 100 TB: per round ONE self-join of the (≤ 2k·n)-
+    * row edge list on the hop key, a distinct, two id-equi vector
+    * join-backs, one window on q — all keyed shuffles; localCheckpoint
+    * per round truncates the iterative lineage (the graph_kcore
+    * discipline). Output: (q, b, s) directed, ≤ k per q.
+    */
+  def knnGraphDescent(vecs: DataFrame, vecCol: String, idCol: String,
+      graph0: DataFrame, k: Int, minCosine: Double, rounds: Int,
+      dims: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0 && dims > 0)
+    val base = vecs.select(col(idCol), col(vecCol))
+    var g = graph0.select(col("q"), col("b"), col("s")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val edges = g.select(col("q"), col("b"))
+      val nbr = edges.unionAll(
+        edges.select(col("b").as("q"), col("q").as("b")))
+      val twoHop = nbr.select(col("q"), col("b").as("m"))
+        .join(nbr.select(col("q").as("m"), col("b")), Seq("m"))
+        .select(col("q"), col("b"))
+      // candidates = UNDIRECTED 1-hop ∪ 2-hop: proposing the reverse
+      // direct edge matters — without it a vector whose nearest neighbor
+      // only points AT it (directed) would drop that neighbor on the
+      // next re-rank instead of adopting it
+      val cand = nbr.unionAll(twoHop)
+        .where(col("q") =!= col("b")).distinct()
+      g = directedTopK(cand
+        .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
+        .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+        k, minCosine, dims).localCheckpoint()
+    }
+    g
   }
 }

@@ -71,6 +71,26 @@ class MutualKnnSpec extends SparkSpec {
     assert(bucketed == exact)
   }
 
+  test("descent recovers the full cliques from a sparse path seed") {
+    import spark.implicits._
+    val e = clustered()
+    // seed: one directed path per cluster (3 of 6 undirected edges) —
+    // two rounds of undirected 1-hop ∪ 2-hop proposals must rebuild the
+    // complete directed top-3 graph, including for the path TAIL whose
+    // only seed edge points AT it (the reverse-proposal case)
+    val g0 = (for { c <- 0L until 4L; i <- 0L until 3L }
+      yield (c * 4 + i, c * 4 + i + 1, 1.0)).toDF("q", "b", "s")
+    val g2 = Similarity.knnGraphDescent(e, "embedding", "vec_id", g0,
+      k = 3, minCosine = 0.5, rounds = 2, dims = dims)
+    val exact = Similarity.knnGraphExact(e, "embedding", "vec_id",
+      e, k = 3, minCosine = 0.5, dims = dims)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("q", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(g2) == edges(exact))
+    assert(edges(g2).size == 16 * 3) // every vector keeps its 3 clique mates
+  }
+
   test("isolated vector goes noise: the floor keeps far neighbors out") {
     import spark.implicits._
     // one outlier orthogonal-ish to everything

@@ -191,6 +191,17 @@ object ScaleSoak {
               s"${Option(ex.getMessage).getOrElse("").take(300)} dir=$dir")
         }
         e.limit(1)
+      // probe_knn_descent_ladder: the NN-Descent recall ladder at scale
+      // (gate-form: bucketed seed recall0 vs 2-round descent recall2,
+      // exact truth over the 500-id panel — panel×n, linear)
+      case "probe_knn_descent_ladder" =>
+        val df = graft.SparkEntry
+          .queries("search_knn_graph_descent_recall")(spark, dir)
+        df.collect().foreach(r => println(
+          s"PROBE probe_knn_descent_ladder n_exact=${r.getLong(0)} " +
+            s"hit0=${r.getLong(1)} hit2=${r.getLong(2)} " +
+            s"recall0=${r.getDouble(3)} recall2=${r.getDouble(4)} dir=$dir"))
+        df
       case "probe_semantic_sized" =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         val planes = graft.operators.Dedup.planesFor(e.count(),
