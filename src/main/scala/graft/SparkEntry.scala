@@ -689,6 +689,28 @@ object SparkEntry {
     * read thousands of splits; spreading the tiny bench inputs across the
     * session's parallelism reproduces that shape (a few-MB shuffle).
     */
+  /** Scratch root for gates that stage stream feeds, checkpoint state
+    * stores, or write-and-read-back store layouts. Parameterised
+    * (SPARK_GRAFT_SCRATCH env / graft.scratch sysprop — the latter
+    * per-call so A/B harnesses can flip it in one JVM); defaults to the
+    * JVM tmpdir. Measured r12 (AbScratch, interleaved single-JVM
+    * min-of-3): tmpfs (/dev/shm) vs disk-backed /tmp is a WASH at gate
+    * scale (ratios 0.98–1.03) — the page cache absorbs the small-file
+    * traffic and nothing in the harness fsyncs, so the streaming gates'
+    * cost is per-micro-batch planning + state-store commit CPU, not
+    * disk placement. On a production cluster this points at local NVMe,
+    * with DURABLE stream checkpoints on reliable storage instead — the
+    * gate harness's checkpoints are ephemeral by design.
+    */
+  private def scratchRoot: String =
+    sys.props.get("graft.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .orElse(sys.props.get("java.io.tmpdir"))
+      .getOrElse("/tmp")
+
+  private def scratch(name: String, d: String): String =
+    s"$scratchRoot/graft_${name}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -1968,7 +1990,7 @@ object SparkEntry {
     // (id, tool). No session cache stands in for storage any more;
     // PlanShapeSpec pins the reattach scan's pruned ReadSchema.
     "mem_search_hybrid_bm25" -> ((s, d) => {
-      val path = "/tmp/graft_hybrid_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("hybrid_store", d)
       graft.sink.StoreLayout.writeOptimized(
         memories(s, d)
           .withColumn("embedding", Embedder.embed(col("content"), SearchDims))
@@ -2193,7 +2215,7 @@ object SparkEntry {
     "search_lsh_pruned" -> ((s, d) => {
       val (planes, seed) = (4, 7)
       val qv = queryVec(s, d)
-      val work = "/tmp/graft_lsh_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("lsh_store", d)
       val withBucket = Tables.embeddings(s, d).withColumn("bucket",
         VectorFunctions.rhpBucket(col("embedding"), planes, seed, 64))
       graft.sink.StoreLayout.writeOptimized(withBucket, work,
@@ -3175,7 +3197,7 @@ object SparkEntry {
           .where(col("l_orderkey") % 2 === 0)
           .select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minSupport = 2,
-        "/tmp/graft_fpstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("fpstream", d))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -3186,7 +3208,7 @@ object SparkEntry {
     "stream_substring_spans" -> ((s, d) => {
       streaming.StreamingIngest.stagedSubstringSpansRoundtrip(s,
         docs(s, d), "text", "doc_id", k = 8,
-        "/tmp/graft_substream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("substream", d))
     }),
 
     // Streaming semantic-dedup fold: batches accepted against the
@@ -3196,7 +3218,7 @@ object SparkEntry {
       streaming.StreamingIngest.stagedSemanticDedupRoundtrip(s,
         Tables.embeddings(s, d), "vec_id", "embedding", "label",
         tau = 0.3, dims = 64,
-        "/tmp/graft_semstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("semstream", d))
     }),
 
     // Streaming CMS fold: additive per-batch cell deltas must land the
@@ -3206,7 +3228,7 @@ object SparkEntry {
     "stream_cms_audit" -> ((s, d) => {
       streaming.StreamingIngest.stagedCmsRoundtrip(s,
         Tables.events(s, d), "user_id", depth = 4, width = 64,
-        "/tmp/graft_cmsstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("cmsstream", d))
         .orderBy(col("key"))
     }),
 
@@ -3225,7 +3247,7 @@ object SparkEntry {
     // the fold == the one-pass batch MERGE and shares its oracle.
     "stream_cdc_apply" -> ((s, d) => {
       streaming.StreamingIngest.stagedCdcRoundtrip(s, Tables.events(s, d),
-        "/tmp/graft_cdcstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("cdcstream", d))
         .orderBy(col("user_id"))
     }),
 
@@ -3236,7 +3258,7 @@ object SparkEntry {
     "stream_hll_audit" -> ((s, d) => {
       streaming.StreamingIngest.stagedHllRoundtrip(s,
         Tables.events(s, d), "event_id", "event_type",
-        "/tmp/graft_hllstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("hllstream", d))
         .orderBy(col("event_type"))
     }),
 
@@ -3248,7 +3270,7 @@ object SparkEntry {
     "stream_kmv_audit" -> ((s, d) => {
       streaming.StreamingIngest.stagedKmvRoundtrip(s,
         Tables.events(s, d), "user_id", "event_type", k = 64,
-        "/tmp/graft_kmvstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("kmvstream", d))
         .orderBy(col("event_type"))
     }),
 
@@ -3260,7 +3282,7 @@ object SparkEntry {
     "stream_survival_km" -> ((s, d) => {
       streaming.StreamingIngest.stagedSurvivalRoundtrip(s,
         Tables.events(s, d), "user_id", "ts",
-        "/tmp/graft_survstream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("survstream", d))
         .orderBy(col("t"))
     }),
 
@@ -3352,7 +3374,8 @@ object SparkEntry {
     "graph_wedge_census" -> ((s, d) => {
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+      // checkpoint once: deg reads the edge lineage twice (A/B 2.2->1.3 s)
       operators.Graph.wedgeCensus(edges, hubMax = 8L)
     }),
 
@@ -3365,7 +3388,9 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => {
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+      // checkpoint once: the undirected union reads the frequent-pairs
+      // lineage twice (interleaved A/B at sf0.1: 5.2 -> 2.6 s)
       operators.Graph.pageRank(edges, rounds = 3)
     }),
 
@@ -3404,7 +3429,9 @@ object SparkEntry {
     "graph_assortativity" -> ((s, d) => {
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+      // checkpoint once: undirect + two degree joins re-read the lineage
+      // (A/B 2.5 -> 1.6 s)
       operators.Graph.assortativity(edges)
     }),
 
@@ -3414,7 +3441,9 @@ object SparkEntry {
     "graph_label_communities" -> ((s, d) => {
       val edges = operators.MarketBasket.frequentPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+      // checkpoint once: the undirected union reads the lineage twice
+      // (A/B 3.3 -> 2.5 s)
       operators.Graph.labelCommunities(edges, rounds = 3)
     }),
 
@@ -5177,7 +5206,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"), col("ts"))
-      val path = "/tmp/graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("layout", d)
       graft.sink.StoreLayout.writeOptimized(src, path,
         partitionCols = Seq("event_type"), sortCols = Seq("ts"),
         maxRecordsPerFile = 250000)
@@ -5195,7 +5224,7 @@ object SparkEntry {
     // FOOTERS (file-count-sized), never data.
     "store_schema_merge" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val path = "/tmp/graft_schemamerge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("schemamerge", d)
       o.where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite").parquet(path)
@@ -5260,7 +5289,7 @@ object SparkEntry {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
       val prevB = s.conf.get(bKey)
       val prevT = s.conf.get(tKey)
-      val out = "/tmp/graft_rtf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = scratch("rtf", d)
       s.conf.set(bKey, "-1") // force SMJ so the probe side has a shuffle
       s.conf.set(tKey, "0")
       try {
@@ -5290,7 +5319,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"))
-      val path = "/tmp/graft_dpp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("dpp", d)
       src.write.mode("overwrite").partitionBy("event_type").parquet(path)
       // types whose mean value clears 50, phrased as an EXACT decimal
       // margin (Σcents − 50·n > 0) and — critically for DPP — filtered
@@ -5318,7 +5347,7 @@ object SparkEntry {
     "store_backfill_roundtrip" -> ((s, d) => {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-      val path = "/tmp/graft_backfill_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("backfill", d)
       graft.sink.StoreLayout.writeOptimized(src, path,
         partitionCols = Seq("event_type"), sortCols = Seq("event_id"))
       val fix = src.where(col("event_type") === "click")
@@ -5370,7 +5399,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"))
-      val path = "/tmp/graft_delete_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("delete", d)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -5405,7 +5434,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"), col("props"), col("ts"))
-      val path = "/tmp/graft_csv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("csv", d)
       src.write.mode("overwrite").option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
       s.read.schema(src.schema).option("header", "true")
@@ -5422,7 +5451,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"), col("props"), col("ts"))
-      val path = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("orc", d)
       src.write.mode("overwrite").orc(path)
       s.read.orc(path)
         .select(col("event_id"), col("event_type"), col("user_id"),
@@ -5442,7 +5471,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"), col("ts"))
-      val path = "/tmp/graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("compact", d)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -5478,7 +5507,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           hour(col("ts")).as("hr"), col("value"))
-      val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("zorder", d)
       graft.sink.StoreLayout.writeZOrdered(src, path, "user_id", "hr",
         numFiles = 16)
       graft.sink.StoreLayout.read(s, path)
@@ -5491,7 +5520,7 @@ object SparkEntry {
     // two-sided shuffle at 100 TB. The gate round-trips real bucketed
     // writes and checks the joined content.
     "store_bucketed_join" -> ((s, d) => {
-      val work = "/tmp/graft_bucketed_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("bucketed", d)
       val mem = memories(s, d)
       graft.sink.StoreLayout.writeBucketed(
         mem.select(col("memory_id"), col("tool"), col("value")),
@@ -5524,7 +5553,7 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"), col("value"))
       streaming.StreamingIngest.stagedScd2Roundtrip(s, e,
-        "/tmp/graft_scd2stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("scd2stream", d))
         .orderBy(col("user_id"), col("version"))
     }),
 
@@ -5536,7 +5565,7 @@ object SparkEntry {
     "stream_bm25_stats" -> ((s, d) => {
       streaming.StreamingIngest.stagedBm25StatsRoundtrip(
         s, docs(s, d).select(col("doc_id"), lower(col("text")).as("text")),
-        "/tmp/graft_bm25stream_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("bm25stream", d))
         .orderBy(col("term"))
     }),
 
@@ -5583,7 +5612,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      val work = "/tmp/graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_dedup", d)
       StreamingIngest.stagedDedupRoundtrip(s, src, work)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
@@ -5597,8 +5626,7 @@ object SparkEntry {
     // parse (read_file ≡ tail_file over the reference's shared parser).
     "stream_log_follow" -> ((s, d) => {
       val src = Tables.events(s, d).select(col("event_id"), col("event_type"))
-      val work = "/tmp/graft_stream_log_follow_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_log_follow", d)
       StreamingIngest.stagedLogFollowRoundtrip(s, src, work)
         .orderBy(col("id"))
     }),
@@ -5611,7 +5639,7 @@ object SparkEntry {
           col("event_type").as("tool"),
           col("ts").as("timestamp"),
           col("value"))
-      val work = "/tmp/graft_stream_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_gate", d)
       StreamingIngest.stagedIngestRoundtrip(s, src, work)
         .select(col("memory_id"), col("session_id"), col("tool"),
           col("sequence_order"), col("preceding_memory_id"))
@@ -5630,7 +5658,7 @@ object SparkEntry {
           col("user_id").cast("string").as("sessionId"),
           col("event_type").as("tool"),
           col("ts"), col("value"))
-      val work = "/tmp/graft_stream_twsmap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_twsmap", d)
       StreamingIngest.stagedTwsSequencedRoundtrip(s, src, work, typed = true)
         .select(col("memoryId").as("memory_id"),
           col("sessionId").as("session_id"), col("tool"),
@@ -5651,7 +5679,7 @@ object SparkEntry {
       val updates = ev.where(col("event_id") % 2 === 1)
         .groupBy(col("user_id").cast("string").as("key"), col("tsm").as("ts"))
         .agg(max(col("value")).as("refValue"))
-      val work = "/tmp/graft_stream_twsasof_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_twsasof", d)
       StreamingIngest.stagedAsofRoundtrip(s, ticks, updates, work, tws = true)
         .select(col("key"), col("tickId").as("tick_id"),
           col("tsMs").as("ts_ms"), col("matchedTsMs").as("matched_ts_ms"),
@@ -5670,7 +5698,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .where(col("event_id") % 3 === 0)
         .select(col("user_id").as("userId"), col("ts"), col("value"))
-      val work = "/tmp/graft_stream_twssess_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_twssess", d)
       StreamingIngest.stagedTwsSessionRoundtrip(s, src, work)
         .select(col("userId").as("user_id"),
           date_format(col("sessionStart"),
@@ -5692,7 +5720,7 @@ object SparkEntry {
           col("user_id").cast("string").as("sessionId"),
           col("event_type").as("tool"),
           col("ts"), col("value"))
-      val work = "/tmp/graft_stream_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_tws", d)
       StreamingIngest.stagedTwsSequencedRoundtrip(s, src, work)
         .select(col("memoryId").as("memory_id"),
           col("sessionId").as("session_id"), col("tool"),
@@ -5716,7 +5744,7 @@ object SparkEntry {
           col("event_type").as("tool"),
           col("ts").as("timestamp"),
           col("value"), col("props"))
-      val work = "/tmp/graft_stream_search_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_search", d)
       val store = StreamingIngest.stagedIngestRoundtrip(s, src, work)
       val mem = store
         .withColumn("content",
@@ -5737,7 +5765,7 @@ object SparkEntry {
     "stream_hourly_rollup" -> ((s, d) => {
       val src = Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
-      val work = "/tmp/graft_stream_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_rollup", d)
       StreamingIngest.stagedRollupRoundtrip(s, src, work)
         .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
@@ -5752,7 +5780,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .where(col("event_id") % 3 === 0) // bounded gate slice, like X34's
         .select(col("ts"), col("user_id"), col("value"))
-      val work = "/tmp/graft_stream_sess_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_sess", d)
       StreamingIngest.stagedSessionRoundtrip(s, src, work)
         .select(col("user_id"),
           date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
@@ -5775,7 +5803,7 @@ object SparkEntry {
       val updates = ev.where(col("event_id") % 2 === 1)
         .groupBy(col("user_id").cast("string").as("key"), col("tsm").as("ts"))
         .agg(max(col("value")).as("refValue"))
-      val work = "/tmp/graft_stream_asof_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_asof", d)
       StreamingIngest.stagedAsofRoundtrip(s, ticks, updates, work)
         .select(col("key"), col("tickId").as("tick_id"),
           col("tsMs").as("ts_ms"), col("matchedTsMs").as("matched_ts_ms"),
@@ -5795,7 +5823,7 @@ object SparkEntry {
       def side(t: String) = ev.where(col("event_type") === t)
         .select(col("user_id").as("key"), col("ts"),
           col("event_id").as("id"))
-      val work = "/tmp/graft_stream_ivj_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_ivj", d)
       StreamingIngest.stagedIntervalJoinRoundtrip(
         s, side("view"), side("click"), work)
         .select(col("key").as("user_id"), col("l_id").as("view_id"),
@@ -5815,7 +5843,7 @@ object SparkEntry {
       def side(t: String) = ev.where(col("event_type") === t)
         .select(col("user_id").as("key"), col("ts"),
           col("event_id").as("id"))
-      val work = "/tmp/graft_stream_ivjo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val work = scratch("stream_ivjo", d)
       StreamingIngest.stagedIntervalJoinRoundtrip(
         s, side("view"), side("click"), work, joinType = "left_outer")
         .select(col("key").as("user_id"), col("l_id").as("view_id"),
@@ -7329,7 +7357,7 @@ object SparkEntry {
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"))
-      val path = "/tmp/graft_jsonl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratch("jsonl", d)
       src.select(when(pmod(col("event_id"), lit(97)) === 0,
           substring(to_json(struct(col("event_id"), col("event_type"),
             col("user_id"), col("value"))), 1, 10))
@@ -7611,7 +7639,7 @@ object SparkEntry {
     // gate shares events_ab_ztest's oracle verbatim.
     "stream_ab_ztest" -> ((s, d) => {
       streaming.StreamingIngest.stagedAbZtestRoundtrip(s, Tables.events(s, d),
-        "/tmp/graft_stream_abz_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("stream_abz", d))
     }),
 
     // Exact Shapley channel attribution — the fair-division upgrade of
@@ -8019,7 +8047,7 @@ object SparkEntry {
     "stream_rolling_actives_fold" -> ((s, d) => {
       streaming.StreamingIngest.stagedRollingActivesRoundtrip(s,
         Tables.events(s, d),
-        "/tmp/graft_stream_wau_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("stream_wau", d))
     }),
 
     // Shard-manifest content checksums — transfer-integrity for the
@@ -8442,7 +8470,7 @@ object SparkEntry {
     "stream_peak_concurrency" -> ((s, d) => {
       streaming.StreamingIngest.stagedPeakConcurrencyRoundtrip(s,
         Tables.events(s, d),
-        "/tmp/graft_stream_conc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        scratch("stream_conc", d))
     }),
 
     // Sample-ratio-mismatch check — the A/B health gate run BEFORE
