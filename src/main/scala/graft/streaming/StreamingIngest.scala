@@ -29,6 +29,28 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
+  /** Pin the session's shuffle/state partition count to `n` for a
+    * stream's lifetime (captured at `.start()` for the state stores and
+    * read per-batch by foreachBatch fold plans), restoring the previous
+    * value after. At gate scale every stateful operator commits one
+    * state store per shuffle partition per micro-batch and every fold
+    * writes/reads `partitions` parquet files per action, so 32
+    * partitions are pure fixed overhead (r9 measurement; re-A/B'd r12
+    * across all unpinned gates: stream_dedup 12.5 -> 3.1 s,
+    * stream_hourly_rollup 8.1 -> 3.2 s, stream_substring_spans
+    * 7.8 -> 4.5 s, stream_survival_km 6.6 -> 4.1 s at p4, every other
+    * gate at or under its p32 time). Production sizing on a real
+    * cluster keeps the session default.
+    */
+  private def gatePartsPinned[T](spark: SparkSession, n: Int = 4)(
+      body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+
   /** A tool-call event on the stream (arrival order within a micro-batch is
     * normalized to (ts, memoryId) — the reference's arrival-order semantics
     * made deterministic). */
@@ -809,6 +831,7 @@ object StreamingIngest {
         StructField("event_type", StringType),
         StructField("value", DoubleType)))).as("j"))
       .select(col("j.*"))
+    gatePartsPinned(spark) {
     val q = hourlyRollup(parsed)
       .writeStream.format("memory").queryName(table)
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -819,6 +842,7 @@ object StreamingIngest {
       stage(events.where(col("ts") >= lit(mid)))
       q.processAllAvailable() // micro-batch 2: merges boundary-hour state
     } finally q.stop()
+    }
     spark.table(table)
   }
 
@@ -941,6 +965,7 @@ object StreamingIngest {
         StructField("event_type", StringType),
         StructField("value", DoubleType)))).as("j"))
       .select(col("j.*"))
+    gatePartsPinned(spark) {
     val q = dedupStream(parsed, "event_id", "ts", watermark)
       .writeStream.format("memory").queryName(table)
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -954,6 +979,7 @@ object StreamingIngest {
         .unionByName(events.where(col("ts") >= lit(mid))))
       q.processAllAvailable() // micro-batch 2: state drops the replays
     } finally q.stop()
+    }
     spark.table(table)
   }
 
@@ -1016,6 +1042,7 @@ object StreamingIngest {
           StructField("tool", StringType)))))
       .select(col("direction"), col("j.id").as("id"), col("j.tool").as("tool"))
 
+    gatePartsPinned(spark) {
     val q = parsed.writeStream.format("memory").queryName(table)
       .option("checkpointLocation", s"$workDir/ckpt")
       .outputMode(OutputMode.Append)
@@ -1025,6 +1052,7 @@ object StreamingIngest {
       stage(lines.where(pmod(col("event_id"), lit(2)) === 1))
       q.processAllAvailable() // batch 1: the tailed lines
     } finally q.stop()
+    }
     spark.table(table)
   }
 
@@ -1106,6 +1134,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1127,6 +1156,7 @@ object StreamingIngest {
       stage(events.where(col("ts") >= lit(mid)))
       q.processAllAvailable() // batch 1+: incremental folds
     } finally q.stop()
+    }
     spark.read.parquet(latest.getOrElse(
       sys.error("stagedScd2Roundtrip: no batch ran")))
   }
@@ -1185,6 +1215,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1216,6 +1247,7 @@ object StreamingIngest {
       stage(docs.where(col("doc_id") >= mid).select("doc_id", "text"))
       q.processAllAvailable() // batch 1+: incremental folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedBm25StatsRoundtrip: no batch ran"))
     spark.read.parquet(s"$fin/df")
       .crossJoin(spark.read.parquet(s"$fin/totals"))
@@ -1269,6 +1301,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1290,6 +1323,7 @@ object StreamingIngest {
       stage(src.where(col("k") >= mid))
       q.processAllAvailable() // batch 1+: additive folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedCmsRoundtrip: no batch ran"))
     val sketch = spark.read.parquet(fin)
     val exact = items.groupBy(col(keyCol).as("key"))
@@ -1336,6 +1370,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1362,6 +1397,7 @@ object StreamingIngest {
       stage(src.where(pmod(col("event_id"), lit(2)) === 1))
       q.processAllAvailable() // batch 1+: additive folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedAbZtestRoundtrip: no batch"))
     spark.read.parquet(fin).agg(
         sum(when(col("arm") === 0, col("n")).otherwise(0L)).cast("long")
@@ -1416,6 +1452,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1435,6 +1472,7 @@ object StreamingIngest {
       stage(src.where(pmod(col("event_id"), lit(2)) === 1))
       q.processAllAvailable() // batch 1+: set-union folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(
       sys.error("stagedRollingActivesRoundtrip: no batch"))
     val ud = spark.read.parquet(fin)
@@ -1494,6 +1532,7 @@ object StreamingIngest {
 
     val gap = 30L * 60 * 1000000L
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1529,6 +1568,7 @@ object StreamingIngest {
       stage(src.where(pmod(col("user_id"), lit(2)) === 1))
       q.processAllAvailable() // batch 1+: additive folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(
       sys.error("stagedPeakConcurrencyRoundtrip: no batch"))
     val run = spark.read.parquet(fin)
@@ -1584,6 +1624,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1607,6 +1648,7 @@ object StreamingIngest {
       stage(src.where(col("doc_id") % 2 === 1))
       q.processAllAvailable()
     } finally q.stop()
+    }
 
     val grams = spark.read
       .parquet(latest.getOrElse(sys.error("no batch ran")))
@@ -1679,6 +1721,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: String = store0
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1704,6 +1747,7 @@ object StreamingIngest {
       stage(src.where(col("vec_id") % 3 === 2))
       q.processAllAvailable() // fold batch 2 against corpus ∪ accepted(1)
     } finally q.stop()
+    }
 
     val fin = spark.read.parquet(latest).select(col("vec_id"))
     src.select(col("vec_id"), (col("vec_id") % 3).cast("int").as("batch"))
@@ -1790,11 +1834,11 @@ object StreamingIngest {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // cached: the three store writes below are separate actions, and
-        // without the cache EACH re-reads and re-parses the micro-batch
-        // text and re-runs the distinct shuffle (interleaved A/B at sf0.1:
-        // ~15% off the whole gate; the win grows with batch size since the
-        // parse is the part that scales with the feed)
+        // cached: the three fold branches below union under one write
+        // action, but each branch's plan re-reads and re-parses the
+        // micro-batch text and re-runs the distinct shuffle without the
+        // cache (interleaved A/B at sf0.1: ~15% off the whole gate; the
+        // win grows with batch size since the parse scales with the feed)
         val bi = batch.select(col("bk"), col("it")).distinct().cache()
         val pairDelta = bi.select(col("bk"), col("it").as("a"))
           .join(bi.select(col("bk"), col("it").as("b")), "bk")
@@ -1803,22 +1847,39 @@ object StreamingIngest {
         val itemDelta = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
         val nDelta = bi.agg(
           count_distinct(col("bk")).as("nb"))
-        val (pNext, iNext, nNext) = latest match {
-          case None => (pairDelta, itemDelta, nDelta)
+        // the three logical stores (pairs / items / n) live in ONE
+        // kind-tagged parquet per version: the folds are unchanged
+        // row-for-row, but each micro-batch pays one write action and
+        // one store read instead of three of each — at gate scale the
+        // per-action fixed cost (job launch + commit + file listing) is
+        // the bill, not the bytes (r12 stash A/B, together with the p4
+        // pin below: warm min 8.2 -> 6.2 s)
+        val nl = lit(null).cast("long")
+        def kinded(p: DataFrame, i: DataFrame, n: DataFrame): DataFrame =
+          p.select(lit("p").as("kind"), col("a"), col("b"), col("w"),
+              nl.as("it"), nl.as("c"), nl.as("nb"))
+            .unionAll(i.select(lit("i").as("kind"), nl.as("a"), nl.as("b"),
+              nl.as("w"), col("it"), col("c"), nl.as("nb")))
+            .unionAll(n.select(lit("n").as("kind"), nl.as("a"), nl.as("b"),
+              nl.as("w"), nl.as("it"), nl.as("c"), col("nb")))
+        val next = latest match {
+          case None => kinded(pairDelta, itemDelta, nDelta)
           case Some(prev) =>
-            (spark.read.parquet(s"$prev/pairs").unionByName(pairDelta)
-              .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
-              spark.read.parquet(s"$prev/items").unionByName(itemDelta)
+            val st = spark.read.parquet(prev)
+            kinded(
+              st.where(col("kind") === "p").select(col("a"), col("b"), col("w"))
+                .unionByName(pairDelta)
+                .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
+              st.where(col("kind") === "i").select(col("it"), col("c"))
+                .unionByName(itemDelta)
                 .groupBy(col("it")).agg(sum(col("c")).as("c")),
-              spark.read.parquet(s"$prev/n").unionByName(nDelta)
+              st.where(col("kind") === "n").select(col("nb"))
+                .unionByName(nDelta)
                 .agg(sum(col("nb")).as("nb")))
         }
         val out = s"$storeBase/v$id"
-        try {
-          pNext.write.mode("overwrite").parquet(s"$out/pairs")
-          iNext.write.mode("overwrite").parquet(s"$out/items")
-          nNext.write.mode("overwrite").parquet(s"$out/n")
-        } finally bi.unpersist()
+        try next.write.mode("overwrite").parquet(out)
+        finally bi.unpersist()
         latest = Some(out)
       }
       .start()
@@ -1834,9 +1895,11 @@ object StreamingIngest {
       finally q.stop()
     }
     val fin = latest.getOrElse(sys.error("stagedFrequentPairsRoundtrip: no batch ran"))
-    val nb = spark.read.parquet(s"$fin/n").collect()(0).getLong(0)
-    val ic = spark.read.parquet(s"$fin/items")
-    spark.read.parquet(s"$fin/pairs")
+    val st = spark.read.parquet(fin)
+    val nb = st.where(col("kind") === "n")
+      .select(col("nb")).collect()(0).getLong(0)
+    val ic = st.where(col("kind") === "i").select(col("it"), col("c"))
+    st.where(col("kind") === "p").select(col("a"), col("b"), col("w"))
       .where(col("w") >= minSupport)
       .join(broadcast(ic.select(col("it").as("a"), col("c").as("ca_"))), "a")
       .join(broadcast(ic.select(col("it").as("b"), col("c").as("cb_"))), "b")
@@ -1931,6 +1994,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1952,6 +2016,7 @@ object StreamingIngest {
       stage(src.where(col("event_id") >= mid))
       q.processAllAvailable() // batch 1+: associative winner folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedCdcRoundtrip: no batch ran"))
     spark.read.parquet(fin)
       .where(col("op") =!= "D")
@@ -2004,6 +2069,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -2025,6 +2091,7 @@ object StreamingIngest {
       stage(src.where(col("k") >= mid))
       q.processAllAvailable() // batch 1+: idempotent max folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedHllRoundtrip: no batch ran"))
     val est = graft.operators.HyperLogLog
       .estimate(spark.read.parquet(fin), Seq("g"))
@@ -2077,6 +2144,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -2100,6 +2168,7 @@ object StreamingIngest {
       stage(src.where(col("k") >= mid))
       q.processAllAvailable() // batch 1+: idempotent k-min folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(sys.error("stagedKmvRoundtrip: no batch ran"))
     val sk = spark.read.parquet(fin)
       .groupBy(col("g"))
@@ -2156,6 +2225,7 @@ object StreamingIngest {
       .select(col("j.*"))
 
     var latest: Option[String] = None
+    gatePartsPinned(spark) {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -2178,6 +2248,7 @@ object StreamingIngest {
       stage(src.where(expr(s"unix_date(to_date(dd)) >= $mid")))
       q.processAllAvailable() // batch 1+: idempotent min/max folds
     } finally q.stop()
+    }
     val fin = latest.getOrElse(
       sys.error("stagedSurvivalRoundtrip: no batch ran"))
     val store = spark.read.parquet(fin)

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object AbStreamParts {
   def main(args: Array[String]): Unit = {
     val rounds = args(0).toInt
-    val gates = args.drop(1)
+    val armsArg = args(1).split(",").toSeq // e.g. "32,8,2"
+    val gates = args.drop(2)
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,7 +26,7 @@ object AbStreamParts {
       finally s.conf.set("spark.sql.shuffle.partitions", "32")
       (System.nanoTime() - t0) / 1e9
     }
-    val arms = Seq("32", "8", "2")
+    val arms = armsArg
     gates.foreach { g => arms.foreach(a => run(g, a)) } // warm
     gates.foreach { g =>
       val mins = arms.map { a =>
