@@ -3578,6 +3578,10 @@ object SparkEntry {
     // parts at sf0.01, max block 77 — the key discriminates real words
     // where the digit-tail prefix key cannot.
     "er_phonetic_blocked" -> ((s, d) => {
+      // NOTE (r12): keyed feeds four lazy branches (8 parquet scans in
+      // the plan), but checkpointing it measured as a no-op (matched
+      // A/B warm min 3.77 -> 3.73 s) — the in-block JW census dominates
+      // and the repeated part scans are page-cache-cheap. Left lazy.
       val keyed = Tables.part(s, d)
         .withColumn("pkey", TextFunctions.phoneticKey(col("p_name")))
       val sizes = keyed.groupBy(col("pkey"))

@@ -1031,17 +1031,28 @@ object Similarity {
       .join(v, "id")
       .select(col("id"), round(
         VectorFunctions.cosine(col("v_"), typedLit(query), dims), 6).as("s"))
+    // Every traversal-state side is bounded by construction (beam, or
+    // visited ≤ 1 + rounds·beam·m rows) however big the corpus, so the
+    // state is BROADCAST into the graph/vector joins — the graph and
+    // vector store are never shuffled by the traversal — and each
+    // round's checkpoint lands in ONE partition (per-round state is a
+    // handful of KB; at session parallelism every round paid a full
+    // task wave per checkpoint). The beam re-rank needs no checkpoint
+    // of its own: it is a TakeOrdered over the already-checkpointed
+    // visited, recomputed once inside the next round's single job
+    // (r12 matched A/B: search_nsw_recall_wide — the deepest traversal,
+    // m=24 beam=48 rounds=6 — 9.8 -> 3.2 s warm; the shallower nsw
+    // gates move within host noise, see OPTIMIZATION_r12.md).
     var visited = score(v.select(col("id")).where(col("id") === entryId))
-      .localCheckpoint()
+      .repartition(1).localCheckpoint()
     var beamDf = visited
     (1 to rounds).foreach { _ =>
-      val fresh = beamDf.select(col("id").as("src"))
-        .join(g, "src")
+      val fresh = g.join(broadcast(beamDf.select(col("id").as("src"))), "src")
         .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-      visited = visited.unionAll(score(fresh)).localCheckpoint()
+        .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
+      visited = visited.unionAll(score(broadcast(fresh)))
+        .repartition(1).localCheckpoint()
       beamDf = visited.orderBy(col("s").desc, col("id")).limit(beam)
-        .localCheckpoint()
     }
     visited.orderBy(col("s").desc, col("id")).limit(k)
       .select(col("id").as(idCol), col("s").as("score"))
@@ -1093,6 +1104,10 @@ object Similarity {
     * (q, b, qv, bv). */
   private def mutualTopK(candidates: DataFrame, k: Int, minCosine: Double,
       dims: Int): DataFrame = {
+    // NOTE (r12): the mutual filter references the directed top-k
+    // subtree three times, but checkpointing it here measured as a
+    // no-op (knn-pair stage 2.58 -> 2.47 s, noise) — ReuseExchange
+    // already shares the window's shuffle across the references.
     val knn = directedTopK(candidates, k, minCosine, dims)
     val directed = knn.select(col("q"), col("b"))
     directed
