@@ -516,13 +516,15 @@ object StreamingIngest {
     val batch2 = src.where(col("timestamp") >= lit(mid))
 
     stage(batch1)
-    val q = startJsonlIngest(spark, inDir, store, ckpt)
-    try {
-      q.processAllAvailable() // micro-batch 1: fresh store
-      stage(batch2)
-      q.processAllAvailable() // micro-batch 2: continues stored sequences
-    } finally q.stop()
-    ingestBatch(batch1, store) // replayed delivery: must drop out entirely
+    gatePartsPinned(spark) {
+      val q = startJsonlIngest(spark, inDir, store, ckpt)
+      try {
+        q.processAllAvailable() // micro-batch 1: fresh store
+        stage(batch2)
+        q.processAllAvailable() // micro-batch 2: continues stored sequences
+      } finally q.stop()
+      ingestBatch(batch1, store) // replayed delivery: must drop out entirely
+    }
     spark.read.parquet(store)
   }
 
