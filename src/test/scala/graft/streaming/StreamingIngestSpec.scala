@@ -261,6 +261,32 @@ class StreamingIngestSpec extends SparkSpec {
     assert(batch.toSeq === got.toSeq)
   }
 
+  test("stagedFrequentPairsRoundtrip: kind-tagged store fold equals the one-pass batch recompute") {
+    import spark.implicits._
+    // baskets 1,2 stream in batch 0 (bk below the row-mean ≈ 5.6),
+    // baskets 10,11 in batch 1; pair (10,20) reaches w=3 only across
+    // the fold (2 from batch 0 + 1 from batch 1), so equality with the
+    // batch recompute proves the single kind-tagged store (r12: one
+    // write action + one read per batch, was three of each) still sums
+    // pair/item/n states across micro-batches
+    val items = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (10L, 10L), (10L, 20L),
+      (11L, 30L), (11L, 40L))
+      .toDF("bk", "it")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val staged = rows(StreamingIngest.stagedFrequentPairsRoundtrip(spark,
+      items, "bk", "it", minSupport = 2, "/tmp/graft_spec_stream_fp"))
+    val batch = rows(graft.operators.MarketBasket.frequentPairs(
+      items, "bk", "it", minSupport = 2))
+    assert(staged === batch)
+    assert(staged === Seq((10L, 20L, 3L, 0.75, 1.0, 4.0 / 3)))
+  }
+
   test("stagedSemanticDedupRoundtrip: folds are sequential — a batch-1 acceptance rejects a batch-2 near-dup") {
     import spark.implicits._
     // ids ≡0 mod 3 are the stored corpus, ≡1 batch 1, ≡2 batch 2; one
