@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// The bench/verify drivers parse the forked main's LAST stdout line as
+// JSON; sbt's "[success] Total time ..." trailer lands after it and has
+// made that parse fail in every round to date. Exit codes are unaffected.
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "fegisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

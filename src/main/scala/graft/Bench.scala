@@ -16,6 +16,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Gate-scale streaming partition pins (r12 measurements: staged
+      // stateful gates at p4, frequent-pairs fold at p8). The harness owns
+      // these numbers; the operators read the conf and run with the
+      // session's own sizing when it is unset (production).
+      .config("graft.stream.parts",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      .config("graft.stream.parts.fp",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_FP", "8"))
+      .config("graft.stream.parts.ivj",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_IVJ", "2"))
+      // Incremental changelog per commit instead of a full RocksDB
+      // snapshot — the recommended production mode for RocksDB state
+      // stores, and measured ~5-9% off the heavier TWS gates here
+      // (AbConfR13, r13): stream_tws_sessions 4.39 -> 4.00 s,
+      // stream_tws_asof 3.47 -> 3.26 s, others flat.
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,6 +53,7 @@ object Bench {
       if (System.nanoTime() < warmupDeadline) {
         try materialize(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
       }
     }
 
@@ -56,7 +75,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release every cache entry the gate persisted, OUTSIDE the timed
+      // region: several gates `.persist()` a reused intermediate and
+      // cannot unpersist it themselves (the action runs here, not in the
+      // lambda). Without this (a) cached intermediates accumulate across
+      // 400+ gates in the one bench JVM, and (b) CacheManager dedupes
+      // identical plans, so a gate's SECOND sample silently reused the
+      // first sample's cache — the reported min partially measured a
+      // cache hit. Both samples now compute from the parquet inputs.
+      spark.sharedState.cacheManager.clearCache()
+      (dt, ok)
     }
     val p1 = names.map { case (n, fn) => n -> timeOne(n, fn) }
     // 540s: the 240s budget left 90+ of the ~180 queries with a single
@@ -176,15 +205,28 @@ object Bench {
       }
       .mkString("[", ",", "]")
     val singleSample = results.count { case (n, (_, ok)) => ok && !rerun.contains(n) }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regressions,"single_sample":$singleSample,"samples":$samples,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full map to a file: the driver keeps only a
-    // truncated stdout tail, which has been losing the first ~15 query
-    // timings from every round's BENCH artifact.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Full record (minima + raw samples + regression triage) goes to a
+    // FILE; the stdout contract line stays minima-only. Rationale
+    // (r12 verdict item 2): the driver stores a 2000-char stdout tail and
+    // its JSON parse has been null every round — the old line carried
+    // `samples` and `regressions` and had outgrown any parseable size.
+    // The file default is an UNTRACKED path: the driver's own runs were
+    // clobbering the committed bench_full.json anchor in the working tree.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regressions,"single_sample":$singleSample,"samples":$samples,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // The one-line JSON contract, printed as the LAST stdout line (sbt's
+    // "[success]" trailer is suppressed in build.sbt for the same reason):
+    // same minima as ever in `queries` (ms precision — the raw doubles are
+    // in the file), nothing added, nothing removed.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qsLine = results.toSeq.sortBy(_._1)
+      .map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) ms(v) else "-1") }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsLine,"failed":$failed,"single_sample":$singleSample,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -768,7 +768,22 @@ object SparkEntry {
         round(col("n_found").cast("double") / col("n_exact"), 6))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The r12 rename let the scale-adaptive forms own the unsuffixed names
+    * (cluster_dbscan, dedup_semantic, er_scored_pairs) and kept the
+    * fixed-parameter forms as `_fixed` twins — but that retired the r11
+    * gate NAMES the driver's cross-round tracker follows. The retired
+    * names are restored here as aliases of the implementations that now
+    * own their semantics (verified byte-identical to the r11 bodies), so
+    * the name set only ever grows. */
+  private def aliasGates[A](base: Map[String, A]): Map[String, A] = Map(
+    "cluster_dbscan_adaptive" -> base("cluster_dbscan"),
+    "dedup_semantic_sized" -> base("dedup_semantic"),
+    "er_prefix_blocked" -> base("er_scored_pairs"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ aliasGates(baseQueries)
+
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- TPC-H-style relational core (scan/filter/agg/join/sort) ----
 
@@ -8643,7 +8658,10 @@ object SparkEntry {
     (6, Seq(15272.244663, 5015.900167, 2503.613571, 948.177184, 1654.696597, 3823.5275, 6143.551381, 7563.716732, 7187.7532, 4982.550496, 2336.821501, 901.130045, 1541.864632, 3706.621157, 6281.973388, 7709.374843, 7060.27379, 4854.817288, 2397.060533, 937.793733, 1557.805998, 3791.504833, 6217.362645, 7539.836584, 7116.117988, 5039.887384, 2431.905596, 917.069253, 1521.459192, 3605.999602, 6137.94712, 7744.051173, 60.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 7.0, 5.0, 5.0, 5.0, 5.0, 6.0, 5.0, 5.0, 5.0, 7.0, 7.0, 6.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 6.0, 6.0, 5.0, 5.0, 5.0)),
     (7, Seq(16384.0, 8035.559145, 2598.930011, 1518.245448, 896.759053, 831.395429, 1284.087232, 2156.456093, 3319.918568, 4627.25105, 5976.404381, 7183.180499, 7833.863476, 7715.591038, 7138.759223, 6352.280128, 5226.71554, 3825.495333, 2493.565167, 1483.600061, 901.8437, 821.000536, 1248.256184, 2098.688328, 3319.113885, 4826.137994, 6245.472751, 7142.668375, 7535.789493, 7631.115399, 7290.317827, 6389.184134, 49.0, 14.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 7.0, 4.0, 4.0, 4.0, 4.0, 4.0, 5.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 6.0, 4.0, 4.0, 4.0, 4.0, 4.0)))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ aliasGates(baseOracleSql)
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
 
     // expected documents hand-derived from schema.py:86-132 semantics
     // (NOT generated by the renderer): standard fields lead, params in

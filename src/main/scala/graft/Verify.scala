@@ -13,6 +13,18 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // gate-scale streaming partition pins — same values as Bench so the
+      // correctness dump exercises the benched plans (see Bench.scala)
+      .config("graft.stream.parts",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      .config("graft.stream.parts.fp",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_FP", "8"))
+      .config("graft.stream.parts.ivj",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_IVJ", "2"))
+      // same RocksDB changelog-checkpointing mode as Bench (see there)
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -33,6 +45,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
       }
+      // release gate-persisted caches (see Bench.timeOne): nothing may
+      // survive a gate, and 400+ gates in one JVM would otherwise
+      // accumulate every persisted intermediate
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

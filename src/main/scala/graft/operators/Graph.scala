@@ -569,15 +569,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("h")).localCheckpoint()
+    // Each round attaches a (node, score) table to e twice. The score
+    // tables are bounded by the node count while e is the edge relation —
+    // the far larger side on any real graph — and the checkpointed score
+    // plans carry no size statistics, so the planner sort-merge-joined
+    // every round and re-shuffled e four times per 2-round run. Broadcast
+    // the scores instead (guide §3.1: broadcast the provably-small side):
+    // e is then never shuffled by the iteration; only the per-node partial
+    // aggregates move. Guarded by the edge count (scores ≤ distinct
+    // endpoints ≤ edges): past ~8M edges the bound stops being
+    // broadcast-safe and the default join strategy returns — identical
+    // results either way, only the join strategy differs.
+    val attach: DataFrame => DataFrame =
+      if (e.count() <= 8000000L) broadcast else identity
     var auth: DataFrame = null
     (0 until rounds).foreach { _ =>
-      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+      val aRaw = e.join(attach(hub.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw"))
       auth = aRaw
         .crossJoin(broadcast(aRaw.agg(max(col("a_raw")).as("a_max"))))
         .select(col("node"), expr(s"(a_raw * ${scale}L) div a_max").as("a"))
         .localCheckpoint()
-      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+      val hRaw = e.join(attach(auth.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw"))
       hub = hRaw
         .crossJoin(broadcast(hRaw.agg(max(col("h_raw")).as("h_max"))))

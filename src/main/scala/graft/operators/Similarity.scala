@@ -1043,15 +1043,23 @@ object Similarity {
     // (r12 matched A/B: search_nsw_recall_wide — the deepest traversal,
     // m=24 beam=48 rounds=6 — 9.8 -> 3.2 s warm; the shallower nsw
     // gates move within host noise, see OPTIMIZATION_r12.md).
-    var visited = score(v.select(col("id")).where(col("id") === entryId))
-      .repartition(1).localCheckpoint()
+    // Guard (r12 advice): the broadcast/1-partition physics is right for
+    // serving-shaped parameters, but a caller asking for a huge frontier
+    // (rounds·beam past ~4k keeps visited under ~1M rows even at extreme
+    // degree) should get the planner's default strategy and the session's
+    // partitioning instead — identical results, different join physics.
+    val smallState = rounds.toLong * beam <= 4096L
+    def bcast(df: DataFrame): DataFrame = if (smallState) broadcast(df) else df
+    def pin1(df: DataFrame): DataFrame = if (smallState) df.repartition(1) else df
+    var visited = pin1(score(v.select(col("id")).where(col("id") === entryId)))
+      .localCheckpoint()
     var beamDf = visited
     (1 to rounds).foreach { _ =>
-      val fresh = g.join(broadcast(beamDf.select(col("id").as("src"))), "src")
+      val fresh = g.join(bcast(beamDf.select(col("id").as("src"))), "src")
         .select(col("dst").as("id")).distinct()
-        .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
-      visited = visited.unionAll(score(broadcast(fresh)))
-        .repartition(1).localCheckpoint()
+        .join(bcast(visited.select(col("id"))), Seq("id"), "left_anti")
+      visited = pin1(visited.unionAll(score(bcast(fresh))))
+        .localCheckpoint()
       beamDf = visited.orderBy(col("s").desc, col("id")).limit(beam)
     }
     visited.orderBy(col("s").desc, col("id")).limit(k)
@@ -1227,13 +1235,27 @@ object Similarity {
       dims: Int): DataFrame = {
     require(k >= 1 && rounds >= 0 && dims > 0)
     val base = vecs.select(col(idCol), col(vecCol))
+    // The candidate relation is n·(2k)² rows per round; the tables it
+    // joins — the n-row vector store (score attach) and the 2kn-row
+    // undirected edge list (two-hop closure) — are the provably-smaller
+    // sides, but they sit behind localCheckpoints with no size
+    // statistics, so the planner sort-merge-joined and re-shuffled the
+    // candidates four times per round. Broadcast the small sides instead
+    // (guide §3.1, the r13 hits/nsw playbook): candidates are then never
+    // shuffled for the attach; only the final per-q window moves them
+    // (r13 AbDescentR13: descent rounds 1.36 -> 0.96 s at sf0.1,
+    // results row-identical). Guarded: one count() job against four
+    // saved exchanges per round; past ~500k vectors (store ≈ 130 MB at
+    // dims 64, edge list ≈ 2k·n rows) the default strategy returns.
+    val att: DataFrame => DataFrame =
+      if (vecs.count() <= 500000L) broadcast else identity
     var g = graph0.select(col("q"), col("b"), col("s")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val edges = g.select(col("q"), col("b"))
       val nbr = edges.unionAll(
         edges.select(col("b").as("q"), col("q").as("b")))
       val twoHop = nbr.select(col("q"), col("b").as("m"))
-        .join(nbr.select(col("q").as("m"), col("b")), Seq("m"))
+        .join(att(nbr.select(col("q").as("m"), col("b"))), Seq("m"))
         .select(col("q"), col("b"))
       // candidates = UNDIRECTED 1-hop ∪ 2-hop: proposing the reverse
       // direct edge matters — without it a vector whose nearest neighbor
@@ -1242,8 +1264,8 @@ object Similarity {
       val cand = nbr.unionAll(twoHop)
         .where(col("q") =!= col("b")).distinct()
       g = directedTopK(cand
-        .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
-        .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+        .join(att(base.select(col(idCol).as("q"), col(vecCol).as("qv"))), Seq("q"))
+        .join(att(base.select(col(idCol).as("b"), col(vecCol).as("bv"))), Seq("b")),
         k, minCosine, dims).localCheckpoint()
     }
     g

@@ -29,26 +29,49 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** Pin the session's shuffle/state partition count to `n` for a
-    * stream's lifetime (captured at `.start()` for the state stores and
-    * read per-batch by foreachBatch fold plans), restoring the previous
-    * value after. At gate scale every stateful operator commits one
+  /** Pin the session's shuffle/state partition count for a stream's
+    * lifetime (captured at `.start()` for the state stores and read
+    * per-batch by foreachBatch fold plans), restoring the previous value
+    * after. The pin value comes from the session conf `confKey`
+    * (`graft.stream.parts` by default) — when the conf is UNSET the body
+    * runs with the session's own sizing untouched, so production callers
+    * never inherit a benchmark-scale constant from library code; the
+    * gate harnesses (Bench/Verify) set the conf to the measured
+    * gate-scale value. At gate scale every stateful operator commits one
     * state store per shuffle partition per micro-batch and every fold
     * writes/reads `partitions` parquet files per action, so 32
     * partitions are pure fixed overhead (r9 measurement; re-A/B'd r12
     * across all unpinned gates: stream_dedup 12.5 -> 3.1 s,
     * stream_hourly_rollup 8.1 -> 3.2 s, stream_substring_spans
     * 7.8 -> 4.5 s, stream_survival_km 6.6 -> 4.1 s at p4, every other
-    * gate at or under its p32 time). Production sizing on a real
-    * cluster keeps the session default.
+    * gate at or under its p32 time).
+    *
+    * NOT reentrant / NOT thread-safe: it mutates the shared session conf
+    * and restores the captured previous value, which is only correct
+    * because gates run strictly sequentially on one session. A
+    * concurrent-gate harness would race the pins — pin per-query via a
+    * cloned session instead if that ever changes.
     */
-  private def gatePartsPinned[T](spark: SparkSession, n: Int = 4)(
-      body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  /** Imperative form of [[gatePartsPinned]] for harnesses whose pin is
+    * interleaved with other conf pins (state-store provider): apply the
+    * gate-scale shuffle/state partition pin IF the harness conf is set;
+    * leave the session value untouched otherwise. Callers restore the
+    * previously captured value themselves. */
+  private def pinParts(spark: SparkSession,
+      confKey: String = "graft.stream.parts"): Unit =
+    spark.conf.getOption(confKey)
+      .foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+
+  private def gatePartsPinned[T](spark: SparkSession,
+      confKey: String = "graft.stream.parts")(body: => T): T =
+    spark.conf.getOption(confKey) match {
+      case None => body
+      case Some(n) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try body
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
 
   /** A tool-call event on the stream (arrival order within a micro-batch is
@@ -162,7 +185,7 @@ object StreamingIngest {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    pinParts(spark)
     val q =
       try (if (typed) typeCountsTws(parsed).toDF()
            else sequencedTws(parsed).toDF())
@@ -330,7 +353,7 @@ object StreamingIngest {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    pinParts(spark)
     val q =
       try sessionsTws(parsed)
         .writeStream.format("memory").queryName(table)
@@ -766,7 +789,7 @@ object StreamingIngest {
     if (tws) {
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      pinParts(spark)
     }
     val q =
       try (if (tws) asofEnrichTws(tickDs, updDs)
@@ -899,7 +922,7 @@ object StreamingIngest {
     // keeps the session default; the knob is per-query and fixed for
     // the checkpoint's life.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    pinParts(spark)
     val q =
       try sessionWindows(parsed, gap, watermark)
         .writeStream.format("memory").queryName(table)
@@ -1828,11 +1851,11 @@ object StreamingIngest {
     // foreachBatch plans each batch with the live session conf: a ~300k-row
     // pair join + three store writes through 32 shuffle partitions spends
     // more on task/file overhead (32-file store parquets, re-read fan-in)
-    // than on work, so pin a small partitioning for the stream's life
-    // (restored in the finally below; gates run sequentially). Production
-    // keeps the session default.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // than on work, so pin a small partitioning for the stream's life.
+    // This gate's real shuffle volume wants a larger pin than the other
+    // staged gates (r12 A/B: p8 beat p4 here), so it reads its own conf
+    // key; unset ⇒ session sizing governs (production).
+    gatePartsPinned(spark, "graft.stream.parts.fp") {
     val q = parsed.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1854,15 +1877,18 @@ object StreamingIngest {
         // row-for-row, but each micro-batch pays one write action and
         // one store read instead of three of each — at gate scale the
         // per-action fixed cost (job launch + commit + file listing) is
-        // the bill, not the bytes (r12 stash A/B, together with the p4
-        // pin below: warm min 8.2 -> 6.2 s)
+        // the bill, not the bytes (r12 stash A/B, together with the p8
+        // pin above: warm min 8.2 -> 6.2 s)
         val nl = lit(null).cast("long")
+        // by-name union, not positional: the three branches hand-align 7
+        // columns that all happen to be long today — a reorder or type
+        // change in one branch must fail loudly, not cross-wire kinds
         def kinded(p: DataFrame, i: DataFrame, n: DataFrame): DataFrame =
           p.select(lit("p").as("kind"), col("a"), col("b"), col("w"),
               nl.as("it"), nl.as("c"), nl.as("nb"))
-            .unionAll(i.select(lit("i").as("kind"), nl.as("a"), nl.as("b"),
+            .unionByName(i.select(lit("i").as("kind"), nl.as("a"), nl.as("b"),
               nl.as("w"), col("it"), col("c"), nl.as("nb")))
-            .unionAll(n.select(lit("n").as("kind"), nl.as("a"), nl.as("b"),
+            .unionByName(n.select(lit("n").as("kind"), nl.as("a"), nl.as("b"),
               nl.as("w"), nl.as("it"), nl.as("c"), col("nb")))
         val next = latest match {
           case None => kinded(pairDelta, itemDelta, nDelta)
@@ -1889,13 +1915,8 @@ object StreamingIngest {
       q.processAllAvailable() // batch 0: seed the count store
       stage(src.where(col("bk") >= mid))
       q.processAllAvailable() // batch 1+: incremental folds
-    } finally {
-      // restore the session conf FIRST (its own try/finally): if stop()
-      // throws, the session must not stay pinned at 8 partitions for
-      // every subsequent gate in the run
-      try spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      finally q.stop()
-    }
+    } finally q.stop()
+    } // gatePartsPinned restores the session conf even if stop() throws
     val fin = latest.getOrElse(sys.error("stagedFrequentPairsRoundtrip: no batch ran"))
     val st = spark.read.parquet(fin)
     val nb = st.where(col("kind") === "n")
@@ -2353,13 +2374,14 @@ object StreamingIngest {
     // A stream-stream join commits FOUR state stores per shuffle
     // partition per micro-batch (two sides × two join-state stores); at
     // gate scale that fixed commit overhead dominates, so the stream
-    // captures a small state partitioning at start (2 × 4 stores × 4
-    // batches = 32 commits; ~20k state rows per side split 2 ways stays
-    // trivially in memory). Production sizing keeps the session
-    // default — state partition count is a per-query knob, fixed for
-    // the life of the checkpoint.
+    // captures a small state partitioning at start (p2 measured best
+    // here: 2 × 4 stores × 4 batches = 32 commits; ~20k state rows per
+    // side split 2 ways stays trivially in memory — hence this gate's
+    // own conf key). Unset ⇒ the session default governs — state
+    // partition count is a per-query knob, fixed for the life of the
+    // checkpoint.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    pinParts(spark, "graft.stream.parts.ivj")
     val q =
       try intervalJoinStream(readJsonl(lDir), readJsonl(rDir), horizon,
         joinType = joinType)
