@@ -211,14 +211,17 @@ object Graph {
     // checkpoint every iterative graph engine applies (at cluster scale,
     // reliable checkpoint/persist instead of localCheckpoint).
     var e = edges.select(col("a"), col("b")).localCheckpoint()
+    // peeling only shrinks e, so the initial-e guard stays valid for
+    // every round's node-bounded keep set (see attachFor)
+    val att = attachFor(e)
     def degrees(g: DataFrame): DataFrame =
       g.select(col("a").as("node")).unionAll(g.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     (0 until rounds).foreach { _ =>
       val keep = degrees(e).where(col("deg") >= k).select(col("node"))
       e = e
-        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .join(att(keep.select(col("node").as("a"))), Seq("a"), "left_semi")
+        .join(att(keep.select(col("node").as("b"))), Seq("b"), "left_semi")
         .localCheckpoint()
     }
     degrees(e).orderBy(col("node"))
@@ -401,6 +404,24 @@ object Graph {
       .select(col("node"), col("r").as("trust_units")).orderBy(col("node"))
   }
 
+  /** Per-round score/label/frontier tables are bounded by the node count,
+    * while the edge relation they join is the data-scale side — but both
+    * sit behind localCheckpoints with no size statistics, so the planner
+    * sort-merge-joins and re-shuffles the edges EVERY round. When the
+    * checkpointed edge relation is provably small enough that any
+    * node-bounded table is broadcast-safe (nodes ≤ 2·edges), attach the
+    * per-round state by broadcast instead (guide §3.1): the edge relation
+    * is then never shuffled by the iteration. Threshold is conf-driven
+    * (`graft.graph.broadcastStateMax`, edges; 0 disables) so production
+    * sizes it and probes can A/B it; identical results either way — only
+    * the join strategy differs. Costs one count() on checkpointed edges
+    * per operator against 2·rounds saved exchanges. */
+  private def attachFor(e: DataFrame): DataFrame => DataFrame = {
+    val max = e.sparkSession.conf
+      .get("graft.graph.broadcastStateMax", "4000000").toLong
+    if (max > 0 && e.count() <= max) broadcast else identity
+  }
+
   /** Undirected expansion + degree relation, both materialized for the
     * iteration loop (each round reads them once per branch). */
   private def undirect(edges: DataFrame): (DataFrame, DataFrame) = {
@@ -419,11 +440,12 @@ object Graph {
   private def iterate(e: DataFrame, deg: DataFrame, init: DataFrame,
       teleportExpr: Column, rounds: Int,
       dampNum: Long, dampDen: Long): DataFrame = {
+    val att = attachFor(e)
     var r = init
     (0 until rounds).foreach { _ =>
       val inflow = e
-        .join(r.withColumnRenamed("node", "a"), "a")
-        .join(deg.select(col("node").as("a"), col("deg")), "a")
+        .join(att(r.withColumnRenamed("node", "a")), "a")
+        .join(att(deg.select(col("node").as("a"), col("deg"))), "a")
         .select(col("b").as("node"), expr("r div deg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("inflow"))
       r = deg
@@ -449,8 +471,9 @@ object Graph {
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val (e, deg) = undirect(edges)
-    e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val att = attachFor(e)
+    e.join(att(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(att(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
       .agg(count(lit(1)).as("m"),
         sum(col("da")).as("s_x"),
         sum(col("da") * col("da")).as("s_xx"),
@@ -488,10 +511,11 @@ object Graph {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val nodes = e.select(col("a").as("node")).distinct().localCheckpoint()
+    val att = attachFor(e)
     var l = nodes.select(col("node"), col("node").as("label"))
     (0 until rounds).foreach { _ =>
       val votes = e
-        .join(l.withColumnRenamed("node", "a"), "a")
+        .join(att(l.withColumnRenamed("node", "a")), "a")
         .groupBy(col("b").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("node"))
@@ -532,12 +556,13 @@ object Graph {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var known = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    val att = attachFor(e)
     var frontier = known
     (1 to rounds).foreach { r =>
       val next = e
-        .join(frontier.withColumnRenamed("node", "a").drop("dist"), "a")
+        .join(att(frontier.withColumnRenamed("node", "a").drop("dist")), "a")
         .select(col("b").as("node")).distinct()
-        .join(known, Seq("node"), "left_anti")
+        .join(att(known), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
         .localCheckpoint()
       known = known.unionAll(next).localCheckpoint()
@@ -569,19 +594,12 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("h")).localCheckpoint()
-    // Each round attaches a (node, score) table to e twice. The score
-    // tables are bounded by the node count while e is the edge relation —
-    // the far larger side on any real graph — and the checkpointed score
-    // plans carry no size statistics, so the planner sort-merge-joined
-    // every round and re-shuffled e four times per 2-round run. Broadcast
-    // the scores instead (guide §3.1: broadcast the provably-small side):
-    // e is then never shuffled by the iteration; only the per-node partial
-    // aggregates move. Guarded by the edge count (scores ≤ distinct
-    // endpoints ≤ edges): past ~8M edges the bound stops being
-    // broadcast-safe and the default join strategy returns — identical
-    // results either way, only the join strategy differs.
-    val attach: DataFrame => DataFrame =
-      if (e.count() <= 8000000L) broadcast else identity
+    // Each round attaches a (node, score) table to e twice; see
+    // [[attachFor]] — broadcast the node-bounded scores so e is never
+    // shuffled by the iteration (r13 AbHitsR13: 2.53 -> 2.18 s, results
+    // row-identical; round-1 plan 4 SortMergeJoin -> 4 BroadcastHashJoin,
+    // plans/r13/graph_hits_round_*.txt).
+    val attach = attachFor(e)
     var auth: DataFrame = null
     (0 until rounds).foreach { _ =>
       val aRaw = e.join(attach(hub.withColumnRenamed("node", "src")), "src")
