@@ -716,6 +716,15 @@ object SparkEntry {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** Row counts for the sizing rules (planesFor / df caps), taken on the
+    * RAW scan: the repartitioned pipeline input has the same row count,
+    * but counting THROUGH the round-robin exchange pays the full shuffle —
+    * measured 2× the job at sf0.1 (0.30 s vs 0.14 s warm, r13). */
+  private def embsCount(s: SparkSession, d: String): Long =
+    Tables.embeddings(s, d).count()
+  private def docsCount(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).count()
+
   /** DBSCAN-lite tail shared by `cluster_dbscan` (fixed planes) and
     * `cluster_dbscan_sized` (planesFor-sized): ε-neighbor `pairs` →
     * degree census → core = deg ≥ 3 → components over core-core edges
@@ -728,23 +737,34 @@ object SparkEntry {
       .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
     val core = deg.where(col("deg") >= 3).select(col("vec_id"))
       .localCheckpoint()
+    // core / comp / assigned are NODE-bounded while `pairs` is the
+    // candidate-scale relation; the checkpointed node tables carry no
+    // size statistics, so every attach was a sort-merge join re-shuffling
+    // the pair relation (the r13 graph-iterator finding, Graph.attachFor).
+    // Broadcast the node-bounded side when provably small — core is
+    // already materialized, so the guard count is a local read; the same
+    // conf governs both families (0 disables, which is the A/B toggle).
+    val bcastMax = e.sparkSession.conf
+      .get("graft.graph.broadcastStateMax", "4000000").toLong
+    val att: DataFrame => DataFrame =
+      if (bcastMax > 0 && core.count() <= bcastMax) broadcast else identity
     val corePairs = pairs
-      .join(core.select(col("vec_id").as("a")), "a")
-      .join(core.select(col("vec_id").as("b")), "b")
+      .join(att(core.select(col("vec_id").as("a"))), "a")
+      .join(att(core.select(col("vec_id").as("b"))), "b")
       .select(col("a"), col("b"))
     val comp = operators.Components.connectedComponents(
       core.select(col("vec_id").as("id")), corePairs).localCheckpoint()
     val border = pairs.select(col("a").as("v"), col("b").as("u"))
       .unionAll(pairs.select(col("b").as("v"), col("a").as("u")))
-      .join(comp.select(col("id").as("u"), col("component")), "u")
-      .join(core.select(col("vec_id").as("v")), Seq("v"), "left_anti")
+      .join(att(comp.select(col("id").as("u"), col("component"))), "u")
+      .join(att(core.select(col("vec_id").as("v"))), Seq("v"), "left_anti")
       .groupBy(col("v").as("vec_id"))
       .agg(min(col("component")).as("cluster"))
     val assigned = comp.select(col("id").as("vec_id"),
         lit("core").as("role"), col("component").as("cluster"))
       .unionAll(border.select(col("vec_id"), lit("border").as("role"),
         col("cluster")))
-    e.select(col("vec_id")).join(assigned, Seq("vec_id"), "left")
+    e.select(col("vec_id")).join(att(assigned), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("role"), lit("noise")).as("role"),
         col("cluster"))
       .orderBy(col("vec_id"))
@@ -2145,7 +2165,8 @@ object SparkEntry {
     // vocab is so small that every pair shares most of it.
     "search_sparse_cosine" -> ((s, d) => {
       operators.SparseSim.cosinePairsAuto(docs(s, d), "text", "doc_id",
-        minSim = 0.3, maxDfFrac = 0.06, termK = 2)
+        minSim = 0.3, maxDfFrac = 0.06, termK = 2,
+        nDocs = Some(docsCount(s, d)))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2160,7 +2181,7 @@ object SparkEntry {
     "search_sparse_budget" -> ((s, d) => {
       operators.SparseSim.cosinePairsBudget(docs(s, d), "text", "doc_id",
         minSim = 0.3, pairBudget = SparsePairBudget, maxDfFrac = 0.06,
-        termK = 2)
+        termK = 2, nDocs = Some(docsCount(s, d)))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2489,7 +2510,7 @@ object SparkEntry {
     // unrolled rounds exactly.
     "search_knn_graph_descent" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val g0 = Similarity.knnGraphBucketed(e, "embedding", "vec_id",
         k = 8, minCosine = 0.2, planes = planes, seeds = Seq(7, 21),
         dims = 64)
@@ -2505,7 +2526,7 @@ object SparkEntry {
     // recall0 → recall2 is what two linear rounds buy.
     "search_knn_graph_descent_recall" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val g0 = Similarity.knnGraphBucketed(e, "embedding", "vec_id",
         k = 8, minCosine = 0.2, planes = planes, seeds = Seq(7, 21),
         dims = 64).localCheckpoint()
@@ -2618,7 +2639,7 @@ object SparkEntry {
     // rather than from an interpolated constant.
     "dedup_semantic" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val pairs = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
         minCosine = 0.3, planes = planes, seed = 7, dims = 64)
         .select(col("a"), col("b"))
@@ -3081,7 +3102,7 @@ object SparkEntry {
     // count from COUNT(*) and masks the 16-plane sign set down to it.
     "cluster_dbscan_sized" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val pairs = Dedup.embeddingNearDupPairsMultiTable(e, "embedding",
         "vec_id", minCosine = 0.2, planes = planes, seeds = Seq(7, 21),
         dims = 64)
@@ -3109,7 +3130,7 @@ object SparkEntry {
     // high-recall neighbor graphs at scale, use the NSW graph-ANN tier.
     "cluster_dbscan" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val tau = Dedup.tauForNeighbors(e, "embedding", "vec_id",
         targetNeighbors = 12, dims = 64)
       val pairs = Dedup.embeddingNearDupPairsMultiTable(e, "embedding",
@@ -3143,7 +3164,7 @@ object SparkEntry {
     // tables are the recall knob (SCALE_NOTES r12 law).
     "cluster_dbscan_knn_sized" -> ((s, d) => {
       val e = embs(s, d)
-      val planes = Dedup.planesFor(e.count(), targetBucketSize = 128)
+      val planes = Dedup.planesFor(embsCount(s, d), targetBucketSize = 128)
       val pairs = Similarity.mutualKnnPairsBucketed(e, "embedding",
         "vec_id", k = 12, minCosine = 0.2, planes = planes,
         seeds = Seq(7, 21), dims = 64)

@@ -1159,9 +1159,13 @@ object Similarity {
         Seq("seed", "bucket"))
       .where(col("q") =!= col("b"))
       .select(col("q"), col("b")).distinct()
+    // vector-store attach onto the candidate-scale relation: broadcast
+    // the n-row store when provably small (the knnGraphDescent guard)
+    val att: DataFrame => DataFrame =
+      if (vecs.count() <= 500000L) broadcast else identity
     mutualTopK(cand
-      .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
-      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+      .join(att(base.select(col(idCol).as("q"), col(vecCol).as("qv"))), Seq("q"))
+      .join(att(base.select(col(idCol).as("b"), col(vecCol).as("bv"))), Seq("b")),
       k, minCosine, dims)
   }
 
@@ -1205,9 +1209,12 @@ object Similarity {
         Seq("seed", "bucket"))
       .where(col("q") =!= col("b"))
       .select(col("q"), col("b")).distinct()
+    // same vector-store broadcast attach as mutualKnnPairsBucketed
+    val att: DataFrame => DataFrame =
+      if (vecs.count() <= 500000L) broadcast else identity
     directedTopK(cand
-      .join(base.select(col(idCol).as("q"), col(vecCol).as("qv")), Seq("q"))
-      .join(base.select(col(idCol).as("b"), col(vecCol).as("bv")), Seq("b")),
+      .join(att(base.select(col(idCol).as("q"), col(vecCol).as("qv"))), Seq("q"))
+      .join(att(base.select(col(idCol).as("b"), col(vecCol).as("bv"))), Seq("b")),
       k, minCosine, dims)
   }
 

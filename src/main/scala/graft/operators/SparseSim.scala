@@ -137,9 +137,13 @@ object SparseSim {
     */
   def cosinePairsAuto(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, maxDfFrac: Double = 0.06,
-      termK: Int = 1): DataFrame = {
+      termK: Int = 1, nDocs: Option[Long] = None): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0)
-    val cap = math.max(2L, math.ceil(maxDfFrac * docs.count()).toLong)
+    // nDocs: caller-supplied corpus row count (e.g. counted on the raw
+    // scan before a repartition — counting through the exchange pays the
+    // full shuffle); must equal docs' row count when given
+    val cap = math.max(2L,
+      math.ceil(maxDfFrac * nDocs.getOrElse(docs.count())).toLong)
     cosinePairs(docs, textCol, idCol, minSim, cap, termK)
   }
 
@@ -166,7 +170,8 @@ object SparseSim {
     */
   def cosinePairsBudget(docs: DataFrame, textCol: String, idCol: String,
       minSim: Double = 0.5, pairBudget: Long = 100000000L,
-      maxDfFrac: Double = 0.5, termK: Int = 1): DataFrame = {
+      maxDfFrac: Double = 0.5, termK: Int = 1,
+      nDocs: Option[Long] = None): DataFrame = {
     require(pairBudget >= 1)
     val spark = docs.sparkSession
     val terms = if (termK == 1) col("toks_")
@@ -191,7 +196,8 @@ object SparseSim {
       if (cum.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0)
         bMax = b
     }
-    val fracCap = math.max(2L, math.ceil(maxDfFrac * docs.count()).toLong)
+    val fracCap = math.max(2L,
+      math.ceil(maxDfFrac * nDocs.getOrElse(docs.count())).toLong)
     val cap = math.min((1L << bMax) - 1, fracCap)
     cosinePairs(docs, textCol, idCol, minSim, cap, termK)
   }
