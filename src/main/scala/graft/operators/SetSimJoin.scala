@@ -50,11 +50,22 @@ object SetSimJoin {
     val t = java.math.BigDecimal.valueOf(minSim)
     val sets = docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks_"))
+      // non-empty filter BEFORE deriving terms, on the staged token
+      // column: size(distinct shingles) > 0 ⟺ size(toks) ≥ termK (the
+      // shingle when-branch returns [] below k tokens; at k=1 the
+      // distinct of a non-empty array is non-empty). Filtering on the
+      // DERIVED terms column instead let the optimizer push the filter
+      // below the projection with the whole tokenize→shingle→distinct
+      // tree INLINED INTO THE HOF LAMBDA — element_at(tokens(text), i)
+      // re-ran split+filter over the full text once per shingle element,
+      // O(tokens²) per doc (measured on the sets build alone at sf0.1:
+      // 10.4 s vs 0.23 s, 45×; r13, guide §4.4's filter-duplication
+      // hazard in HOF form)
+      .where(size(col("toks_")) >= termK)
       .select(col("id"), array_distinct(
         if (termK == 1) col("toks_")
         else TextFunctions.shinglesFromTokens(col("toks_"), termK)).as("terms"))
       .withColumn("sz", size(col("terms")))
-      .where(col("sz") > 0)
       // verification intersects 64-bit hashes, not strings: the two
       // reattach joins shuffle ~2.5× fewer bytes per doc and the
       // per-candidate intersect compares longs (a within-doc collision
