@@ -3,6 +3,11 @@ ThisBuild / scalaVersion := "2.13.17"
 // JSON; sbt's "[success] Total time ..." trailer lands after it and has
 // made that parse fail in every round to date. Exit codes are unaffected.
 Global / showSuccess := false
+// Forked run output goes straight through to stdout/stderr instead of
+// the sbt logger, which prefixes every line with "[info] " — a prefix
+// that also breaks a strict json.loads of the bench line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / version := "0.1.0"
 name := "fegisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
